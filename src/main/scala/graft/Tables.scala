@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-stable loaders for the driver-generated testdata tables.
+  *
+  * Every `SparkEntry.queries` entry receives `(spark, sfDir)` and loads
+  * through here, so path handling / nanos-timestamp quirks are fixed in
+  * one place. Modeled on the reference catalog's collections
+  * (jobs / files / events — see /root/reference/reactor.py:119-218):
+  * `events` is the job event log, `documents` the archived outputs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read it as raw epoch-nanos longs instead (exact, no
+    * truncation — a ns→us cast would lose sub-microsecond order).
+    */
+  private def nanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") nanosAsLong(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every table as a temp view for spark.sql(...) use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
