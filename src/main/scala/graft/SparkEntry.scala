@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator module contributes a `queries` map (name -> plan
+  * builder) and an `oracles` map (name -> DuckDB SQL); this object just
+  * concatenates them. Keys are the SURVEY.md §2 inventory names.
+  */
 object SparkEntry {
+
+  private def modules = Seq(
+    operators.Relational.queries,
+    operators.Temporal.queries,
+    operators.SemiStructured.queries,
+  )
+
+  private def oracleModules = Seq(
+    operators.Relational.oracles,
+    operators.Temporal.oracles,
+    operators.SemiStructured.oracles,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    oracleModules.reduce(_ ++ _)
 }

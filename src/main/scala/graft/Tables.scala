@@ -30,4 +30,18 @@ object Tables {
   /** Register every table as a temp view for spark.sql(...) use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** `events` with the nanos ts canonicalized to epoch MICROSECONDS
+    * (`ts_us`). The DuckDB oracle reads the same parquet but truncates
+    * TIMESTAMP(NANOS) to its microsecond TIMESTAMP, so every oracle'd
+    * event query must compare/order/emit at micro precision on BOTH
+    * sides (`ts div 1000` here == `epoch_us(ts)` there). Raw `ts` is
+    * dropped on purpose so no query accidentally uses nano precision.
+    */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    apply(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .drop("ts")
+  }
 }

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Exprs, Tables}
+import graft.Exprs.{sumDec, sumDecSql}
+
+/** Relational core: joins + aggregates (SURVEY.md §2 #7-15).
+  *
+  * Catalog analytics re-expressed as declarative DataFrame plans so
+  * Catalyst handles pushdown/pruning/join planning. Dimension tables
+  * (`region`, `nation`) get explicit broadcast hints — they stay small at
+  * any catalog scale; fact-fact joins (lineitem⋈orders) shuffle on their
+  * keys and rely on AQE for runtime re-planning at cluster scale.
+  */
+object Relational {
+
+  private val revenueCol = sumDec(
+    col("l_extendedprice") * (lit(1) - col("l_discount")), 22, 6)
+  private val revenueSql =
+    sumDecSql("l_extendedprice*(1-l_discount)", 22, 6)
+
+  /** #7 TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(expr("l_shipdate <= '1998-09-02'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumDec(col("l_quantity"), 18, 2).as("sum_qty"),
+        sumDec(col("l_extendedprice"), 18, 2).as("sum_base_price"),
+        revenueCol.as("sum_disc_price"),
+        sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 24, 6).as("sum_charge"),
+        (sumDec(col("l_quantity"), 18, 2) / count(lit(1))).as("avg_qty"),
+        (sumDec(col("l_extendedprice"), 18, 2) / count(lit(1))).as("avg_price"),
+        (sumDec(col("l_discount"), 18, 4) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sumDecSql("l_quantity", 18, 2)} AS sum_qty,
+       |  ${sumDecSql("l_extendedprice", 18, 2)} AS sum_base_price,
+       |  $revenueSql AS sum_disc_price,
+       |  ${sumDecSql("l_extendedprice*(1-l_discount)*(1+l_tax)", 24, 6)} AS sum_charge,
+       |  ${sumDecSql("l_quantity", 18, 2)}/COUNT(*) AS avg_qty,
+       |  ${sumDecSql("l_extendedprice", 18, 2)}/COUNT(*) AS avg_price,
+       |  ${sumDecSql("l_discount", 18, 4)}/COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** #8 3-way join + agg + deterministic top-k. Customer is left to
+    * AQE/shuffle planning (too big to force-broadcast at catalog scale);
+    * revenue is decimal-exact so the DESC ordering is engine-stable.
+    */
+  def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders")
+      .where(expr("o_orderdate < '1998-03-15'"))
+    val l = Tables(spark, dir, "lineitem")
+      .where(expr("l_shipdate > '1998-03-15'"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(revenueCol.as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  $revenueSql AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY 1, 2
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** #9 6-way star join; nation/region broadcast (bounded cardinality). */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .where(expr("o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'"))
+    val l = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    val n = Tables(spark, dir, "nation")
+    val r = Tables(spark, dir, "region").where(col("r_name") === "ASIA")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(revenueCol.as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name, $revenueSql AS revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** #12 left-semi (EXISTS): customers with >=1 order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** #13 left-anti (NOT EXISTS): customers with no activity in the event
+    * log (an all-orders anti-set is empty in this data, which would make
+    * the check vacuous).
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val e = Tables.eventsUs(spark, dir)
+    c.join(e, col("c_custkey") === col("user_id"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** #14 ROLLUP hierarchy totals over lineitem. */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sumDec(col("l_quantity"), 18, 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val aggRollupSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  ${sumDecSql("l_quantity", 18, 2)} AS sum_qty,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** #15 multi-stat agg. stddev is derived from two decimal-exact sums
+    * (sum, sum-of-squares) with an identical double formula on both
+    * engines, so no cross-engine stddev algorithm drift can leak in;
+    * the interpolated median is rounded 4dp instead.
+    */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = sumDec(col("o_totalprice"), 18, 2)
+    val s2 = sumDec(col("o_totalprice") * col("o_totalprice"), 30, 4)
+    val n = count(lit(1))
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        n.as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (s1 / n).as("avg_price"),
+        sqrt((s2 - s1 * s1 / n) / (n - lit(1))).as("std_price"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val aggStatsSql: String = {
+    val s1 = sumDecSql("o_totalprice", 18, 2)
+    val s2 = sumDecSql("o_totalprice*o_totalprice", 30, 4)
+    s"""SELECT o_orderpriority,
+       |  COUNT(*) AS n,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price,
+       |  $s1/COUNT(*) AS avg_price,
+       |  SQRT(($s2 - $s1*$s1/COUNT(*))/(COUNT(*) - 1)) AS std_price,
+       |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_unshipped" -> (q3TopUnshipped _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_stats" -> (aggStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_unshipped" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_stats" -> aggStatsSql)
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{sumDec, sumDecSql}
+
+/** Temporal operators: as-of / range joins, windows, sessionization,
+  * tumbling aggregation (SURVEY.md §2 #10-11, #16-21).
+  *
+  * Scale notes (100 TB): every operator here shuffles at most ONCE, on
+  * its partition key (user/customer). The as-of join deliberately avoids
+  * the naive pair-explosion (join-all-then-rank) by unioning both event
+  * streams and taking a running `last(ignoreNulls)` within the
+  * partition — the classic sort-merge as-of, expressed declaratively so
+  * Tungsten window exec runs it spill-aware.
+  *
+  * All event timestamps are epoch MICROSECONDS ([[Tables.eventsUs]]) so
+  * results hash-match the DuckDB oracle's micro-precision timestamps.
+  */
+object Temporal {
+
+  /** #10 as-of join: for each purchase event, the latest view event of
+    * the same user at-or-before it. Single shuffle on user_id; no
+    * purchase×view pair blow-up. Ordering key (ts_us, tag, event_id)
+    * puts same-instant views before purchases and is a total order, so
+    * the picked row is engine-deterministic.
+    */
+  def joinAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"),
+        when(col("event_type") === "view", col("event_id")).as("vid"),
+        when(col("event_type") === "view", col("ts_us")).as("vts"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("view_event_id", last(col("vid"), ignoreNulls = true).over(w))
+      .withColumn("view_ts_us", last(col("vts"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("view_event_id").isNotNull)
+      .select("event_id", "user_id", "ts_us", "view_event_id", "view_ts_us")
+      .orderBy("event_id")
+  }
+
+  val joinAsOfSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |u AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+      |    CASE WHEN event_type = 'view' THEN event_id END AS vid,
+      |    CASE WHEN event_type = 'view' THEN ts_us END AS vts
+      |  FROM e),
+      |w AS (
+      |  SELECT *,
+      |    LAST_VALUE(vid IGNORE NULLS) OVER win AS view_event_id,
+      |    LAST_VALUE(vts IGNORE NULLS) OVER win AS view_ts_us
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us
+      |FROM w WHERE tag = 1 AND view_event_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  /** #11 range join: same-user event pairs within a 5-minute window.
+    * Equi key (user_id) bounds the shuffle; the range predicate is a
+    * residual filter inside the join, never a cartesian product.
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+    val a = ev.select(col("user_id"), col("event_id").as("e1"),
+      col("ts_us").as("t1"))
+    val b = ev.select(col("user_id").as("u2"), col("event_id").as("e2"),
+      col("ts_us").as("t2"))
+    a.join(b, col("user_id") === col("u2") && col("t2") > col("t1") &&
+        col("t2") - col("t1") <= lit(300000000L))
+      .select(col("e1"), col("e2"), (col("t2") - col("t1")).as("delta_us"))
+      .orderBy("e1", "e2")
+  }
+
+  val joinRangeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+      |SELECT a.event_id AS e1, b.event_id AS e2, b.ts_us - a.ts_us AS delta_us
+      |FROM e a JOIN e b ON a.user_id = b.user_id
+      |  AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us <= 300000000
+      |ORDER BY e1, e2""".stripMargin
+
+  /** #16 running revenue per customer over order date (window cumsum). */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** #17 top-3 orders per customer by price (rank-per-group). */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rk"))
+      .where(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  val windowTopKSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** #18 per-customer day gaps between consecutive orders (lag delta). */
+  def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("od"), "yyyy-MM-dd").as("o_orderdate"),
+        datediff(col("od"), lag(col("od"), 1).over(
+          Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")))
+          .cast("long").as("gap_days"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowLagDeltaSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  date_diff('day',
+      |    LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |    CAST(o_orderdate AS DATE)) AS gap_days
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** #20 gap-based sessionization (30-min inactivity) via window cumsum.
+    * One shuffle on user_id; session ids are per-user ordinals.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("is_new",
+        when(lag(col("ts_us"), 1).over(ord).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(ord) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+      |      OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |    CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** #21 tumbling-window (hourly) event aggregation; map-side partial agg. */
+  def tsTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      .withColumn("hour_us", expr("(ts_us div 3600000000) * 3600000000"))
+      .groupBy("hour_us", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("value"), 18, 2).as("sum_value"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("hour_us", "event_type")
+
+  val tsTumblingSql: String =
+    s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, event_type,
+       |  COUNT(*) AS n,
+       |  ${sumDecSql("value", 18, 2)} AS sum_value,
+       |  COUNT(DISTINCT user_id) AS users
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour_us, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> (joinAsOf _),
+    "join_range" -> (joinRange _),
+    "window_running" -> (windowRunning _),
+    "window_topk" -> (windowTopK _),
+    "window_lag_delta" -> (windowLagDelta _),
+    "sessionize" -> (sessionize _),
+    "ts_tumbling" -> (tsTumbling _))
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" -> joinAsOfSql,
+    "join_range" -> joinRangeSql,
+    "window_running" -> windowRunningSql,
+    "window_topk" -> windowTopKSql,
+    "window_lag_delta" -> windowLagDeltaSql,
+    "sessionize" -> sessionizeSql,
+    "ts_tumbling" -> tsTumblingSql)
+}
