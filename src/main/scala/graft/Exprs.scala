@@ -25,4 +25,17 @@ object Exprs {
   /** SQL mirror of [[sumDec]] for the DuckDB oracle. */
   def sumDecSql(sqlExpr: String, prec: Int, scale: Int): String =
     s"CAST(SUM(CAST($sqlExpr AS DECIMAL($prec,$scale))) AS DOUBLE)"
+
+  /** Cross-engine-deterministic 4dp rounding: ROUND() half-boundary
+    * behavior differs between Spark (exact HALF_UP on the binary value)
+    * and DuckDB, so a value landing on x.xxxx5 can round apart. floor(x
+    * * 1e4 + 0.5) / 1e4 is pure IEEE arithmetic — bit-identical wherever
+    * both engines evaluate it.
+    */
+  def r4(e: Column): Column =
+    floor(e * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** SQL mirror of [[r4]] for the DuckDB oracle. */
+  def r4Sql(sqlExpr: String): String =
+    s"FLOOR(($sqlExpr) * 10000.0 + 0.5) / 10000.0"
 }

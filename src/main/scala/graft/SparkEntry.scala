@@ -11,15 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules = Seq(
+    operators.Catalog.queries,
     operators.Relational.queries,
     operators.Temporal.queries,
     operators.SemiStructured.queries,
+    operators.TextAnalysis.queries,
+    operators.Dedup.queries,
+    operators.Similarity.queries,
+    operators.Multimodal.queries,
   )
 
   private def oracleModules = Seq(
+    operators.Catalog.oracles,
     operators.Relational.oracles,
     operators.Temporal.oracles,
     operators.SemiStructured.oracles,
+    operators.TextAnalysis.oracles,
+    operators.Dedup.oracles,
+    operators.Similarity.oracles,
+    operators.Multimodal.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

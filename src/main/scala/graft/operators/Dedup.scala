@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Deduplication family over `documents`/`embeddings`
+  * (SURVEY.md §2 #26-31) — the LLM-training-data north star.
+  *
+  * Scale design (100 TB):
+  *  - exact/normalized dedup: hash-groupBy — one shuffle on the digest,
+  *    map-side partial agg.
+  *  - MinHash+LSH: shingling and signatures are map-side narrow;
+  *    banding shuffles ONCE on (band, signature-slice); candidate pairs
+  *    exist only inside band buckets, never as an O(n²) cross product;
+  *    the verify join re-keys on doc_id only for the surviving
+  *    candidates.
+  *  - SimHash: same banding idea on 16-bit signature slices; the
+  *    verification is a cheap XOR-popcount on the 64-bit signatures.
+  *  - n-gram Jaccard: length-band blocking (each doc emits two adjacent
+  *    length buckets, pairs equi-join on bucket) — an equi-shuffle
+  *    instead of a non-equi nested loop.
+  *  - embedding near-dup: label-bucketed pairs (equi-join) with an
+  *    exact cosine residual.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- #26
+  /** #26 exact dedup by md5(text): one group per distinct content,
+    * min doc_id is the kept representative. (This corpus plants no
+    * exact dups, so every group has n=1 — the full group list IS the
+    * dedup result: the kept set.)
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("content_hash")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- #27
+  /** #27 normalized dedup: lowercase, strip non-alnum, collapse
+    * whitespace — catches formatting-only duplicates.
+    */
+  def dedupNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("norm", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .groupBy(md5(col("norm")).as("norm_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("norm_hash")
+
+  val dedupNormSql: String =
+    """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin
+
+  // ------------------------------------------------------- shared text
+  /** Distinct word-trigram shingles per doc (the dup-detection unit for
+    * minhash; word-shuffled texts share tokens but not trigrams).
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |    ' ', element_at(toks, i + 2))))""".stripMargin))
+      .select("doc_id", "shingles")
+
+  private def jaccard(a: String, b: String) =
+    expr(s"""size(array_intersect($a, $b)) /
+             cast(size($a) + size($b) - size(array_intersect($a, $b))
+               as double)""")
+
+  // ---------------------------------------------------------------- #28
+  /** #28 MinHash + LSH banding near-dup pairs.
+    *
+    * 16 minhashes (xxhash64 with per-function salt) banded 4×4: docs
+    * sharing any band bucket become candidates (p(catch | j=0.9) ≈
+    * .986, j=0.5 ≈ .22 — the S-curve the banding scheme is chosen for),
+    * then candidates are verified with exact trigram Jaccard ≥ 0.8.
+    * The only shuffles are the band-bucket equi-join and the verify
+    * re-join; no global cross product at any point.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val numHashes = 16
+    val bandRows = 4
+    val sh = shingled(spark, dir)
+    val sig = sh.withColumn("sig", expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |  s -> array_min(transform(shingles,
+         |    g -> xxhash64(concat(g, '#', cast(s as string))))))"""
+        .stripMargin))
+    val banded = sig.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${numHashes / bandRows - 1}),
+           |  b -> named_struct(
+           |    'band', b,
+           |    'bsig', md5(concat_ws(',', slice(sig, b * $bandRows + 1,
+           |      $bandRows)))))""".stripMargin)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bsig").as("bsig"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("jaccard", r4(jaccard("sh_a", "sh_b")))
+      .where(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- #29
+  /** #29 SimHash near-dup pairs: 64-bit simhash over word bigrams,
+    * banded into 4×16-bit slices (a pair within hamming distance 3 must
+    * agree exactly on at least one slice), verified with XOR-popcount
+    * hamming ≤ 3.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ',
+          |    element_at(toks, i + 1))))""".stripMargin))
+      .withColumn("sig", expr(
+        """aggregate(sequence(0, 63), cast(0 as long), (acc, i) ->
+          |  acc + if(
+          |    aggregate(grams, cast(0 as long), (s, g) ->
+          |      s + if((shiftright(xxhash64(g), i) & 1) = 1, 1L, -1L)) > 0,
+          |    shiftleft(1L, i), 0L))""".stripMargin))
+      .select("doc_id", "sig")
+    val banded = base.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> named_struct(
+          |  'band', b,
+          |  'bval', shiftright(sig, b * 16) & 65535))""".stripMargin))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("cast(bit_count(a.sig ^ b.sig) as long)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- #30
+  /** #30 word-bigram Jaccard near-dup pairs with length-band blocking:
+    * each doc emits its two adjacent 24-char length buckets, candidate
+    * pairs share a bucket (equi-join — scalable), and the Jaccard ≥ 0.8
+    * residual verifies. The two-bucket emit guarantees any
+    * |Δn_chars| ≤ 24 pair collides (dup clusters drift a few chars per
+    * variant, so the band must cover several variants' spread).
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ',
+          |    element_at(toks, i + 1))))""".stripMargin))
+      .withColumn("bucket",
+        explode(array((col("n_chars") / 24).cast("long"),
+          (col("n_chars") / 24).cast("long") + 1)))
+      .select("doc_id", "grams", "bucket")
+    g.as("a").join(g.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.grams").as("g_a"), col("b.grams").as("g_b"))
+      .distinct()
+      .withColumn("jaccard", r4(jaccard("g_a", "g_b")))
+      .where(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' '
+      |        || string_split(text, ' ')[i + 1])) AS grams,
+      |    unnest([n_chars // 24, n_chars // 24 + 1]) AS bucket
+      |  FROM documents),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.grams AS g_a, b.grams AS g_b
+      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    FLOOR((len(list_intersect(g_a, g_b)) /
+      |      CAST(len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))
+      |        AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |  FROM cand)
+      |SELECT id_a, id_b, jaccard FROM scored
+      |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- #31
+  /** #31 embedding-cosine near-dup pairs within label buckets. Cosine
+    * is computed with the same sequential double arithmetic on both
+    * engines (fold over zipped products), rounded 4dp before the
+    * threshold so the pair set is cross-engine stable.
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(
+        """sqrt(aggregate(embedding, cast(0 as double),
+          |  (acc, x) -> acc + cast(x as double) * cast(x as double)))"""
+          .stripMargin))
+      .select("vec_id", "label", "embedding", "norm")
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", r4(
+        expr("""aggregate(zip_with(a.embedding, b.embedding,
+                 (x, y) -> cast(x as double) * cast(y as double)),
+               cast(0 as double), (acc, p) -> acc + p)""") /
+          (col("a.norm") * col("b.norm"))))
+      .where(col("cosine") >= 0.3)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    FLOOR((list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / (a.norm * b.norm)) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cosine FROM p
+      |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_norm" -> (dedupNorm _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  /** minhash/simhash pair sets depend on xxhash64 (not in DuckDB) —
+    * rows-only oracle for those two.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_norm" -> dedupNormSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Similarity search over `embeddings` (SURVEY.md §2 #32-33).
+  *
+  * Scale design (100 TB):
+  *  - brute force: the query set is small by construction, so it is
+  *    BROADCAST over the corpus — one narrow pass, per-partition top-k
+  *    via the window, no corpus shuffle at all until the final tiny
+  *    rank filter.
+  *  - LSH: random-hyperplane signs bucket the corpus (map-side narrow);
+  *    candidate generation is an equi-join on the bucket id — the
+  *    classic trade of recall for never touching the full n×m product.
+  *    Hyperplane components are ±1 derived from xxhash64(plane, dim),
+  *    so the "random" planes are deterministic and need no driver-side
+  *    state or broadcast variables.
+  */
+object Similarity {
+
+  private val dotExpr =
+    """aggregate(zip_with(q_emb, c_emb,
+      |  (x, y) -> cast(x as double) * cast(y as double)),
+      |cast(0 as double), (acc, p) -> acc + p)""".stripMargin
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", expr(
+      """sqrt(aggregate(embedding, cast(0 as double),
+        |  (acc, x) -> acc + cast(x as double) * cast(x as double)))"""
+        .stripMargin))
+
+  /** #32 exact cosine top-5 neighbors for the query set (vec_id % 50 = 0).
+    * Query side broadcast; ranking key (cosine DESC, vec_id) is total so
+    * the top-k is engine-deterministic.
+    */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(Tables(spark, dir, "embeddings"))
+    val q = v.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cosine_raw",
+        expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r4(col("cosine_raw")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annBruteforceSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (q.norm * c.norm) AS cosine_raw
+      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id, FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** #33 random-hyperplane LSH ANN: 8 sign bits bucket the corpus;
+    * query vectors probe their own bucket only; top-3 by exact cosine
+    * within the bucket. Deterministic planes: component d of plane j is
+    * +1 if xxhash64(j # d) has bit 0 set, else -1 — i.e. sign bit j =
+    * (sum over dims of ±embedding[d]) > 0.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigExpr =
+      """aggregate(sequence(0, 7), cast(0 as long), (acc, j) ->
+        |  acc + if(
+        |    aggregate(sequence(1, size(embedding)), cast(0 as double),
+        |      (s, d) -> s + if(
+        |        (xxhash64(concat(cast(j as string), '#', cast(d as string)))
+        |          & 1) = 1,
+        |        cast(element_at(embedding, d) as double),
+        |        -cast(element_at(embedding, d) as double))) > 0,
+        |    shiftleft(1L, j), 0L))""".stripMargin
+    val v = withNorm(Tables(spark, dir, "embeddings"))
+      .withColumn("bucket", expr(sigExpr))
+    val q = v.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
+    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("bucket").as("c_bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
+    c.join(broadcast(q),
+        col("bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine_raw",
+        expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r4(col("cosine_raw")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _))
+
+  /** ann_lsh buckets depend on xxhash64 (not in DuckDB) — rows-only. */
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql)
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Text analysis over `documents` (SURVEY.md §2 #34-38): token stats,
+  * quality scoring, language ID, fingerprinting, n-gram frequencies.
+  *
+  * These are the per-document scoring passes an LLM-training-data
+  * pipeline runs before filtering/dedup (the reference's datacatalog
+  * runs the analogous per-file metadata inference at indexing time).
+  *
+  * All operators are a single scan with narrow, codegen'd projections —
+  * higher-order array functions (`transform`/`filter`/`aggregate`), no
+  * UDFs, no shuffle except the final small aggregations. Ratios are
+  * linear arithmetic only (no transcendentals) rounded to 4dp so the
+  * DuckDB oracle computes bit-identical doubles.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private def stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** #34 per-document token/char statistics. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[aeiou]", "")))
+          .cast("long").as("n_consonants_sp"),
+        expr(s"cast(size(filter(toks, t -> t IN ($stopList))) as long)")
+          .as("n_stopwords"))
+      .orderBy("doc_id")
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |    AS n_distinct,
+       |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+       |    AS BIGINT) AS n_consonants_sp,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |    t -> t IN ($stopList))) AS BIGINT) AS n_stopwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** #35 quality score: linear blend of stopword ratio, short-token
+    * ratio, and a length prior. Deliberately transcendental-free so the
+    * score is cross-engine bit-identical before its 4dp rounding.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tokens"))
+      .withColumn("short_ratio",
+        expr("size(filter(toks, t -> length(t) <= 2))") / col("n_tokens"))
+      .withColumn("len_prior", least(col("n_tokens") / lit(100.0), lit(1.0)))
+      .select(
+        col("doc_id"),
+        r4(col("stop_ratio")).as("stop_ratio"),
+        r4(col("short_ratio")).as("short_ratio"),
+        r4(
+          lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * (lit(1.0) - col("short_ratio")) +
+          lit(0.3) * col("len_prior")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |    len(list_filter(string_split(text, ' '), t -> length(t) <= 2))
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS short_ratio,
+       |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+       |      AS len_prior
+       |  FROM documents)
+       |SELECT doc_id, ${r4Sql("stop_ratio")} AS stop_ratio,
+       |  ${r4Sql("short_ratio")} AS short_ratio,
+       |  ${r4Sql("0.4 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)" +
+                  " + 0.3 * len_prior")} AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+
+  /** Language profiles for the n-gram/stopword language-ID heuristic.
+    * The synthetic corpus shares one vocabulary across langs, so the
+    * profiles are frequency-skew picks; what the operator demonstrates
+    * is the scoring/argmax shape, computed identically on both engines.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row", "batch"),
+    "en" -> Seq("the", "a", "spark", "order", "table"),
+    "es" -> Seq("slow", "agg", "merge", "vector", "value"),
+    "fr" -> Seq("scan", "data", "query", "small", "key"),
+    "zh" -> Seq("stream", "fast", "column", "line", "part"))
+
+  /** #36 language ID: per-profile token-hit count, argmax with
+    * alphabetical tie-break (first >= all others wins).
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = profiles.foldLeft(
+      Tables(spark, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))) {
+      case (df, (lang, words)) =>
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(toks, t -> t IN ($inList)))"))
+    }
+    val langs = profiles.map(_._1)
+    val pred = langs.foldLeft(lit(null).cast("string")) { (acc, l) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      coalesce(acc, when(geAll, l))
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val scoreCols = profiles.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1)
+    val whens = langs.map { l =>
+      val cond = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, lang, CASE $whens END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** #37 document fingerprint: md5 of the sorted-distinct-token
+    * canonical form (order-insensitive content identity).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " ")))))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+      |    ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** #38 top word-bigram frequencies (global, deterministic top-40). */
+  def textNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |""".stripMargin)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bigram"))
+      .limit(40)
+
+  val textNgramsSql: String =
+    """WITH b AS (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' '
+      |      || string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents)
+      |SELECT bigram, COUNT(*) AS n FROM b
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_ngrams" -> (textNgrams _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "text_ngrams" -> textNgramsSql)
+}

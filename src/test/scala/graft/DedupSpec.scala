@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Correctness properties of the near-dup pipeline that the rows-only
+  * driver oracle can't see: MinHash-LSH precision (every reported pair
+  * truly exceeds the Jaccard threshold) and recall (vs brute-force
+  * ground truth over all pairs — feasible at sf0.001's corpus size).
+  */
+class DedupSpec extends GraftSpec {
+
+  private def groundTruth(threshold: Double) = {
+    val g = Tables(spark, sf, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |    ' ', element_at(toks, i + 2))))""".stripMargin))
+      .select("doc_id", "sh")
+    g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("""size(array_intersect(a.sh, b.sh)) /
+                cast(size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh))
+                  as double)""").as("j"))
+      .where(col("j") >= threshold)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-lsh pairs all verify >= 0.8 trigram jaccard (precision)") {
+    val pairs = operators.Dedup.dedupMinhashLsh(spark, sf).collect()
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("minhash-lsh finds the brute-force >= 0.9 pairs (recall)") {
+    val truth = groundTruth(0.9)
+    val found = operators.Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4x4 banding catches a j=0.9 pair w.p. ~.986; at this corpus size
+    // the planted dups are j~1.0, so demand full recall.
+    assert(truth.subsetOf(found),
+      s"missed pairs: ${truth.diff(found).mkString(", ")}")
+  }
+
+  test("ngram-jaccard blocking agrees with brute force at >= 0.8") {
+    val truth = groundTruth(0.8) // trigram truth only sanity-bounds size
+    val found = operators.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bigram >= .8 pairs must at least cover the trigram >= .9 planted dups
+    assert(groundTruth(0.9).subsetOf(found))
+    assert(found.size >= truth.size)
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val total = Tables(spark, sf, "documents").count()
+    val groups = operators.Dedup.dedupExact(spark, sf)
+      .agg(sum("n_dups")).head.getLong(0)
+    assert(groups == total)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Ev, Session}
+
+/** SURVEY.md §2 #40: streaming/batch equivalence. The same event set fed
+  * through the Structured Streaming operators must produce exactly the
+  * batch operators' results once the stream is drained.
+  */
+class StreamingSpec extends GraftSpec {
+
+  private def loadEvents(): Seq[Ev] = {
+    Tables.eventsUs(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming tumbling agg == batch ts_tumbling") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = EventStream.tumbling(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    // three micro-batches to exercise incremental state, then a
+    // watermark-advancing flush so every window closes
+    val (b1, rest) = events.splitAt(events.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+    stream.addData(Ev(-1L, -1L, "flush", flushTs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .where(col("event_type") =!= "flush")
+      .select("hour_us", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Temporal.tsTumbling(spark, sf)
+      .select(col("hour_us"), col("event_type"), col("n"),
+        col("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionize == batch sessionize") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    // per-user far-future flush event closes every open session; its own
+    // session is filtered out below by session start time
+    val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+    events.map(_.user_id).distinct.foreach { u =>
+      stream.addData(Ev(-1L, u, "flush", flushTs, 0.0))
+    }
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_out")
+      .where(col("start_us") < flushTs)
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Temporal.sessionize(spark, sf)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+}
