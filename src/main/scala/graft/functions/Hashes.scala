@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * The SQL-lambda formulations (`aggregate(sequence(0,63), ...)` etc.)
+  * re-hash every gram string once per signature bit — 64× redundant
+  * UTF-8 hashing through interpreted closures, which measured 284 s for
+  * simhash at sf0.1. These expressions hash each gram exactly once in a
+  * tight JVM loop (same xxhash64 the built-in uses), dropping the
+  * signature cost to one pass per document.
+  *
+  * CodegenFallback is fine here: the expression is called once per row
+  * and its interior is already a native loop — there is no per-element
+  * codegen boundary to widen.
+  */
+object Hashes {
+
+  private val seed = 42L
+
+  /** 64-bit SimHash of an array<string>: per-gram xxhash64, bit-vote
+    * counts, sign bits.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var k = 0
+      val n = arr.numElements()
+      while (k < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(k), StringType, seed)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+        k += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) {
+        if (counts(i) > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  /** MinHash signature (array<long>, `num` entries) of an array<string>:
+    * one xxhash64 per shingle, `num` universal-hash mixes
+    * (h * odd_i + mix_i — 2-universal enough for LSH banding), min per
+    * mix.
+    */
+  case class MinHashSig(child: Expression, num: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val golden = 0x9E3779B97F4A7C15L
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(num)(Long.MaxValue)
+      var k = 0
+      val n = arr.numElements()
+      while (k < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(k), StringType, seed)
+        var i = 0
+        while (i < num) {
+          val hi = h * (2L * i + 1L) + golden * i
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+        k += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+  }
+
+  /** MinHash signature from PRE-HASHED shingles (array<long>): shares
+    * the one-hash-per-shingle pass with the verify step via hash_array.
+    */
+  case class MinHashFromHashes(child: Expression, num: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val golden = 0x9E3779B97F4A7C15L
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(num)(Long.MaxValue)
+      var k = 0
+      val n = arr.numElements()
+      while (k < n) {
+        val h = arr.getLong(k)
+        var i = 0
+        while (i < num) {
+          val hi = h * (2L * i + 1L) + golden * i
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+        k += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
+      copy(child = c)
+  }
+
+  /** Hash each string of an array<string> to a long (collision-safe
+    * stand-in for the string set in intersect-heavy verify joins).
+    */
+  case class HashArray(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](arr.numElements())
+      var k = 0
+      while (k < out.length) {
+        out(k) = XxHash64Function.hash(arr.getUTF8String(k), StringType, seed)
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): HashArray =
+      copy(child = c)
+  }
+
+  /** Intersection size of two pre-sorted-or-not long arrays via a hash
+    * set — the counting half of a Jaccard verify without materializing
+    * the intersection array.
+    */
+  case class IntersectCount(left: Expression, right: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(left, right)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      if (a == null || b == null) return null
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val set = new java.util.HashSet[Long](aa.numElements() * 2)
+      var k = 0
+      while (k < aa.numElements()) { set.add(aa.getLong(k)); k += 1 }
+      var c = 0L
+      k = 0
+      while (k < bb.numElements()) {
+        if (set.contains(bb.getLong(k))) c += 1
+        k += 1
+      }
+      c
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): IntersectCount =
+      copy(left = cs(0), right = cs(1))
+  }
+
+  /** Idempotent session registration; after this,
+    * `expr("simhash64(grams)")` etc. work anywhere.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      (es: Seq[Expression]) => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      (es: Seq[Expression]) => MinHashSig(es.head,
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig_from_hashes",
+      (es: Seq[Expression]) => MinHashFromHashes(es.head,
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("hash_array",
+      (es: Seq[Expression]) => HashArray(es.head), "built-in")
+    reg.createOrReplaceTempFunction("intersect_count",
+      (es: Seq[Expression]) => IntersectCount(es(0), es(1)), "built-in")
+  }
+}

@@ -90,14 +90,15 @@ object Dedup {
     * re-join; no global cross product at any point.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
     val numHashes = 16
     val bandRows = 4
+    // hashed shingle sets: one xxhash64 per shingle, reused by both the
+    // signature (via minhash_sig) and the exact-Jaccard verify
     val sh = shingled(spark, dir)
-    val sig = sh.withColumn("sig", expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  s -> array_min(transform(shingles,
-         |    g -> xxhash64(concat(g, '#', cast(s as string))))))"""
-        .stripMargin))
+      .withColumn("hsh", expr("hash_array(shingles)"))
+      .select("doc_id", "hsh")
+    val sig = sh.withColumn("sig", expr(s"minhash_sig_from_hashes(hsh, $numHashes)"))
     val banded = sig.select(col("doc_id"),
       explode(expr(
         s"""transform(sequence(0, ${numHashes / bandRows - 1}),
@@ -114,11 +115,13 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")),
-        "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")),
-        "id_b")
-      .withColumn("jaccard", r4(jaccard("sh_a", "sh_b")))
+      .join(sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
+      .withColumn("inter",
+        expr("cast(intersect_count(sh_a, sh_b) as double)"))
+      .withColumn("jaccard",
+        r4(col("inter") /
+          (expr("size(sh_a) + size(sh_b)") - col("inter"))))
       .where(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -131,18 +134,14 @@ object Dedup {
     * hamming ≤ 3.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
     val base = Tables(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", expr(
         """array_distinct(transform(sequence(1, size(toks) - 1),
           |  i -> concat(element_at(toks, i), ' ',
           |    element_at(toks, i + 1))))""".stripMargin))
-      .withColumn("sig", expr(
-        """aggregate(sequence(0, 63), cast(0 as long), (acc, i) ->
-          |  acc + if(
-          |    aggregate(grams, cast(0 as long), (s, g) ->
-          |      s + if((shiftright(xxhash64(g), i) & 1) = 1, 1L, -1L)) > 0,
-          |    shiftleft(1L, i), 0L))""".stripMargin))
+      .withColumn("sig", expr("simhash64(grams)"))
       .select("doc_id", "sig")
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(
@@ -172,23 +171,33 @@ object Dedup {
     * variant, so the band must cover several variants' spread).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    // grams hashed once per doc: candidate pairs shuffle only (id, id)
+    // keys (never the gram arrays), and the verify intersect runs on
+    // longs, not strings.
     val g = Tables(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("grams", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 1),
+        """hash_array(array_distinct(transform(sequence(1, size(toks) - 1),
           |  i -> concat(element_at(toks, i), ' ',
-          |    element_at(toks, i + 1))))""".stripMargin))
+          |    element_at(toks, i + 1)))))""".stripMargin))
+      .select("doc_id", "grams")
+    val bucketed = Tables(spark, dir, "documents")
       .withColumn("bucket",
         explode(array((col("n_chars") / 24).cast("long"),
           (col("n_chars") / 24).cast("long") + 1)))
-      .select("doc_id", "grams", "bucket")
-    g.as("a").join(g.as("b"),
+      .select("doc_id", "bucket")
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.grams").as("g_a"), col("b.grams").as("g_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .withColumn("jaccard", r4(jaccard("g_a", "g_b")))
+    pairs
+      .join(g.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(g.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("inter", expr("cast(intersect_count(g_a, g_b) as double)"))
+      .withColumn("jaccard",
+        r4(col("inter") / (expr("size(g_a) + size(g_b)") - col("inter"))))
       .where(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
