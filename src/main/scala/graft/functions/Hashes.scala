@@ -164,6 +164,144 @@ object Hashes {
       copy(left = cs(0), right = cs(1))
   }
 
+  /** Cosine similarity of two float32 vectors, accumulated in double
+    * with strictly sequential order — the SAME arithmetic as the
+    * fold-based SQL formulation and the DuckDB oracle's
+    * `list_sum(list_transform(...))`, so replacing the interpreted
+    * lambdas with this native loop cannot move a single bit of the
+    * result.
+    */
+  case class CosineF32(left: Expression, right: Expression)
+      extends Expression with CodegenFallback {
+    override def children: Seq[Expression] = Seq(left, right)
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      if (a == null || b == null) return null
+      val aa = a.asInstanceOf[ArrayData]
+      val bb = b.asInstanceOf[ArrayData]
+      val n = aa.numElements()
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = aa.getFloat(i).toDouble
+        val y = bb.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): CosineF32 =
+      copy(left = cs(0), right = cs(1))
+  }
+
+  /** Distinct hashes of consecutive word n-grams, built without ever
+    * materializing the gram strings: each token is xxhash64'd once, and
+    * an n-gram's hash is the golden-ratio fold of its token hashes — a
+    * collision-free (w.h.p.) injection of the gram set, so set sizes and
+    * intersections equal the string-set ones the oracle computes.
+    */
+  case class NgramHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val golden = 0x9E3779B97F4A7C15L
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val nt = arr.numElements()
+      if (nt < n) return new GenericArrayData(Array.emptyLongArray)
+      val th = new Array[Long](nt)
+      var k = 0
+      while (k < nt) {
+        th(k) = XxHash64Function.hash(arr.getUTF8String(k), StringType, seed)
+        k += 1
+      }
+      val seen = new java.util.LinkedHashSet[Long]((nt - n + 1) * 2)
+      var i = 0
+      while (i <= nt - n) {
+        var h = seed
+        var j = 0
+        while (j < n) { h = h * golden + th(i + j); j += 1 }
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): NgramHashes =
+      copy(child = c)
+  }
+
+  /** SimHash from pre-hashed grams (array<long>): bit-vote counts over
+    * the hashes, sign bits out.
+    */
+  case class SimHashFromHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var k = 0
+      val n = arr.numElements()
+      while (k < n) {
+        val h = arr.getLong(k)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+        k += 1
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) {
+        if (counts(i) > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashFromHashes =
+      copy(child = c)
+  }
+
+  /** Random-hyperplane LSH bucket of a float32 vector: bit j of the
+    * result is the sign of the dot product with pseudo-plane j, whose
+    * component d is ±1 by bit 0 of xxhash64(j * 65536 + d) — fully
+    * deterministic, no driver-side plane state to broadcast.
+    */
+  case class RhpBucket(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          val sign = XxHash64Function.hash(
+            j.toLong * 65536L + d, org.apache.spark.sql.types.LongType,
+            seed) & 1L
+          val x = v.getFloat(d).toDouble
+          dot += (if (sign == 1L) x else -x)
+          d += 1
+        }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): RhpBucket =
+      copy(child = c)
+  }
+
   /** Idempotent session registration; after this,
     * `expr("simhash64(grams)")` etc. work anywhere.
     */
@@ -181,5 +319,15 @@ object Hashes {
       (es: Seq[Expression]) => HashArray(es.head), "built-in")
     reg.createOrReplaceTempFunction("intersect_count",
       (es: Seq[Expression]) => IntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_f32",
+      (es: Seq[Expression]) => CosineF32(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("ngram_hashes",
+      (es: Seq[Expression]) => NgramHashes(es(0),
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("simhash_from_hashes",
+      (es: Seq[Expression]) => SimHashFromHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rhp_bucket",
+      (es: Seq[Expression]) => RhpBucket(es(0),
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

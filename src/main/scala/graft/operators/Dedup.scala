@@ -62,22 +62,17 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin
 
   // ------------------------------------------------------- shared text
-  /** Distinct word-trigram shingles per doc (the dup-detection unit for
-    * minhash; word-shuffled texts share tokens but not trigrams).
+  /** Distinct hashed word-trigram shingles per doc (the dup-detection
+    * unit for minhash; word-shuffled texts share tokens but not
+    * trigrams). One native pass: tokens hashed once, grams folded —
+    * gram strings never materialize.
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
     Tables(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
-          |    ' ', element_at(toks, i + 2))))""".stripMargin))
-      .select("doc_id", "shingles")
-
-  private def jaccard(a: String, b: String) =
-    expr(s"""size(array_intersect($a, $b)) /
-             cast(size($a) + size($b) - size(array_intersect($a, $b))
-               as double)""")
+      .withColumn("hsh", expr("ngram_hashes(split(text, ' '), 3)"))
+      .select("doc_id", "hsh")
+  }
 
   // ---------------------------------------------------------------- #28
   /** #28 MinHash + LSH banding near-dup pairs.
@@ -93,11 +88,9 @@ object Dedup {
     graft.functions.Hashes.register(spark)
     val numHashes = 16
     val bandRows = 4
-    // hashed shingle sets: one xxhash64 per shingle, reused by both the
-    // signature (via minhash_sig) and the exact-Jaccard verify
+    // hashed shingle sets: one pass per doc, reused by both the
+    // signature and the exact-Jaccard verify
     val sh = shingled(spark, dir)
-      .withColumn("hsh", expr("hash_array(shingles)"))
-      .select("doc_id", "hsh")
     val sig = sh.withColumn("sig", expr(s"minhash_sig_from_hashes(hsh, $numHashes)"))
     val banded = sig.select(col("doc_id"),
       explode(expr(
@@ -136,12 +129,8 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val base = Tables(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("grams", expr(
-        """array_distinct(transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ',
-          |    element_at(toks, i + 1))))""".stripMargin))
-      .withColumn("sig", expr("simhash64(grams)"))
+      .withColumn("sig",
+        expr("simhash_from_hashes(ngram_hashes(split(text, ' '), 2))"))
       .select("doc_id", "sig")
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(
@@ -172,29 +161,37 @@ object Dedup {
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
-    // grams hashed once per doc: candidate pairs shuffle only (id, id)
-    // keys (never the gram arrays), and the verify intersect runs on
-    // longs, not strings.
+    // Each doc emits its floor bucket and floor+1; a |Δn_chars| <= 24
+    // pair shares >= 1 bucket. Duplicate collisions (equal floors ->
+    // two shared buckets) are resolved by keeping only the canonical
+    // bucket instance — a cheap filter instead of a pair-distinct, so
+    // candidates flow straight into the verify with their gram arrays
+    // and the plan has ONE join, zero re-joins, zero distincts.
     val g = Tables(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("grams", expr(
-        """hash_array(array_distinct(transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ',
-          |    element_at(toks, i + 1)))))""".stripMargin))
+      .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
       .select("doc_id", "grams")
     val bucketed = Tables(spark, dir, "documents")
-      .withColumn("bucket",
-        explode(array((col("n_chars") / 24).cast("long"),
-          (col("n_chars") / 24).cast("long") + 1)))
-      .select("doc_id", "bucket")
+      .withColumn("nb", (col("n_chars") / 24).cast("long"))
+      .withColumn("bucket", explode(array(col("nb"), col("nb") + 1)))
+      .select("doc_id", "nb", "bucket")
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.nb") =!= col("b.nb") || col("a.bucket") === col("a.nb")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    // The gram side fits comfortably in memory at bench scale, so the
+    // attach joins broadcast; at cluster scale drop the hint and these
+    // become shuffle joins on doc_id (grams stay narrow either way —
+    // candidate pairs never drag arrays through the pair join above).
     pairs
-      .join(g.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(g.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .join(broadcast(g.select(col("doc_id").as("id_a"),
+        col("grams").as("g_a"))), "id_a")
+      .join(broadcast(g.select(col("doc_id").as("id_b"),
+        col("grams").as("g_b"))), "id_b")
+      // size prefilter: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|)
+      // >= t, so this prunes intersect work without changing the output
+      .where(expr("least(size(g_a), size(g_b)) >= " +
+        "0.8 * greatest(size(g_a), size(g_b))"))
       .withColumn("inter", expr("cast(intersect_count(g_a, g_b) as double)"))
       .withColumn("jaccard",
         r4(col("inter") / (expr("size(g_a) + size(g_b)") - col("inter"))))
@@ -231,20 +228,14 @@ object Dedup {
     * threshold so the pair set is cross-engine stable.
     */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
     val v = Tables(spark, dir, "embeddings")
-      .withColumn("norm", expr(
-        """sqrt(aggregate(embedding, cast(0 as double),
-          |  (acc, x) -> acc + cast(x as double) * cast(x as double)))"""
-          .stripMargin))
-      .select("vec_id", "label", "embedding", "norm")
+      .select("vec_id", "label", "embedding")
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", r4(
-        expr("""aggregate(zip_with(a.embedding, b.embedding,
-                 (x, y) -> cast(x as double) * cast(y as double)),
-               cast(0 as double), (acc, p) -> acc + p)""") /
-          (col("a.norm") * col("b.norm"))))
+      .withColumn("cosine",
+        r4(expr("cosine_f32(a.embedding, b.embedding)")))
       .where(col("cosine") >= 0.3)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("cosine"))

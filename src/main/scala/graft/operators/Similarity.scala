@@ -22,32 +22,20 @@ import graft.Exprs.{r4, r4Sql}
   */
 object Similarity {
 
-  private val dotExpr =
-    """aggregate(zip_with(q_emb, c_emb,
-      |  (x, y) -> cast(x as double) * cast(y as double)),
-      |cast(0 as double), (acc, p) -> acc + p)""".stripMargin
-
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("norm", expr(
-      """sqrt(aggregate(embedding, cast(0 as double),
-        |  (acc, x) -> acc + cast(x as double) * cast(x as double)))"""
-        .stripMargin))
 
   /** #32 exact cosine top-5 neighbors for the query set (vec_id % 50 = 0).
     * Query side broadcast; ranking key (cosine DESC, vec_id) is total so
     * the top-k is engine-deterministic.
     */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val v = withNorm(Tables(spark, dir, "embeddings"))
+    graft.functions.Hashes.register(spark)
+    val v = Tables(spark, dir, "embeddings")
     val q = v.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"))
-    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("norm").as("c_norm"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
     c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cosine_raw",
-        expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("c_id"),
@@ -81,28 +69,18 @@ object Similarity {
     * (sum over dims of ±embedding[d]) > 0.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigExpr =
-      """aggregate(sequence(0, 7), cast(0 as long), (acc, j) ->
-        |  acc + if(
-        |    aggregate(sequence(1, size(embedding)), cast(0 as double),
-        |      (s, d) -> s + if(
-        |        (xxhash64(concat(cast(j as string), '#', cast(d as string)))
-        |          & 1) = 1,
-        |        cast(element_at(embedding, d) as double),
-        |        -cast(element_at(embedding, d) as double))) > 0,
-        |    shiftleft(1L, j), 0L))""".stripMargin
-    val v = withNorm(Tables(spark, dir, "embeddings"))
-      .withColumn("bucket", expr(sigExpr))
+    graft.functions.Hashes.register(spark)
+    val v = Tables(spark, dir, "embeddings")
+      .withColumn("bucket", expr("rhp_bucket(embedding, 8)"))
     val q = v.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"), col("bucket"))
+        col("bucket"))
     val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("norm").as("c_norm"), col("bucket").as("c_bucket"))
+      col("bucket").as("c_bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
     c.join(broadcast(q),
         col("bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
-      .withColumn("cosine_raw",
-        expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("c_id"),
