@@ -60,19 +60,19 @@ object Catalog {
     "2" -> Seq("\\.txt$", "\\.tsv$"))
   // .log deliberately unmatched — the reference skips non-matching files.
 
-  /** #1 archive-path indexing: regex filters -> processing level. */
-  def idxIndexFiles(spark: SparkSession, dir: String): DataFrame = {
-    val level = filters.foldLeft(lit(null).cast("string")) {
-      case (acc, (lvl, pats)) =>
-        // first match wins: earlier filters take precedence
-        coalesce(acc, when(pats.map(col("path").rlike(_)).reduce(_ || _), lvl))
-    }
-    pathed(spark, dir)
-      .withColumn("processing_level", level)
-      .where(col("processing_level").isNotNull)
+  private def indexFilters = filters.map { case (lvl, pats) =>
+    graft.catalog.FileIndexer.IndexFilter(lvl, pats)
+  }
+
+  /** #1 archive-path indexing: regex filters -> processing level, via
+    * the reusable [[graft.catalog.FileIndexer]] API.
+    */
+  def idxIndexFiles(spark: SparkSession, dir: String): DataFrame =
+    graft.catalog.FileIndexer
+      .index(pathed(spark, dir), "path", indexFilters,
+        generatedBy = "graft-pipeline")
       .select("doc_id", "path", "processing_level")
       .orderBy("doc_id")
-  }
 
   private def levelCaseSql: String = {
     val whens = filters.map { case (lvl, pats) =>
@@ -164,13 +164,9 @@ object Catalog {
     * with grand totals.
     */
   def idxLevelRollup(spark: SparkSession, dir: String): DataFrame = {
-    val level = filters.foldLeft(lit(null).cast("string")) {
-      case (acc, (lvl, pats)) =>
-        coalesce(acc, when(pats.map(col("path").rlike(_)).reduce(_ || _), lvl))
-    }
-    pathed(spark, dir)
-      .withColumn("processing_level", level)
-      .where(col("processing_level").isNotNull)
+    graft.catalog.FileIndexer
+      .index(pathed(spark, dir), "path", indexFilters,
+        generatedBy = "graft-pipeline")
       .rollup("processing_level", "source")
       .agg(count(lit(1)).as("n_files"),
         sum(col("n_chars")).as("total_chars"))
