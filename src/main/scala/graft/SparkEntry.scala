@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Dedup.queries,
     operators.Similarity.queries,
     operators.Multimodal.queries,
+    operators.Extensions.queries,
   )
 
   private def oracleModules = Seq(
@@ -30,6 +31,7 @@ object SparkEntry {
     operators.Dedup.oracles,
     operators.Similarity.oracles,
     operators.Multimodal.oracles,
+    operators.Extensions.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
+
+/** Extensions beyond the SURVEY §2 inventory (#41-45): the operations a
+  * training-data pipeline reaches for right after the inventory ops.
+  * Registered and oracle-verified exactly like the core set.
+  */
+object Extensions {
+
+  /** #41 duplicate clustering: connected components over the MinHash
+    * near-dup pairs (min-label propagation to fixpoint). Dedup keeps
+    * one doc per CLUSTER, not per pair — pairs alone over-delete on
+    * chains (a~b, b~c, a!~c).
+    *
+    * Scale: label propagation is a keyed join per iteration (diameter
+    * iterations, each one shuffle); the iterate-until-stable check
+    * collects a single count, never data. The edge set is the (small)
+    * near-dup pair list, not the corpus.
+    */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dedupMinhashLsh(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // localCheckpoint each iteration: materializes the labels AND cuts
+    // the lineage so iteration N's plan doesn't replay iterations 1..N-1
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select("id", "label").union(viaNeighbors)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+    }
+    val out = labels
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"),
+        collect_list("id").as("ids"))
+      .select(col("label").as("cluster_root"), col("cluster_size"),
+        explode(col("ids")).as("doc_id"))
+      .select("doc_id", "cluster_root", "cluster_size")
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  /** The pair list as a nestable subquery (ORDER BY dropped). */
+  private val pairsSub: String =
+    """(WITH t AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(sp) - 1),
+      |    i -> sp[i] || ' ' || sp[i + 1] || ' ' || sp[i + 2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS inter,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE least(len(a.sh), len(b.sh)) >=
+      |    0.8 * greatest(len(a.sh), len(b.sh)))
+      |SELECT id_a, id_b FROM p
+      |WHERE FLOOR((inter / CAST(na + nb - inter AS DOUBLE)) * 10000.0 + 0.5)
+      |  / 10000.0 >= 0.8)""".stripMargin
+
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE pr AS (SELECT * FROM $pairsSub),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr
+       |      UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |lab AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_root, COUNT(*) AS cluster_size
+       |       FROM lab GROUP BY cluster_root)
+       |SELECT lab.id AS doc_id, lab.cluster_root, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_root)
+       |ORDER BY doc_id""".stripMargin
+
+  /** #42 TF-IDF-style term weighting with a RATIONAL idf (N/df instead
+    * of ln(N/df)) so the score is cross-engine exact: top-3 terms per
+    * document by (tf * N / df), deterministic tie-break on the token.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nDocs = docs.count().toDouble
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_raw"), col("token"))
+    tf.join(df, "token")
+      .withColumn("score_raw", col("tf") * lit(nDocs) / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"),
+        r4(col("score_raw")).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val textTfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |tfc AS (SELECT doc_id, token, COUNT(*) AS tf
+       |        FROM tf GROUP BY doc_id, token),
+       |dfc AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+       |        FROM tfc GROUP BY token),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, tf * n.n_docs / df AS score_raw
+       |  FROM tfc JOIN dfc USING (token) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, token, score_raw, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score_raw DESC, token) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, token, ${r4Sql("score_raw")} AS score
+       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** #43 sliding-window (3h window, 1h slide) event aggregation: each
+    * event contributes to 3 hourly-started windows — the explode is the
+    * batch dual of Structured Streaming's `window(ts, '3 hours',
+    * '1 hour')`, with map-side partial aggregation after it.
+    */
+  def tsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      .withColumn("hour_us", expr("(ts_us div 3600000000) * 3600000000"))
+      .withColumn("win_start", explode(expr(
+        """sequence(hour_us - 7200000000, hour_us, 3600000000)""")))
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("value"), 18, 2).as("sum_value"))
+      .orderBy("win_start")
+
+  val tsSlidingSql: String =
+    s"""WITH e AS (
+       |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, value
+       |  FROM events),
+       |w AS (
+       |  SELECT unnest([hour_us - 7200000000, hour_us - 3600000000,
+       |    hour_us]) AS win_start, value
+       |  FROM e)
+       |SELECT win_start, COUNT(*) AS n,
+       |  ${sumDecSql("value", 18, 2)} AS sum_value
+       |FROM w GROUP BY win_start ORDER BY win_start""".stripMargin
+
+  /** #44 deterministic stratified sampling: an md5-based uniform hash of
+    * doc_id keeps ~25% per language stratum — reproducible across
+    * engines and runs (no RNG state), the sampling pattern a pipeline
+    * uses for eval splits.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("h") < 64, 1)).as("n_sampled"))
+      .withColumn("ratio",
+        r4(col("n_sampled") / col("n_total").cast("double")))
+      .orderBy("lang")
+
+  val sampleStratifiedSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT AS h
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_total,
+       |  COUNT(*) FILTER (WHERE h < 64) AS n_sampled,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE h < 64) / CAST(COUNT(*) AS DOUBLE)")}
+       |    AS ratio
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** #45 TPC-H Q18-style large-volume orders: semi-join against an
+    * aggregated HAVING subquery, then re-aggregate. The HAVING filter
+    * runs on the aggregated (small) side — the lineitem scan happens
+    * twice rather than materializing a giant groupBy result into a
+    * broadcast.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val big = l.groupBy("l_orderkey")
+      .agg(sumDec(col("l_quantity"), 18, 2).as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    val o = Tables(spark, dir, "orders")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("sum_qty"), col("o_orderkey"))
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${sumDecSql("l_quantity", 18, 2)} AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${sumDecSql("l_quantity", 18, 2)} > 300)
+       |SELECT o_orderkey, o_custkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  o_totalprice, sum_qty
+       |FROM orders JOIN big ON o_orderkey = l_orderkey
+       |ORDER BY sum_qty DESC, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> (dedupCluster _),
+    "text_tfidf" -> (textTfidf _),
+    "ts_sliding" -> (tsSliding _),
+    "sample_stratified" -> (sampleStratified _),
+    "q18_large_orders" -> (q18LargeOrders _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_cluster" -> dedupClusterSql,
+    "text_tfidf" -> textTfidfSql,
+    "ts_sliding" -> tsSlidingSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "q18_large_orders" -> q18LargeOrdersSql)
+}
