@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks for the catalog pipeline.
+  *
+  * The reference consumes JSON index messages and writes catalog
+  * records to a store; Spark-side that is: schema-enforced semi-
+  * structured readers (explicit schema — NEVER runtime inference, which
+  * costs an extra full scan and can drift between runs) and a
+  * partitioned parquet catalog sink whose layout makes the common
+  * discovery predicates partition-prunable.
+  */
+object CatalogIO {
+
+  /** JSON lines with a required schema. Malformed records are captured
+    * in `_corrupt` instead of killing the job (PERMISSIVE) — at 100 TB
+    * there WILL be bad records and a failed 6-hour job is the wrong
+    * failure mode.
+    */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** CSV with a required schema; header tolerated, malformed captured. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", header.toString)
+      .csv(path)
+
+  /** Catalog sink: parquet partitioned by the discovery keys, so
+    * `level = …` / `source = …` queries prune whole directories at the
+    * file listing, before any IO. Files-per-partition is bounded by a
+    * pre-write repartition on the partition keys (without it, every
+    * task writes a file into every partition — the classic
+    * small-files explosion at cluster scale).
+    */
+  def writeCatalog(records: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("processing_level")): Unit =
+    records
+      .repartition(partitionCols.map(records.col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -87,4 +87,34 @@ object EventStream {
   /** Mutable-across-batches session state. */
   final case class OpenSession(sessionId: Long, startUs: Long, lastUs: Long,
       n: Long)
+
+  /** One incoming document on the stream. */
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Streaming exact dedup: emit a document only the first time its
+    * content hash is seen (the streaming form of `dedup_exact`'s
+    * keep-min semantics under arrival order). State is one boolean per
+    * distinct content hash, partitioned by the hash — the same
+    * hash-shuffle the batch groupBy does, held incrementally.
+    */
+  def dedupExactStream(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // first arrival wins within the batch: min doc_id for
+            // deterministic batch-equivalence
+            val first = rows.minBy(_._1)
+            Iterator.single(Doc(first._1, first._2))
+          }
+      }
+  }
 }

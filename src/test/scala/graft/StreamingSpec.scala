@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
-import graft.streaming.EventStream.{Ev, Session}
+import graft.streaming.EventStream.{Doc, Ev, Session}
 
 /** SURVEY.md §2 #40: streaming/batch equivalence. The same event set fed
   * through the Structured Streaming operators must produce exactly the
@@ -78,6 +78,29 @@ class StreamingSpec extends GraftSpec {
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"))
       .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming exact dedup == batch dedup_exact keep set") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    val stream = MemoryStream[Doc]
+    val q = EventStream.dedupExactStream(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // two batches; re-send the first batch again to exercise the
+    // cross-batch state (all re-sent docs must be suppressed)
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    Seq(b1, b2, b1).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("dedup_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = operators.Dedup.dedupExact(spark, sf)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch)
   }
 }
