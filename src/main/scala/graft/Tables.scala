@@ -27,6 +27,18 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Loader for COMPUTE-HEAVY consumers: the testdata parquets are
+    * single-row-group files, so the scan (and any expensive map-side
+    * expression chained on it) would otherwise run as ONE task. A
+    * round-robin repartition to the default parallelism costs one
+    * narrow shuffle of the raw rows and buys full-core signature /
+    * vector compute. On a real cluster the scan splits by row groups
+    * and this is a no-op-sized rebalance.
+    */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view for spark.sql(...) use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))

@@ -133,9 +133,9 @@ object Hashes {
       copy(child = c)
   }
 
-  /** Intersection size of two pre-sorted-or-not long arrays via a hash
-    * set — the counting half of a Jaccard verify without materializing
-    * the intersection array.
+  /** Intersection size of two SORTED long arrays (ngram_hashes output)
+    * by linear merge — the counting half of a Jaccard verify with zero
+    * per-pair allocation. Callers must feed sorted inputs.
     */
   case class IntersectCount(left: Expression, right: Expression)
       extends Expression with CodegenFallback {
@@ -148,14 +148,15 @@ object Hashes {
       if (a == null || b == null) return null
       val aa = a.asInstanceOf[ArrayData]
       val bb = b.asInstanceOf[ArrayData]
-      val set = new java.util.HashSet[Long](aa.numElements() * 2)
-      var k = 0
-      while (k < aa.numElements()) { set.add(aa.getLong(k)); k += 1 }
-      var c = 0L
-      k = 0
-      while (k < bb.numElements()) {
-        if (set.contains(bb.getLong(k))) c += 1
-        k += 1
+      val na = aa.numElements()
+      val nb = bb.numElements()
+      var i = 0; var j = 0; var c = 0L
+      while (i < na && j < nb) {
+        val x = aa.getLong(i)
+        val y = bb.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
       }
       c
     }
@@ -231,6 +232,9 @@ object Hashes {
       val it = seen.iterator()
       k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
+      // sorted output => downstream intersections are allocation-free
+      // linear merges instead of per-pair hash sets
+      java.util.Arrays.sort(out)
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): NgramHashes =

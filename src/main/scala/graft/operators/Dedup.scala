@@ -69,7 +69,7 @@ object Dedup {
     */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
-    Tables(spark, dir, "documents")
+    Tables.spread(spark, dir, "documents")
       .withColumn("hsh", expr("ngram_hashes(split(text, ' '), 3)"))
       .select("doc_id", "hsh")
   }
@@ -77,7 +77,7 @@ object Dedup {
   // ---------------------------------------------------------------- #28
   /** #28 MinHash + LSH banding near-dup pairs.
     *
-    * 16 minhashes (xxhash64 with per-function salt) banded 4×4: docs
+    * 16 minhashes (one xxhash64 per shingle, universal-hash mixes) banded 4×4: docs
     * sharing any band bucket become candidates (p(catch | j=0.9) ≈
     * .986, j=0.5 ≈ .22 — the S-curve the banding scheme is chosen for),
     * then candidates are verified with exact trigram Jaccard ≥ 0.8.
@@ -128,7 +128,7 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val base = Tables(spark, dir, "documents")
+    val base = Tables.spread(spark, dir, "documents")
       .withColumn("sig", expr("simhash_md5(split(text, ' '), 2)"))
       .select("doc_id", "sig")
     val banded = base.select(col("doc_id"), col("sig"),
@@ -166,7 +166,7 @@ object Dedup {
     // bucket instance — a cheap filter instead of a pair-distinct, so
     // candidates flow straight into the verify with their gram arrays
     // and the plan has ONE join, zero re-joins, zero distincts.
-    val g = Tables(spark, dir, "documents")
+    val g = Tables.spread(spark, dir, "documents")
       .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
       .select("doc_id", "grams")
     val bucketed = Tables(spark, dir, "documents")

@@ -16,9 +16,9 @@ import graft.Exprs.{r4, r4Sql}
   *  - LSH: random-hyperplane signs bucket the corpus (map-side narrow);
   *    candidate generation is an equi-join on the bucket id — the
   *    classic trade of recall for never touching the full n×m product.
-  *    Hyperplane components are ±1 derived from xxhash64(plane, dim),
-  *    so the "random" planes are deterministic and need no driver-side
-  *    state or broadcast variables.
+  *    Hyperplane components are ±1 from md5 hex parity of "plane:dim"
+  *    (oracle-reproducible), so the "random" planes are deterministic
+  *    and need no driver-side state or broadcast variables.
   */
 object Similarity {
 
@@ -29,7 +29,7 @@ object Similarity {
     */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val v = Tables(spark, dir, "embeddings")
+    val v = Tables.spread(spark, dir, "embeddings")
     val q = v.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -65,12 +65,12 @@ object Similarity {
   /** #33 random-hyperplane LSH ANN: 8 sign bits bucket the corpus;
     * query vectors probe their own bucket only; top-3 by exact cosine
     * within the bucket. Deterministic planes: component d of plane j is
-    * +1 if xxhash64(j # d) has bit 0 set, else -1 — i.e. sign bit j =
-    * (sum over dims of ±embedding[d]) > 0.
+    * +1 iff the first md5 hex digit of "j:d" is odd — sign bit j =
+    * (sum over dims of ±embedding[d]) > 0, reproducible by the oracle.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val v = Tables(spark, dir, "embeddings")
+    val v = Tables.spread(spark, dir, "embeddings")
       .withColumn("bucket", expr("md5_rhp_bucket(embedding, 8)"))
     val q = v.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
