@@ -215,17 +215,154 @@ object Extensions {
        |FROM orders JOIN big ON o_orderkey = l_orderkey
        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin
 
+  /** #46 skew-resistant aggregation: two-phase salted groupBy. The
+    * event log has only 5 event types — at 100 TB a direct groupBy
+    * sends each type's entire volume to ONE reducer. Salting fans the
+    * partial aggregation over (key, salt) reducers, then combines the
+    * (tiny) partials per key. Decimal partials combine exactly, so the
+    * result is identical to the direct groupBy the oracle runs.
+    */
+  def aggSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("psum"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n"),
+        sum("psum").cast("double").as("sum_value"))
+      .orderBy("event_type")
+
+  val aggSaltedSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${sumDecSql("value", 18, 2)} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** #47 frame-bounded moving average: 3-order trailing mean per
+    * customer (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), decimal-exact
+    * numerator.
+    */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        r4(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double") / count(lit(1)).over(w)).as("mavg_price"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowMovingAvgSql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       |  ${r4Sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)" +
+                  " / COUNT(*) OVER w")} AS mavg_price
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** #48 funnel analysis: users progressing view -> click -> purchase,
+    * each stage strictly after the previous one (first-touch
+    * semantics). Three keyed aggregations, each joined to the previous
+    * stage's (small) survivor set.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+    def stage(tpe: String) = ev.where(col("event_type") === tpe)
+      .select(col("user_id"), col("ts_us"))
+    val v = stage("view").groupBy("user_id").agg(min("ts_us").as("tv"))
+    val c = stage("click").join(v, "user_id")
+      .where(col("ts_us") > col("tv"))
+      .groupBy("user_id").agg(min("ts_us").as("tc"))
+    val p = stage("purchase").join(c, "user_id")
+      .where(col("ts_us") > col("tc"))
+      .groupBy("user_id").agg(min("ts_us").as("tp"))
+    val counts = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("users")).withColumn("stage", lit(name))
+      }
+    counts.reduce(_ unionByName _)
+      .select("stage", "users").orderBy("stage")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |v AS (SELECT user_id, MIN(ts_us) AS tv FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(ts_us) AS tc FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_us > tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(ts_us) AS tp FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_us > tc GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, COUNT(*) AS users FROM v
+      |UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** #49 keep-best dedup: compose duplicate clusters with the quality
+    * score and keep the highest-quality doc per cluster (tie -> min
+    * doc_id) — the actual final step of a dedup pipeline: one survivor
+    * per CLUSTER, chosen by quality, not arbitrary min-id.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(spark, dir)
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select("doc_id", "quality")
+    val w = Window.partitionBy("cluster_root")
+      .orderBy(desc("quality"), col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster_root"), col("doc_id").as("keep_id"),
+        col("cluster_size"), col("quality"))
+      .orderBy("cluster_root")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE pr AS (SELECT * FROM $pairsSub),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr
+       |      UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |lab AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_root, COUNT(*) AS cluster_size
+       |       FROM lab GROUP BY cluster_root),
+       |q AS (
+       |  SELECT doc_id,
+       |    ${r4Sql("0.4 * (1.0 - len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) / CAST(len(string_split(text, ' ')) AS DOUBLE)) + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)")}
+       |      AS quality
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT lab.cluster_root, lab.id, sz.cluster_size, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY lab.cluster_root
+       |      ORDER BY q.quality DESC, lab.id) AS rk
+       |  FROM lab JOIN sz USING (cluster_root) JOIN q ON q.doc_id = lab.id)
+       |SELECT cluster_root, id AS keep_id, cluster_size, quality
+       |FROM ranked WHERE rk = 1 ORDER BY cluster_root""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "text_tfidf" -> (textTfidf _),
     "ts_sliding" -> (tsSliding _),
     "sample_stratified" -> (sampleStratified _),
-    "q18_large_orders" -> (q18LargeOrders _))
+    "q18_large_orders" -> (q18LargeOrders _),
+    "agg_salted" -> (aggSalted _),
+    "window_moving_avg" -> (windowMovingAvg _),
+    "events_funnel" -> (eventsFunnel _),
+    "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
     "dedup_cluster" -> dedupClusterSql,
     "text_tfidf" -> textTfidfSql,
     "ts_sliding" -> tsSlidingSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "q18_large_orders" -> q18LargeOrdersSql)
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "agg_salted" -> aggSaltedSql,
+    "window_moving_avg" -> windowMovingAvgSql,
+    "events_funnel" -> eventsFunnelSql,
+    "dedup_keep_best" -> dedupKeepBestSql)
 }
