@@ -82,9 +82,141 @@ object Multimodal {
       |  MIN(height) AS min_h, MAX(height) AS max_h
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
+  /** Typed feature record from the (stub) per-payload featurizer. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, mean_byte: Double, frac_high: Double,
+      collision_prob: Double)
+
+  /** STUB FEATURIZER — byte-level statistics standing in for a real
+    * embedding/feature model: mean byte value, high-bit fraction, and
+    * the byte-histogram collision probability Σ(count/total)² (an
+    * entropy proxy that stays in rational arithmetic — no log, so the
+    * oracle reproduces it bit-for-bit).
+    */
+  private def fakeFeaturize(d: BinaryDoc): MediaFeatures = {
+    val n = d.payload.length
+    val hist = new Array[Long](256)
+    var sum = 0L
+    var high = 0L
+    var i = 0
+    while (i < n) {
+      val b = java.lang.Byte.toUnsignedInt(d.payload(i))
+      hist(b) += 1
+      sum += b
+      if (b >= 128) high += 1
+      i += 1
+    }
+    // integer numerator keeps the value exact regardless of summation
+    // order, so the oracle's different iteration order can't drift
+    var collNum = 0L
+    var k = 0
+    while (k < 256) { collNum += hist(k) * hist(k); k += 1 }
+    MediaFeatures(d.doc_id, n.toLong, sum.toDouble / n,
+      high.toDouble / n, collNum.toDouble / (n.toLong * n))
+  }
+
+  /** #50 feature extraction over binary payloads: partition-batched
+    * stub featurizer to a typed feature Dataset, summarized per source.
+    */
+  def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.Exprs.r4
+    val bin = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    bin.mapPartitions(_.map(fakeFeaturize)).toDF()
+      .select(col("doc_id"),
+        col("n_bytes"),
+        r4(col("mean_byte")).as("mean_byte"),
+        r4(col("frac_high")).as("frac_high"),
+        r4(col("collision_prob")).as("collision_prob"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus is ASCII, so byte i == ascii(substr(text, i, 1)) and
+    * the oracle can rebuild the byte stream with string ops. The
+    * per-byte fold order differs from the JVM histogram loop only in
+    * EXACT integer space (counts), so the doubles agree.
+    */
+  val mmFeatureExtractSql: String = {
+    import graft.Exprs.r4Sql
+    s"""WITH b AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, n,
+       |    CAST(list_sum(bytes) AS DOUBLE) / n AS mean_byte,
+       |    CAST(len(list_filter(bytes, x -> x >= 128)) AS DOUBLE) / n
+       |      AS frac_high,
+       |    CAST(list_sum(list_transform(list_distinct(bytes),
+       |      v -> len(list_filter(bytes, x -> x = v))
+       |        * len(list_filter(bytes, x -> x = v)))) AS DOUBLE)
+       |      / (CAST(n AS BIGINT) * n) AS collision_prob
+       |  FROM b)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+       |  ${r4Sql("mean_byte")} AS mean_byte,
+       |  ${r4Sql("frac_high")} AS frac_high,
+       |  ${r4Sql("collision_prob")} AS collision_prob
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** One sampled "frame" (fixed-size chunk) of a payload. */
+  final case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long,
+      checksum: Long)
+
+  /** #51 frame sampling: split each payload into 64-byte frames, keep
+    * every 4th (the video-keyframe access pattern), emit per-frame
+    * checksums. Partition-batched; frames never shuffle — only the
+    * small per-frame metadata does.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    bin.mapPartitions(_.flatMap { d =>
+      val n = d.payload.length
+      (0 until (n + 63) / 64).iterator
+        .filter(_ % 4 == 0)
+        .map { idx =>
+          val start = idx * 64
+          val end = math.min(start + 64, n)
+          var sum = 0L
+          var i = start
+          while (i < end) {
+            sum += java.lang.Byte.toUnsignedInt(d.payload(i)); i += 1
+          }
+          Frame(d.doc_id, idx.toLong, (end - start).toLong, sum % 65536L)
+        }
+    }).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val mmFrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, length(text) AS n,
+      |    unnest(range(0, (length(text) + 63) // 64)) AS frame_idx,
+      |    text
+      |  FROM documents)
+      |SELECT doc_id, frame_idx,
+      |  CAST(least(64, n - frame_idx * 64) AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(list_transform(
+      |    range(CAST(frame_idx * 64 + 1 AS INT),
+      |      CAST(least(frame_idx * 64 + 64, n) + 1 AS INT)),
+      |    i -> ascii(substr(text, CAST(i AS INT), 1)))) % 65536 AS BIGINT)
+      |    AS checksum
+      |FROM f WHERE frame_idx % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (mmBinaryMeta _))
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_feature_extract" -> (mmFeatureExtract _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm_binary_meta" -> mmBinaryMetaSql)
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_feature_extract" -> mmFeatureExtractSql,
+    "mm_frame_sample" -> mmFrameSampleSql)
 }
