@@ -327,6 +327,44 @@ object Hashes {
       copy(child = c)
   }
 
+  /** Distinct md5-derived hashes of consecutive word n-grams
+    * (array<long>): like [[NgramHashes]] but with the oracle-
+    * reproducible md5 hash (first 8 digest bytes big-endian == DuckDB
+    * `('0x'||substr(md5(g),1,16))::UBIGINT`).
+    */
+  case class NgramMd5Hashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val nt = arr.numElements()
+      if (nt < n) return new GenericArrayData(Array.emptyLongArray)
+      val md = md5Local.get()
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= nt - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        md.reset()
+        seen.add(java.nio.ByteBuffer
+          .wrap(md.digest(sb.toString.getBytes("UTF-8")), 0, 8).getLong)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var kk = 0
+      while (it.hasNext) { out(kk) = it.next(); kk += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): NgramMd5Hashes =
+      copy(child = c)
+  }
+
   /** Random-hyperplane LSH bucket with md5-parity plane signs
     * (cross-engine reproducible): component d of plane j is +1 iff the
     * first md5 hex digit of "j:d" is odd. Plane signs are constants —
@@ -435,6 +473,9 @@ object Hashes {
       (es: Seq[Expression]) => SimHashFromHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction("rhp_bucket",
       (es: Seq[Expression]) => RhpBucket(es(0),
+        es(1).eval(null).asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("ngram_md5_hashes",
+      (es: Seq[Expression]) => NgramMd5Hashes(es(0),
         es(1).eval(null).asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("simhash_md5",
       (es: Seq[Expression]) => SimHashMd5(es(0),

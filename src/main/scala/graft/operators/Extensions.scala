@@ -344,7 +344,85 @@ object Extensions {
        |SELECT cluster_root, id AS keep_id, cluster_size, quality
        |FROM ranked WHERE rk = 1 ORDER BY cluster_root""".stripMargin
 
+  /** #52 CUBE aggregation: all grouping-set combinations of
+    * (returnflag, linestatus) with grand totals — the full
+    * grouping-sets lattice (ROLLUP's bigger sibling).
+    */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sumDec(col("l_quantity"), 18, 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val aggCubeSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  ${sumDecSql("l_quantity", 18, 2)} AS sum_qty,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** #53 sketch-based distinct counting: per-source distinct-trigram
+    * cardinality by a KMV sketch (custom Catalyst
+    * TypedImperativeAggregate, k=64) next to the exact count. The
+    * sketch's partial state is 64 longs — at 100 TB only sketches
+    * cross the shuffle, never the element sets; md5-derived hashes
+    * make the estimate oracle-reproducible to the bit.
+    */
+  def aggKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    graft.functions.KmvSketch.register(spark)
+    val g = Tables.spread(spark, dir, "documents")
+      .withColumn("hs", expr("ngram_md5_hashes(split(text, ' '), 3)"))
+      .select("source", "doc_id", "hs")
+    val sketch = g.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("kmv_distinct(hs, 64)").as("kmv_raw"))
+    val exact = g.select(col("source"), explode(col("hs")).as("h"))
+      .groupBy("source")
+      .agg(countDistinct("h").as("exact_distinct"))
+    sketch.join(exact, "source")
+      .select(col("source"), col("n_docs"), col("exact_distinct"),
+        r4(col("kmv_raw")).as("kmv_estimate"))
+      .orderBy("source")
+  }
+
+  val aggKmvDistinctSql: String =
+    s"""WITH g AS (
+       |  SELECT source, doc_id, list_distinct(list_transform(
+       |    range(1, len(sp) - 1),
+       |    i -> sp[i] || ' ' || sp[i + 1] || ' ' || sp[i + 2])) AS grams
+       |  FROM (SELECT source, doc_id, string_split(text, ' ') AS sp
+       |        FROM documents)),
+       |h AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hv
+       |  FROM (SELECT source, unnest(grams) AS gram FROM g)),
+       |ranked AS (
+       |  SELECT source, hv, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY hv) AS rn
+       |  FROM h),
+       |kth AS (SELECT source, hv FROM ranked WHERE rn = 64),
+       |exact AS (SELECT source, COUNT(*) AS exact_distinct
+       |          FROM h GROUP BY source),
+       |nd AS (SELECT source, COUNT(*) AS n_docs FROM g GROUP BY source)
+       |SELECT nd.source, nd.n_docs, exact.exact_distinct,
+       |  ${r4Sql("CASE WHEN exact.exact_distinct < 64 " +
+                  "THEN CAST(exact.exact_distinct AS DOUBLE) " +
+                  "ELSE 63.0 / (kth.hv::DOUBLE / 18446744073709551616.0) END")}
+       |    AS kmv_estimate
+       |FROM nd JOIN exact USING (source) LEFT JOIN kth USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> (aggKmvDistinct _),
+    "agg_cube" -> (aggCube _),
     "dedup_cluster" -> (dedupCluster _),
     "text_tfidf" -> (textTfidf _),
     "ts_sliding" -> (tsSliding _),
@@ -356,6 +434,8 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "agg_kmv_distinct" -> aggKmvDistinctSql,
+    "agg_cube" -> aggCubeSql,
     "dedup_cluster" -> dedupClusterSql,
     "text_tfidf" -> textTfidfSql,
     "ts_sliding" -> tsSlidingSql,
