@@ -22,14 +22,24 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // two timed passes, keep the per-query minimum: the box shows
+    // ±30-50% run-to-run noise and min-of-N is the standard estimator
+    // for the noise-free cost
+    def timeOnce(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+    }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = sorted.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
+    val results = sorted.map { case (n, fn) =>
+      val t2 = timeOnce(n, fn)
+      val t1 = pass1(n)
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
