@@ -36,7 +36,11 @@ object TextAnalysis {
           length(regexp_replace(col("text"), "[aeiou]", "")))
           .cast("long").as("n_consonants_sp"),
         expr(s"cast(size(filter(toks, t -> t IN ($stopList))) as long)")
-          .as("n_stopwords"))
+          .as("n_stopwords"),
+        // BPE-ish subword count: alpha runs, digit runs, and isolated
+        // non-alnum marks — the GPT-2-style pre-tokenizer boundary rule
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("n_subtokens"))
       .orderBy("doc_id")
 
   val textStatsSql: String =
@@ -48,7 +52,9 @@ object TextAnalysis {
        |  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
        |    AS BIGINT) AS n_consonants_sp,
        |  CAST(len(list_filter(string_split(text, ' '),
-       |    t -> t IN ($stopList))) AS BIGINT) AS n_stopwords
+       |    t -> t IN ($stopList))) AS BIGINT) AS n_stopwords,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+       |    AS BIGINT) AS n_subtokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** #35 quality score: linear blend of stopword ratio, short-token

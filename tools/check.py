@@ -24,11 +24,10 @@ import duckdb
 import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = "/tmp/graft_verify"
 
 
-def run_verify(sf_dir):
-    cmd = ["sbt", f'runMain graft.Verify {sf_dir} {OUT}']
+def run_verify(sf_dir, out):
+    cmd = ["sbt", f'runMain graft.Verify {sf_dir} {out}']
     print(f"[check] running: {' '.join(cmd)}")
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
@@ -70,12 +69,14 @@ def table_hash(df: pd.DataFrame) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/graft_verify")
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
+    OUT = args.out
     if not args.skip_verify:
-        run_verify(args.sf)
+        run_verify(args.sf, OUT)
 
     with open(f"{OUT}/oracle_sql.json") as f:
         oracles = json.load(f)
