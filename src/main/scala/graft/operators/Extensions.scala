@@ -264,6 +264,31 @@ object Extensions {
        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
 
+  /** #54 time-RANGE window: per-user rolling 1-hour event-value sum —
+    * a RANGE frame over the (numeric) event time, so frame membership
+    * is by time distance, not row count. Decimal numerator keeps the
+    * rolling sums exact; RANGE peers (ts ties) are included on both
+    * engines, so tie order can't matter.
+    */
+  def windowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("rolling_1h_sum"))
+      .orderBy("event_id")
+  }
+
+  val windowTimeRangeSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS rolling_1h_sum
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   /** #48 funnel analysis: users progressing view -> click -> purchase,
     * each stage strictly after the previous one (first-touch
     * semantics). Three keyed aggregations, each joined to the previous
@@ -430,6 +455,7 @@ object Extensions {
     "q18_large_orders" -> (q18LargeOrders _),
     "agg_salted" -> (aggSalted _),
     "window_moving_avg" -> (windowMovingAvg _),
+    "window_time_range" -> (windowTimeRange _),
     "events_funnel" -> (eventsFunnel _),
     "dedup_keep_best" -> (dedupKeepBest _))
 
@@ -443,6 +469,7 @@ object Extensions {
     "q18_large_orders" -> q18LargeOrdersSql,
     "agg_salted" -> aggSaltedSql,
     "window_moving_avg" -> windowMovingAvgSql,
+    "window_time_range" -> windowTimeRangeSql,
     "events_funnel" -> eventsFunnelSql,
     "dedup_keep_best" -> dedupKeepBestSql)
 }
