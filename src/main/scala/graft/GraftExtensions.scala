@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension packaging: a cluster deploy adds
+  * `--conf spark.sql.extensions=graft.GraftExtensions` and every graft
+  * native function (and the KMV aggregate) is available in SQL on every
+  * session — no per-session `register` call, works from pure-SQL
+  * clients too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    import graft.functions.Hashes._
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, name), builder))
+
+    inject("simhash64", es => SimHash64(es.head))
+    inject("simhash_md5", es => SimHashMd5(es(0),
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("minhash_sig", es => MinHashSig(es.head,
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("minhash_sig_from_hashes", es => MinHashFromHashes(es.head,
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("ngram_hashes", es => NgramHashes(es(0),
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("ngram_md5_hashes", es => NgramMd5Hashes(es(0),
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("hash_array", es => HashArray(es.head))
+    inject("intersect_count", es => IntersectCount(es(0), es(1)))
+    inject("cosine_f32", es => CosineF32(es(0), es(1)))
+    inject("rhp_bucket", es => RhpBucket(es(0),
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("md5_rhp_bucket", es => Md5RhpBucket(es(0),
+      es(1).eval(null).asInstanceOf[Int]))
+    inject("kmv_distinct", es => graft.functions.KmvSketch(es(0),
+      es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The extensions-config path a cluster deploy uses: a FRESH session
+  * built with spark.sql.extensions=graft.GraftExtensions resolves every
+  * graft function in plain SQL with no runtime register() call.
+  */
+class GraftExtensionsSpec extends GraftSpec {
+
+  test("spark.sql.extensions injects all graft functions") {
+    // `spark.sql.extensions` is static config read from the
+    // SparkContext, which the shared test context was built without —
+    // use the builder's programmatic withExtensions (the same class a
+    // cluster names in --conf) on a fresh session over the same context
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val row = s2.sql(
+        """SELECT
+          |  simhash64(array('a b', 'b c')) AS sh,
+          |  cosine_f32(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
+          |  intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
+          |  size(ngram_hashes(array('a', 'b', 'c'), 2)) AS ng
+          |""".stripMargin).head
+      assert(row.getAs[Double]("cos") == 1.0)
+      assert(row.getAs[Long]("ic") == 2L)
+      assert(row.getAs[Int]("ng") == 2)
+      val kmv = s2.sql(
+        """SELECT kmv_distinct(hs, 64) AS est FROM
+          |  (SELECT array(1L, 2L, 3L) AS hs UNION ALL
+          |   SELECT array(3L, 4L) AS hs)""".stripMargin).head
+      assert(kmv.getAs[Double]("est") == 4.0) // < k => exact count
+    } finally {
+      // the shared TestSpark session must stay usable for other suites
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
