@@ -1,8 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, LogicalPlan, ResolvedHint, BROADCAST}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Session-extension packaging: a cluster deploy adds
   * `--conf spark.sql.extensions=graft.GraftExtensions` and every graft
@@ -40,5 +43,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(1).eval(null).asInstanceOf[Int]))
     inject("kmv_distinct", es => graft.functions.KmvSketch(es(0),
       es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
+
+    ext.injectPostHocResolutionRule(BroadcastDimTables)
+  }
+}
+
+/** Catalog-aware optimization: dimension tables of the star schema
+  * (recognized by their key-column signature) are bounded-cardinality
+  * at ANY data scale, so scans of them get a broadcast hint
+  * automatically — a user's plain `fact.join(nation, ...)` plans a
+  * BroadcastHashJoin even where size statistics are missing or
+  * unreliable (the common case right after ingest at 100 TB). Injected
+  * post-resolution, so the standard EliminateResolvedHint pass folds
+  * the hints into join planning.
+  */
+case class BroadcastDimTables(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private val dimSignatures: Seq[Set[String]] = Seq(
+    Set("r_regionkey", "r_name"),
+    Set("n_nationkey", "n_name", "n_regionkey"))
+
+  private def isDim(plan: LogicalPlan): Boolean = {
+    val cols = plan.output.map(_.name).toSet
+    dimSignatures.exists(_.subsetOf(cols))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case rel: LogicalRelation if isDim(rel) =>
+      ResolvedHint(rel, HintInfo(strategy = Some(BROADCAST)))
   }
 }

@@ -90,7 +90,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
-    "ann_lsh" -> (annLsh _))
+    "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _))
 
   /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
     * bits from the same sequential ±component sums, then the
@@ -123,7 +124,104 @@ object Similarity {
       |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  /** #55 IVF (inverted-file) ANN: the corpus is coarsely quantized into
+    * cells (here: the label partition), each cell gets a centroid
+    * (decimal-exact per-dimension mean, so the centroid is
+    * order-independent and oracle-identical), and a query probes only
+    * the nprobe=2 nearest cells — the classic recall/cost dial.
+    *
+    * Scale: centroids are a tiny aggregate (cells × dims); the probe
+    * assignment is a broadcast of the centroid table; the search is an
+    * equi-join on cell id — the corpus never cross-joins the query set.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    // centroid per cell: decimal-exact mean per dimension
+    val cent = v
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+        .as("centroid"))
+    // each query probes its 2 nearest centroids (cosine, ties by label)
+    val q = v.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(desc("c_sim"), col("label"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("c_sim", expr(
+        "cosine_f32(q_emb, transform(centroid, x -> cast(x as float)))"))
+      .withColumn("prk", row_number().over(wProbe))
+      .where(col("prk") <= 2)
+      .select(col("q_id"), col("q_emb"), col("label"))
+    // search only the probed cells
+    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("label"))
+    val wRank = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
+    c.join(broadcast(probes), Seq("label"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r4(col("cosine_raw")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle mirror: centroids from decimal-exact dimension means, the
+    * same float32 round-trip before the probe cosine, then the
+    * bucket-restricted ranking.
+    */
+  val annIvfSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(28,12)))
+      |      / COUNT(*) AS DOUBLE) AS c
+      |  FROM v, range(1, 65) t(d)
+      |  GROUP BY label, d),
+      |cent AS (
+      |  SELECT label, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c)
+      |    AS centroid
+      |  FROM dims GROUP BY label),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+      |      FROM v WHERE vec_id % 50 = 0),
+      |probe AS (
+      |  SELECT q_id, q_emb, q_norm, label,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label)
+      |      AS prk
+      |  FROM (
+      |    SELECT q.q_id, q.q_emb, q.q_norm, cent.label,
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> q.q_emb[i]::DOUBLE * cent.centroid[i]::FLOAT::DOUBLE))
+      |        / (q.q_norm * sqrt(list_sum(list_transform(cent.centroid,
+      |             x -> x::FLOAT::DOUBLE * x::FLOAT::DOUBLE)))) AS c_sim
+      |    FROM q CROSS JOIN cent)),
+      |scored AS (
+      |  SELECT p.q_id, c.vec_id AS c_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> p.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(p.q_emb,
+      |           x -> x::DOUBLE * x::DOUBLE))) * c.norm) AS cosine_raw
+      |  FROM (SELECT * FROM probe WHERE prk <= 2) p
+      |  JOIN v c ON c.label = p.label AND p.q_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id,
+      |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
-    "ann_lsh" -> annLshSql)
+    "ann_lsh" -> annLshSql,
+    "ann_ivf" -> annIvfSql)
 }

@@ -39,6 +39,31 @@ class GraftExtensionsSpec extends GraftSpec {
           |  (SELECT array(1L, 2L, 3L) AS hs UNION ALL
           |   SELECT array(3L, 4L) AS hs)""".stripMargin).head
       assert(kmv.getAs[Double]("est") == 4.0) // < k => exact count
+      // dim-table auto-broadcast: with size-based broadcast disabled, a
+      // plain customer x nation join must STILL plan a BroadcastHashJoin
+      // because the injected rule recognizes the dim signature
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Tables(s2, sf, "customer")
+        .join(Tables(s2, sf, "nation"),
+          org.apache.spark.sql.functions.col("c_nationkey") ===
+            org.apache.spark.sql.functions.col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"dim auto-broadcast missing:\n$plan")
+      // and the un-extended shared session must NOT broadcast under the
+      // same threshold (proves the rule, not statistics, did it)
+      val prevShared = shared.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      shared.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plainPlan = Tables(shared, sf, "customer")
+          .join(Tables(shared, sf, "nation"),
+            org.apache.spark.sql.functions.col("c_nationkey") ===
+              org.apache.spark.sql.functions.col("n_nationkey"))
+          .queryExecution.executedPlan.toString
+        assert(!plainPlan.contains("BroadcastHashJoin"))
+      } finally {
+        shared.conf.set("spark.sql.autoBroadcastJoinThreshold", prevShared)
+      }
     } finally {
       // the shared TestSpark session must stay usable for other suites
       SparkSession.setDefaultSession(shared)
