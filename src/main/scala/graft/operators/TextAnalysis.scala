@@ -166,6 +166,40 @@ object TextAnalysis {
       |    ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** #56 rolling-hash fingerprints: Rabin-Karp polynomial hash (base
+    * 31, prime modulus < 2^57 so the fold never overflows a signed 64)
+    * over the full text and over the 100-char prefix — the
+    * streaming-friendly content identity (a rolling window can extend
+    * it incrementally, unlike a digest). Fold seed is the first char
+    * code to match DuckDB's `list_reduce` seeding.
+    */
+  def textRollingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 144115188075855859L
+    def roll(colExpr: String) =
+      s"""aggregate(
+         |  transform(slice(split($colExpr, ''), 2,
+         |    size(split($colExpr, '')) - 1), c -> cast(ascii(c) as long)),
+         |  cast(ascii(substring($colExpr, 1, 1)) as long),
+         |  (a, x) -> (a * 31 + x) % ${M}L)""".stripMargin
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr(roll("text")).as("h_full"),
+        expr(roll("substring(text, 1, 100)")).as("h_prefix"))
+      .orderBy("doc_id")
+  }
+
+  val textRollingFingerprintSql: String = {
+    val M = "144115188075855859"
+    def roll(e: String) =
+      s"""list_reduce(list_transform(string_split($e, ''),
+         |    c -> CAST(ascii(c) AS BIGINT)),
+         |  (a, x) -> (a * 31 + x) % $M)""".stripMargin
+    s"""SELECT doc_id,
+       |  ${roll("text")} AS h_full,
+       |  ${roll("substr(text, 1, 100)")} AS h_prefix
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** #38 top word-bigram frequencies (global, deterministic top-40). */
   def textNgrams(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -193,6 +227,7 @@ object TextAnalysis {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_rolling_fingerprint" -> (textRollingFingerprint _),
     "text_ngrams" -> (textNgrams _))
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +235,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "text_ngrams" -> textNgramsSql)
 }
