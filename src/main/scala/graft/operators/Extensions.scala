@@ -326,6 +326,38 @@ object Extensions {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** #57 cohort retention: users grouped by first-activity week, counted
+    * in each subsequent week they stay active — the cohort matrix. Two
+    * keyed aggregations and one join on user_id; the matrix itself is
+    * tiny (weeks²).
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val ev = Tables.eventsUs(spark, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg((min("ts_us") / weekUs).cast("long").as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), (col("ts_us") / weekUs).cast("long").as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+      |           FROM events),
+      |cohort AS (SELECT user_id, MIN(week) AS cohort_week
+      |           FROM e GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, week FROM e)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** #49 keep-best dedup: compose duplicate clusters with the quality
     * score and keep the highest-quality doc per cluster (tie -> min
     * doc_id) — the actual final step of a dedup pipeline: one survivor
@@ -457,6 +489,7 @@ object Extensions {
     "window_moving_avg" -> (windowMovingAvg _),
     "window_time_range" -> (windowTimeRange _),
     "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _),
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
@@ -471,5 +504,6 @@ object Extensions {
     "window_moving_avg" -> windowMovingAvgSql,
     "window_time_range" -> windowTimeRangeSql,
     "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql,
     "dedup_keep_best" -> dedupKeepBestSql)
 }
