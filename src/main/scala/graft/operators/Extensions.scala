@@ -326,6 +326,50 @@ object Extensions {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** #58 histogram bucketing: order-value distribution in fixed-width
+    * buckets with per-bucket stats — one scan, map-side partial agg.
+    */
+  def histOrderValues(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        sumDec(col("o_totalprice"), 18, 2).as("sum_price"))
+      .orderBy("bucket")
+
+  val histOrderValuesSql: String =
+    s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n,
+       |  MIN(o_totalprice) AS min_price,
+       |  MAX(o_totalprice) AS max_price,
+       |  ${sumDecSql("o_totalprice", 18, 2)} AS sum_price
+       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** #59 correlated min-per-group (TPC-H Q2 shape): parts priced at the
+    * minimum of their type class — the decorrelated form: join against
+    * the aggregated minimum, the pattern the optimizer rewrites
+    * correlated subqueries into.
+    */
+  def q2MinPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+    val mins = p.groupBy(col("p_type").as("t"))
+      .agg(min("p_retailprice").as("min_price"))
+    p.join(broadcast(mins),
+        col("p_type") === col("t") &&
+          col("p_retailprice") === col("min_price"))
+      .select("p_partkey", "p_type", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  val q2MinPerGroupSql: String =
+    """SELECT p_partkey, p_type, p_retailprice
+      |FROM part
+      |WHERE p_retailprice = (
+      |  SELECT MIN(p2.p_retailprice) FROM part p2
+      |  WHERE p2.p_type = part.p_type)
+      |ORDER BY p_partkey""".stripMargin
+
   /** #57 cohort retention: users grouped by first-activity week, counted
     * in each subsequent week they stay active — the cohort matrix. Two
     * keyed aggregations and one join on user_id; the matrix itself is
@@ -490,6 +534,8 @@ object Extensions {
     "window_time_range" -> (windowTimeRange _),
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
+    "hist_order_values" -> (histOrderValues _),
+    "q2_min_per_group" -> (q2MinPerGroup _),
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
@@ -505,5 +551,7 @@ object Extensions {
     "window_time_range" -> windowTimeRangeSql,
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
+    "hist_order_values" -> histOrderValuesSql,
+    "q2_min_per_group" -> q2MinPerGroupSql,
     "dedup_keep_best" -> dedupKeepBestSql)
 }
