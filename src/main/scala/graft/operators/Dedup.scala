@@ -61,6 +61,27 @@ object Dedup {
       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin
 
+  /** #60 order-insensitive exact dedup: group by the sorted-distinct-
+    * token fingerprint — catches word-shuffled duplicates that byte
+    * hashing (#26) misses, still one hash-groupBy shuffle. Only
+    * multi-member groups are emitted (the actual duplicates).
+    */
+  def dedupFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+        .as("fingerprint"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+      .orderBy("fingerprint")
+
+  val dedupFingerprintSql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |    string_split(text, ' '))), ' ')) AS fingerprint,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY fingerprint""".stripMargin
+
   // ------------------------------------------------------- shared text
   /** Distinct hashed word-trigram shingles per doc (the dup-detection
     * unit for minhash; word-shuffled texts share tokens but not
@@ -259,6 +280,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_norm" -> (dedupNorm _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -332,6 +354,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_norm" -> dedupNormSql,
+    "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
