@@ -326,6 +326,38 @@ object Extensions {
       |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** #61 time-series gap filling: the hourly event-count series with
+    * EVERY hour of the observed range present — missing hours emitted
+    * as zero rows (dashboards and window models need dense series).
+    * The dense axis is generated from the min/max bounds (a 2-row
+    * aggregate, broadcast), never collected to the driver.
+    */
+  def tsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.eventsUs(spark, dir)
+      .withColumn("hour_us", expr(s"(ts_us div $hourUs) * $hourUs"))
+    val counts = ev.groupBy("hour_us")
+      .agg(count(lit(1)).as("n"))
+    val axis = ev.agg(min("hour_us").as("lo"), max("hour_us").as("hi"))
+      .select(explode(expr(s"sequence(lo, hi, $hourUs)")).as("hour_us"))
+    axis.join(counts, Seq("hour_us"), "left")
+      .select(col("hour_us"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour_us")
+  }
+
+  val tsGapFillSql: String =
+    """WITH e AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+      |  FROM events),
+      |counts AS (SELECT hour_us, COUNT(*) AS n FROM e GROUP BY hour_us),
+      |axis AS (
+      |  SELECT unnest(range(MIN(hour_us), MAX(hour_us) + 1, 3600000000))
+      |    AS hour_us
+      |  FROM e)
+      |SELECT axis.hour_us, COALESCE(counts.n, 0) AS n
+      |FROM axis LEFT JOIN counts USING (hour_us)
+      |ORDER BY hour_us""".stripMargin
+
   /** #58 histogram bucketing: order-value distribution in fixed-width
     * buckets with per-bucket stats — one scan, map-side partial agg.
     */
@@ -535,6 +567,7 @@ object Extensions {
     "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "hist_order_values" -> (histOrderValues _),
+    "ts_gap_fill" -> (tsGapFill _),
     "q2_min_per_group" -> (q2MinPerGroup _),
     "dedup_keep_best" -> (dedupKeepBest _))
 
@@ -552,6 +585,7 @@ object Extensions {
     "events_funnel" -> eventsFunnelSql,
     "events_retention" -> eventsRetentionSql,
     "hist_order_values" -> histOrderValuesSql,
+    "ts_gap_fill" -> tsGapFillSql,
     "q2_min_per_group" -> q2MinPerGroupSql,
     "dedup_keep_best" -> dedupKeepBestSql)
 }
