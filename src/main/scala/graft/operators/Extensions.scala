@@ -553,7 +553,78 @@ object Extensions {
        |FROM nd JOIN exact USING (source) LEFT JOIN kth USING (source)
        |ORDER BY source""".stripMargin
 
+  /** #62 THE pipeline, composed end-to-end: near-dup clusters drop
+    * everything but their best-quality member, survivors pass a quality
+    * floor and a deterministic 75% sample, and the cleaned corpus is
+    * summarized per language. Each stage is an operator verified on its
+    * own above; this query proves they compose (the engine's whole
+    * point: one declarative plan from raw corpus to training set).
+    */
+  def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(spark, dir).select("doc_id", "cluster_root")
+    val keeps = dedupKeepBest(spark, dir).select("cluster_root", "keep_id")
+    val drops = clusters.join(keeps, "cluster_root")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select("doc_id", "quality")
+    Tables(spark, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .where(col("quality") >= 0.5)
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long") < 192)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        r4((sum(col("quality").cast("decimal(18,6)")) / count(lit(1)))
+          .cast("double")).as("avg_quality"))
+      .orderBy("lang")
+  }
+
+  val pipelineCleanCorpusSql: String = {
+    val qualityExpr = r4Sql(
+      "0.4 * (1.0 - len(list_filter(string_split(text, ' '), " +
+        "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) " +
+        "/ CAST(len(string_split(text, ' ')) AS DOUBLE)) " +
+      "+ 0.3 * (1.0 - len(list_filter(string_split(text, ' '), " +
+        "t -> length(t) <= 2)) " +
+        "/ CAST(len(string_split(text, ' ')) AS DOUBLE)) " +
+      "+ 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) " +
+        "/ 100.0, 1.0)")
+    s"""WITH RECURSIVE pr AS (SELECT * FROM $pairsSub),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr
+       |      UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |lab AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+       |q AS (SELECT doc_id, $qualityExpr AS quality FROM documents),
+       |keeps AS (
+       |  SELECT cluster_root, id AS keep_id FROM (
+       |    SELECT lab.cluster_root, lab.id, ROW_NUMBER() OVER (
+       |      PARTITION BY lab.cluster_root
+       |      ORDER BY q.quality DESC, lab.id) AS rk
+       |    FROM lab JOIN q ON q.doc_id = lab.id)
+       |  WHERE rk = 1),
+       |drops AS (
+       |  SELECT lab.id AS doc_id FROM lab JOIN keeps USING (cluster_root)
+       |  WHERE lab.id <> keeps.keep_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  ${r4Sql("CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)" +
+                  " / COUNT(*)")} AS avg_quality
+       |FROM documents
+       |JOIN q USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |  AND quality >= 0.5
+       |  AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT < 192
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "agg_cube" -> (aggCube _),
     "dedup_cluster" -> (dedupCluster _),
@@ -572,6 +643,7 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "agg_kmv_distinct" -> aggKmvDistinctSql,
     "agg_cube" -> aggCubeSql,
     "dedup_cluster" -> dedupClusterSql,
