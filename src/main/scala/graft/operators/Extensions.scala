@@ -358,6 +358,23 @@ object Extensions {
       |FROM axis LEFT JOIN counts USING (hour_us)
       |ORDER BY hour_us""".stripMargin
 
+  /** #63 calendar rollup: monthly order volume and revenue — calendar
+    * bucketing via date formatting (string month keys are
+    * dtype-coercion-proof across engines).
+    */
+  def ordersMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice"), 18, 2).as("revenue"))
+      .orderBy("month")
+
+  val ordersMonthlySql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |  COUNT(*) AS n_orders,
+       |  ${sumDecSql("o_totalprice", 18, 2)} AS revenue
+       |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
   /** #58 histogram bucketing: order-value distribution in fixed-width
     * buckets with per-bucket stats — one scan, map-side partial agg.
     */
@@ -639,6 +656,7 @@ object Extensions {
     "events_retention" -> (eventsRetention _),
     "hist_order_values" -> (histOrderValues _),
     "ts_gap_fill" -> (tsGapFill _),
+    "orders_monthly" -> (ordersMonthly _),
     "q2_min_per_group" -> (q2MinPerGroup _),
     "dedup_keep_best" -> (dedupKeepBest _))
 
@@ -658,6 +676,7 @@ object Extensions {
     "events_retention" -> eventsRetentionSql,
     "hist_order_values" -> histOrderValuesSql,
     "ts_gap_fill" -> tsGapFillSql,
+    "orders_monthly" -> ordersMonthlySql,
     "q2_min_per_group" -> q2MinPerGroupSql,
     "dedup_keep_best" -> dedupKeepBestSql)
 }
