@@ -15,12 +15,19 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession(cpus, "graft-bench")
+    // The timing action must evaluate EVERY output column: under a
+    // terminal count(1), ColumnPruning deletes final projections and
+    // EliminateSorts drops top-level ORDER BYs, so projection-heavy
+    // queries (windows, per-row text/vector compute) would be timed as
+    // scan+count. The noop sink consumes full rows without writing.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // JIT/codegen warmup: run every query once at the smallest scale
     // factor so the timed loop measures steady-state execution, not
     // whichever query happens to hit a cold JVM path first.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // two timed passes, keep the per-query minimum: the box shows
     // ±30-50% run-to-run noise and min-of-N is the standard estimator
@@ -29,7 +36,7 @@ object Bench {
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }

@@ -94,7 +94,10 @@ object Extensions {
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val nDocs = docs.count().toDouble
+    // N as a 1-row aggregate cross-joined in (broadcast nested loop of a
+    // single row) — keeps the whole query ONE plan instead of an extra
+    // driver-side count() job per invocation
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -103,7 +106,8 @@ object Extensions {
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score_raw"), col("token"))
     tf.join(df, "token")
-      .withColumn("score_raw", col("tf") * lit(nDocs) / col("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_raw", col("tf") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"),
@@ -456,10 +460,16 @@ object Extensions {
     * doc_id) — the actual final step of a dedup pipeline: one survivor
     * per CLUSTER, chosen by quality, not arbitrary min-id.
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupCluster(spark, dir)
-    val quality = TextAnalysis.textQuality(spark, dir)
-      .select("doc_id", "quality")
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBest(dedupCluster(spark, dir),
+      TextAnalysis.textQuality(spark, dir).select("doc_id", "quality"))
+
+  /** Keep-best over PRECOMPUTED clusters + quality inputs — factored so
+    * the capstone composes it without re-running the cluster pipeline
+    * (LSH banding + iterative label propagation, the two most expensive
+    * subplans in the suite).
+    */
+  def keepBest(clusters: DataFrame, quality: DataFrame): DataFrame = {
     val w = Window.partitionBy("cluster_root")
       .orderBy(desc("quality"), col("doc_id"))
     clusters.join(quality, "doc_id")
@@ -578,13 +588,17 @@ object Extensions {
     * point: one declarative plan from raw corpus to training set).
     */
   def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupCluster(spark, dir).select("doc_id", "cluster_root")
-    val keeps = dedupKeepBest(spark, dir).select("cluster_root", "keep_id")
-    val drops = clusters.join(keeps, "cluster_root")
-      .where(col("doc_id") =!= col("keep_id"))
-      .select("doc_id")
+    // clusters are computed ONCE (the plan is rooted at dedupCluster's
+    // checkpointed labels) and persisted: both the keep-best ranking and
+    // the drop-list join read the same materialization
+    val clusters = dedupCluster(spark, dir).persist()
     val quality = TextAnalysis.textQuality(spark, dir)
       .select("doc_id", "quality")
+    val keeps = keepBest(clusters, quality).select("cluster_root", "keep_id")
+    val drops = clusters.select("doc_id", "cluster_root")
+      .join(keeps, "cluster_root")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
     Tables(spark, dir, "documents")
       .join(drops, Seq("doc_id"), "left_anti")
       .join(quality, "doc_id")
