@@ -22,22 +22,44 @@ import graft.Exprs.{r4, r4Sql}
   */
 object Similarity {
 
+  /** The query set the registered eval queries use: seeded from the
+    * corpus by a fixed predicate so the DuckDB oracle can reproduce it.
+    * This is a TEST-SCALE stand-in — because it is a fraction of the
+    * corpus, it grows with the data and would eventually break the
+    * broadcast. The `*From` variants below take the query set as an
+    * explicit argument: in production it is an external small table
+    * (the batch of queries to answer), so the broadcast side is bounded
+    * by construction at any corpus size.
+    */
+  def evalQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, dir, "embeddings")
+      .where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-  /** #32 exact cosine top-5 neighbors for the query set (vec_id % 50 = 0).
-    * Query side broadcast; ranking key (cosine DESC, vec_id) is total so
-    * the top-k is engine-deterministic.
+  /** #32 exact cosine top-k neighbors. Query side broadcast; ranking
+    * key (cosine DESC, vec_id) is total so the top-k is
+    * engine-deterministic. The corpus never shuffles: per-partition
+    * top-k via the window's WindowGroupLimit pushdown, then the tiny
+    * rank filter.
     */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
-    val q = v.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    annBruteforceFrom(v, evalQueries(spark, dir), k = 5)
+  }
+
+  /** Brute-force ANN over an arbitrary corpus (`vec_id`, `embedding`)
+    * and an arbitrary SMALL query table (`q_id`, `q_emb`).
+    */
+  def annBruteforceFrom(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
-    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+    c.join(broadcast(queries), col("q_id") =!= col("c_id"))
       .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
         r4(col("cosine_raw")).as("cosine"))
       .orderBy("q_id", "rank")
@@ -71,18 +93,25 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
-      .withColumn("bucket", expr("md5_rhp_bucket(embedding, 8)"))
-    val q = v.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("bucket"))
-    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("bucket").as("c_bucket"))
+    annLshFrom(v, evalQueries(spark, dir), k = 3)
+  }
+
+  /** LSH ANN over an arbitrary corpus and an arbitrary SMALL query
+    * table. The bucket is a pure function of the embedding, so the
+    * query side computes its own buckets — no corpus-side recompute,
+    * no correlation between the two inputs required.
+    */
+  def annLshFrom(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.withColumn("bucket", expr("md5_rhp_bucket(q_emb, 8)"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"),
+        expr("md5_rhp_bucket(embedding, 8)").as("c_bucket"))
     val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
     c.join(broadcast(q),
         col("bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
       .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= 3)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
         r4(col("cosine_raw")).as("cosine"))
       .orderBy("q_id", "rank")
@@ -137,8 +166,19 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
+    annIvfFrom(v, evalQueries(spark, dir), k = 3, nprobe = 2)
+  }
+
+  /** IVF ANN over an arbitrary corpus (`vec_id`, `label`, `embedding`;
+    * `label` is the coarse cell id) and an arbitrary SMALL query table.
+    * Centroids are a tiny (cells × dims) aggregate; probes broadcast
+    * (bounded by |queries| × nprobe); the search is an equi-join on the
+    * probed cell — the corpus never cross-joins the query set.
+    */
+  def annIvfFrom(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
     // centroid per cell: decimal-exact mean per dimension
-    val cent = v
+    val cent = corpus
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy("label", "d")
       .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
@@ -146,26 +186,24 @@ object Similarity {
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
         .as("centroid"))
-    // each query probes its 2 nearest centroids (cosine, ties by label)
-    val q = v.where(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // each query probes its nprobe nearest centroids (cosine, ties by label)
     val wProbe = Window.partitionBy("q_id")
       .orderBy(desc("c_sim"), col("label"))
-    val probes = q.join(broadcast(cent), lit(true))
+    val probes = queries.join(broadcast(cent), lit(true))
       .withColumn("c_sim", expr(
         "cosine_f32(q_emb, transform(centroid, x -> cast(x as float)))"))
       .withColumn("prk", row_number().over(wProbe))
-      .where(col("prk") <= 2)
+      .where(col("prk") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("label"))
     // search only the probed cells
-    val c = v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("label"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("label"))
     val wRank = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
     c.join(broadcast(probes), Seq("label"))
       .where(col("q_id") =!= col("c_id"))
       .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
-      .where(col("rank") <= 3)
+      .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
         r4(col("cosine_raw")).as("cosine"))
       .orderBy("q_id", "rank")
