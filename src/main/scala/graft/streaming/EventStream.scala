@@ -48,45 +48,86 @@ object EventStream {
 
   /** Streaming gap-based sessionization via flatMapGroupsWithState:
     * state = the open session per user; a 30-min event-time gap closes
-    * it and emits. Event-time timeout flushes idle users' sessions once
-    * the watermark passes. Emits closed sessions only; the spec drains
-    * the stream with a far-future flush event per user so every session
-    * closes deterministically.
+    * it and emits.
+    *
+    * State lifecycle (bounded at any user cardinality):
+    *  1. OPEN — a session with events; armed to time out when the
+    *     watermark passes lastUs + gap. Once that happens no in-gap
+    *     event can still arrive (anything earlier is late and dropped
+    *     by the watermark), so the session is emitted exactly as a
+    *     future in-gap-free batch would have emitted it.
+    *  2. TOMBSTONE — after a timeout flush the state keeps only the
+    *     next session number (so a returning user continues batch-
+    *     equivalent numbering), armed to expire `retentionUs` past the
+    *     watermark. A user silent for the retention horizon is fully
+    *     forgotten — per-user state NEVER outlives
+    *     activity + gap + retention.
     */
-  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+  def sessionize(events: Dataset[Ev],
+      retentionUs: Long = 24L * 3600L * 1000000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "1 hour")
       .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
-          // Per-user events arrive unordered within a micro-batch: sort
-          // this batch (state carries order across batches).
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts_us - s.lastUs > gapUs =>
-                closed += Session(userId, s.sessionId, s.n, s.startUs, s.lastUs)
-                open = Some(OpenSession(s.sessionId + 1, e.ts_us, e.ts_us, 1))
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          def arm(tsMs: Long): Unit =
+            state.setTimeoutTimestamp(
+              math.max(tsMs, state.getCurrentWatermarkMs + 1))
+          if (state.hasTimedOut) {
+            state.get.open match {
               case Some(s) =>
-                open = Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
-              case None =>
-                open = Some(OpenSession(1, e.ts_us, e.ts_us, 1))
+                // idle-session flush: emit, keep numbering in a tombstone
+                state.update(SessState(s.sessionId + 1, None))
+                arm(state.getCurrentWatermarkMs + retentionUs / 1000)
+                Iterator.single(
+                  Session(userId, s.sessionId, s.n, s.startUs, s.lastUs))
+              case None => // retention horizon passed: forget the user
+                state.remove()
+                Iterator.empty
             }
+          } else {
+            // Per-user events arrive unordered within a micro-batch: sort
+            // this batch (state carries order across batches).
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var st = state.getOption.getOrElse(SessState(1L, None))
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              st.open match {
+                case Some(s) if e.ts_us - s.lastUs > gapUs =>
+                  closed += Session(userId, s.sessionId, s.n, s.startUs,
+                    s.lastUs)
+                  st = SessState(s.sessionId + 1,
+                    Some(OpenSession(s.sessionId + 1, e.ts_us, e.ts_us, 1)))
+                case Some(s) =>
+                  st = st.copy(open = Some(s.copy(lastUs = e.ts_us, n = s.n + 1)))
+                case None =>
+                  st = SessState(st.nextId,
+                    Some(OpenSession(st.nextId, e.ts_us, e.ts_us, 1)))
+              }
+            }
+            state.update(st)
+            st.open match {
+              case Some(s) => arm(s.lastUs / 1000 + gapUs / 1000)
+              case None => arm(state.getCurrentWatermarkMs + retentionUs / 1000)
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
   }
 
   /** Mutable-across-batches session state. */
   final case class OpenSession(sessionId: Long, startUs: Long, lastUs: Long,
       n: Long)
+
+  /** Per-user state: the open session (if any) plus the next session
+    * number — kept through timeout flushes so numbering stays
+    * batch-equivalent for returning users.
+    */
+  final case class SessState(nextId: Long, open: Option[OpenSession])
 
   /** One incoming document on the stream. */
   final case class Doc(doc_id: Long, text: String)

@@ -81,6 +81,37 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("sessionize flushes idle users via event-time timeout") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("timeout_out")
+      .outputMode("append").start()
+    val t0 = 1000L * 3600L * 1000000L // epoch + 1000h, in micros
+    val hourUs = 3600L * 1000000L
+    // user 100 has a 2-event session, then goes silent FOREVER
+    stream.addData(Ev(1L, 100L, "a", t0, 0.0),
+      Ev(2L, 100L, "a", t0 + 60L * 1000000L, 0.0))
+    q.processAllAvailable()
+    // a DIFFERENT user's far-future events advance the watermark past
+    // user 100's gap horizon; two batches because the watermark computed
+    // at the end of batch N drives the timeout sweep in batch N+1
+    stream.addData(Ev(3L, 200L, "a", t0 + 100L * hourUs, 0.0))
+    q.processAllAvailable()
+    stream.addData(Ev(4L, 200L, "a", t0 + 101L * hourUs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // the idle user's open session was emitted WITHOUT any closing event
+    val flushed = spark.table("timeout_out")
+      .where(col("user_id") === 100L)
+      .select("session_id", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq)
+    assert(flushed.toSeq ==
+      Seq(Seq(1L, 2L, t0, t0 + 60L * 1000000L)))
+  }
+
   test("streaming exact dedup == batch dedup_exact keep set") {
     val sp = spark
     import sp.implicits._
