@@ -32,11 +32,23 @@ object FileIndexer {
 
   /** Index `files` (must expose `pathCol`): keep matching rows, attach
     * `processing_level` and the `generated_by` lineage uuid.
+    *
+    * Parameter-resolution parity with the reference: a request with NO
+    * filter list indexes EVERY file at `defaultLevel` — the reference
+    * resolves a missing `level` to "1" and passes `filters=None`
+    * straight through to its indexing call
+    * (`/root/reference/reactor.py:88-104,164-167`), which then labels
+    * the whole archive. Callers that resolved an explicit level pass it
+    * as `defaultLevel`.
     */
   def index(files: DataFrame, pathCol: String, filters: Seq[IndexFilter],
-      generatedBy: String): DataFrame =
+      generatedBy: String, defaultLevel: String = "1"): DataFrame = {
+    val level =
+      if (filters.isEmpty) lit(defaultLevel)
+      else levelFor(col(pathCol), filters)
     files
-      .withColumn("processing_level", levelFor(col(pathCol), filters))
+      .withColumn("processing_level", level)
       .where(col("processing_level").isNotNull)
       .withColumn("generated_by", lit(generatedBy))
+  }
 }

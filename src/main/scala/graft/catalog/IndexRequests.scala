@@ -1,0 +1,97 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.catalog.FileIndexer.IndexFilter
+
+/** The reference's inbound-message contract, Spark-side.
+  *
+  * Every message the reference consumes is validated against a JSON
+  * schema before any work happens (`/root/reference/reactor.py:67-82`:
+  * try `index.jsonschema`, then `indexed.jsonschema`, else the message
+  * is failed), and parameters resolve message → context → environment
+  * with a default processing level of "1"
+  * (`/root/reference/reactor.py:88-104`). This module re-expresses both
+  * as declarative DataFrame transforms: a validated request stream and
+  * a dead-letter stream, split by a single `reject_reason` column — no
+  * row is ever silently dropped, and no bad row kills the job.
+  *
+  * Scale: validation is a per-row projection (whole-stage codegen, no
+  * shuffle); the dead-letter split is two filters over one scan.
+  */
+object IndexRequests {
+
+  /** Request message schema — the Spark mirror of
+    * `/root/reference/schemas/index.jsonschema` (uuid + name required,
+    * optional level/token and a filter list of
+    * `{processing_level, patterns}` objects — shape:
+    * `/root/reference/tests/data/index01.json`).
+    */
+  val requestSchema: StructType = StructType.fromDDL(
+    """uuid STRING, name STRING, level STRING, token STRING,
+      |filters ARRAY<STRUCT<processing_level STRING,
+      |  patterns ARRAY<STRING>>>""".stripMargin.replace("\n", " "))
+
+  /** Read raw request messages (JSON lines); malformed JSON is captured
+    * per-row in `_corrupt`, never fatal.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    graft.sources.CatalogIO.readJson(spark, path, requestSchema)
+
+  /** First failed check, as the reference's validator would report it;
+    * NULL = valid. The checks mirror index.jsonschema: parseable,
+    * required uuid, required name, name ∈ {index, indexed}, and every
+    * filter entry (when present) carries a level and ≥1 pattern.
+    */
+  def rejectReason: Column =
+    when(col("_corrupt").isNotNull, "malformed_json")
+      .when(col("uuid").isNull, "missing_uuid")
+      .when(col("name").isNull, "missing_name")
+      .when(!col("name").isin("index", "indexed"), "unknown_action")
+      .when(col("filters").isNotNull &&
+        exists(col("filters"), f =>
+          f.getField("processing_level").isNull ||
+            f.getField("patterns").isNull ||
+            size(f.getField("patterns")) === 0),
+        "bad_filter_shape")
+      .otherwise(lit(null).cast("string"))
+
+  /** Valid requests with parameters resolved the reference's way:
+    * message value, else context, else environment, else the default —
+    * level defaults to "1" (`reactor.py:92` `("level", "level", "1")`).
+    */
+  def accepted(messages: DataFrame,
+      contextLevel: Option[String] = None,
+      envLevel: Option[String] = None): DataFrame = {
+    val fallback = contextLevel.orElse(envLevel).getOrElse("1")
+    messages
+      .withColumn("reject_reason", rejectReason)
+      .where(col("reject_reason").isNull)
+      .withColumn("level", coalesce(col("level"), lit(fallback)))
+      .select("uuid", "name", "level", "token", "filters")
+  }
+
+  /** The dead-letter stream: every message that failed validation, with
+    * the raw payload (when parseable fields exist they ride along) and
+    * the reason — the Spark form of `rx.on_failure("Message was not
+    * processed", …)`, routed to a sink instead of a log line.
+    */
+  def deadLetter(messages: DataFrame): DataFrame =
+    messages
+      .withColumn("reject_reason", rejectReason)
+      .where(col("reject_reason").isNotNull)
+
+  /** Driver-side extraction of one validated request row into the
+    * typed filter list `FileIndexer` consumes. Control messages are
+    * tiny (a handful of filters), so this is a legitimate driver
+    * operation — the DATA never leaves the cluster.
+    */
+  def filtersOf(row: org.apache.spark.sql.Row): Seq[IndexFilter] = {
+    val idx = row.fieldIndex("filters")
+    if (row.isNullAt(idx)) Seq.empty
+    else row.getSeq[org.apache.spark.sql.Row](idx).map { f =>
+      IndexFilter(f.getString(0), f.getSeq[String](1))
+    }
+  }
+}

@@ -26,6 +26,17 @@ object CatalogIO {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(path)
 
+  /** Streaming twin of [[readJson]]: the same explicit schema and
+    * per-row corrupt-capture over a directory being fed new files.
+    */
+  def readStreamJson(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add("_corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** CSV with a required schema; header tolerated, malformed captured. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =

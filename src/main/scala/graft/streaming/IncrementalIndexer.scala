@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.catalog.FileIndexer
@@ -40,6 +41,58 @@ object IncrementalIndexer {
       .option("checkpointLocation", checkpointDir)
       .partitionBy("processing_level")
       .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The full reference protocol as one streaming job: validate each
+    * manifest row, dead-letter the malformed ones, index the good ones,
+    * and emit the `indexed` handshake event.
+    *
+    * The reference does NOT transition the job itself after indexing —
+    * it sends a second `{uuid, name: "indexed"}` message to the job
+    * manager, which owns the INDEXING → FINISHED transition
+    * (`/root/reference/reactor.py:183-215`: "two messages required to
+    * move a job to FINISHED"). Here that handshake is a record per
+    * drained micro-batch appended to `eventsDir` — the same event log
+    * the catalog operators fold (`idx_job_states` consumes exactly this
+    * shape), so the index → indexed → FINISHED composition is testable
+    * end-to-end.
+    *
+    * Delivery: foreachBatch sinks are at-least-once under failure
+    * replay (the reference's `retryMaxAttempts=10` messaging is too);
+    * the handshake carries `batch_id` so downstream folds can
+    * deduplicate, and the catalog write is idempotent per batch via
+    * deterministic content.
+    */
+  def startWithProtocol(spark: SparkSession, inDir: String, outDir: String,
+      rejectDir: String, eventsDir: String, checkpointDir: String,
+      filters: Seq[IndexFilter], generatedBy: String,
+      defaultLevel: String = "1"): StreamingQuery = {
+    val manifests = graft.sources.CatalogIO.readStreamJson(
+      spark, inDir, manifestSchema)
+    manifests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = batch.where(
+          col("_corrupt").isNotNull || col("path").isNull)
+        val good = batch.where(
+          col("_corrupt").isNull && col("path").isNotNull).drop("_corrupt")
+        bad.withColumn("reject_reason",
+            when(col("_corrupt").isNotNull, "malformed_json")
+              .otherwise("missing_path"))
+          .write.mode("append").json(rejectDir)
+        val indexed = FileIndexer.index(good, "path", filters, generatedBy,
+          defaultLevel)
+        indexed.write.mode("append")
+          .partitionBy("processing_level").parquet(outDir)
+        // two-message protocol: tell the job manager we indexed
+        indexed.agg(count(lit(1)).as("n_files"))
+          .select(lit(generatedBy).as("uuid"), lit("indexed").as("name"),
+            col("n_files"), lit(batchId).as("batch_id"))
+          .write.mode("append").json(eventsDir)
+        ()
+      }
       .start()
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.{FileIndexer, IndexRequests}
+import graft.catalog.FileIndexer.IndexFilter
+import graft.streaming.IncrementalIndexer
+
+/** The reference's inbound-message contract: schema validation with a
+  * dead-letter route, message→context→env→default parameter resolution
+  * (level defaults to "1"), no-filters indexing, and the two-message
+  * index → indexed handshake.
+  */
+class IndexRequestsSpec extends GraftSpec {
+
+  private def writeMessages(lines: String): String = {
+    val dir = Files.createTempDirectory("graft_req")
+    Files.writeString(dir.resolve("msgs.jsonl"), lines)
+    dir.toString
+  }
+
+  test("good messages validate; bad messages dead-letter with reasons") {
+    // index01.json-shaped good message + one of each failure mode
+    val dir = writeMessages(
+      """{"uuid": "107a54fe", "name": "index", "filters": [{"processing_level": "2", "patterns": [".txt$", ".tsv$"]}], "token": "f13c12566ccdea21"}
+        |{"uuid": "22222222", "name": "indexed"}
+        |{"uuid": "33333333", "name": "transmogrify"}
+        |{"name": "index"}
+        |{"uuid": "55555555"}
+        |{"uuid": "66666666", "name": "index", "filters": [{"processing_level": "1", "patterns": []}]}
+        |this is not json at all
+        |""".stripMargin)
+    val msgs = IndexRequests.read(spark, dir)
+    val ok = IndexRequests.accepted(msgs).collect()
+    assert(ok.map(_.getString(0)).toSet == Set("107a54fe", "22222222"))
+    val dead = IndexRequests.deadLetter(msgs)
+      .select("reject_reason").collect().map(_.getString(0)).sorted
+    assert(dead.toSeq == Seq("bad_filter_shape", "malformed_json",
+      "missing_name", "missing_uuid", "unknown_action"))
+  }
+
+  test("level resolves message -> context/env -> default '1'") {
+    val dir = writeMessages(
+      """{"uuid": "a", "name": "index", "level": "3"}
+        |{"uuid": "b", "name": "index"}
+        |""".stripMargin)
+    val msgs = IndexRequests.read(spark, dir)
+    // message value wins; absent falls to default "1"
+    val byUuid = IndexRequests.accepted(msgs).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(byUuid == Map("a" -> "3", "b" -> "1"))
+    // context/env fallback beats the default for the absent case only
+    val withCtx = IndexRequests.accepted(msgs, contextLevel = Some("2"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(withCtx == Map("a" -> "3", "b" -> "2"))
+  }
+
+  test("filtersOf extracts the typed filter list; empty when absent") {
+    val dir = writeMessages(
+      """{"uuid": "a", "name": "index", "filters": [{"processing_level": "2", "patterns": [".txt$"]}]}
+        |{"uuid": "b", "name": "index"}
+        |""".stripMargin)
+    val rows = IndexRequests.accepted(IndexRequests.read(spark, dir))
+      .orderBy("uuid").collect()
+    assert(IndexRequests.filtersOf(rows(0)) ==
+      Seq(IndexFilter("2", Seq(".txt$"))))
+    assert(IndexRequests.filtersOf(rows(1)).isEmpty)
+  }
+
+  test("no filters indexes every file at the resolved default level") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq((1L, "a/x.csv"), (2L, "a/y.log"), (3L, "a/z.txt"))
+      .toDF("doc_id", "path")
+    val indexed = FileIndexer.index(files, "path", Seq.empty, "job-B")
+    assert(indexed.count() == 3)
+    assert(indexed.select("processing_level").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("1"))
+    val atLevel5 = FileIndexer.index(files, "path", Seq.empty, "job-B",
+      defaultLevel = "5")
+    assert(atLevel5.select("processing_level").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("5"))
+  }
+
+  test("protocol run: dead-letters bad manifests, emits indexed handshake") {
+    val base = Files.createTempDirectory("graft_proto")
+    val in = base.resolve("in"); Files.createDirectories(in)
+    val out = base.resolve("catalog").toString
+    val rej = base.resolve("rejected").toString
+    val ev = base.resolve("events").toString
+    val chk = base.resolve("chk").toString
+    Files.writeString(in.resolve("w1.jsonl"),
+      """{"doc_id": 1, "path": "a/x.csv", "n_chars": 10}
+        |{"doc_id": 2, "path": "a/y.log", "n_chars": 20}
+        |{"doc_id": 3, "n_chars": 30}
+        |not json
+        |""".stripMargin)
+    val q = IncrementalIndexer.startWithProtocol(spark, in.toString, out,
+      rej, ev, chk,
+      filters = Seq(IndexFilter("1", Seq("\\.csv$")), IndexFilter("2", Seq("\\.log$"))),
+      generatedBy = "job-C")
+    q.awaitTermination()
+
+    val catalog = spark.read.parquet(out)
+    assert(catalog.count() == 2) // csv + log indexed, bad rows excluded
+    val rejected = spark.read.json(rej)
+    assert(rejected.count() == 2)
+    assert(rejected.select("reject_reason").collect()
+      .map(_.getString(0)).sorted.toSeq ==
+      Seq("malformed_json", "missing_path"))
+    // the indexed handshake: the second message of the two-message
+    // protocol, addressed with the requesting job's uuid
+    val handshake = spark.read.json(ev)
+    val h = handshake.select("uuid", "name", "n_files").collect()
+    assert(h.exists(r => r.getString(0) == "job-C" &&
+      r.getString(1) == "indexed" && r.getLong(2) == 2L))
+  }
+}
