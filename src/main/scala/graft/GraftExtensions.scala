@@ -52,10 +52,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * (recognized by their key-column signature) are bounded-cardinality
   * at ANY data scale, so scans of them get a broadcast hint
   * automatically — a user's plain `fact.join(nation, ...)` plans a
-  * BroadcastHashJoin even where size statistics are missing or
-  * unreliable (the common case right after ingest at 100 TB). Injected
-  * post-resolution, so the standard EliminateResolvedHint pass folds
-  * the hints into join planning.
+  * BroadcastHashJoin even where the join planner's own threshold logic
+  * would shuffle (the common case right after ingest at 100 TB).
+  * Injected post-resolution, so the standard EliminateResolvedHint pass
+  * folds the hints into join planning.
+  *
+  * The column-name signature alone is NOT sufficient evidence: a
+  * denormalized extract that happens to carry r_regionkey/r_name could
+  * be terabytes, and force-broadcasting it would OOM every executor. So
+  * the hint is additionally gated on the relation's size statistic
+  * staying under `spark.graft.dimBroadcastMaxBytes` (default 256 MiB —
+  * well above any real enumeration dim, well below a fact extract);
+  * relations with no usable stats (sizeInBytes = defaultSizeInBytes
+  * sentinel) are left to normal planning.
   */
 case class BroadcastDimTables(session: SparkSession)
     extends Rule[LogicalPlan] {
@@ -69,8 +78,22 @@ case class BroadcastDimTables(session: SparkSession)
     dimSignatures.exists(_.subsetOf(cols))
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case rel: LogicalRelation if isDim(rel) =>
-      ResolvedHint(rel, HintInfo(strategy = Some(BROADCAST)))
+  private def maxBytes: Long =
+    session.conf.get("spark.graft.dimBroadcastMaxBytes",
+      (256L * 1024 * 1024).toString).toLong
+
+  private def sizedUnder(rel: LogicalRelation, limit: Long): Boolean = {
+    val size = rel.computeStats().sizeInBytes
+    // defaultSizeInBytes (Long.MaxValue unless tuned) marks "unknown";
+    // treat unknown as not-broadcastable rather than guessing
+    size <= BigInt(limit)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val limit = maxBytes
+    plan transformUp {
+      case rel: LogicalRelation if isDim(rel) && sizedUnder(rel, limit) =>
+        ResolvedHint(rel, HintInfo(strategy = Some(BROADCAST)))
+    }
   }
 }

@@ -359,6 +359,9 @@ object Hashes {
       val it = seen.iterator()
       var kk = 0
       while (it.hasNext) { out(kk) = it.next(); kk += 1 }
+      // sorted like NgramHashes so intersect_count's sorted-merge
+      // contract holds for either gram-hash family
+      java.util.Arrays.sort(out)
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): NgramMd5Hashes =

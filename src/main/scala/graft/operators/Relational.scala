@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Exprs, Tables}
-import graft.Exprs.{sumDec, sumDecSql}
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Relational core: joins + aggregates (SURVEY.md §2 #7-15).
   *
@@ -187,7 +187,7 @@ object Relational {
         max(col("o_totalprice")).as("max_price"),
         (s1 / n).as("avg_price"),
         sqrt((s2 - s1 * s1 / n) / (n - lit(1))).as("std_price"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+        r4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -200,7 +200,7 @@ object Relational {
        |  MAX(o_totalprice) AS max_price,
        |  $s1/COUNT(*) AS avg_price,
        |  SQRT(($s2 - $s1*$s1/COUNT(*))/(COUNT(*) - 1)) AS std_price,
-       |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+       |  ${r4Sql("quantile_cont(o_totalprice, 0.5)")} AS median_price
        |FROM orders
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
