@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Similarity.queries,
     operators.Multimodal.queries,
     operators.Extensions.queries,
+    operators.Corpus.queries,
   )
 
   private def oracleModules = Seq(
@@ -32,6 +33,7 @@ object SparkEntry {
     operators.Similarity.oracles,
     operators.Multimodal.oracles,
     operators.Extensions.oracles,
+    operators.Corpus.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

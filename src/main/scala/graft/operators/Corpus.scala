@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** LLM corpus-preparation operators (SURVEY.md §2 extensions #64-67):
+  * the batch jobs a training-data pipeline runs between "raw crawl" and
+  * "tokenizer input" — repetition-quality filtering, benchmark
+  * decontamination, sequence packing, and domain-mixture balancing.
+  *
+  * Scale design (100 TB):
+  *  - repetition stats: explode → two keyed aggregations on doc_id
+  *    (map-side partial combine both times) — no joins, no state.
+  *  - decontamination: the classic n-gram join — both sides explode to
+  *    (gram_hash, doc_id) and equi-join on the hash; the benchmark side
+  *    is small by construction (an eval suite) and broadcasts; the
+  *    corpus side never self-joins.
+  *  - packing: one cumulative-sum window per source partition — the
+  *    concat-then-chunk assignment used for pretraining batches.
+  *  - mixing: per-source counts (tiny aggregate, broadcast back) + a
+  *    deterministic per-row hash draw — no sampling state, rerunnable.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- #64
+  /** #64 Gopher-style repetition filter: fraction of word bigrams that
+    * are duplicates and the top-bigram share, per document. High values
+    * mark boilerplate/spam for removal before training.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |    element_at(split(text, ' '), i + 1)))""".stripMargin))
+        .as("gram"))
+    grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max("cnt").as("top_cnt"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        r4(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"))
+          .as("dup_frac"),
+        r4(col("top_cnt") / col("n_bigrams")).as("top_frac"))
+      .withColumn("keep", (col("dup_frac") <= 0.2).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text, ' '))),
+       |    i -> string_split(text, ' ')[i] || ' '
+       |      || string_split(text, ' ')[i + 1])) AS gram
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |s AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |    COUNT(*) AS n_distinct_bigrams, MAX(cnt) AS top_cnt
+       |  FROM c GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  ${r4Sql("1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE)")}
+       |    AS dup_frac,
+       |  ${r4Sql("top_cnt / CAST(n_bigrams AS DOUBLE)")} AS top_frac,
+       |  (${r4Sql("1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE)")}
+       |    <= 0.2) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #65
+  /** #65 benchmark decontamination: flag corpus documents sharing any
+    * 5-gram with the benchmark set (here: the `src0` slice stands in
+    * for an eval suite). The shape is THE decontamination job every
+    * pretraining corpus runs: explode both sides to (gram_hash, id),
+    * equi-join on the hash, aggregate per corpus doc.
+    *
+    * Gram hashes are md5-derived (`ngram_md5_hashes`) so the oracle
+    * reproduces the exact join keys; the benchmark side is tiny and
+    * broadcasts — the corpus is touched once, map-side, no self-join.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    def grams(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), explode(
+        expr("ngram_md5_hashes(split(text, ' '), 5)")).as("gh"))
+    val docs = Tables.spread(spark, dir, "documents")
+    val bench = grams(docs.where(col("source") === "src0"), "bench_id")
+    val corpus = grams(docs.where(col("source") =!= "src0"), "doc_id")
+    corpus.join(broadcast(bench), "gh")
+      .groupBy("doc_id").agg(
+        count_distinct(col("gh")).as("n_shared_grams"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 3),
+      |    i -> ('0x' || substr(md5(string_split(text, ' ')[i] || ' '
+      |      || string_split(text, ' ')[i + 1] || ' '
+      |      || string_split(text, ' ')[i + 2] || ' '
+      |      || string_split(text, ' ')[i + 3] || ' '
+      |      || string_split(text, ' ')[i + 4]), 1, 16))::UBIGINT))) AS gh
+      |  FROM documents)
+      |SELECT c.doc_id, COUNT(DISTINCT c.gh) AS n_shared_grams,
+      |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
+      |FROM g c JOIN g b ON c.gh = b.gh
+      |WHERE c.source <> 'src0' AND b.source = 'src0'
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #66
+  /** #66 sequence packing: concat-then-chunk assignment of documents to
+    * fixed-size training sequences, per source stream. Each document is
+    * tagged with the chunk where it starts (floor of the preceding
+    * token count / chunk size) — the standard packed-pretraining layout
+    * computed as ONE cumulative-sum window, no iteration.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      chunkTokens: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_after", sum("n_tokens").over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor((col("cum_after") - col("n_tokens")) / chunkTokens)
+          .as("chunk"))
+      .orderBy("source", "doc_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT source, doc_id, n_tokens,
+      |  CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT)
+      |    AS chunk
+      |FROM t ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #67
+  /** #67 domain-mixture balancing: downsample every source to the
+    * smallest source's size with a DETERMINISTIC per-document draw
+    * (md5(doc_id) as a uniform in [0,1)) — rerunnable, no RNG state,
+    * and the kept set is stable under corpus growth of other sources.
+    * The per-source rates are a tiny aggregate cross-joined back
+    * (broadcast); the draw is map-side.
+    */
+  def mixDomains(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .withColumn("n_min", min("n_source").over(Window.partitionBy()))
+      .select(col("source"),
+        (col("n_min") / col("n_source")).as("p_keep"))
+    docs
+      .join(broadcast(rates), "source")
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0)
+      .where(col("u") < col("p_keep"))
+      .select("source", "doc_id", "lang", "n_chars")
+      .orderBy("source", "doc_id")
+  }
+
+  val mixDomainsSql: String =
+    """WITH r AS (
+      |  SELECT source, COUNT(*) AS n_source,
+      |    MIN(COUNT(*)) OVER () AS n_min
+      |  FROM documents GROUP BY source)
+      |SELECT d.source, d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN r ON d.source = r.source
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      |    / 4294967296.0 < r.n_min / CAST(r.n_source AS DOUBLE)
+      |ORDER BY d.source, d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "decontaminate" -> (decontaminate _),
+    "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
+    "mix_domains" -> (mixDomains _))
+
+  val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "decontaminate" -> decontaminateSql,
+    "pack_sequences" -> packSequencesSql,
+    "mix_domains" -> mixDomainsSql)
+}
