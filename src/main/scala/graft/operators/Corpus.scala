@@ -29,20 +29,38 @@ object Corpus {
   /** #64 Gopher-style repetition filter: fraction of word bigrams that
     * are duplicates and the top-bigram share, per document. High values
     * mark boilerplate/spam for removal before training.
+    *
+    * Entirely map-side: the bigram multiset never explodes into rows —
+    * distinct count via `array_distinct`, top-bigram count via a
+    * run-length fold over the SORTED gram array (one `aggregate` HOF
+    * pass). The first cut shuffled (doc_id, gram) strings through two
+    * groupBys and was the most expensive text op in the suite; this
+    * form's only shuffle is the final presentation sort.
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |    element_at(split(text, ' '), i + 1)))""".stripMargin))
-        .as("gram"))
-    grams
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        sum("cnt").as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max("cnt").as("top_cnt"))
+    Tables.spread(spark, dir, "documents")
+      // bind the token array OUTSIDE the lambda: referencing
+      // split(text) inside transform re-splits the whole text once per
+      // element (O(tokens²) per doc); zip_with over two slices builds
+      // the bigrams from the bound array in one pass
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |  slice(toks, 2, size(toks) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .withColumn("n_bigrams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct_bigrams",
+        size(array_distinct(col("grams"))).cast("long"))
+      // max run length over the sorted grams == max multiplicity
+      .withColumn("top_cnt", expr(
+        """aggregate(array_sort(grams),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (acc, g) -> named_struct(
+          |    'prev', g,
+          |    'run', IF(g = acc.prev, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best,
+          |      IF(g = acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
       .select(
         col("doc_id"),
         col("n_bigrams"),

@@ -96,26 +96,19 @@ object Dedup {
       .select("doc_id", "hsh")
   }
 
-  // ---------------------------------------------------------------- #28
-  /** #28 MinHash + LSH banding near-dup pairs.
-    *
-    * 16 minhashes (one xxhash64 per shingle, universal-hash mixes) banded 4×4: docs
-    * sharing any band bucket become candidates (p(catch | j=0.9) ≈
-    * .986, j=0.5 ≈ .22 — the S-curve the banding scheme is chosen for),
-    * then candidates are verified with exact trigram Jaccard ≥ 0.8.
-    * The only shuffles are the band-bucket equi-join and the verify
-    * re-join; no global cross product at any point.
+  /** MinHash-LSH candidate pairs shared by #28 and #30: signature the
+    * gram-hash sets, band the signature, equi-join on (band, bucket),
+    * distinct the surviving (id_a < id_b) pairs. Band geometry is the
+    * recall/occupancy dial: p(candidate | j) = 1-(1-j^bandRows)^bands.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.Hashes.register(spark)
-    val numHashes = 16
-    val bandRows = 4
-    // hashed shingle sets: one pass per doc, reused by both the
-    // signature and the exact-Jaccard verify
-    val sh = shingled(spark, dir)
-    val sig = sh.withColumn("sig", expr(s"minhash_sig_from_hashes(hsh, $numHashes)"))
-    val banded = sig.select(col("doc_id"),
-      explode(expr(
+  private def lshCandidates(grams: DataFrame, gramCol: String,
+      numHashes: Int, bandRows: Int): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"bandRows must divide numHashes ($bandRows / $numHashes)")
+    val banded = grams
+      .withColumn("sig",
+        expr(s"minhash_sig_from_hashes($gramCol, $numHashes)"))
+      .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${numHashes / bandRows - 1}),
            |  b -> named_struct(
            |    'band', b,
@@ -123,12 +116,36 @@ object Dedup {
            |      $bandRows)))))""".stripMargin)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bsig").as("bsig"))
-    val pairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  // ---------------------------------------------------------------- #28
+  /** #28 MinHash + LSH banding near-dup pairs.
+    *
+    * 16 minhashes (one xxhash64 per shingle, universal-hash mixes)
+    * banded 4×4: docs sharing any band bucket become candidates
+    * (p(catch | j=0.9) ≈ .986, j=0.5 ≈ .22 — the S-curve the banding
+    * scheme is chosen for), then candidates are verified with exact
+    * trigram Jaccard ≥ 0.8. The only shuffles are the band-bucket
+    * equi-join and the verify re-join; no global cross product at any
+    * point. Band geometry is a parameter — more/narrower bands raise
+    * recall at the threshold, fewer/wider bands cut candidate volume.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(spark, dir, numHashes = 16, bandRows = 4)
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String, numHashes: Int,
+      bandRows: Int): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    // hashed shingle sets: one pass per doc, reused by both the
+    // signature and the exact-Jaccard verify
+    val sh = shingled(spark, dir)
+    val pairs = lshCandidates(sh, "hsh", numHashes, bandRows)
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
@@ -206,29 +223,16 @@ object Dedup {
     * quadratically), LSH bucket occupancy tracks the true duplicate
     * density, so candidates stay ~linear at any scale.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(spark, dir, numHashes = 16, bandRows = 2)
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String, numHashes: Int,
+      bandRows: Int): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val numHashes = 16
-    val bandRows = 2
     val g = Tables.spread(spark, dir, "documents")
       .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
       .select("doc_id", "grams")
-    val banded = g
-      .withColumn("sig", expr(s"minhash_sig_from_hashes(grams, $numHashes)"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, ${numHashes / bandRows - 1}),
-           |  b -> named_struct(
-           |    'band', b,
-           |    'bsig', md5(concat_ws(',', slice(sig, b * $bandRows + 1,
-           |      $bandRows)))))""".stripMargin)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bsig").as("bsig"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val pairs = lshCandidates(g, "grams", numHashes, bandRows)
     // The gram side fits comfortably in memory at bench scale, so the
     // attach joins broadcast; at cluster scale drop the hint and these
     // become shuffle joins on doc_id (grams stay narrow either way —

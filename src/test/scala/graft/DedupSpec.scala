@@ -58,6 +58,18 @@ class DedupSpec extends GraftSpec {
     assert(groups == total)
   }
 
+  test("minhash band geometry is a parameter: 4x4 and 8x2 verified pairs agree") {
+    // Both candidate sets cover every jaccard >= 0.8 pair on this corpus
+    // (8x2 has strictly higher catch probability at the threshold), and
+    // the exact-Jaccard verify is shared — so outputs must be equal.
+    val b44 = operators.Dedup.dedupMinhashLsh(spark, sf, 16, 4)
+      .collect().map(_.toSeq).toSet
+    val b82 = operators.Dedup.dedupMinhashLsh(spark, sf, 16, 2)
+      .collect().map(_.toSeq).toSet
+    assert(b44 == b82)
+    assert(b44.nonEmpty)
+  }
+
   test("simhash banding is a parameter: 4 and 8 bands agree at hamming<=3") {
     // Both cover hamming<=3 by pigeonhole (bands > maxHamming), and both
     // verify the exact XOR-popcount — so the OUTPUTS must be identical;

@@ -50,6 +50,23 @@ class GraftExtensionsSpec extends GraftSpec {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"),
         s"dim auto-broadcast missing:\n$plan")
+      // the size gate: with the cap below nation's file size, the
+      // column-name signature alone must NOT force the broadcast (a
+      // terabyte denormalized extract carrying dim key names stays on
+      // the normal planner path)
+      s2.conf.set("spark.graft.dimBroadcastMaxBytes", "1")
+      try {
+        val gatedPlan = Tables(s2, sf, "customer")
+          .join(Tables(s2, sf, "nation"),
+            org.apache.spark.sql.functions.col("c_nationkey") ===
+              org.apache.spark.sql.functions.col("n_nationkey"))
+          .queryExecution.executedPlan.toString
+        assert(!gatedPlan.contains("BroadcastHashJoin"),
+          s"size gate ignored:\n$gatedPlan")
+      } finally {
+        s2.conf.set("spark.graft.dimBroadcastMaxBytes",
+          (256L * 1024 * 1024).toString)
+      }
       // and the un-extended shared session must NOT broadcast under the
       // same threshold (proves the rule, not statistics, did it)
       val prevShared = shared.conf.get("spark.sql.autoBroadcastJoinThreshold")
