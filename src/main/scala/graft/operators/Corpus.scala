@@ -200,15 +200,179 @@ object Corpus {
       |    / 4294967296.0 < r.n_min / CAST(r.n_source AS DOUBLE)
       |ORDER BY d.source, d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- #68
+  /** #68 repeated-passage detection (the C4/MassiveText passage-level
+    * dedup signal): chunk every document into non-overlapping 8-token
+    * passages, hash each passage, and per document report how many of
+    * its passages also occur in ANOTHER document. Docs dominated by
+    * cross-document boilerplate (nav bars, license headers, templated
+    * spam) get a high shared fraction and are dropped before training.
+    *
+    * Scale: chunking + hashing is map-side (one projection, no
+    * explosion until the (hash, doc) pair stream); the global passage
+    * table is one keyed aggregation (map-side partial combine on the
+    * hash); the flag-back is an equi-join on the hash. Everything is
+    * linear in total passage count — no self-join of documents.
+    */
+  def dedupPassages(spark: SparkSession, dir: String,
+      passageTokens: Int = 8): DataFrame = {
+    val p = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      // NB sequence(1, 0) DESCENDS in Spark — guard the <1-passage case
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $passageTokens THEN
+           |  transform(sequence(1, size(toks) div $passageTokens),
+           |    i -> md5(concat_ws(' ',
+           |      slice(toks, (i - 1) * $passageTokens + 1, $passageTokens))))
+           |ELSE array() END""".stripMargin)).as("ph"))
+    // passages seen in >= 2 distinct documents
+    val shared = p.distinct()
+      .groupBy("ph").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("ph")
+    p.join(shared.withColumn("is_shared", lit(1L)), Seq("ph"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_passages"),
+        coalesce(sum("is_shared"), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_passages"), col("n_shared"),
+        r4(col("n_shared") / col("n_passages")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dedupPassagesSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text, ' ')) // 8 + 1),
+       |    i -> md5(array_to_string(
+       |      string_split(text, ' ')[(i - 1) * 8 + 1 : (i - 1) * 8 + 8],
+       |      ' ')))) AS ph
+       |  FROM documents),
+       |shared AS (
+       |  SELECT ph FROM (SELECT DISTINCT doc_id, ph FROM p)
+       |  GROUP BY ph HAVING COUNT(*) >= 2)
+       |SELECT p.doc_id, COUNT(*) AS n_passages,
+       |  CAST(SUM(CASE WHEN s.ph IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared,
+       |  ${r4Sql("SUM(CASE WHEN s.ph IS NOT NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)")}
+       |    AS shared_frac
+       |FROM p LEFT JOIN shared s ON p.ph = s.ph
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #69
+  /** #69 out-of-vocabulary rate: build the corpus top-K vocabulary
+    * (global token frequencies, ties broken lexically) and report each
+    * document's OOV token fraction — the standard tokenizer-coverage /
+    * gibberish signal for corpus triage.
+    *
+    * Scale: the vocabulary is K rows (tiny) no matter the corpus size —
+    * token counting is one keyed aggregation with map-side combine, the
+    * top-K is a single-partition sort of the (small) distinct-token
+    * table, and the per-doc OOV check is a broadcast LEFT ANTI join of
+    * the exploded token stream against the K-row vocab.
+    */
+  def textOovRate(spark: SparkSession, dir: String,
+      vocabSize: Int = 30): DataFrame = {
+    val toks = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(vocabSize)
+      .select("tok")
+    val oov = toks.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_oov"),
+        count_distinct(col("tok")).as("n_oov_distinct"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_oov_distinct"), lit(0L)).as("n_oov_distinct"),
+        r4(coalesce(col("n_oov"), lit(0L)) / col("n_tokens"))
+          .as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  val textOovRateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM t GROUP BY tok
+       |  ORDER BY COUNT(*) DESC, tok LIMIT 30),
+       |oov AS (
+       |  SELECT doc_id, COUNT(*) AS n_oov,
+       |    COUNT(DISTINCT tok) AS n_oov_distinct
+       |  FROM t WHERE tok NOT IN (SELECT tok FROM vocab)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  COALESCE(o.n_oov, 0) AS n_oov,
+       |  COALESCE(o.n_oov_distinct, 0) AS n_oov_distinct,
+       |  ${r4Sql("COALESCE(o.n_oov, 0) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)")}
+       |    AS oov_frac
+       |FROM documents d LEFT JOIN oov o ON d.doc_id = o.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #70
+  /** #70 token-budgeted source selection: every source gets an equal
+    * slice of a global token budget (integer division — exact), and
+    * documents are admitted in doc_id order until their source's slice
+    * is full (a doc is kept iff it ENDS within budget). This is the
+    * deterministic "cap every domain at N tokens" mixture step that
+    * runs after quality filtering and before packing.
+    *
+    * Scale: one cumulative-sum window per source partition (same
+    * shuffle shape as pack_sequences) — admission needs no iteration
+    * and no driver state, and appending new docs (higher doc_ids)
+    * never evicts previously admitted ones: rerunnable incrementally.
+    */
+  def corpusTokenBudget(spark: SparkSession, dir: String,
+      totalBudget: Long = 10000L): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val nSources = docs.select("source").distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .join(broadcast(nSources), lit(true))
+      // integer division on BOTH engines (Spark `/` on longs is double)
+      .where(col("cum_tokens") <= expr(s"${totalBudget}L div n_sources"))
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
+  val corpusTokenBudgetSql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      |      PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum_tokens
+      |  FROM documents),
+      |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+      |SELECT source, doc_id, n_tokens, cum_tokens
+      |FROM t, n WHERE cum_tokens <= 10000 // n_sources
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
-    "mix_domains" -> (mixDomains _))
+    "mix_domains" -> (mixDomains _),
+    "dedup_passages" -> ((s: SparkSession, d: String) => dedupPassages(s, d)),
+    "text_oov_rate" -> ((s: SparkSession, d: String) => textOovRate(s, d)),
+    "corpus_token_budget" ->
+      ((s: SparkSession, d: String) => corpusTokenBudget(s, d)))
 
   val oracles: Map[String, String] = Map(
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "pack_sequences" -> packSequencesSql,
-    "mix_domains" -> mixDomainsSql)
+    "mix_domains" -> mixDomainsSql,
+    "dedup_passages" -> dedupPassagesSql,
+    "text_oov_rate" -> textOovRateSql,
+    "corpus_token_budget" -> corpusTokenBudgetSql)
 }

@@ -117,10 +117,79 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------- #71
+  /** #71 k-NN graph construction: for EVERY vector, its top-k nearest
+    * bucket-mates by exact cosine — the all-corpus neighbor graph that
+    * SemDeDup-style semantic dedup and graph-based clustering consume.
+    * Unlike #32/#33 there is no small query side: both join inputs are
+    * the full corpus, so nothing broadcasts — the plan is a SHUFFLE
+    * equi-join on the LSH bucket id, which partitions the n² problem
+    * into per-bucket blocks. Bucket bits are the occupancy dial: more
+    * bits → smaller blocks, lower recall (6 bits here; at 10⁹+ vectors
+    * use 12-16 so per-bucket pair counts stay bounded).
+    *
+    * Vectors whose bucket has no other member emit no edges — the
+    * standard LSH-graph recall gap, patched in practice by multi-probe
+    * or a second hash table, not by widening buckets.
+    */
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    annKnnGraph(spark, dir, bits = 6, k = 3)
+
+  def annKnnGraph(spark: SparkSession, dir: String, bits: Int,
+      k: Int): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(s"md5_rhp_bucket(embedding, $bits)").as("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine_raw"),
+      col("nbr_id"))
+    v.as("a")
+      .join(v.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("n_emb"),
+          col("bucket").as("n_bucket")).as("b"),
+        col("bucket") === col("n_bucket") && col("vec_id") =!= col("nbr_id"))
+      .withColumn("cosine_raw", expr("cosine_f32(embedding, n_emb)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr_id"),
+        r4(col("cosine_raw")).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Oracle mirror of the 6-bit bucket self-join (same md5-parity plane
+    * signs as `annLshSql`, no query-set restriction).
+    */
+  val annKnnGraphSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(0, 6), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+      |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+      |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id, c.vec_id AS nbr_id,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (a.norm * c.norm) AS cosine_raw
+      |  FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, nbr_id, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY vec_id ORDER BY cosine_raw DESC, nbr_id) AS rank
+      |  FROM scored)
+      |SELECT vec_id, rank, nbr_id,
+      |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _))
+    "ann_ivf" -> (annIvf _),
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)))
 
   /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
     * bits from the same sequential ±component sums, then the
@@ -261,5 +330,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
-    "ann_ivf" -> annIvfSql)
+    "ann_ivf" -> annIvfSql,
+    "ann_knn_graph" -> annKnnGraphSql)
 }

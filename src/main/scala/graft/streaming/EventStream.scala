@@ -129,6 +129,65 @@ object EventStream {
     */
   final case class SessState(nextId: Long, open: Option[OpenSession])
 
+  /** Stream-stream interval join: each `view` event joined to the same
+    * user's `purchase` events within the next hour — the streaming form
+    * of the attribution join (`events_funnel`'s first hop) computed
+    * incrementally.
+    *
+    * Scale: both sides are watermarked, so the join state each side
+    * buffers is bounded by (watermark + interval) × arrival rate — the
+    * planner derives the eviction condition from the time-bound
+    * predicate. One shuffle per side on user_id, the stream-stream
+    * equi-join key.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("value"),
+        timestamp_micros(col("ts_us")).as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"), col("value"))
+  }
+
+  /** Batch reference for `viewPurchaseJoin` over the same event set. */
+  def viewPurchaseBatch(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_us").as("view_us"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("value"),
+        col("ts_us").as("purchase_us"))
+    views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_us") > col("view_us") &&
+        col("purchase_us") <= col("view_us") + 3600000000L)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_us"), col("purchase_us"), col("value"))
+  }
+
+  /** Watermarked streaming dedup on event_id: the built-in
+    * `dropDuplicates` with a watermark column, so per-key state expires
+    * once the watermark passes — bounded by horizon × arrival rate, not
+    * by stream length. (The batch form is `events.dropDuplicates`.)
+    */
+  def dedupEventsStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+
   /** One incoming document on the stream. */
   final case class Doc(doc_id: Long, text: String)
 

@@ -65,6 +65,80 @@ class CorpusSpec extends GraftSpec {
     }
   }
 
+  test("dedup_passages: exact-duplicate docs share every passage") {
+    val rep = operators.Corpus.dedupPassages(spark, sf)
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_passages"))
+      val f = r.getAs[Double]("shared_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // string-level reverification: the docs the operator flags
+    // (n_shared > 0) are EXACTLY the docs sharing a literal 8-token
+    // aligned chunk with another doc
+    val p = Tables(spark, sf, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) div 8),
+          |  i -> concat_ws(' ', slice(toks, (i - 1) * 8 + 1, 8)))"""
+          .stripMargin)).as("chunk"))
+    val stringFlagged = p.as("a")
+      .join(p.as("b"), col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(stringFlagged.nonEmpty, "testdata has no shared passages?")
+    val hashFlagged = rows.filter(_.getAs[Long]("n_shared") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(hashFlagged == stringFlagged)
+  }
+
+  test("text_oov_rate: vocab tokens cover total minus OOV, bounds hold") {
+    val oov = operators.Corpus.textOovRate(spark, sf)
+    val rows = oov.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_oov_distinct") <= r.getAs[Long]("n_oov"))
+      val f = r.getAs[Double]("oov_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // corpus-level conservation: sum(n_tokens - n_oov) == total
+    // occurrences of the top-30 vocabulary tokens
+    val toks = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val vocabCover = toks.groupBy("tok").count()
+      .orderBy(desc("count"), col("tok")).limit(30)
+      .agg(sum("count")).head.getLong(0)
+    val inVocab = rows.map(r =>
+      r.getAs[Long]("n_tokens") - r.getAs[Long]("n_oov")).sum
+    assert(inVocab == vocabCover)
+  }
+
+  test("corpus_token_budget: kept docs are exactly the within-cap prefix") {
+    val kept = operators.Corpus.corpusTokenBudget(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept.nonEmpty)
+    val nSources = Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    val cap = 10000L / nSources
+    // independent reconstruction: running token sum per source in
+    // doc_id order, keep while the doc ENDS within the cap
+    val docs = Tables(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).flatMap { case (_, id, n) =>
+        cum += n
+        if (cum <= cap) Some((src, id)) else None
+      }
+    }.toSet
+    assert(kept == expect)
+  }
+
   test("mix_domains: kept sets are balanced near the smallest source") {
     val docs = Tables(spark, sf, "documents")
     val minCount = docs.groupBy("source").count()

@@ -112,6 +112,58 @@ class StreamingSpec extends GraftSpec {
       Seq(Seq(1L, 2L, t0, t0 + 60L * 1000000L)))
   }
 
+  test("stream-stream interval join == batch view->purchase join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = EventStream.viewPurchaseJoin(stream.toDF())
+      .writeStream.format("memory").queryName("vp_out")
+      .outputMode("append").start()
+    // three batches: join state must hold views across batch boundaries
+    // until the purchase side's watermark proves no more matches
+    val (b1, rest) = events.splitAt(events.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+    stream.addData(Ev(-1L, -1L, "view", flushTs, 0.0))
+    stream.addData(Ev(-2L, -1L, "purchase", flushTs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vp_out")
+      .where(col("user_id") =!= -1L)
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.viewPurchaseBatch(
+      Tables.eventsUs(spark, sf)
+        .select("event_id", "user_id", "event_type", "ts_us", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("watermarked streaming dedup == batch dropDuplicates") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = EventStream.dedupEventsStream(stream.toDF())
+      .writeStream.format("memory").queryName("evdedup_out")
+      .outputMode("append").start()
+    // send every batch twice: cross-batch duplicates must be suppressed
+    val (b1, b2) = events.splitAt(events.size / 2)
+    Seq(b1, b1, b2, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("evdedup_out")
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.eventsUs(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+      .dropDuplicates("event_id")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup == batch dedup_exact keep set") {
     val sp = spark
     import sp.implicits._
