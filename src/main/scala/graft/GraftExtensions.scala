@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
 
     ext.injectPostHocResolutionRule(BroadcastDimTables)
+    ext.injectOptimizerRule(ApproxDistinctRewrite)
   }
 }
 
@@ -96,4 +97,46 @@ case class BroadcastDimTables(session: SparkSession)
         ResolvedHint(rel, HintInfo(strategy = Some(BROADCAST)))
     }
   }
+}
+
+/** Opt-in sketch rewrite: under `spark.graft.approxCountDistinct=true`,
+  * single-column `COUNT(DISTINCT x)` aggregates become KMV-sketch
+  * estimates. At 100 TB an exact distinct is an Expand + full shuffle
+  * of every distinct value; the sketch crosses the shuffle as k longs
+  * per group and merges associatively map-side — the standard accuracy
+  * (±1/√k) for orders-of-magnitude less shuffle. OFF by default: the
+  * rewrite trades exactness, so the USER flips the flag per session
+  * (the same contract as `spark.sql.ansi` style knobs), and plans
+  * below k distinct values stay exact (the estimator's exact regime).
+  *
+  * Multi-column distincts and DISTINCT with FILTER are left untouched.
+  */
+case class ApproxDistinctRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, XxHash64}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+  import org.apache.spark.sql.types.LongType
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.approxCountDistinct", "false").toBoolean
+  private def sketchK: Int =
+    session.conf.get("spark.graft.approxCountDistinct.k", "256").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else {
+      val k = sketchK
+      plan transformUp {
+        case agg: Aggregate => agg.transformExpressions {
+          case ae @ AggregateExpression(Count(children), _, true, None, _)
+              if children.size == 1 =>
+            Cast(
+              graft.functions.KmvSketch(
+                CreateArray(Seq(XxHash64(children, 42L))), k)
+                .toAggregateExpression(),
+              LongType)
+        }
+      }
+    }
 }

@@ -206,10 +206,106 @@ object Relational {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  // ---------------------------------------------------------------- #73
+  /** #73 TPC-H Q4 shape: orders per priority having at least one
+    * late-shipped line (EXISTS with a non-equi residual). The semi-join
+    * carries the `l_shipdate > o_orderdate` residual inside the join
+    * condition, so lineitem is touched once and never materializes a
+    * row per matching line — the dedup is free in the semi-join.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- #74
+  /** #74 TPC-H Q10 shape: top-20 customers by revenue on returned
+    * items. lineitem filters to returnflag='R' at the scan (pushed),
+    * joins orders then customer (both fact-sized — shuffle joins under
+    * AQE), nation broadcasts; revenue is decimal-exact so the DESC
+    * top-k is engine-stable with the c_custkey tie-break.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(revenueCol.as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name, $revenueSql AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- #75
+  /** #75 TPC-H Q14 shape: share of revenue from PROMO-type parts —
+    * conditional aggregation over a fact⋈dim join. Both sums are
+    * decimal-exact; only the final ratio drops to double (identical
+    * decimal→double conversion and one IEEE division on both engines,
+    * then 4dp rounding).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables(spark, dir, "part").select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumDec(when(col("p_type") === "PROMO", rev).otherwise(lit(0)), 22, 6)
+          .as("promo_revenue"),
+        revenueCol.as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        r4(lit(100.0) * col("promo_revenue").cast("double") /
+          col("total_revenue").cast("double")).as("promo_share"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT
+       |  ${sumDecSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END", 22, 6)}
+       |    AS promo_revenue,
+       |  $revenueSql AS total_revenue,
+       |  ${r4Sql(
+            s"""100.0 * CAST(${sumDecSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END", 22, 6)} AS DOUBLE)
+               | / CAST($revenueSql AS DOUBLE)""".stripMargin)} AS promo_share
+       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
     "q5_region_revenue" -> (q5RegionRevenue _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_share" -> (q14PromoShare _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "agg_rollup" -> (aggRollup _),
@@ -219,6 +315,9 @@ object Relational {
     "q1_pricing_summary" -> q1Sql,
     "q3_top_unshipped" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
+    "q4_order_priority" -> q4Sql,
+    "q10_returned_items" -> q10Sql,
+    "q14_promo_share" -> q14Sql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "agg_rollup" -> aggRollupSql,

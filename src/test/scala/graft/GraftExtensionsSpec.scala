@@ -87,4 +87,46 @@ class GraftExtensionsSpec extends GraftSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("approxCountDistinct flag rewrites COUNT(DISTINCT) to the KMV sketch") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-approx-test")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val q = "SELECT source, COUNT(DISTINCT lang) AS n FROM documents GROUP BY source"
+      Tables(s2, sf, "documents").createOrReplaceTempView("documents")
+      // flag off: untouched exact plan, no sketch
+      val exactPlan = s2.sql(q).queryExecution.optimizedPlan.toString
+      assert(!exactPlan.contains("kmv"), s"rewrite fired while off:\n$exactPlan")
+      val exact = s2.sql(q).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      s2.conf.set("spark.graft.approxCountDistinct", "true")
+      val rewritten = s2.sql(q)
+      val optPlan = rewritten.queryExecution.optimizedPlan.toString
+      assert(optPlan.contains("kmv"), s"rewrite missing:\n$optPlan")
+      // distinct langs per source << k: the sketch is in its exact
+      // regime, so the rewritten query returns the EXACT counts (and
+      // the schema keeps the bigint column the exact plan had)
+      val approx = rewritten.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx == exact)
+
+      // multi-column distinct is left alone even with the flag on
+      val multi = s2.sql(
+        "SELECT COUNT(DISTINCT source, lang) AS n FROM documents")
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("kmv"))
+    } finally {
+      s2.conf.set("spark.graft.approxCountDistinct", "false")
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
