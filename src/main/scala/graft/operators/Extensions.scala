@@ -22,8 +22,17 @@ object Extensions {
     * collects a single count, never data. The edge set is the (small)
     * near-dup pair list, not the corpus.
     */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.dedupMinhashLsh(spark, dir).select("id_a", "id_b")
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(Dedup.dedupMinhashLsh(spark, dir), "doc_id")
+
+  /** Connected components over an arbitrary undirected pair list
+    * (`id_a`, `id_b`) via min-label propagation to fixpoint; returns
+    * one row per member id with its cluster root and size. Shared by
+    * the MinHash cluster (#41) and the semantic cluster (#76) — the
+    * edge SOURCE is the pluggable part, the propagation is not.
+    */
+  private[operators] def clusterPairs(pairs: DataFrame,
+      idName: String): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -48,12 +57,70 @@ object Extensions {
       .groupBy("label").agg(count(lit(1)).as("cluster_size"),
         collect_list("id").as("ids"))
       .select(col("label").as("cluster_root"), col("cluster_size"),
-        explode(col("ids")).as("doc_id"))
-      .select("doc_id", "cluster_root", "cluster_size")
-      .orderBy("doc_id")
+        explode(col("ids")).as(idName))
+      .select(idName, "cluster_root", "cluster_size")
+      .orderBy(idName)
     edges.unpersist()
     out
   }
+
+  /** #76 SemDeDup-style semantic dedup: cluster the k-NN graph's
+    * high-cosine edges (4dp cosine >= 0.35 — comfortably above this
+    * corpus's unrelated-pair band) into connected components and keep
+    * one representative per component. The composition IS the
+    * SemDeDup recipe: embed → k-NN within LSH cells → threshold →
+    * components → keep-one. Edge list is tiny relative to the corpus
+    * (duplicate density), so the propagation cost tracks duplicates,
+    * not corpus size.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    clusterPairs(
+      Similarity.annKnnGraph(spark, dir)
+        .where(col("cosine") >= 0.35)
+        .select(col("vec_id").as("id_a"), col("nbr_id").as("id_b")),
+      "vec_id")
+
+  /** Oracle: the knn-graph SQL as the edge source, then the same
+    * recursive-CTE reachability as the MinHash cluster oracle.
+    */
+  val dedupSemanticSql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(0, 6), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+      |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+      |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id, c.vec_id AS nbr_id,
+      |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (a.norm * c.norm) AS cosine_raw
+      |  FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT vec_id, nbr_id, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY vec_id ORDER BY cosine_raw DESC, nbr_id) AS rank
+      |  FROM scored),
+      |pr AS (
+      |  SELECT vec_id AS id_a, nbr_id AS id_b FROM ranked
+      |  WHERE rank <= 3
+      |    AND FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 >= 0.35),
+      |e AS (SELECT id_a AS a, id_b AS b FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |reach(id, r) AS (
+      |  SELECT a, a FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |lab AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+      |sz AS (SELECT cluster_root, COUNT(*) AS cluster_size
+      |       FROM lab GROUP BY cluster_root)
+      |SELECT lab.id AS vec_id, lab.cluster_root, sz.cluster_size
+      |FROM lab JOIN sz USING (cluster_root)
+      |ORDER BY vec_id""".stripMargin
 
   /** The pair list as a nestable subquery (ORDER BY dropped). */
   private val pairsSub: String =
@@ -659,6 +726,7 @@ object Extensions {
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "agg_cube" -> (aggCube _),
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_semantic" -> (dedupSemantic _),
     "text_tfidf" -> (textTfidf _),
     "ts_sliding" -> (tsSliding _),
     "sample_stratified" -> (sampleStratified _),
@@ -679,6 +747,7 @@ object Extensions {
     "agg_kmv_distinct" -> aggKmvDistinctSql,
     "agg_cube" -> aggCubeSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "text_tfidf" -> textTfidfSql,
     "ts_sliding" -> tsSlidingSql,
     "sample_stratified" -> sampleStratifiedSql,
