@@ -208,11 +208,12 @@ object Corpus {
     * cross-document boilerplate (nav bars, license headers, templated
     * spam) get a high shared fraction and are dropped before training.
     *
-    * Scale: chunking + hashing is map-side (one projection, no
-    * explosion until the (hash, doc) pair stream); the global passage
-    * table is one keyed aggregation (map-side partial combine on the
-    * hash); the flag-back is an equi-join on the hash. Everything is
-    * linear in total passage count — no self-join of documents.
+    * Scale: ONE scan — the (hash, doc) stream aggregates to per-(hash,
+    * doc) multiplicities (map-side partial combine), a window over the
+    * hash counts co-resident documents without a second pass, and the
+    * per-doc rollup is the only other shuffle. The corpus's token
+    * stream is materialized exactly once; no self-join, no flag-back
+    * join, everything linear in total passage count.
     */
   def dedupPassages(spark: SparkSession, dir: String,
       passageTokens: Int = 8): DataFrame = {
@@ -225,15 +226,16 @@ object Corpus {
            |    i -> md5(concat_ws(' ',
            |      slice(toks, (i - 1) * $passageTokens + 1, $passageTokens))))
            |ELSE array() END""".stripMargin)).as("ph"))
-    // passages seen in >= 2 distinct documents
-    val shared = p.distinct()
-      .groupBy("ph").agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= 2)
-      .select("ph")
-    p.join(shared.withColumn("is_shared", lit(1L)), Seq("ph"), "left")
+    val perDoc = p.groupBy("ph", "doc_id").agg(count(lit(1)).as("cnt"))
+    // docs co-resident on the hash, counted in-place by a window — a
+    // passage is shared iff >= 2 distinct docs carry its hash
+    val wPh = Window.partitionBy("ph")
+    perDoc
+      .withColumn("n_docs", count(lit(1)).over(wPh))
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_passages"),
-        coalesce(sum("is_shared"), lit(0L)).as("n_shared"))
+        sum("cnt").as("n_passages"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(lit(0L)))
+          .as("n_shared"))
       .select(col("doc_id"), col("n_passages"), col("n_shared"),
         r4(col("n_shared") / col("n_passages")).as("shared_frac"))
       .orderBy("doc_id")
