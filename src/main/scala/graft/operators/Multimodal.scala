@@ -210,13 +210,73 @@ object Multimodal {
       |FROM f WHERE frame_idx % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** One resized payload's summary. */
+  final case class Resized(doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, stride: Long, n_out_bytes: Long,
+      checksum: Long)
+
+  /** STUB RESIZE — deterministic byte decimation standing in for pixel
+    * resampling: fit the (fake-decoded) dimensions into 64×64 and keep
+    * every `stride`-th payload byte, stride sized so ~256 bytes
+    * survive. A real deployment swaps the decimation for a codec
+    * resample; the Spark shape (map-side narrow, payload never
+    * shuffles, only the small summary flows on) is the real thing.
+    */
+  private def fakeResize(d: BinaryDoc): Resized = {
+    val m = fakeDecode(d)
+    val n = d.payload.length.toLong
+    val stride = math.max(1L, n / 256L)
+    var sum = 0L
+    var cnt = 0L
+    var i = 0L
+    while (i < n) {
+      sum += java.lang.Byte.toUnsignedInt(d.payload(i.toInt))
+      cnt += 1
+      i += stride
+    }
+    Resized(d.doc_id, m.width, m.height,
+      math.min(m.width, 64L), math.min(m.height, 64L),
+      stride, cnt, sum % 65536L)
+  }
+
+  /** #77 resize: partition-batched stub resample of every payload —
+    * the third leg of the decode / featurize / resize / frame-sample
+    * quartet a multimodal pipeline runs before training.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinaryDoc]
+    bin.mapPartitions(_.map(fakeResize)).toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, length(text) AS n, text,
+      |    16 * (1 + ascii(substr(text, 1, 1)) % 32) AS width,
+      |    16 * (1 + ascii(substr(text, length(text), 1)) % 32) AS height,
+      |    GREATEST(1, length(text) // 256) AS stride
+      |  FROM documents)
+      |SELECT doc_id, width, height,
+      |  LEAST(width, 64) AS out_w, LEAST(height, 64) AS out_h,
+      |  CAST(stride AS BIGINT) AS stride,
+      |  CAST((n - 1) // stride + 1 AS BIGINT) AS n_out_bytes,
+      |  CAST(list_sum(list_transform(range(1, n + 1, CAST(stride AS INT)),
+      |    i -> ascii(substr(text, CAST(i AS INT), 1)))) % 65536 AS BIGINT)
+      |    AS checksum
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_feature_extract" -> (mmFeatureExtract _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_feature_extract" -> mmFeatureExtractSql,
-    "mm_frame_sample" -> mmFrameSampleSql)
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize" -> mmResizeSql)
 }
