@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Multimodal.queries,
     operators.Extensions.queries,
     operators.Corpus.queries,
+    operators.Quality.queries,
   )
 
   private def oracleModules = Seq(
@@ -34,6 +35,7 @@ object SparkEntry {
     operators.Multimodal.oracles,
     operators.Extensions.oracles,
     operators.Corpus.oracles,
+    operators.Quality.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

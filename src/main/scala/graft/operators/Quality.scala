@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Corpus-quality and data-quality-monitoring operators (SURVEY.md §2
+  * extensions #78-82): the guardrail jobs a training-data pipeline runs
+  * continuously — PII redaction, perplexity-proxy rarity scoring, Zipf
+  * sanity checks, the staged quality-filter funnel, and metric anomaly
+  * detection over the event stream.
+  *
+  * Scale design (100 TB):
+  *  - pii scrub: pure map-side regex projection — no shuffle but the
+  *    presentation sort; the scrubbed text itself never leaves the
+  *    executor (only counts + a digest flow on).
+  *  - rarity: the unigram table is vocabulary-sized at any corpus size
+  *    (a keyed count with map-side combine) and broadcasts; the corpus
+  *    side is touched once.
+  *  - zipf: one keyed aggregation to the (tiny) distinct-token table,
+  *    then a K-row single-partition sort.
+  *  - cascade: ALL rule predicates evaluate in one map-side pass per
+  *    document (no per-rule scans); the funnel rollup crosses each doc
+  *    with the 4-row rule dim and aggregates once.
+  *  - anomaly: per-user moments via ONE window shuffle on user_id;
+  *    decimal-exact sums make mean/variance/z bit-identical across
+  *    engines, so the |z| threshold can't flake the gate.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------- #78
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** #78 PII scrubbing: count and redact emails / IPv4 addresses before
+    * training (the compliance pass every crawl corpus needs). The
+    * synthetic corpus carries no natural PII, so identifiers are
+    * INJECTED deterministically first (same pattern as the multimodal
+    * ops' synth-binary step) — the regex plumbing, counting, and
+    * redaction are the real operator. Only counts and a digest of the
+    * scrubbed text are emitted; the text stays in the executors.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, dir, "documents")
+      .withColumn("synth0",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@example.com now "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("synth",
+        when(col("doc_id") % 11 === 0,
+          concat(lit("from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"), lit(" "),
+            col("synth0")))
+          .otherwise(col("synth0")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("synth"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("synth"), lit(ipRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+          ipRe, "<IP>")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val textPiiScrubSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN
+      |      'from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+      |        || CAST(doc_id % 100 AS VARCHAR) || ' ' ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN
+      |      'contact user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com now ' ELSE '' END || text AS synth
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(synth,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(synth,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(synth,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+      |    AS clean_md5
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #79
+  /** #79 unigram-rarity scoring: each document's mean inverse token
+    * frequency (total_tokens / token_count, averaged over the doc) — a
+    * rational-arithmetic perplexity proxy (CCNet-style LM filtering
+    * without the LM): common-word boilerplate scores low, rare-token
+    * gibberish scores high. Rational inverse frequencies instead of
+    * -log p keeps the score cross-engine exact (libm `log` is not
+    * correctly rounded; division is).
+    */
+  def textRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val gc = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .withColumn("rarity",
+        col("total").cast("double") / col("cnt").cast("double"))
+    toks.join(broadcast(gc), "tok")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("rarity").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("mean_inv_freq"),
+        max(col("rarity")).as("max_inv_freq"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("mean_inv_freq")).as("rarity_mean"),
+        r4(col("max_inv_freq")).as("rarity_max"))
+      .orderBy("doc_id")
+  }
+
+  val textRaritySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |gc AS (
+       |  SELECT tok, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+       |  FROM t GROUP BY tok),
+       |j AS (
+       |  SELECT t.doc_id,
+       |    CAST(gc.total AS DOUBLE) / CAST(gc.cnt AS DOUBLE) AS rarity
+       |  FROM t JOIN gc ON t.tok = gc.tok)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  ${r4Sql("CAST(SUM(CAST(rarity AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)")}
+       |    AS rarity_mean,
+       |  ${r4Sql("MAX(rarity)")} AS rarity_max
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- #80
+  /** #80 Zipf sanity check: the corpus's token rank/frequency curve —
+    * rank × share should be roughly constant for natural text, and a
+    * broken crawl (template spam, binary junk) shows up immediately as
+    * a flat or cliffed curve. Top-K of the vocabulary-sized count table;
+    * the K-row sort never sees the corpus.
+    */
+  def textZipf(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val gc = Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+    gc.withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), col("tok"))))
+      .where(col("rank") <= topK)
+      .select(col("rank").cast("long").as("rank"), col("tok"), col("cnt"),
+        r4(col("cnt").cast("double") / col("total")).as("share"),
+        r4(col("rank") * col("cnt").cast("double") / col("total"))
+          .as("zipf_c"))
+      .orderBy("rank")
+  }
+
+  val textZipfSql: String =
+    s"""WITH gc AS (
+       |  SELECT tok, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) GROUP BY tok),
+       |r AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+       |      AS rank, tok, cnt, total
+       |  FROM gc)
+       |SELECT rank, tok, cnt,
+       |  ${r4Sql("CAST(cnt AS DOUBLE) / total")} AS share,
+       |  ${r4Sql("rank * CAST(cnt AS DOUBLE) / total")} AS zipf_c
+       |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- #81
+  /** #81 staged quality-filter funnel (the FineWeb/Gopher filter-cascade
+    * report): four ordered gates — minimum length, bigram repetition,
+    * token shape, digit ratio — and for each the docs entering, dropped
+    * there, and surviving. EVERY predicate evaluates in one map-side
+    * pass (the bigram stats reuse #64's array fold — no explode); each
+    * doc then crosses with the 4-row rule dim so the whole funnel is a
+    * single aggregation, not one scan per rule.
+    */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_bigrams", greatest(col("n_tokens") - 1, lit(0L)))
+      .withColumn("n_distinct_bigrams", size(array_distinct(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |  slice(toks, 2, size(toks) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin))).cast("long"))
+      .withColumn("dup_frac",
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams").cast("double") /
+            col("n_bigrams").cast("double")).otherwise(lit(0.0)))
+      .withColumn("mean_tok_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("digit_frac",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+          length(col("text")).cast("double"))
+      .select(col("doc_id"),
+        when(col("n_tokens") < 20, lit(0L))
+          .when(col("dup_frac") > 0.2, lit(1L))
+          .when(col("mean_tok_len") < 2.0 || col("mean_tok_len") > 12.0,
+            lit(2L))
+          .when(col("digit_frac") >= 0.2, lit(3L))
+          .otherwise(lit(4L)).as("ff"))
+    val rules = Seq(
+      (0L, "min_tokens"), (1L, "repetition"),
+      (2L, "token_shape"), (3L, "digit_ratio"))
+      .toDF("rule_id", "rule")
+    perDoc.crossJoin(broadcast(rules))
+      .groupBy("rule_id", "rule").agg(
+        sum(when(col("ff") >= col("rule_id"), 1L).otherwise(0L)).as("n_in"),
+        sum(when(col("ff") === col("rule_id"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("ff") > col("rule_id"), 1L).otherwise(0L)).as("n_out"))
+      .orderBy("rule_id")
+  }
+
+  val filterCascadeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    len(string_split(text, ' ')) - 1 AS n_bigrams,
+      |    len(list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' '
+      |        || string_split(text, ' ')[i + 1]))) AS n_distinct_bigrams,
+      |    CAST(len(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS mean_tok_len,
+      |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS DOUBLE) / len(text) AS digit_frac
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_tokens < 20 THEN 0
+      |         WHEN (CASE WHEN n_bigrams > 0 THEN
+      |             1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+      |           ELSE 0.0 END) > 0.2 THEN 1
+      |         WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 2
+      |         WHEN digit_frac >= 0.2 THEN 3
+      |         ELSE 4 END AS ff
+      |  FROM d)
+      |SELECT CAST(r.rule_id AS BIGINT) AS rule_id, r.rule,
+      |  CAST(COUNT(*) FILTER (WHERE f.ff >= r.rule_id) AS BIGINT) AS n_in,
+      |  CAST(COUNT(*) FILTER (WHERE f.ff = r.rule_id) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(COUNT(*) FILTER (WHERE f.ff > r.rule_id) AS BIGINT) AS n_out
+      |FROM f CROSS JOIN (VALUES (0, 'min_tokens'), (1, 'repetition'),
+      |  (2, 'token_shape'), (3, 'digit_ratio')) AS r(rule_id, rule)
+      |GROUP BY r.rule_id, r.rule ORDER BY rule_id""".stripMargin
+
+  // ---------------------------------------------------------------- #82
+  /** #82 metric anomaly detection over the event log: per-user z-scores
+    * of event values, flagging |z| > 2 (the pipeline-health monitor a
+    * catalog's event stream feeds). Mean and variance come from
+    * DECIMAL-exact window sums (value and value² each cast to decimal
+    * before summing), so mean/var/z are bit-identical across engines —
+    * the threshold comparison cannot flake the hash gate. One window
+    * shuffle on user_id; no per-user state.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables(spark, dir, "events")
+      .select("event_id", "user_id", "value")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1",
+        sum(col("value").cast("decimal(20,2)")).over(w).cast("double"))
+      .withColumn("s2",
+        sum((col("value") * col("value")).cast("decimal(24,4)")).over(w)
+          .cast("double"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        greatest(col("s2") / col("n") - col("mean") * col("mean"), lit(0.0)))
+      .where(col("n") >= 5 && col("variance") > 0.0 &&
+        abs(col("value") - col("mean")) > lit(2.0) * sqrt(col("variance")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        r4(col("mean")).as("mean_value"),
+        r4((col("value") - col("mean")) / sqrt(col("variance"))).as("z"))
+      .orderBy("event_id")
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH s AS (
+       |  SELECT event_id, user_id, value,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(20,2)))
+       |      OVER (PARTITION BY user_id) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(value * value AS DECIMAL(24,4)))
+       |      OVER (PARTITION BY user_id) AS DOUBLE) AS s2
+       |  FROM events),
+       |m AS (
+       |  SELECT event_id, user_id, value, n, s1 / n AS mean,
+       |    GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0) AS variance
+       |  FROM s)
+       |SELECT event_id, user_id, value,
+       |  ${r4Sql("mean")} AS mean_value,
+       |  ${r4Sql("(value - mean) / sqrt(variance)")} AS z
+       |FROM m
+       |WHERE n >= 5 AND variance > 0.0
+       |  AND abs(value - mean) > 2.0 * sqrt(variance)
+       |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (textPiiScrub _),
+    "text_rarity" -> (textRarity _),
+    "text_zipf" -> ((s: SparkSession, d: String) => textZipf(s, d)),
+    "filter_cascade" -> (filterCascade _),
+    "events_anomaly" -> (eventsAnomaly _))
+
+  val oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> textPiiScrubSql,
+    "text_rarity" -> textRaritySql,
+    "text_zipf" -> textZipfSql,
+    "filter_cascade" -> filterCascadeSql,
+    "events_anomaly" -> eventsAnomalySql)
+}

@@ -299,6 +299,38 @@ object Relational {
                | / CAST($revenueSql AS DOUBLE)""".stripMargin)} AS promo_share
        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- #83
+  /** #83 skew-proof salted join: lineitem⋈orders where a handful of hot
+    * order keys would otherwise concentrate in a few shuffle partitions.
+    * The dim side replicates ×SALT with an explicit salt column; the
+    * fact side derives its salt deterministically (l_linenumber % SALT),
+    * so the join key becomes (key, salt) and a hot key's rows spread
+    * over SALT reducers. The ORACLE is the plain unsalted join — salting
+    * must not change the answer, only the partition histogram. (AQE's
+    * skew-join split handles sort-merge skew at runtime; explicit
+    * salting is the plan-level form that also covers hash aggregation
+    * downstream of the join, shown here end-to-end.)
+    */
+  def joinSalted(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber"), lit(salt)).as("salt"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(sequence(lit(0), lit(salt - 1))).as("salt"))
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(revenueCol.as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinSaltedSql: String =
+    s"""SELECT o_orderpriority, $revenueSql AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
@@ -308,6 +340,7 @@ object Relational {
     "q14_promo_share" -> (q14PromoShare _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
+    "join_salted" -> ((s: SparkSession, d: String) => joinSalted(s, d)),
     "agg_rollup" -> (aggRollup _),
     "agg_stats" -> (aggStats _))
 
@@ -320,6 +353,7 @@ object Relational {
     "q14_promo_share" -> q14Sql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
+    "join_salted" -> joinSaltedSql,
     "agg_rollup" -> aggRollupSql,
     "agg_stats" -> aggStatsSql)
 }

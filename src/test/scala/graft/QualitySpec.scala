@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Quality, Relational}
+
+/** Semantic contracts for the corpus-quality / monitoring operators
+  * (#78-83) beyond the generic QueriesSpec smoke: redaction counts hit
+  * exactly the injected identifiers, the filter funnel is internally
+  * consistent, salting does not change the join answer, and anomaly
+  * z-scores respect the threshold.
+  */
+class QualitySpec extends GraftSpec {
+
+  test("pii scrub counts exactly the injected identifiers") {
+    val rows = Quality.textPiiScrub(spark, sf)
+      .select("doc_id", "n_emails", "n_ips").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, em, ip) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(em == (if (id % 7 == 0) 1L else 0L), s"doc $id emails=$em")
+      assert(ip == (if (id % 11 == 0) 1L else 0L), s"doc $id ips=$ip")
+    }
+  }
+
+  test("filter cascade funnel is internally consistent") {
+    val rows = Quality.filterCascade(spark, sf)
+      .orderBy("rule_id")
+      .select("n_in", "n_dropped", "n_out").collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) - r.getLong(1)))
+    // each rule's survivors are exactly the next rule's input
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) == b.getLong(0))
+    }
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.head.getLong(0) == nDocs)
+  }
+
+  test("salted join equals the plain join") {
+    val salted = Relational.joinSalted(spark, sf)
+    val plain = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+      .select("o_orderpriority", "n_lines")
+    assert(salted.select("o_orderpriority", "n_lines").collect().toSeq ==
+      plain.collect().toSeq)
+  }
+
+  test("anomaly rows respect the 2-sigma threshold") {
+    val zs = Quality.eventsAnomaly(spark, sf)
+      .select("z").collect().map(_.getDouble(0))
+    assert(zs.nonEmpty)
+    // z is emitted 4dp-rounded; threshold is on the unrounded value
+    zs.foreach(z => assert(math.abs(z) > 1.9999, s"z=$z under threshold"))
+  }
+
+  test("zipf ranks are contiguous and shares non-increasing") {
+    val rows = Quality.textZipf(spark, sf)
+      .select("rank", "share").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val shares = rows.map(_.getDouble(1)).toSeq
+    assert(shares == shares.sorted.reverse)
+  }
+
+  test("rarity mean inverse frequency is at least 1") {
+    val rows = Quality.textRarity(spark, sf)
+      .select("rarity_mean", "rarity_max").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 1.0)
+      assert(r.getDouble(1) >= r.getDouble(0) - 1e-9)
+    }
+  }
+}
