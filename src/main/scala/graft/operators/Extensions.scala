@@ -33,14 +33,28 @@ object Extensions {
     */
   private[operators] def clusterPairs(pairs: DataFrame,
       idName: String): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // one-pass symmetrization: explode each pair into both directions so
+    // the (expensive) upstream pair pipeline is evaluated ONCE — a
+    // union of two selects would run the LSH/k-NN plan twice before the
+    // persist ever sees it
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // localCheckpoint each iteration: materializes the labels AND cuts
     // the lineage so iteration N's plan doesn't replay iterations 1..N-1
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // min-label propagation only ever DECREASES labels, so the label
+    // sum strictly decreases until fixpoint: comparing sums (one
+    // aggregate on the checkpointed table) replaces a join + isEmpty
+    // convergence job per iteration. Decimal sum so 64-bit ids can't
+    // overflow at any corpus size.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -49,8 +63,9 @@ object Extensions {
       val next = labels.select("id", "label").union(viaNeighbors)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     val out = labels

@@ -302,24 +302,39 @@ object Relational {
   // ---------------------------------------------------------------- #83
   /** #83 skew-proof salted join: lineitem⋈orders where a handful of hot
     * order keys would otherwise concentrate in a few shuffle partitions.
-    * The dim side replicates ×SALT with an explicit salt column; the
-    * fact side derives its salt deterministically (l_linenumber % SALT),
-    * so the join key becomes (key, salt) and a hot key's rows spread
-    * over SALT reducers. The ORACLE is the plain unsalted join — salting
-    * must not change the answer, only the partition histogram. (AQE's
-    * skew-join split handles sort-merge skew at runtime; explicit
-    * salting is the plan-level form that also covers hash aggregation
-    * downstream of the join, shown here end-to-end.)
+    * Production form: PROFILE the fact side first (a cheap keyed count),
+    * then salt ONLY the profiled hot keys — the dim side replicates
+    * ×SALT for just those keys (everyone else keeps salt 0 and a
+    * 1-element explode), so the replication cost is |hot|×SALT, not
+    * |dim|×SALT. The fact side salts deterministically
+    * (l_linenumber % SALT). The ORACLE is the plain unsalted join —
+    * salting must not change the answer, only the partition histogram.
+    * (AQE's skew-join split handles sort-merge skew at runtime;
+    * explicit salting is the plan-level form that also covers hash
+    * aggregation downstream of the join, shown here end-to-end.)
     */
-  def joinSalted(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+  def joinSalted(spark: SparkSession, dir: String, salt: Int = 8,
+      hotMinRows: Long = 6L): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-        pmod(col("l_linenumber"), lit(salt)).as("salt"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    // skew profile: keys whose fact-row count crosses the threshold.
+    // Tiny by definition (it's the skew tail) — broadcast both ways.
+    val hot = l.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= hotMinRows)
+      .select(col("l_orderkey").as("hot_key"))
+    val lS = l.join(broadcast(hot), col("l_orderkey") === col("hot_key"),
+        "left")
+      .withColumn("salt",
+        when(col("hot_key").isNotNull, pmod(col("l_linenumber"), lit(salt)))
+          .otherwise(lit(0)))
     val o = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        explode(sequence(lit(0), lit(salt - 1))).as("salt"))
-    l.join(o, col("l_orderkey") === col("o_orderkey") &&
-        l("salt") === o("salt"))
+      .select("o_orderkey", "o_orderpriority")
+      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left")
+      .withColumn("salt", explode(
+        when(col("hot_key").isNotNull,
+          sequence(lit(0), lit(salt - 1))).otherwise(array(lit(0)))))
+    lS.join(o, col("l_orderkey") === col("o_orderkey") &&
+        lS("salt") === o("salt"))
       .groupBy("o_orderpriority")
       .agg(revenueCol.as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")

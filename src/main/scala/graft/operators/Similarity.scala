@@ -185,10 +185,99 @@ object Similarity {
       |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- #84
+  /** #84 scalar-quantized (SQ8) ANN: every component is SYMMETRICALLY
+    * quantized to a signed byte (-127..127) against ONE global max-|x|
+    * scale — the int8 vector-search recipe (4× memory over float32,
+    * integer SIMD dot products). Candidates rank on the cosine of the
+    * integer CODES, which estimates the true cosine because cosine is
+    * invariant under a global scale; the exact float cosine is emitted
+    * alongside so recall loss is observable per result. (Per-dimension
+    * min/max a la faiss SQ8 would need reconstruction before the dot:
+    * the offset shifts every vector into the positive octant and the
+    * code cosine stops tracking the input cosine — caught by the spec.)
+    *
+    * Scale: the quantization scale is a single global aggregate
+    * broadcast back over the corpus; codes are a map-side projection;
+    * ranking reuses the broadcast-query WindowGroupLimit shape of #32.
+    * All pairwise arithmetic is INTEGER (exact on both engines) — only
+    * the final norm division drops to double, one correctly-rounded
+    * sqrt/divide on each side.
+    */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val emb = Tables.spread(spark, dir, "embeddings")
+    val maxabs = emb.agg(max(expr(
+      """aggregate(embedding, CAST(0.0 AS DOUBLE),
+        |  (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"""
+        .stripMargin)).as("ma"))
+    val quantized = emb.crossJoin(broadcast(maxabs))
+      .withColumn("qv", expr(
+        """transform(embedding, v ->
+          |  CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))"""
+          .stripMargin))
+      .withColumn("n2",
+        expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
+      .select("vec_id", "embedding", "qv", "n2")
+    val q = quantized.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val w = Window.partitionBy("q_id").orderBy(desc("qcos_raw"), col("vec_id"))
+    quantized.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qcos_raw",
+        when(col("q_n2") === 0L || col("n2") === 0L, lit(0.0))
+          .otherwise(col("dot") / (sqrt(col("q_n2")) * sqrt(col("n2")))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("c_id"),
+        r4(col("qcos_raw")).as("cosine_q"),
+        r4(expr("cosine_f32(q_emb, embedding)")).as("cosine_exact"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annSq8Sql: String =
+    """WITH m AS (
+      |  SELECT MAX(list_max(list_transform(embedding,
+      |    x -> abs(x::DOUBLE)))) AS ma
+      |  FROM embeddings),
+      |qt AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding, v ->
+      |      CAST(FLOOR(v::DOUBLE * 127.0 / ma + 0.5) AS BIGINT)) AS qv,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings, m),
+      |qn AS (
+      |  SELECT vec_id, embedding, qv, norm,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE) AS n2
+      |  FROM qt),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    CASE WHEN q.n2 = 0 OR c.n2 = 0 THEN 0.0
+      |      ELSE CAST(list_sum(list_transform(range(1, 65), i ->
+      |          q.qv[CAST(i AS INT)] * c.qv[CAST(i AS INT)])) AS DOUBLE)
+      |        / (sqrt(q.n2) * sqrt(c.n2)) END AS qcos_raw,
+      |    list_sum(list_transform(range(1, 65), i ->
+      |      q.embedding[CAST(i AS INT)]::DOUBLE
+      |        * c.embedding[CAST(i AS INT)]::DOUBLE))
+      |      / (q.norm * c.norm) AS cos_raw
+      |  FROM qn q JOIN qn c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, qcos_raw, cos_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY qcos_raw DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id,
+      |  FLOOR(qcos_raw * 10000.0 + 0.5) / 10000.0 AS cosine_q,
+      |  FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine_exact
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_sq8" -> (annSq8 _),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)))
 
   /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
@@ -331,5 +420,6 @@ object Similarity {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
+    "ann_sq8" -> annSq8Sql,
     "ann_knn_graph" -> annKnnGraphSql)
 }

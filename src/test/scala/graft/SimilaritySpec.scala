@@ -47,4 +47,20 @@ class SimilaritySpec extends GraftSpec {
       r.getLong(1) == 1L).head
     assert(top1.getLong(2) == bf.getLong(2))
   }
+
+  test("ann_sq8: quantized cosine tracks exact cosine, ranks contiguous") {
+    val rows = operators.Similarity.annSq8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq ==
+        (1L to rs.length).toSeq)
+    }
+    // SQ8 against the per-dim corpus range keeps the cosine error far
+    // below the spread of this corpus's similarities
+    rows.foreach { r =>
+      val (q, e) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(q - e) < 0.05, s"quantization error too large: $r")
+      assert(e <= 1.0001 && e >= -1.0001)
+    }
+  }
 }
