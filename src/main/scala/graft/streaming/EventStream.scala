@@ -188,6 +188,89 @@ object EventStream {
       .dropDuplicates("event_id", "ts")
       .select("event_id", "user_id", "event_type", "ts_us", "value")
 
+  /** Emitted anomaly (streaming z-score detector). */
+  final case class Anom(event_id: Long, user_id: Long, value: Double,
+      z: Double)
+
+  /** Per-user running moments: 3 scalars, O(1) state per user. */
+  final case class MomState(n: Long, s1: Double, s2: Double)
+
+  /** Streaming anomaly detection: per-user RUNNING z-scores — an event
+    * is flagged when, against the user's history up to and including
+    * it, n >= 5, variance > 0 and |value - mean| > 2σ. The streaming
+    * twin of the batch `events_anomaly` (#82), which scores against the
+    * user's FULL history; the prefix semantics here are what an online
+    * monitor can actually compute, and `anomalyPrefixBatch` below is
+    * the batch-equivalent reference the spec compares against.
+    *
+    * State: three scalars per user (count + two power sums — moments
+    * merge, so history never replays). A user idle past the retention
+    * horizon is forgotten (timeout-armed like sessionize); if they
+    * return, their baseline restarts — the deliberate retention
+    * trade-off, documented rather than unbounded.
+    */
+  def anomalyStream(events: Dataset[Ev],
+      retentionUs: Long = 24L * 3600L * 1000000L): Dataset[Anom] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomState, Anom](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[MomState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(MomState(0L, 0.0, 0.0))
+            val out = Seq.newBuilder[Anom]
+            // deterministic accumulation order across batches: the same
+            // (ts_us, event_id) order the batch window reference uses
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            sorted.foreach { e =>
+              st = MomState(st.n + 1, st.s1 + e.value,
+                st.s2 + e.value * e.value)
+              val mean = st.s1 / st.n
+              val vr = st.s2 / st.n - mean * mean
+              if (st.n >= 5 && vr > 0.0 &&
+                  math.abs(e.value - mean) > 2.0 * math.sqrt(vr))
+                out += Anom(e.event_id, userId, e.value,
+                  (e.value - mean) / math.sqrt(vr))
+            }
+            state.update(st)
+            // retention anchored to the user's LAST ACTIVITY, not the
+            // current watermark: early in the stream the watermark is
+            // still epoch-0, and watermark-relative arming would expire
+            // (and wipe) every user's moments on the first advance
+            state.setTimeoutTimestamp(
+              math.max(sorted.last.ts_us / 1000,
+                state.getCurrentWatermarkMs + 1) + retentionUs / 1000)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch reference for `anomalyStream`: the same prefix moments as a
+    * running window (Spark's running-frame window accumulates
+    * sequentially in the same order, so the folds agree).
+    */
+  def anomalyPrefixBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum("value").over(w))
+      .withColumn("s2", sum(col("value") * col("value")).over(w))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("vr", col("s2") / col("n") - col("mean") * col("mean"))
+      .where(col("n") >= 5 && col("vr") > 0.0 &&
+        abs(col("value") - col("mean")) > lit(2.0) * sqrt(col("vr")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        ((col("value") - col("mean")) / sqrt(col("vr"))).as("z"))
+  }
+
   /** One incoming document on the stream. */
   final case class Doc(doc_id: Long, text: String)
 

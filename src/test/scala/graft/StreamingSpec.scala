@@ -186,4 +186,42 @@ class StreamingSpec extends GraftSpec {
       .select("keep_id").collect().map(_.getLong(0)).toSet
     assert(streamed == batch)
   }
+
+  test("streaming running z-score anomalies == batch prefix reference") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    // retention longer than the table's event-time span: the default
+    // 24h horizon would (correctly) forget users idle across a
+    // micro-batch watermark jump, which the full-prefix batch
+    // reference doesn't model
+    val q = EventStream.anomalyStream(stream.toDS(),
+        retentionUs = 365L * 24 * 3600 * 1000000L)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    // three micro-batches so per-user moments must carry across state.
+    // Batches are time-ordered so the advancing watermark can't drop
+    // any event as late — the equivalence claim is for in-watermark
+    // data (late events are watermark-dropped by design).
+    val ordered = events.sortBy(e => (e.ts_us, e.event_id))
+    val (b1, rest) = ordered.splitAt(events.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("anom_out")
+      .select("event_id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = EventStream.anomalyPrefixBatch(
+        Tables.eventsUs(spark, sf)
+          .select("event_id", "user_id", "event_type", "ts_us", "value"))
+      .select("event_id", "z").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, z) =>
+      assert(math.abs(z - batch(id)) < 1e-9, s"event $id z drifted")
+    }
+  }
 }
