@@ -299,6 +299,35 @@ object Relational {
                | / CAST($revenueSql AS DOUBLE)""".stripMargin)} AS promo_share
        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- #86
+  /** #86 explicit GROUPING SETS lattice: per-returnflag totals,
+    * per-linestatus totals, and the grand total in ONE pass — the
+    * arbitrary-sets sibling of ROLLUP (#14) and CUBE (#52), via
+    * Spark 4's `Dataset.groupingSets`. The Expand under it emits one
+    * row per (input row × set), so cost scales with |sets| — here 3,
+    * all aggregated map-side before the single keyed Exchange.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sumDec(col("l_quantity"), 18, 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  val aggGroupingSetsSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  ${sumDecSql("l_quantity", 18, 2)} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY returnflag, linestatus""".stripMargin
+
   // ---------------------------------------------------------------- #83
   /** #83 skew-proof salted join: lineitem⋈orders where a handful of hot
     * order keys would otherwise concentrate in a few shuffle partitions.
@@ -357,6 +386,7 @@ object Relational {
     "join_anti" -> (joinAnti _),
     "join_salted" -> ((s: SparkSession, d: String) => joinSalted(s, d)),
     "agg_rollup" -> (aggRollup _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_stats" -> (aggStats _))
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +400,6 @@ object Relational {
     "join_anti" -> joinAntiSql,
     "join_salted" -> joinSaltedSql,
     "agg_rollup" -> aggRollupSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
     "agg_stats" -> aggStatsSql)
 }

@@ -208,7 +208,43 @@ object Temporal {
        |GROUP BY 1, 2
        |ORDER BY hour_us, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- #85
+  /** #85 NTILE quartile banding: customers ranked into 4 spend
+    * quartiles. Inherently a GLOBAL ranking — the window has no
+    * partition key, so the (customer-sized, already aggregated) spend
+    * table funnels through one single-partition sort; the fact scan
+    * below it still aggregates map-side first. The ranking key
+    * (total_spend DESC, o_custkey) is total, so bucket boundaries are
+    * engine-deterministic; NTILE's earlier-buckets-bigger fill rule is
+    * the SQL standard on both engines.
+    */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.Exprs.sumDec(col("o_totalprice"), 18, 2).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    spend
+      .withColumn("quartile", ntile(4)
+        .over(Window.orderBy(desc("total_spend"), col("o_custkey")))
+        .cast("long"))
+      .select("o_custkey", "total_spend", "n_orders", "quartile")
+      .orderBy("o_custkey")
+  }
+
+  val windowNtileSql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |    ${graft.Exprs.sumDecSql("o_totalprice", 18, 2)} AS total_spend,
+       |    COUNT(*) AS n_orders
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT o_custkey, total_spend, n_orders,
+       |  CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey)
+       |    AS BIGINT) AS quartile
+       |FROM spend ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ntile" -> (windowNtile _),
     "join_asof" -> (joinAsOf _),
     "join_range" -> (joinRange _),
     "window_running" -> (windowRunning _),
@@ -218,6 +254,7 @@ object Temporal {
     "ts_tumbling" -> (tsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "window_ntile" -> windowNtileSql,
     "join_asof" -> joinAsOfSql,
     "join_range" -> joinRangeSql,
     "window_running" -> windowRunningSql,
