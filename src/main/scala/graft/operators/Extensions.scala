@@ -43,9 +43,14 @@ object Extensions {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // localCheckpoint each iteration: materializes the labels AND cuts
-    // the lineage so iteration N's plan doesn't replay iterations 1..N-1
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // the lineage so iteration N's plan doesn't replay iterations 1..N-1.
+    // Init folds the FIRST propagation in for free (min of self and all
+    // neighbors — one aggregation over the already-materialized edges):
+    // pair-clusters start converged, so fixpoint usually arrives one
+    // full iteration (join + agg + checkpoint) earlier.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mdst"))
+      .select(col("id"), least(col("id"), col("mdst")).as("label"))
       .localCheckpoint(true)
     // min-label propagation only ever DECREASES labels, so the label
     // sum strictly decreases until fixpoint: comparing sums (one
