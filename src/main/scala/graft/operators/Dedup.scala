@@ -371,7 +371,104 @@ object Dedup {
       |SELECT id_a, id_b, cosine FROM scored
       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- #87
+  /** #87 containment dedup: asymmetric near-dup detection — a small
+    * document CONTAINED in a larger one (article + boilerplate, quoted
+    * reply, mirrored excerpt) has high |A∩B|/min(|A|,|B|) but LOW
+    * Jaccard, so the MinHash-LSH path (tuned for Jaccard) structurally
+    * misses it. Candidates instead come from the passage-hash inverted
+    * index (the #68 machinery): any two docs sharing an 8-token passage
+    * pair up, then exact bigram containment >= 0.9 verifies, and the
+    * smaller gram-set is reported as the contained side.
+    *
+    * Scale: the passage explode is one corpus pass; per-hash pair
+    * fan-out is bounded by the STOP-PASSAGE cap (hashes carried by
+    * > maxDf docs are dropped before pairing — ultra-common boilerplate
+    * passages would otherwise go quadratic, and a passage in hundreds
+    * of docs identifies a template, not a containment pair). The gram
+    * attach joins broadcast at bench scale and fall back to shuffle
+    * joins on doc_id at cluster scale, same as #30.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainment(spark, dir, passageTokens = 8, maxDf = 100,
+      threshold = 0.9)
+
+  def dedupContainment(spark: SparkSession, dir: String, passageTokens: Int,
+      maxDf: Int, threshold: Double): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val docs = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", expr("ngram_hashes(toks, 2)"))
+    val p = docs.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $passageTokens THEN
+           |  array_distinct(transform(
+           |    sequence(1, size(toks) div $passageTokens),
+           |    i -> md5(concat_ws(' ',
+           |      slice(toks, (i - 1) * $passageTokens + 1, $passageTokens)))))
+           |ELSE array() END""".stripMargin)).as("ph"))
+    val capped = p.withColumn("df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ph")))
+      .where(col("df") <= maxDf)
+    val cand = capped.as("a")
+      .join(capped.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val g = docs.select(col("doc_id"), col("grams"))
+    cand
+      .join(broadcast(g.select(col("doc_id").as("id_a"),
+        col("grams").as("g_a"))), "id_a")
+      .join(broadcast(g.select(col("doc_id").as("id_b"),
+        col("grams").as("g_b"))), "id_b")
+      .withColumn("inter", expr("cast(intersect_count(g_a, g_b) as double)"))
+      .withColumn("containment",
+        r4(col("inter") / least(size(col("g_a")), size(col("g_b")))))
+      .where(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(size(col("g_a")) <= size(col("g_b")), col("id_a"))
+          .otherwise(col("id_b")))
+      .select("id_a", "id_b", "containment", "contained_id")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle: same candidate rule (shared <=maxDf passage hash) and the
+    * exact bigram containment, brute-forced over the candidate pairs.
+    */
+  val dedupContainmentSql: String =
+    """WITH p0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) // 8 + 1),
+      |    i -> md5(array_to_string(
+      |      string_split(text, ' ')[(i - 1) * 8 + 1 : (i - 1) * 8 + 8],
+      |      ' '))))) AS ph
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, ph FROM (
+      |    SELECT doc_id, ph, COUNT(*) OVER (PARTITION BY ph) AS df
+      |    FROM p0) WHERE df <= 100),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM p a JOIN p b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(sp)), i -> sp[i] || ' ' || sp[i + 1])) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)),
+      |scored AS (
+      |  SELECT id_a, id_b,
+      |    FLOOR((len(list_intersect(ga.grams, gb.grams)) /
+      |      CAST(least(len(ga.grams), len(gb.grams)) AS DOUBLE))
+      |      * 10000.0 + 0.5) / 10000.0 AS containment,
+      |    CASE WHEN len(ga.grams) <= len(gb.grams) THEN id_a ELSE id_b END
+      |      AS contained_id
+      |  FROM cand JOIN g ga ON cand.id_a = ga.doc_id
+      |    JOIN g gb ON cand.id_b = gb.doc_id)
+      |SELECT id_a, id_b, containment, contained_id FROM scored
+      |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" ->
+      ((s: SparkSession, d: String) => dedupContainment(s, d)),
     "dedup_exact" -> (dedupExact _),
     "dedup_norm" -> (dedupNorm _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -446,6 +543,7 @@ object Dedup {
       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_norm" -> dedupNormSql,
     "dedup_fingerprint" -> dedupFingerprintSql,

@@ -106,4 +106,21 @@ class DedupSpec extends GraftSpec {
     assert(fine.subsetOf(coarse))
     assert(fine.size < coarse.size)
   }
+
+  test("containment pairs: threshold holds, contained side is smaller") {
+    val rows = operators.Dedup.dedupContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.9)
+      assert(r.getLong(3) == r.getLong(0) || r.getLong(3) == r.getLong(1))
+    }
+    // containment >= jaccard always, so every verified >= 0.9 jaccard
+    // pair that shares a passage must also appear here
+    val jac = operators.Dedup.dedupNgramJaccard(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1)))
+    val cont = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = jac.filterNot(cont)
+    assert(missing.isEmpty,
+      s"jaccard>=0.9 pairs absent from containment: ${missing.take(5).toSeq}")
+  }
 }
