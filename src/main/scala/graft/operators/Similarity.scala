@@ -117,6 +117,78 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // ---------------------------------------------------------------- #88
+  /** #88 multi-probe LSH ANN: each query probes its home bucket PLUS
+    * every 1-bit-flip neighbor (bits+1 probes) — the standard recall
+    * dial that costs probe-count×candidates instead of more hash
+    * tables (more tables = another full corpus index at 100 TB;
+    * probing is query-side only and the corpus index is unchanged).
+    * A candidate lands in exactly one probed bucket, so the probe
+    * explode creates no duplicate pairs.
+    */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    annMultiprobeFrom(v, evalQueries(spark, dir), k = 3, bits = 8)
+  }
+
+  def annMultiprobeFrom(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int): DataFrame = {
+    val q = queries
+      .withColumn("home", expr(s"md5_rhp_bucket(q_emb, $bits)"))
+      .select(col("q_id"), col("q_emb"), explode(expr(
+        s"""concat(array(home),
+           |  transform(sequence(0, ${bits - 1}),
+           |    j -> home ^ shiftleft(1L, j)))""".stripMargin)).as("probe"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"),
+      expr(s"md5_rhp_bucket(embedding, $bits)").as("c_bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
+    c.join(broadcast(q),
+        col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r4(col("cosine_raw")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle: the LSH mirror widened to the probe set (home bucket and
+    * each single-bit flip).
+    */
+  val annMultiprobeSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+      |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+      |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |probes AS (
+      |  SELECT vec_id, embedding, norm,
+      |    unnest([bucket] || list_transform(range(0, 8),
+      |      j -> xor(bucket, 1 << CAST(j AS INT)))) AS probe
+      |  FROM v WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (q.norm * c.norm) AS cosine_raw
+      |  FROM probes q JOIN v c ON q.probe = c.bucket
+      |    AND q.vec_id <> c.vec_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id,
+      |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- #71
   /** #71 k-NN graph construction: for EVERY vector, its top-k nearest
     * bucket-mates by exact cosine — the all-corpus neighbor graph that
@@ -278,6 +350,7 @@ object Similarity {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_sq8" -> (annSq8 _),
+    "ann_multiprobe" -> (annMultiprobe _),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)))
 
   /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
@@ -421,5 +494,6 @@ object Similarity {
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
     "ann_sq8" -> annSq8Sql,
+    "ann_multiprobe" -> annMultiprobeSql,
     "ann_knn_graph" -> annKnnGraphSql)
 }

@@ -48,6 +48,22 @@ class SimilaritySpec extends GraftSpec {
     assert(top1.getLong(2) == bf.getLong(2))
   }
 
+  test("multi-probe widens the candidate pool: top-1 never worse than LSH") {
+    val lsh = operators.Similarity.annLsh(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getDouble(3)).max }
+    val mp = operators.Similarity.annMultiprobe(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getDouble(3)).max }
+    assert(mp.nonEmpty)
+    // every query the single-bucket path answers is also answered, at
+    // least as well, by the probe set (superset of candidates)
+    lsh.foreach { case (q, best) =>
+      assert(mp.contains(q), s"query $q lost by multiprobe")
+      assert(mp(q) >= best - 1e-9, s"query $q top-1 degraded")
+    }
+  }
+
   test("ann_sq8: quantized cosine tracks exact cosine, ranks contiguous") {
     val rows = operators.Similarity.annSq8(spark, sf).collect()
     assert(rows.nonEmpty)
