@@ -300,7 +300,50 @@ object Quality {
        |  AND abs(value - mean) > 2.0 * sqrt(variance)
        |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- #89
+  /** #89 event-type co-occurrence (market-basket shape): which event
+    * types fire together in the same (user, hour) cell, with the cell
+    * count and distinct-user support for each unordered pair. The
+    * standard affinity/association signal over an event log.
+    *
+    * Scale: the input collapses to DISTINCT (user, hour, type) cells
+    * first — the self-join is over cells, not raw events, and the
+    * per-cell pair fan-out is bounded by |event types|² (a constant),
+    * never by event volume. One shuffle to distinct, one equi-join on
+    * the (user, hour) cell key, one keyed aggregation.
+    */
+  def eventsCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_us div 3600000000").as("hour"))
+      .distinct()
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.hour") === col("b.hour") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_cells"),
+        count_distinct(col("a.user_id")).as("n_users"))
+      .orderBy(desc("n_cells"), col("type_a"), col("type_b"))
+  }
+
+  val eventsCooccurrenceSql: String =
+    """WITH cells AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    epoch_us(ts) // 3600000000 AS hour
+      |  FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  COUNT(*) AS n_cells, COUNT(DISTINCT a.user_id) AS n_users
+      |FROM cells a JOIN cells b
+      |  ON a.user_id = b.user_id AND a.hour = b.hour
+      |  AND a.event_type < b.event_type
+      |GROUP BY type_a, type_b
+      |ORDER BY n_cells DESC, type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cooccurrence" -> (eventsCooccurrence _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_rarity" -> (textRarity _),
     "text_zipf" -> ((s: SparkSession, d: String) => textZipf(s, d)),
@@ -308,6 +351,7 @@ object Quality {
     "events_anomaly" -> (eventsAnomaly _))
 
   val oracles: Map[String, String] = Map(
+    "events_cooccurrence" -> eventsCooccurrenceSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_rarity" -> textRaritySql,
     "text_zipf" -> textZipfSql,
