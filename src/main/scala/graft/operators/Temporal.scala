@@ -243,7 +243,37 @@ object Temporal {
        |    AS BIGINT) AS quartile
        |FROM spend ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- #90
+  /** #90 distribution-position windows: percent_rank and cume_dist of
+    * each order within its customer's order-value history. Both are
+    * exact rationals of rank counters — (rank-1)/(n-1) and n_leq/n —
+    * so the doubles are bit-identical across engines with no rounding
+    * discipline needed beyond the final r4. One shuffle on the
+    * partition key, same as every other window op.
+    */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        graft.Exprs.r4(col("pr")).as("pct_rank"),
+        graft.Exprs.r4(col("cd")).as("cume_dist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowPercentRankSql: String =
+    s"""SELECT o_custkey, o_orderkey, o_totalprice,
+       |  ${graft.Exprs.r4Sql("PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)")}
+       |    AS pct_rank,
+       |  ${graft.Exprs.r4Sql("CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)")}
+       |    AS cume_dist
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_percent_rank" -> (windowPercentRank _),
     "window_ntile" -> (windowNtile _),
     "join_asof" -> (joinAsOf _),
     "join_range" -> (joinRange _),
@@ -254,6 +284,7 @@ object Temporal {
     "ts_tumbling" -> (tsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "window_percent_rank" -> windowPercentRankSql,
     "window_ntile" -> windowNtileSql,
     "join_asof" -> joinAsOfSql,
     "join_range" -> joinRangeSql,
