@@ -375,6 +375,166 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- #91
+  /** #91 TPC-H Q7 shape: shipping volume between a nation pair, by ship
+    * year. The nation dim is filtered to the pair FIRST and broadcast
+    * into supplier and customer, so both fact sides are semi-reduced to
+    * pair-nation rows before the lineitem⋈orders fact⋈fact shuffle —
+    * the disjunctive (n1,n2)/(n2,n1) check then runs on the tiny joined
+    * remainder instead of the raw cross of facts.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = Tables(spark, dir, "nation")
+      .where(col("n_name").isin(pair: _*))
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("s_nk"))
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(n.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("c_nk"))
+    val l = Tables(spark, dir, "lineitem")
+      .where(expr("l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenueCol.as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year, $revenueSql AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name IN ('NATION_1','NATION_2')
+       |  AND n2.n_name IN ('NATION_1','NATION_2')
+       |  AND n1.n_name <> n2.n_name
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- #92
+  /** #92 TPC-H Q8 shape: per order-year market share of one supplier
+    * nation, restricted to PROMO-type parts and ASIA-region customers.
+    * part and the region-filtered nation set broadcast (bounded dims);
+    * the share is a conditional decimal sum over a decimal total, with
+    * ONE decimal→double cast + division + 4dp floor-round on both
+    * engines, so the ratio is bit-stable cross-engine.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part").where(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val asia = Tables(spark, dir, "nation")
+      .join(broadcast(Tables(spark, dir, "region")
+        .where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(asia), col("c_nationkey") === col("c_nk"), "left_semi")
+    val o = Tables(spark, dir, "orders")
+      .where(expr(
+        "o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sumDec(when(col("supp_nation") === "NATION_7", rev).otherwise(lit(0)),
+          22, 6).as("nation_revenue"),
+        revenueCol.as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        r4(col("nation_revenue").cast("double") /
+          col("total_revenue").cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String = {
+    val natRev = sumDecSql(
+      "CASE WHEN n1.n_name = 'NATION_7' THEN l_extendedprice*(1-l_discount) ELSE 0 END",
+      22, 6)
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  $natRev AS nation_revenue,
+       |  $revenueSql AS total_revenue,
+       |  ${r4Sql(s"CAST($natRev AS DOUBLE) / CAST($revenueSql AS DOUBLE)")}
+       |    AS mkt_share
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+       |  AND o_custkey IN (
+       |    SELECT c_custkey FROM customer
+       |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |    JOIN region ON n2.n_regionkey = r_regionkey
+       |    WHERE r_name = 'ASIA')
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- #93
+  /** #93 TPC-H Q19 shape: disjunctive-predicate join (OR of three
+    * brand/size/quantity clauses). The full disjunction can only be
+    * evaluated after the join, but each side gets an explicit
+    * semantics-preserving SUPERSET prefilter (the union of its
+    * per-clause ranges) so the parquet scans push `p_brand IN …,
+    * p_size BETWEEN` and `l_quantity BETWEEN` down and the join input
+    * shrinks before any shuffle — the classic manual factoring Catalyst
+    * can't derive from an OR-of-ANDs across two relations.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#12", "Brand#20", "Brand#23")
+    val p = Tables(spark, dir, "part")
+      .where(col("p_brand").isin(brands: _*) && col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables(spark, dir, "lineitem")
+      .where(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val clause = (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(clause)
+      .agg(revenueCol.as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT $revenueSql AS revenue, COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
@@ -382,6 +542,9 @@ object Relational {
     "q4_order_priority" -> (q4OrderPriority _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
     "join_salted" -> ((s: SparkSession, d: String) => joinSalted(s, d)),
@@ -396,6 +559,9 @@ object Relational {
     "q4_order_priority" -> q4Sql,
     "q10_returned_items" -> q10Sql,
     "q14_promo_share" -> q14Sql,
+    "q7_volume_shipping" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q19_disjunctive" -> q19Sql,
     "join_semi" -> joinSemiSql,
     "join_anti" -> joinAntiSql,
     "join_salted" -> joinSaltedSql,
