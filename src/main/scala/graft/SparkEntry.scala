@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Extensions.queries,
     operators.Corpus.queries,
     operators.Quality.queries,
+    operators.Change.queries,
   )
 
   private def oracleModules = Seq(
@@ -36,6 +37,7 @@ object SparkEntry {
     operators.Extensions.oracles,
     operators.Corpus.oracles,
     operators.Quality.oracles,
+    operators.Change.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Change-data-capture shapes over the append-only event log
+  * (SURVEY.md §2 #95-96).
+  *
+  * The reference's catalog is a mutable store fed by an event stream
+  * (job state transitions — reactor.py:119-145); these operators are the
+  * warehouse-side re-expressions: the SCD2 dimension build (state
+  * intervals with effective_from/effective_to) and the snapshot diff a
+  * downstream MERGE would consume.
+  *
+  * Scale notes: both operators shuffle ONCE on the entity key
+  * (`user_id`). The snapshot diff aggregates latest-state via
+  * `max(struct(ts, id, state))` — an ordinary partial-aggregable max, so
+  * it map-side combines and never windows; SCD2 needs the full ordered
+  * history per entity and uses two stacked windows over ONE Exchange
+  * (Catalyst reuses the same (user_id, ts, id) sort for both).
+  */
+object Change {
+
+  /** Snapshot cut for the CDC diff: 2024-01-15T00:00:00Z in epoch
+    * micros — mid-range of the synthetic event log.
+    */
+  val CutUs = 1705276800000000L
+
+  // ---------------------------------------------------------------- #95
+  /** #95 SCD2 interval build: collapse each user's event stream to its
+    * distinct state runs (consecutive duplicate event_types merge), then
+    * emit type-2 rows [effective_from, effective_to) with an is_current
+    * flag. The change filter (lag) and the interval close (lead) are two
+    * window passes over the SAME partitioning — one shuffle total.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = Tables.eventsUs(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("effective_to", lead(col("ts_us"), 1).over(ord))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"),
+        col("ts_us").as("effective_from"), col("effective_to"),
+        col("effective_to").isNull.cast("long").as("is_current"))
+      .orderBy("user_id", "effective_from", "event_id")
+  }
+
+  val scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |ch AS (
+      |  SELECT * FROM (
+      |    SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS prev_type
+      |    FROM e)
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_id, event_type AS state,
+      |  ts_us AS effective_from,
+      |  LEAD(ts_us) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS effective_to,
+      |  CAST((LEAD(ts_us) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id)) IS NULL AS BIGINT) AS is_current
+      |FROM ch
+      |ORDER BY user_id, effective_from, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- #96
+  /** #96 CDC snapshot diff: each user's latest state as-of the cut vs
+    * as-of end-of-log, classified INSERT / UPDATE / NOCHANGE (the log is
+    * append-only, so DELETE cannot occur — documented, not silently
+    * dropped). Latest-state is `max(struct(ts_us, event_id,
+    * event_type))` — partial-aggregable, so both snapshots reduce
+    * map-side before one shuffle each; the diff join is user_id-keyed
+    * and both sides arrive pre-aggregated (entity-sized, not
+    * event-sized).
+    */
+  def cdcStateDiff(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+    def latest(df: DataFrame, as: String): DataFrame = df
+      .groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type")))
+        .getField("event_type").as(as))
+    val s1 = latest(e.where(col("ts_us") < lit(CutUs)), "state_t1")
+      .withColumnRenamed("user_id", "u1")
+    val s2 = latest(e, "state_t2")
+    s2.join(s1, col("user_id") === col("u1"), "left")
+      .select(col("user_id"), col("state_t1"), col("state_t2"),
+        when(col("state_t1").isNull, "INSERT")
+          .when(col("state_t1") === col("state_t2"), "NOCHANGE")
+          .otherwise("UPDATE").as("change_type"))
+      .orderBy("user_id")
+  }
+
+  val cdcSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |s1 AS (
+       |  SELECT user_id,
+       |    (max({'t': ts_us, 'e': event_id, 's': event_type})).s AS state_t1
+       |  FROM e WHERE ts_us < $CutUs GROUP BY user_id),
+       |s2 AS (
+       |  SELECT user_id,
+       |    (max({'t': ts_us, 'e': event_id, 's': event_type})).s AS state_t2
+       |  FROM e GROUP BY user_id)
+       |SELECT s2.user_id, state_t1, state_t2,
+       |  CASE WHEN state_t1 IS NULL THEN 'INSERT'
+       |       WHEN state_t1 = state_t2 THEN 'NOCHANGE'
+       |       ELSE 'UPDATE' END AS change_type
+       |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+       |ORDER BY s2.user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_intervals" -> (scd2Intervals _),
+    "cdc_state_diff" -> (cdcStateDiff _))
+
+  val oracles: Map[String, String] = Map(
+    "scd2_intervals" -> scd2Sql,
+    "cdc_state_diff" -> cdcSql)
+}

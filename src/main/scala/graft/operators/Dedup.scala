@@ -466,7 +466,63 @@ object Dedup {
       |SELECT id_a, id_b, containment, contained_id FROM scored
       |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- #98
+  /** #98 edit-distance fuzzy dedup: pairs whose normalized Levenshtein
+    * similarity 1 - lev/max(|a|,|b|) clears the threshold — catches
+    * char-level mutations (typos, OCR noise) that token-set measures
+    * blur. Candidates reuse the #28/#30 MinHash-LSH banding over bigram
+    * hash sets (high edit similarity ⇒ high bigram overlap at these
+    * lengths), so the O(|a|·|b|) DP verify runs only on bucket
+    * co-residents, never all pairs. The length prefilter is implied by
+    * the threshold (sim ≥ t ⇒ min/max ≥ t, since lev ≥ |len diff|) and
+    * prunes DP work without changing the output.
+    */
+  def dedupLevenshtein(spark: SparkSession, dir: String): DataFrame =
+    dedupLevenshtein(spark, dir, numHashes = 16, bandRows = 2,
+      threshold = 0.8)
+
+  def dedupLevenshtein(spark: SparkSession, dir: String, numHashes: Int,
+      bandRows: Int, threshold: Double): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val d = Tables.spread(spark, dir, "documents")
+      .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
+      .select("doc_id", "text", "grams")
+    val pairs = lshCandidates(d.select("doc_id", "grams"), "grams",
+      numHashes, bandRows)
+    val t = d.select(col("doc_id"), col("text"))
+    pairs
+      .join(broadcast(t.select(col("doc_id").as("id_a"),
+        col("text").as("t_a"))), "id_a")
+      .join(broadcast(t.select(col("doc_id").as("id_b"),
+        col("text").as("t_b"))), "id_b")
+      .where(expr("least(length(t_a), length(t_b)) >= " +
+        s"$threshold * greatest(length(t_a), length(t_b))"))
+      .withColumn("edit_sim", r4(lit(1.0) -
+        levenshtein(col("t_a"), col("t_b")).cast("double") /
+          greatest(length(col("t_a")), length(col("t_b")))))
+      .where(col("edit_sim") >= threshold)
+      .select("id_a", "id_b", "edit_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle: global brute force (the implied length prefilter bounds the
+    * DP work). Like #28/#30, the LSH candidate set covers every pair at
+    * the threshold on the eval corpora, so the outputs are equal sets.
+    */
+  val dedupLevenshteinSql: String =
+    """SELECT id_a, id_b, edit_sim FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    FLOOR((1.0 - levenshtein(a.text, b.text) /
+      |      CAST(greatest(length(a.text), length(b.text)) AS DOUBLE))
+      |      * 10000.0 + 0.5) / 10000.0 AS edit_sim
+      |  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      |  WHERE least(length(a.text), length(b.text)) >=
+      |    0.8 * greatest(length(a.text), length(b.text)))
+      |WHERE edit_sim >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_levenshtein" ->
+      ((s: SparkSession, d: String) => dedupLevenshtein(s, d)),
     "dedup_containment" ->
       ((s: SparkSession, d: String) => dedupContainment(s, d)),
     "dedup_exact" -> (dedupExact _),
@@ -543,6 +599,7 @@ object Dedup {
       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_levenshtein" -> dedupLevenshteinSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_norm" -> dedupNormSql,

@@ -272,7 +272,38 @@ object Temporal {
        |    AS cume_dist
        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- #94
+  /** #94 value-extraction windows: first / last / 2nd order price over
+    * each customer's full date-ordered history (frame UNBOUNDED
+    * PRECEDING → UNBOUNDED FOLLOWING, the full-partition frame the
+    * running windows deliberately avoid). One shuffle on o_custkey;
+    * the ordering key (o_orderdate, o_orderkey) is total so the
+    * extracted rows are engine-deterministic.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowFirstLastSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  FIRST_VALUE(o_totalprice) OVER win AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER win AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER win AS second_price
+      |FROM orders
+      |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_first_last" -> (windowFirstLast _),
     "window_percent_rank" -> (windowPercentRank _),
     "window_ntile" -> (windowNtile _),
     "join_asof" -> (joinAsOf _),
@@ -284,6 +315,7 @@ object Temporal {
     "ts_tumbling" -> (tsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "window_first_last" -> windowFirstLastSql,
     "window_percent_rank" -> windowPercentRankSql,
     "window_ntile" -> windowNtileSql,
     "join_asof" -> joinAsOfSql,

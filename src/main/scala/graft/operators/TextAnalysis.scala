@@ -222,7 +222,45 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS n FROM b
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin
 
+  // ---------------------------------------------------------------- #97
+  /** #97 inverted index (search-engine core): term → document frequency
+    * + the sorted posting list. One explode + one groupBy shuffle on the
+    * term; postings build via a partial-aggregable collect, serialized
+    * as a comma-joined string so the row is oracle-hashable. The df
+    * floor plays the stop-list role AND the skew guard: ultra-common
+    * terms would otherwise produce corpus-sized posting rows — at 100 TB
+    * those terms carry no retrieval signal and every IR system drops or
+    * blocks them, so the cap is semantics, not a shortcut. (For the
+    * survivors, posting rows are bounded by maxDf ids ≈ a few KB.)
+    */
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    textInvertedIndex(spark, dir, minDf = 10, maxDf = 400)
+
+  def textInvertedIndex(spark: SparkSession, dir: String, minDf: Int,
+      maxDf: Int): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          i => i.cast("string"))).as("postings"))
+      .where(col("df").between(minDf, maxDf))
+      .orderBy("term")
+
+  val textInvertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents)
+      |SELECT term, COUNT(*) AS df,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      |FROM t GROUP BY term
+      |HAVING COUNT(*) BETWEEN 10 AND 400
+      |ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" ->
+      ((s: SparkSession, d: String) => textInvertedIndex(s, d)),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangId _),
@@ -231,6 +269,7 @@ object TextAnalysis {
     "text_ngrams" -> (textNgrams _))
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" -> textInvertedIndexSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangIdSql,
