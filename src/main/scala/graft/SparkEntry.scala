@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Corpus.queries,
     operators.Quality.queries,
     operators.Change.queries,
+    operators.Graph.queries,
   )
 
   private def oracleModules = Seq(
@@ -38,6 +39,7 @@ object SparkEntry {
     operators.Corpus.oracles,
     operators.Quality.oracles,
     operators.Change.oracles,
+    operators.Graph.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
+
+/** Graph analytics over the part co-purchase graph (SURVEY.md §2
+  * #99-100): nodes are parts, an undirected edge joins two parts bought
+  * in the same order. The reference's lineage chains (`generated_by` —
+  * reactor.py:166) are the 1-hop form of this; these operators are the
+  * iterative/structural extensions a catalog-analytics engine needs.
+  *
+  * Scale notes:
+  *  - Edge generation is the market-basket shape: pairs explode PER
+  *    ORDER, so fan-out is bounded by (lines per order)² — never corpus
+  *    ×corpus. One distinct-shuffle on the pair.
+  *  - PageRank unrolls a FIXED iteration count into one declarative
+  *    plan — each iteration is an equi-join on the node key plus a
+  *    keyed partial-aggregable sum, so every step shuffles on the same
+  *    key and AQE reuses the partitioning. For open-ended convergence
+  *    at 100 TB, switch to the persist + localCheckpoint loop the
+  *    dedup_cluster label propagation uses (lineage must be cut when
+  *    the trip count is data-dependent; a fixed 3-hop plan needs no
+  *    checkpoint).
+  *  - Triangle counting orients each edge low→high by (degree, id) —
+  *    the classic forward algorithm: every wedge join fans out from the
+  *    LOWER-degree endpoint, so hub nodes never enumerate their own
+  *    neighbor pairs and per-key join width is O(sqrt(|E|)) instead of
+  *    O(max degree).
+  */
+object Graph {
+
+  /** Distinct undirected co-purchase edges, emitted once with a < b. */
+  private def undirected(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      .distinct()
+  }
+
+  /** Both directions of [[undirected]]: one row per (src, dst) arc. */
+  private def symmetric(spark: SparkSession, dir: String): DataFrame = {
+    val u = undirected(spark, dir)
+    u.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(u.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  private val edgeSql =
+    """li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.p AS pa, b.p AS pb
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM und
+      |  UNION ALL SELECT pb AS src, pa AS dst FROM und)""".stripMargin
+
+  // ---------------------------------------------------------------- #99
+  /** #99 fixed-3-iteration PageRank (damping 0.85, init 1.0). Each
+    * iteration: contribution = rank/outdeg (ONE IEEE division — engine
+    * stable), summed per target through a DECIMAL(28,18) cast so the
+    * reduction order can't flip bits, then 0.15 + 0.85·sum (two more
+    * IEEE ops). The symmetric graph has no dangling nodes; the left
+    * join + coalesce keeps isolated-node generality anyway.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    graphPagerank(spark, dir, iters = 3)
+
+  def graphPagerank(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    val e = symmetric(spark, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"))
+    var r = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(r, col("src") === col("node"))
+        .select(col("dst"),
+          (col("rank") / col("outdeg").cast("double")).as("c"))
+        .groupBy("dst")
+        .agg(sumDec(col("c"), 28, 18).as("s"))
+      r = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+    r.join(deg, col("node") === col("src"))
+      .select(col("node"), r4(col("rank")).as("pagerank"), col("outdeg"))
+      .orderBy("node")
+  }
+
+  val graphPagerankSql: String = {
+    val step = sumDecSql("rank / CAST(outdeg AS DOUBLE)", 28, 18)
+    def it(prev: String, cur: String) =
+      s"""c$cur AS (
+         |  SELECT dst, $step AS s
+         |  FROM ed JOIN r$prev ON ed.src = r$prev.node GROUP BY dst),
+         |r$cur AS (
+         |  SELECT node, 0.15 + 0.85 * COALESCE(s, 0.0) AS rank
+         |  FROM (SELECT node FROM r$prev) n LEFT JOIN c$cur ON node = dst)"""
+        .stripMargin
+    s"""WITH $edgeSql,
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e
+       |  JOIN deg ON e.src = deg.src),
+       |r0 AS (SELECT src AS node, 1.0 AS rank FROM deg),
+       |${it("0", "1")},
+       |${it("1", "2")},
+       |${it("2", "3")}
+       |SELECT node, ${r4Sql("rank")} AS pagerank, outdeg
+       |FROM r3 JOIN deg ON node = deg.src
+       |ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #100
+  /** #100 triangle census + global clustering coefficient. Edges orient
+    * low→high by (undirected degree, id); a triangle is counted exactly
+    * once as an oriented wedge (u→v, v→w) closed by (u→w). Wedge count
+    * is Σ C(deg,2) (exact integers), transitivity = 3·triangles/wedges
+    * with one IEEE division + 4dp floor-round.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir)
+    val deg = symmetric(spark, dir)
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    // orient each undirected edge from the (deg, id)-smaller endpoint
+    val da = deg.select(col("src").as("pa"), col("deg").as("dega"))
+    val db = deg.select(col("src").as("pb"), col("deg").as("degb"))
+    val o = und.join(da, "pa").join(db, "pb")
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("pa") < col("pb")),
+          col("pa")).otherwise(col("pb")).as("src"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("pa") < col("pb")),
+          col("pb")).otherwise(col("pa")).as("dst"))
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = o.select(col("src").as("v2"), col("dst").as("w"))
+    val e3 = o.select(col("src").as("u3"), col("dst").as("w3"))
+    val tri = e1.join(e2, col("v") === col("v2"))
+      .join(e3, col("u") === col("u3") && col("w") === col("w3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum((col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    stats.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        r4(lit(3.0) * col("n_triangles") /
+          col("n_wedges").cast("double")).as("transitivity"))
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH $edgeSql,
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN pa ELSE pb END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN pb ELSE pa END AS dst
+       |  FROM und JOIN deg da ON und.pa = da.src
+       |  JOIN deg db ON und.pb = db.src),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+       |  JOIN o e3 ON e1.src = e3.src AND e2.dst = e3.dst),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_nodes,
+       |    CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |edges AS (SELECT COUNT(*) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  ${r4Sql("3.0 * n_triangles / CAST(n_wedges AS DOUBLE)")}
+       |    AS transitivity
+       |FROM stats, edges, tri""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s: SparkSession, d: String) => graphPagerank(s, d)),
+    "graph_triangles" -> (graphTriangles _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
+}
