@@ -46,6 +46,27 @@ object EventStream {
 
   private val gapUs = 1800000000L // 30 min
 
+  /** Session aggregation via the BUILT-IN `session_window` (the
+    * declarative sibling of [[sessionize]]): Spark merges events whose
+    * gap stays under 30 min into one window and the watermark closes
+    * it. Same single shuffle on (user, window); state is managed by the
+    * engine's session-window store instead of custom
+    * flatMapGroupsWithState code — preferred when per-session numbering
+    * isn't needed, because merge/expiry come for free and the operator
+    * stays whole-stage-planned. Emits the batch `sessionize` fields
+    * minus session_id (numbering needs the custom-state form).
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .select("user_id", "n_events", "start_us", "end_us")
+
   /** Streaming gap-based sessionization via flatMapGroupsWithState:
     * state = the open session per user; a 30-min event-time gap closes
     * it and emits.

@@ -81,6 +81,34 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("built-in session_window agg == batch sessionize (modulo numbering)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = EventStream.sessionWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    // one far-future event advances the (global) watermark past every
+    // open window's end, closing them all
+    val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+    stream.addData(Ev(-1L, -1L, "flush", flushTs, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("swin_out")
+      .where(col("start_us") < flushTs)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Temporal.sessionize(spark, sf)
+      .select(col("user_id"), col("n_events"), col("start_us"),
+        col("end_us"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionize flushes idle users via event-time timeout") {
     val sp = spark
     import sp.implicits._
