@@ -346,6 +346,7 @@ object Similarity {
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_lloyd" -> ((s: SparkSession, d: String) => kmeansLloyd(s, d)),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -489,7 +490,99 @@ object Similarity {
       |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- #101
+  /** #101 Lloyd k-means, fixed 2 iterations, k=8 (the training loop
+    * behind the IVF coarse quantizer #55 — run it and the cells stop
+    * being the label column and become learned). Seeds are the k
+    * smallest vec_ids (deterministic); assignment is an argmin over a
+    * BROADCAST k-row centroid table (min(struct(dist, cid)) — partial
+    * aggregable, ties break on cid); the update is the IVF machinery:
+    * decimal-exact per-dimension means via posexplode + groupBy, so
+    * centroids are reduction-order-independent and every downstream
+    * distance is bit-stable cross-engine.
+    *
+    * Scale: per iteration, the corpus is scanned once, the argmin is
+    * map-side (k×dims broadcast ≤ a few KB), and the only shuffle is
+    * the (k×dims)-keyed centroid agg — cost O(n·k·dims) compute,
+    * O(k·dims) shuffle rows. A fixed iteration count unrolls into one
+    * declarative plan; an open-ended convergence loop would add the
+    * persist + localCheckpoint pattern (see Graph.graphPagerank notes).
+    */
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
+    kmeansLloyd(spark, dir, k = 8, iters = 2)
+
+  def kmeansLloyd(spark: SparkSession, dir: String, k: Int,
+      iters: Int): DataFrame = {
+    val v = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val c0 = v.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("carr"))
+    def assign(c: DataFrame): DataFrame = v.crossJoin(broadcast(c))
+      .withColumn("dist", expr(
+        """aggregate(zip_with(embedding, carr,
+          |  (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),
+          |  0D, (a, t) -> a + t)""".stripMargin))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    def update(a: DataFrame): DataFrame = a.join(v, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("c"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+        .as("carr"))
+    var c = c0
+    for (_ <- 1 to iters) c = update(assign(c))
+    assign(c)
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        r4(col("dist")).as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle mirror: same seeds, same decimal means, same argmin with
+    * the same (dist, cid) tie-break, unrolled to the same depth.
+    */
+  val kmeansLloydSql: String = {
+    def assignSql(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid,
+         |    (min({'d': dist, 'c': cid})).d AS dist
+         |  FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> (v.e[i] - c.carr[i]) * (v.e[i] - c.carr[i]))) AS dist
+         |    FROM v CROSS JOIN $cents c)
+         |  GROUP BY vec_id)""".stripMargin
+    def updateSql(asg: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list_transform(
+         |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c) AS carr
+         |  FROM (
+         |    SELECT $asg.cid, d,
+         |      CAST(SUM(CAST(v.e[d] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE)
+         |        AS c
+         |    FROM $asg JOIN v USING (vec_id), range(1, 65) t(d)
+         |    GROUP BY $asg.cid, d)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, e AS carr FROM v ORDER BY vec_id LIMIT 8),
+       |${assignSql("c0", "a0")},
+       |${updateSql("a0", "c1")},
+       |${assignSql("c1", "a1")},
+       |${updateSql("a1", "c2")},
+       |${assignSql("c2", "a2")}
+       |SELECT vec_id, cid AS cluster_id,
+       |  FLOOR(dist * 10000.0 + 0.5) / 10000.0 AS dist2
+       |FROM a2 ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kmeans_lloyd" -> kmeansLloydSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,
     "ann_ivf" -> annIvfSql,
