@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Exprs.{r4, r4Sql}
 
 /** Change-data-capture shapes over the append-only event log
   * (SURVEY.md §2 #95-96).
@@ -116,11 +117,55 @@ object Change {
        |FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
        |ORDER BY s2.user_id""".stripMargin
 
+  // --------------------------------------------------------------- #103
+  /** #103 first-order Markov transition matrix of the event state
+    * machine: count every consecutive (src → dst) event-type pair per
+    * user, then the row-normalized transition probability. The lag
+    * pairing shuffles once on user_id; the count is a tiny
+    * (|types|²-row) keyed agg; the normalizer is a window sum OVER the
+    * aggregated matrix, so no second pass over events. Probability =
+    * n/row_total — one IEEE division of exact integers, engine-stable
+    * under r4.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wSrc = Window.partitionBy("src")
+    Tables.eventsUs(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("dst", lead(col("event_type"), 1).over(ord))
+      .where(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        r4(col("n") / sum(col("n")).over(wSrc).cast("double")))
+      .orderBy("src", "dst")
+  }
+
+  val eventsMarkovSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |p AS (
+       |  SELECT event_type AS src,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts_us, event_id) AS dst
+       |  FROM e),
+       |m AS (
+       |  SELECT src, dst, COUNT(*) AS n FROM p
+       |  WHERE dst IS NOT NULL GROUP BY src, dst)
+       |SELECT src, dst, n,
+       |  ${r4Sql("n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)")}
+       |    AS prob
+       |FROM m ORDER BY src, dst""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_intervals" -> (scd2Intervals _),
-    "cdc_state_diff" -> (cdcStateDiff _))
+    "cdc_state_diff" -> (cdcStateDiff _),
+    "events_markov" -> (eventsMarkov _))
 
   val oracles: Map[String, String] = Map(
     "scd2_intervals" -> scd2Sql,
-    "cdc_state_diff" -> cdcSql)
+    "cdc_state_diff" -> cdcSql,
+    "events_markov" -> eventsMarkovSql)
 }

@@ -359,7 +359,60 @@ object Corpus {
       |FROM t, n WHERE cum_tokens <= 10000 // n_sources
       |ORDER BY source, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #102
+  /** #102 token-weighted deterministic sampling: each document is kept
+    * with probability proportional to its token count (the standard
+    * weighting when a token budget — not a document budget — drives
+    * corpus composition). The draw is the stratified-sampling idiom: a
+    * 16-bit md5 slice of the doc id as a uniform [0,1) variate,
+    * accepted when it falls under tokens/max_tokens. Deterministic →
+    * rerunnable and engine-reproducible; no sampling state.
+    *
+    * Scale: one corpus scan; max_tokens is a 1-row aggregate grafted in
+    * as a broadcast cross join (a scalar subplan, not a driver
+    * collect); the summary is one keyed agg with map-side combine.
+    */
+  def sampleTokenWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+    val mx = d.agg(max(col("n_toks")).as("max_toks"))
+    d.crossJoin(broadcast(mx))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .withColumn("keep", col("h") / lit(65536.0) <
+        col("n_toks") / col("max_toks").cast("double"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(lit(0L)))
+          .as("kept_tokens"),
+        r4(count(when(col("keep"), 1)) / count(lit(1)).cast("double"))
+          .as("keep_ratio"))
+      .orderBy("source")
+  }
+
+  val sampleTokenWeightedSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT AS h
+       |  FROM documents),
+       |mx AS (SELECT MAX(n_toks) AS max_toks FROM d)
+       |SELECT source, COUNT(*) AS n_total,
+       |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+       |  CAST(COALESCE(SUM(n_toks) FILTER (WHERE keep), 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE keep) / CAST(COUNT(*) AS DOUBLE)")}
+       |    AS keep_ratio
+       |FROM (
+       |  SELECT source, n_toks,
+       |    h / 65536.0 < n_toks / CAST(max_toks AS DOUBLE) AS keep
+       |  FROM d CROSS JOIN mx)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_token_weighted" -> (sampleTokenWeighted _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -370,6 +423,7 @@ object Corpus {
       ((s: SparkSession, d: String) => corpusTokenBudget(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "sample_token_weighted" -> sampleTokenWeightedSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
     "pack_sequences" -> packSequencesSql,
