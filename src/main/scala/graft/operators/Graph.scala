@@ -68,8 +68,11 @@ object Graph {
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     graphPagerank(spark, dir, iters = 3)
 
-  def graphPagerank(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    val e = symmetric(spark, dir)
+  def graphPagerank(spark: SparkSession, dir: String, iters: Int): DataFrame =
+    pagerankFrom(symmetric(spark, dir), iters)
+
+  /** PageRank over an arbitrary directed edge list (`src`, `dst`). */
+  def pagerankFrom(e: DataFrame, iters: Int): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src")
     val nodes = deg.select(col("src").as("node"))
@@ -120,9 +123,15 @@ object Graph {
     * is Σ C(deg,2) (exact integers), transitivity = 3·triangles/wedges
     * with one IEEE division + 4dp floor-round.
     */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val und = undirected(spark, dir)
-    val deg = symmetric(spark, dir)
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFrom(undirected(spark, dir))
+
+  /** Triangle census over an arbitrary undirected edge list
+    * (`pa` < `pb`, one row per edge).
+    */
+  def trianglesFrom(und: DataFrame): DataFrame = {
+    val deg = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
       .groupBy("src").agg(count(lit(1)).as("deg"))
     // orient each undirected edge from the (deg, id)-smaller endpoint
     val da = deg.select(col("src").as("pa"), col("deg").as("dega"))
