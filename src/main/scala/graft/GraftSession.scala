@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime (bloom) filters: a selective predicate on one side of a
+      // shuffle join builds a bloom filter that pre-filters the other
+      // side's scan — the 100 TB win is skipping fact rows before the
+      // Exchange. Size thresholds gate it, so local runs are unaffected;
+      // GraftExtensionsSpec drops the thresholds and asserts the rewrite
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

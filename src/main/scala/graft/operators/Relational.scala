@@ -384,7 +384,9 @@ object Relational {
     * remainder instead of the raw cross of facts.
     */
   def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
-    val pair = Seq("NATION_1", "NATION_2")
+    // pair chosen to have supplier coverage down to sf0.001 (the spec
+    // sweep scale — supplier nations are sparse in the tiny sample)
+    val pair = Seq("NATION_3", "NATION_8")
     val n = Tables(spark, dir, "nation")
       .where(col("n_name").isin(pair: _*))
     val s = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -417,8 +419,8 @@ object Relational {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       |WHERE n1.n_name IN ('NATION_1','NATION_2')
-       |  AND n2.n_name IN ('NATION_1','NATION_2')
+       |WHERE n1.n_name IN ('NATION_3','NATION_8')
+       |  AND n2.n_name IN ('NATION_3','NATION_8')
        |  AND n1.n_name <> n2.n_name
        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
