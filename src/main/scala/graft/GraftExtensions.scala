@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(1).eval(null).asInstanceOf[Int]))
     inject("kmv_distinct", es => graft.functions.KmvSketch(es(0),
       es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
+    inject("mg_topk", es => graft.functions.MisraGries(es(0),
+      es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
 
     ext.injectPostHocResolutionRule(BroadcastDimTables)
     ext.injectOptimizerRule(ApproxDistinctRewrite)

@@ -258,7 +258,50 @@ object TextAnalysis {
       |HAVING COUNT(*) BETWEEN 10 AND 400
       |ORDER BY term""".stripMargin
 
+  // --------------------------------------------------------------- #104
+  /** #104 heavy hitters via the Misra-Gries sketch (`mg_topk`, a native
+    * TypedImperativeAggregate) + exact verify. The sketch pass keeps k
+    * counters per partial — not the item domain — so only k strings
+    * cross the shuffle; its guarantee (any item with freq > N/k always
+    * survives, order-independent) makes the downstream exact re-count
+    * of just the candidates, filtered by n·k > N (integer-exact),
+    * EQUAL the true heavy-hitter set. At 100 TB this replaces a
+    * full-vocabulary groupBy shuffle with a k-bounded sketch plus a
+    * candidate-filtered count — the same approx-generate / exact-verify
+    * shape as the LSH dedup family.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    textHeavyHitters(spark, dir, k = 32)
+
+  def textHeavyHitters(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    val toks = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cand = toks.agg(expr(s"mg_topk(tok, $k)").as("cands"))
+      .select(explode(col("cands")).as("cand"))
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), col("tok") === col("cand"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .where(col("n") * k > col("n_total"))
+      .select(col("tok"), col("n"), col("n_total"))
+      .orderBy(desc("n"), col("tok"))
+  }
+
+  /** Oracle: the exact heavy-hitter set — by the MG guarantee the
+    * sketch candidates cover it, so the verified output is identical.
+    */
+  val textHeavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tot AS (SELECT COUNT(*) AS n_total FROM t),
+      |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok)
+      |SELECT tok, n, n_total FROM c, tot
+      |WHERE n * 32 > n_total ORDER BY n DESC, tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" ->
+      ((s: SparkSession, d: String) => textHeavyHitters(s, d)),
     "text_inverted_index" ->
       ((s: SparkSession, d: String) => textInvertedIndex(s, d)),
     "text_stats" -> (textStats _),
@@ -269,6 +312,7 @@ object TextAnalysis {
     "text_ngrams" -> (textNgrams _))
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> textHeavyHittersSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
