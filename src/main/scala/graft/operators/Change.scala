@@ -159,13 +159,51 @@ object Change {
        |    AS prob
        |FROM m ORDER BY src, dst""".stripMargin
 
+  // --------------------------------------------------------------- #105
+  /** #105 top user journeys: the most frequent length-3 event-type
+    * paths (trigrams of each user's time-ordered stream). Two stacked
+    * leads over ONE user_id Exchange build the paths; the count is a
+    * tiny (≤|types|³-row) keyed agg with map-side combine. The
+    * Sankey-diagram feed of product analytics, and a sequence-mining
+    * primitive (the Markov matrix #103 is its order-1 marginal).
+    */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.eventsUs(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("e2", lead(col("event_type"), 1).over(ord))
+      .withColumn("e3", lead(col("event_type"), 2).over(ord))
+      .where(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+      .limit(25)
+  }
+
+  val eventsPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS step1,
+      |    LEAD(event_type, 1) OVER w AS step2,
+      |    LEAD(event_type, 2) OVER w AS step3
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT step1, step2, step3, COUNT(*) AS n FROM p
+      |WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_intervals" -> (scd2Intervals _),
     "cdc_state_diff" -> (cdcStateDiff _),
-    "events_markov" -> (eventsMarkov _))
+    "events_markov" -> (eventsMarkov _),
+    "events_paths" -> (eventsPaths _))
 
   val oracles: Map[String, String] = Map(
     "scd2_intervals" -> scd2Sql,
     "cdc_state_diff" -> cdcSql,
-    "events_markov" -> eventsMarkovSql)
+    "events_markov" -> eventsMarkovSql,
+    "events_paths" -> eventsPathsSql)
 }

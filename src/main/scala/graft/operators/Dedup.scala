@@ -497,9 +497,18 @@ object Dedup {
         col("text").as("t_b"))), "id_b")
       .where(expr("least(length(t_a), length(t_b)) >= " +
         s"$threshold * greatest(length(t_a), length(t_b))"))
+      .withColumn("maxlen",
+        greatest(length(col("t_a")), length(col("t_b"))))
+      // banded DP: r4(sim) >= t  ⟺  dist <= (1-t+5e-5)·maxlen, so the
+      // 3-arg levenshtein (early-exit at the bound, O(D·n) not O(n·m),
+      // returns -1 past it) yields the IDENTICAL pair set — the bound
+      // absorbs r4's half-up boundary so no borderline pair flips
+      .withColumn("dmax", floor(lit(1.0 - threshold + 0.00005) *
+        col("maxlen")).cast("int"))
+      .withColumn("dist", expr("levenshtein(t_a, t_b, dmax)"))
+      .where(col("dist") >= 0)
       .withColumn("edit_sim", r4(lit(1.0) -
-        levenshtein(col("t_a"), col("t_b")).cast("double") /
-          greatest(length(col("t_a")), length(col("t_b")))))
+        col("dist").cast("double") / col("maxlen").cast("double")))
       .where(col("edit_sim") >= threshold)
       .select("id_a", "id_b", "edit_sim")
       .orderBy("id_a", "id_b")

@@ -741,7 +741,70 @@ object Extensions {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- #106
+  /** #106 RFM segmentation: recency / frequency / monetary quartile
+    * bands per customer with the composite 3-digit score — the classic
+    * customer-value lattice. The customer rollup is one keyed agg
+    * (map-side combine); the reference date is a 1-row broadcast; the
+    * three NTILE windows are global rankings, but — like #85 — they
+    * sort the already-aggregated customer table, never the fact scan,
+    * and every ranking key carries the o_custkey tie-break so bands
+    * are engine-deterministic.
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+    val refd = o.agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+    val cust = o.groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("frequency"),
+        sumDec(col("o_totalprice"), 18, 2).as("monetary"))
+      .crossJoin(broadcast(refd))
+      .withColumn("recency_days",
+        datediff(col("ref_date"), col("last_date")).cast("long"))
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(desc("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(desc("monetary"), col("o_custkey"))
+    cust
+      .withColumn("r_band", ntile(4).over(rW).cast("long"))
+      .withColumn("f_band", ntile(4).over(fW).cast("long"))
+      .withColumn("m_band", ntile(4).over(mW).cast("long"))
+      .withColumn("rfm",
+        col("r_band") * 100 + col("f_band") * 10 + col("m_band"))
+      .select("o_custkey", "recency_days", "frequency", "monetary",
+        "r_band", "f_band", "m_band", "rfm")
+      .orderBy("o_custkey")
+  }
+
+  val ordersRfmSql: String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_date,
+       |    COUNT(*) AS frequency,
+       |    ${sumDecSql("o_totalprice", 18, 2)} AS monetary
+       |  FROM orders GROUP BY o_custkey),
+       |refd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date
+       |  FROM orders),
+       |r AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', last_date, ref_date) AS recency_days,
+       |    frequency, monetary
+       |  FROM cust CROSS JOIN refd),
+       |b AS (
+       |  SELECT *,
+       |    CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey)
+       |      AS BIGINT) AS r_band,
+       |    CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+       |      AS BIGINT) AS f_band,
+       |    CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+       |      AS BIGINT) AS m_band
+       |  FROM r)
+       |SELECT o_custkey, recency_days, frequency, monetary,
+       |  r_band, f_band, m_band,
+       |  r_band * 100 + f_band * 10 + m_band AS rfm
+       |FROM b ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_rfm" -> (ordersRfm _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "agg_cube" -> (aggCube _),
@@ -763,6 +826,7 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "orders_rfm" -> ordersRfmSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,
     "agg_kmv_distinct" -> aggKmvDistinctSql,
     "agg_cube" -> aggCubeSql,

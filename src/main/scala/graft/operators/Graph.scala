@@ -31,14 +31,28 @@ import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
   */
 object Graph {
 
-  /** Distinct undirected co-purchase edges, emitted once with a < b. */
-  private def undirected(spark: SparkSession, dir: String): DataFrame = {
+  /** Undirected co-purchase edges with market-basket SUPPORT ≥ 2 (the
+    * pair appears in at least two distinct orders), emitted once with
+    * a < b. The support floor is the classic basket-analysis denoise
+    * AND the scale guard: single-co-occurrence pairs grow linearly
+    * with order volume (1.2M at sf0.1) while true co-purchase edges
+    * stay signal-sized (~3.5k at EVERY scale factor here) — without
+    * it, graph density tracks data volume instead of structure and
+    * wedge counts explode quadratically.
+    */
+  private def undirected(spark: SparkSession, dir: String): DataFrame =
+    undirected(spark, dir, minSupport = 2)
+
+  private def undirected(spark: SparkSession, dir: String,
+      minSupport: Long): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("pa"), col("b.p").as("pb"))
-      .distinct()
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(countDistinct(col("a.o")).as("sup"))
+      .where(col("sup") >= minSupport)
+      .select("pa", "pb")
   }
 
   /** Both directions of [[undirected]]: one row per (src, dst) arc. */
@@ -51,8 +65,11 @@ object Graph {
   private val edgeSql =
     """li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |und AS (
-      |  SELECT DISTINCT a.p AS pa, b.p AS pb
-      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |  SELECT pa, pb FROM (
+      |    SELECT a.p AS pa, b.p AS pb, COUNT(DISTINCT a.o) AS sup
+      |    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      |    GROUP BY 1, 2)
+      |  WHERE sup >= 2),
       |e AS (
       |  SELECT pa AS src, pb AS dst FROM und
       |  UNION ALL SELECT pb AS src, pa AS dst FROM und)""".stripMargin
