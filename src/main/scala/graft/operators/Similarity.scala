@@ -346,6 +346,7 @@ object Similarity {
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "kmeans_lloyd" -> ((s: SparkSession, d: String) => kmeansLloyd(s, d)),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
@@ -581,7 +582,162 @@ object Similarity {
        |FROM a2 ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- #107
+  /** #107 product-quantization ANN (ADC form): the 64-dim space splits
+    * into m=2 subspaces; each gets a 16-centroid codebook (seeds = the
+    * 16 smallest vec_ids' subvectors, one decimal-exact Lloyd update —
+    * the #101 machinery per subspace); every corpus vector encodes as
+    * m codebook ids (2 bytes here vs 256 float bytes — the memory
+    * ratio that makes PQ the standard billion-scale index). A query
+    * precomputes its m×16 distance TABLE to all centroids
+    * (asymmetric distance computation), so scoring a corpus vector is
+    * m table lookups + an add — never a float-vector op.
+    *
+    * Scale: codebooks and query tables are tiny broadcasts; the only
+    * corpus-sized flows are the two argmin passes (map-side against
+    * broadcast codebooks, k·d work per row) and the lookup join keyed
+    * on (subspace, code) — 16·m keys, hash-partition-free via
+    * broadcast. Exact cosine rides along on the emitted top-k only,
+    * making recall observable (same pattern as SQ8 #84).
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPq(spark, dir, k = 5, m = 2, ksub = 16)
+
+  def annPq(spark: SparkSession, dir: String, k: Int, m: Int,
+      ksub: Int): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    require(64 % m == 0, s"m must divide 64, got $m")
+    val subLen = 64 / m
+    val v = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def subspaces(df: DataFrame, idCol: String, vecCol: String,
+        out: String): DataFrame =
+      (0 until m).map { s =>
+        df.select(col(idCol), lit(s).as("s"),
+          expr(s"transform(slice($vecCol, ${s * subLen + 1}, $subLen), " +
+            "x -> cast(x as double))").as(out))
+      }.reduce(_ union _)
+    val parts = subspaces(v, "vec_id", "embedding", "sv")
+    val sqDist = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (acc, t) -> acc + t)")
+    val seedC = parts.where(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+    def assign(cent: DataFrame): DataFrame = parts
+      .join(broadcast(cent), "s")
+      .withColumn("dist", sqDist("sv", "cv"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
+      .select(col("vec_id"), col("s"), col("mn.cid").as("cid"))
+    val cent = assign(seedC).join(parts, Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy("s", "cid", "d")
+      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+        .cast("double").as("c"))
+      .groupBy("s", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), " +
+        "t -> t.c)").as("cv"))
+    val codes = assign(cent)
+    val q = evalQueries(spark, dir)
+    val table = subspaces(q, "q_id", "q_emb", "qv")
+      .join(broadcast(cent), "s")
+      .withColumn("dq", sqDist("qv", "cv"))
+      .select("q_id", "s", "cid", "dq")
+    val approx = codes.join(broadcast(table), Seq("s", "cid"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("dq").cast("decimal(28,12)")).cast("double").as("approx"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("approx"),
+      col("vec_id"))
+    approx
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .where(col("rank") <= k)
+      .join(v.select(col("vec_id"), col("embedding").as("c_emb")), "vec_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("rank"), col("vec_id").as("c_id"),
+        r4(col("approx")).as("approx_dist"),
+        r4(expr("cosine_f32(q_emb, c_emb)")).as("cosine_exact"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle mirror: same seeds, same single decimal-exact Lloyd update
+    * per subspace, same encode/table/lookup arithmetic (every distance
+    * is a sequential double fold; the 2-term ADC add goes through the
+    * same decimal cast), same (approx, vec_id) ranking.
+    */
+  val annPqSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |parts AS (
+      |  SELECT vec_id, s,
+      |    list_transform(embedding[(s * 32 + 1):(s * 32 + 32)],
+      |      x -> x::DOUBLE) AS sv
+      |  FROM v, range(0, 2) t(s)),
+      |seedc AS (
+      |  SELECT s, vec_id AS cid, sv AS cv FROM parts WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT vec_id, s, (min({'d': dist, 'c': cid})).c AS cid FROM (
+      |    SELECT p.vec_id, p.s, c.cid,
+      |      list_sum(list_transform(range(1, 33),
+      |        i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]))) AS dist
+      |    FROM parts p JOIN seedc c ON p.s = c.s)
+      |  GROUP BY vec_id, s),
+      |cent AS (
+      |  SELECT s, cid, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), t -> t.c) AS cv
+      |  FROM (
+      |    SELECT a0.s, a0.cid, d,
+      |      CAST(SUM(CAST(p.sv[d] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE)
+      |        AS c
+      |    FROM a0 JOIN parts p ON a0.vec_id = p.vec_id AND a0.s = p.s,
+      |      range(1, 33) t(d)
+      |    GROUP BY a0.s, a0.cid, d)
+      |  GROUP BY s, cid),
+      |codes AS (
+      |  SELECT vec_id, s, (min({'d': dist, 'c': cid})).c AS cid FROM (
+      |    SELECT p.vec_id, p.s, c.cid,
+      |      list_sum(list_transform(range(1, 33),
+      |        i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]))) AS dist
+      |    FROM parts p JOIN cent c ON p.s = c.s)
+      |  GROUP BY vec_id, s),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+      |      FROM v WHERE vec_id % 50 = 0),
+      |qparts AS (
+      |  SELECT q_id, s,
+      |    list_transform(q_emb[(s * 32 + 1):(s * 32 + 32)],
+      |      x -> x::DOUBLE) AS qv
+      |  FROM q, range(0, 2) t(s)),
+      |tbl AS (
+      |  SELECT qp.q_id, qp.s, c.cid,
+      |    list_sum(list_transform(range(1, 33),
+      |      i -> (qp.qv[i] - c.cv[i]) * (qp.qv[i] - c.cv[i]))) AS dq
+      |  FROM qparts qp JOIN cent c ON qp.s = c.s),
+      |approx AS (
+      |  SELECT t.q_id, codes.vec_id,
+      |    CAST(SUM(CAST(t.dq AS DECIMAL(28,12))) AS DOUBLE) AS approx
+      |  FROM codes JOIN tbl t ON codes.s = t.s AND codes.cid = t.cid
+      |  WHERE t.q_id <> codes.vec_id
+      |  GROUP BY t.q_id, codes.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, approx, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY approx, vec_id) AS rank
+      |  FROM approx)
+      |SELECT r.q_id, r.rank, r.vec_id AS c_id,
+      |  FLOOR(r.approx * 10000.0 + 0.5) / 10000.0 AS approx_dist,
+      |  FLOOR((list_sum(list_transform(range(1, 65),
+      |      i -> q.q_emb[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |    / (q.q_norm * c.norm)) * 10000.0 + 0.5) / 10000.0
+      |    AS cosine_exact
+      |FROM ranked r JOIN v c ON r.vec_id = c.vec_id
+      |JOIN q ON r.q_id = q.q_id
+      |WHERE r.rank <= 5
+      |ORDER BY r.q_id, r.rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_pq" -> annPqSql,
     "kmeans_lloyd" -> kmeansLloydSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> annLshSql,

@@ -234,28 +234,40 @@ object TextAnalysis {
     * survivors, posting rows are bounded by maxDf ids ≈ a few KB.)
     */
   def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
-    textInvertedIndex(spark, dir, minDf = 10, maxDf = 400)
+    textInvertedIndex(spark, dir, minDfFrac = 0.02, maxDfFrac = 0.8)
 
-  def textInvertedIndex(spark: SparkSession, dir: String, minDf: Int,
-      maxDf: Int): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"),
+  /** df band is RELATIVE to corpus size (fractions, not counts) so the
+    * stop-list/skew-guard semantics hold at any scale — an absolute
+    * band tuned at one SF strangles or floods at another. The doc
+    * count is a 1-row broadcast cross join (scalar subplan).
+    */
+  def textInvertedIndex(spark: SparkSession, dir: String, minDfFrac: Double,
+      maxDfFrac: Double): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    d.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
           i => i.cast("string"))).as("postings"))
-      .where(col("df").between(minDf, maxDf))
+      .crossJoin(broadcast(n))
+      .where(col("df") >= ceil(lit(minDfFrac) * col("n_docs")) &&
+        col("df") <= floor(lit(maxDfFrac) * col("n_docs")))
+      .select("term", "df", "postings")
       .orderBy("term")
+  }
 
   val textInvertedIndexSql: String =
     """WITH t AS (
       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-      |  FROM documents)
-      |SELECT term, COUNT(*) AS df,
-      |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings
-      |FROM t GROUP BY term
-      |HAVING COUNT(*) BETWEEN 10 AND 400
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT term, df, postings FROM (
+      |  SELECT term, COUNT(*) AS df,
+      |    string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+      |  FROM t GROUP BY term) g, n
+      |WHERE df >= CEIL(0.02 * n_docs) AND df <= FLOOR(0.8 * n_docs)
       |ORDER BY term""".stripMargin
 
   // --------------------------------------------------------------- #104
