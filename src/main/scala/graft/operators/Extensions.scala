@@ -884,7 +884,58 @@ object Extensions {
        |SELECT * FROM zs UNION ALL SELECT * FROM ls ORDER BY layout"""
       .stripMargin
 
+  // --------------------------------------------------------------- #110
+  /** #110 ABC (Pareto) classification: customers ranked by revenue,
+    * classed A/B/C at 50%/80% cumulative share — the inventory-
+    * analysis staple. The cumulative sum runs as a DECIMAL window over
+    * the customer-sized aggregate (exact prefix sums — no float drift
+    * in the running total), the grand total is the unbounded frame of
+    * the same window spec (one sort, two frames), and only the final
+    * share division drops to double under r4.
+    */
+  def ordersAbc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    val ord = Window.orderBy(desc("revenue"), col("o_custkey"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rev
+      .withColumn("cum_share", r4(
+        sum(col("revenue")).over(cum).cast("double") /
+          sum(col("revenue")).over(all).cast("double")))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.5, "A")
+          .when(col("cum_share") <= 0.8, "B")
+          .otherwise("C"))
+      .select(col("o_custkey"), col("revenue").cast("double").as("revenue"),
+        col("cum_share"), col("abc_class"))
+      .orderBy("o_custkey")
+  }
+
+  val ordersAbcSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+       |  FROM orders GROUP BY o_custkey),
+       |c AS (
+       |  SELECT o_custkey, revenue,
+       |    ${r4Sql(
+            """CAST(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS DOUBLE)
+              |    / CAST(SUM(revenue) OVER () AS DOUBLE)""".stripMargin)}
+       |      AS cum_share
+       |  FROM rev)
+       |SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue, cum_share,
+       |  CASE WHEN cum_share <= 0.5 THEN 'A'
+       |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class
+       |FROM c ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_abc" -> (ordersAbc _),
     "layout_zorder" -> (layoutZorder _),
     "orders_rfm" -> (ordersRfm _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
@@ -908,6 +959,7 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "orders_abc" -> ordersAbcSql,
     "layout_zorder" -> layoutZorderSql,
     "orders_rfm" -> ordersRfmSql,
     "pipeline_clean_corpus" -> pipelineCleanCorpusSql,

@@ -302,7 +302,41 @@ object Temporal {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- #109
+  /** #109 OHLC downsampling: per hour, the open/high/low/close of the
+    * event value stream — the standard time-series resample. Open and
+    * close are `min/max(struct(ts, id, value))` — partial-aggregable
+    * extrema, so the whole query is ONE keyed agg with map-side
+    * combine (no window, no sort); values pass through untouched (no
+    * float arithmetic to discipline).
+    */
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      .withColumn("hour_us", expr("(ts_us div 3600000000) * 3600000000"))
+      .groupBy("hour_us")
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("hour_us")
+
+  val tsOhlcSql: String =
+    """WITH e AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)
+      |SELECT (ts_us // 3600000000) * 3600000000 AS hour_us,
+      |  (min({'t': ts_us, 'e': event_id, 'v': value})).v AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  (max({'t': ts_us, 'e': event_id, 'v': value})).v AS close,
+      |  COUNT(*) AS n
+      |FROM e GROUP BY 1 ORDER BY hour_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ohlc" -> (tsOhlc _),
     "window_first_last" -> (windowFirstLast _),
     "window_percent_rank" -> (windowPercentRank _),
     "window_ntile" -> (windowNtile _),
@@ -315,6 +349,7 @@ object Temporal {
     "ts_tumbling" -> (tsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "ts_ohlc" -> tsOhlcSql,
     "window_first_last" -> windowFirstLastSql,
     "window_percent_rank" -> windowPercentRankSql,
     "window_ntile" -> windowNtileSql,
