@@ -934,7 +934,97 @@ object Extensions {
        |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class
        |FROM c ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------- #111
+  /** #111 theta-band join: orders matched to a literal price-tier
+    * dimension on a pure range predicate (no equi key) — the one join
+    * shape whose physical form is BroadcastNestedLoopJoin. That plan
+    * is EXACTLY right here and wrong almost everywhere else: the tier
+    * table is O(1) rows, so BNLJ is a per-row scan of a 5-entry
+    * broadcast array; with a fact-sized right side it would be a
+    * disaster, which is why every other non-equi join in this repo
+    * (join_range #11, q4 #73) carries an equi key for the shuffle and
+    * keeps the range as a residual.
+    */
+  def joinThetaBands(spark: SparkSession, dir: String): DataFrame = {
+    val sq = spark
+    import sq.implicits._
+    val tiers = Seq(
+      ("T1", 0.0, 50000.0), ("T2", 50000.0, 100000.0),
+      ("T3", 100000.0, 200000.0), ("T4", 200000.0, 400000.0),
+      ("T5", 400000.0, 1e12))
+      .toDF("tier", "lo", "hi")
+    Tables(spark, dir, "orders")
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"),
+        sumDec(col("o_totalprice"), 18, 2).as("revenue"))
+      .orderBy("tier")
+  }
+
+  val joinThetaBandsSql: String =
+    s"""WITH tiers(tier, lo, hi) AS (VALUES
+       |  ('T1', 0.0, 50000.0), ('T2', 50000.0, 100000.0),
+       |  ('T3', 100000.0, 200000.0), ('T4', 200000.0, 400000.0),
+       |  ('T5', 400000.0, 1e12))
+       |SELECT tier, COUNT(*) AS n_orders,
+       |  ${sumDecSql("o_totalprice", 18, 2)} AS revenue
+       |FROM orders JOIN tiers
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY tier ORDER BY tier""".stripMargin
+
+  // --------------------------------------------------------------- #112
+  /** #112 A/B lift analysis: users split by a deterministic hash of
+    * their id (the standard bucketing assignment), per-variant mean
+    * purchase value per user, and the relative lift. Two keyed aggs
+    * (user rollup → variant rollup), both map-side combining; means
+    * are decimal-sum / exact count with ONE double division each, and
+    * the lift is one more — engine-stable under r4.
+    */
+  def eventsAbLift(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.eventsUs(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sumDec(col("value"), 18, 2).as("user_value"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val stats = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("users"),
+        (sumDec(col("user_value"), 18, 2) / count(lit(1))).as("mean_value"))
+    stats.agg(
+        max(when(col("variant") === "A", col("users"))).as("users_a"),
+        max(when(col("variant") === "B", col("users"))).as("users_b"),
+        max(when(col("variant") === "A", col("mean_value"))).as("mean_a"),
+        max(when(col("variant") === "B", col("mean_value"))).as("mean_b"))
+      .select(col("users_a"), col("users_b"),
+        r4(col("mean_a")).as("mean_a"), r4(col("mean_b")).as("mean_b"),
+        r4((col("mean_b") - col("mean_a")) / col("mean_a")).as("lift"))
+  }
+
+  val eventsAbLiftSql: String = {
+    val meanFor = (v: String) =>
+      s"""MAX(CASE WHEN variant = '$v' THEN mean_value END)"""
+    s"""WITH pu AS (
+       |  SELECT user_id, ${sumDecSql("value", 18, 2)} AS user_value,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |s AS (
+       |  SELECT variant, COUNT(*) AS users,
+       |    ${sumDecSql("user_value", 18, 2)} / COUNT(*) AS mean_value
+       |  FROM pu GROUP BY variant)
+       |SELECT
+       |  MAX(CASE WHEN variant = 'A' THEN users END) AS users_a,
+       |  MAX(CASE WHEN variant = 'B' THEN users END) AS users_b,
+       |  ${r4Sql(meanFor("A"))} AS mean_a,
+       |  ${r4Sql(meanFor("B"))} AS mean_b,
+       |  ${r4Sql(s"(${meanFor("B")} - ${meanFor("A")}) / ${meanFor("A")}")}
+       |    AS lift
+       |FROM s""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_theta_bands" -> (joinThetaBands _),
+    "events_ab_lift" -> (eventsAbLift _),
     "orders_abc" -> (ordersAbc _),
     "layout_zorder" -> (layoutZorder _),
     "orders_rfm" -> (ordersRfm _),
@@ -959,6 +1049,8 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "join_theta_bands" -> joinThetaBandsSql,
+    "events_ab_lift" -> eventsAbLiftSql,
     "orders_abc" -> ordersAbcSql,
     "layout_zorder" -> layoutZorderSql,
     "orders_rfm" -> ordersRfmSql,
