@@ -1022,7 +1022,64 @@ object Extensions {
        |FROM s""".stripMargin
   }
 
+  // --------------------------------------------------------------- #113
+  /** #113 cohort LTV: customers grouped by first-order month, tracking
+    * average CUMULATIVE revenue per customer at each month offset —
+    * the monetary sibling of the retention matrix (#57). Three keyed
+    * aggs (order-month rollup → cohort cells → running frame over the
+    * tiny cohort×offset matrix); the cumulative sum windows over the
+    * aggregated matrix, never the fact table, and stays decimal until
+    * the final per-customer division.
+    */
+  def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("mo"))
+    val first = o.groupBy("o_custkey").agg(min(col("mo")).as("cohort_mo"))
+    val cells = o.join(first, "o_custkey")
+      .withColumn("offset", col("mo") - col("cohort_mo"))
+      .groupBy("cohort_mo", "offset")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val sizes = first.groupBy("cohort_mo")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cum = Window.partitionBy("cohort_mo").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, "cohort_mo")
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .select(col("cohort_mo"), col("offset"), col("cohort_users"),
+        r4(col("cum_rev").cast("double") /
+          col("cohort_users").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_mo", "offset")
+  }
+
+  val ordersCohortLtvSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_totalprice,
+       |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo
+       |  FROM orders),
+       |first AS (
+       |  SELECT o_custkey, MIN(mo) AS cohort_mo FROM o GROUP BY o_custkey),
+       |cells AS (
+       |  SELECT cohort_mo, mo - cohort_mo AS "offset",
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+       |  FROM o JOIN first USING (o_custkey)
+       |  GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT cohort_mo, COUNT(*) AS cohort_users
+       |  FROM first GROUP BY cohort_mo)
+       |SELECT cohort_mo, "offset", cohort_users,
+       |  ${r4Sql(
+          """CAST(SUM(rev) OVER (PARTITION BY cohort_mo ORDER BY "offset"
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    AS DOUBLE) / CAST(cohort_users AS DOUBLE)""".stripMargin)}
+       |    AS ltv_per_user
+       |FROM cells JOIN sizes USING (cohort_mo)
+       |ORDER BY cohort_mo, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cohort_ltv" -> (ordersCohortLtv _),
     "join_theta_bands" -> (joinThetaBands _),
     "events_ab_lift" -> (eventsAbLift _),
     "orders_abc" -> (ordersAbc _),
@@ -1049,6 +1106,7 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "orders_cohort_ltv" -> ordersCohortLtvSql,
     "join_theta_bands" -> joinThetaBandsSql,
     "events_ab_lift" -> eventsAbLiftSql,
     "orders_abc" -> ordersAbcSql,

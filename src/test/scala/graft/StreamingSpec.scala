@@ -215,6 +215,51 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("foreachBatch incremental view maintenance == batch tumbling agg") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ivm").toString
+    val stream = MemoryStream[Ev]
+    // the IVM pattern: each micro-batch appends PARTIAL aggregates
+    // (mergeable: counts + decimal sums) to a keyed store; the view is
+    // the merge-on-read re-aggregation. No per-key state in the stream,
+    // no watermark needed — late data just lands as one more partial.
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch
+          .withColumn("hour_us", expr("(ts_us div 3600000000) * 3600000000"))
+          .groupBy("hour_us", "event_type")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,2)")).as("psum"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    // uneven batches, one of them out of time order: merge-on-read IVM
+    // must be insensitive to both
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val merged = spark.read.parquet(outDir)
+      .groupBy("hour_us", "event_type")
+      .agg(sum(col("pn")).cast("long").as("n"),
+        sum(col("psum")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val batch = operators.Temporal.tsTumbling(spark, sf)
+      .select("hour_us", "event_type", "n", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(merged == batch)
+  }
+
   test("streaming running z-score anomalies == batch prefix reference") {
     val sp = spark
     import sp.implicits._
