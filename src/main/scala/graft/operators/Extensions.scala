@@ -1078,7 +1078,107 @@ object Extensions {
        |FROM cells JOIN sizes USING (cohort_mo)
        |ORDER BY cohort_mo, "offset"""".stripMargin
 
+  // --------------------------------------------------------------- #114
+  /** #114 histogram-quantile estimation: per-group fixed-bin (256-wide)
+    * histograms → binned p50/p95 estimates, with the exact percentiles
+    * alongside so the approximation error is observable. The histogram
+    * is the mergeable-quantile scale story: partials are ≤256 ints per
+    * group (map-side combinable, associative) instead of the full
+    * value set a true percentile needs — the same
+    * sketch-instead-of-domain trade as KMV (#53) and MG (#104). The
+    * cumulative threshold tests are INTEGER inequalities
+    * (2·cum ≥ n, 20·cum ≥ 19·n), so bin selection is engine-exact.
+    */
+  def aggHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binW = 2500.0
+    val o = Tables(spark, dir, "orders")
+      .withColumn("bin",
+        least(lit(255), floor(col("o_totalprice") / binW)).cast("int"))
+    val hist = o.groupBy("o_orderpriority", "bin")
+      .agg(count(lit(1)).as("c"))
+    val cumW = Window.partitionBy("o_orderpriority").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy("o_orderpriority")
+    val est = hist
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("n", sum(col("c")).over(allW))
+      .groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 2 >= col("n"), (col("bin") + 1) * binW))
+          .as("est_p50"),
+        min(when(col("cum") * 20 >= col("n") * 19, (col("bin") + 1) * binW))
+          .as("est_p95"))
+    val exact = o.groupBy("o_orderpriority")
+      .agg(r4(expr("percentile(o_totalprice, 0.5)")).as("exact_p50"),
+        r4(expr("percentile(o_totalprice, 0.95)")).as("exact_p95"))
+    est.join(exact, "o_orderpriority")
+      .select("o_orderpriority", "n", "est_p50", "exact_p50",
+        "est_p95", "exact_p95")
+      .orderBy("o_orderpriority")
+  }
+
+  val aggHistQuantilesSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderpriority,
+       |    CAST(least(255, floor(o_totalprice / 2500.0)) AS INT) AS bin,
+       |    o_totalprice
+       |  FROM orders),
+       |hist AS (
+       |  SELECT o_orderpriority, bin, COUNT(*) AS c
+       |  FROM o GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT o_orderpriority, bin, c,
+       |    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM hist),
+       |est AS (
+       |  SELECT o_orderpriority, MAX(n) AS n,
+       |    MIN(CASE WHEN cum * 2 >= n THEN (bin + 1) * 2500.0 END)
+       |      AS est_p50,
+       |    MIN(CASE WHEN cum * 20 >= n * 19 THEN (bin + 1) * 2500.0 END)
+       |      AS est_p95
+       |  FROM cum GROUP BY o_orderpriority),
+       |ex AS (
+       |  SELECT o_orderpriority,
+       |    ${r4Sql("quantile_cont(o_totalprice, 0.5)")} AS exact_p50,
+       |    ${r4Sql("quantile_cont(o_totalprice, 0.95)")} AS exact_p95
+       |  FROM o GROUP BY o_orderpriority)
+       |SELECT est.o_orderpriority, CAST(n AS BIGINT) AS n,
+       |  est_p50, exact_p50, est_p95, exact_p95
+       |FROM est JOIN ex USING (o_orderpriority)
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // --------------------------------------------------------------- #115
+  /** #115 seasonality matrix: event volume and audience by (day-of-week
+    * × hour-of-day) — the load-heatmap every event system reports.
+    * Bucketing is pure integer epoch math (no timezone/calendar
+    * functions, which round differently across engines); one keyed agg
+    * with map-side combine.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(spark, dir)
+      // epoch day 0 = Thursday → +4 aligns Monday=0
+      .withColumn("dow", expr("((ts_us div 86400000000) + 3) % 7"))
+      .withColumn("hour", expr("(ts_us div 3600000000) % 24"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("dow", "hour")
+
+  val eventsSeasonalitySql: String =
+    """SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY dow, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist_quantiles" -> (aggHistQuantiles _),
+    "events_seasonality" -> (eventsSeasonality _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "join_theta_bands" -> (joinThetaBands _),
     "events_ab_lift" -> (eventsAbLift _),
@@ -1106,6 +1206,8 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "agg_hist_quantiles" -> aggHistQuantilesSql,
+    "events_seasonality" -> eventsSeasonalitySql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "join_theta_bands" -> joinThetaBandsSql,
     "events_ab_lift" -> eventsAbLiftSql,
