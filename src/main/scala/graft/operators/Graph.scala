@@ -202,11 +202,73 @@ object Graph {
        |    AS transitivity
        |FROM stats, edges, tri""".stripMargin
 
+  // --------------------------------------------------------------- #116
+  /** #116 association rules from the co-purchase pairs: for every
+    * supported pair {a,b}, both directed rules a→b and b→a with
+    * support / confidence / lift. Reuses the bounded per-order pair
+    * generation; item frequencies are a tiny keyed agg broadcast into
+    * the rule join; lift's denominator is a 1-row scalar. All three
+    * metrics are exact-integer ratios under ONE IEEE division each
+    * (r4) — no floating accumulation anywhere.
+    */
+  def graphBasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val nOrders = li.agg(countDistinct(col("o")).as("n_orders"))
+    val itemSup = li.groupBy("p").agg(countDistinct(col("o")).as("isup"))
+    val pairSup = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(countDistinct(col("a.o")).as("sup"))
+      .where(col("sup") >= 2)
+    val rules = pairSup
+      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+        col("sup"))
+      .union(pairSup.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("sup")))
+    rules
+      .join(broadcast(itemSup.select(col("p").as("antecedent"),
+        col("isup").as("sup_a"))), "antecedent")
+      .join(broadcast(itemSup.select(col("p").as("consequent"),
+        col("isup").as("sup_c"))), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("sup"),
+        r4(col("sup") / col("sup_a").cast("double")).as("confidence"),
+        r4((col("sup") * col("n_orders")) /
+          (col("sup_a") * col("sup_c")).cast("double")).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  val graphBasketRulesSql: String =
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li),
+       |isup AS (SELECT p, COUNT(DISTINCT o) AS isup FROM li GROUP BY p),
+       |ps AS (
+       |  SELECT pa, pb, sup FROM (
+       |    SELECT a.p AS pa, b.p AS pb, COUNT(DISTINCT a.o) AS sup
+       |    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       |    GROUP BY 1, 2)
+       |  WHERE sup >= 2),
+       |rules AS (
+       |  SELECT pa AS antecedent, pb AS consequent, sup FROM ps
+       |  UNION ALL SELECT pb, pa, sup FROM ps)
+       |SELECT antecedent, consequent, sup,
+       |  ${r4Sql("sup / CAST(sa.isup AS DOUBLE)")} AS confidence,
+       |  ${r4Sql("(sup * n_orders) / CAST(sa.isup * sc.isup AS DOUBLE)")}
+       |    AS lift
+       |FROM rules
+       |JOIN isup sa ON rules.antecedent = sa.p
+       |JOIN isup sc ON rules.consequent = sc.p
+       |CROSS JOIN n
+       |ORDER BY antecedent, consequent""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => graphPagerank(s, d)),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_basket_rules" -> (graphBasketRules _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
-    "graph_triangles" -> graphTrianglesSql)
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_basket_rules" -> graphBasketRulesSql)
 }

@@ -311,7 +311,55 @@ object TextAnalysis {
       |SELECT tok, n, n_total FROM c, tot
       |WHERE n * 32 > n_total ORDER BY n DESC, tok""".stripMargin
 
+  // --------------------------------------------------------------- #117
+  /** #117 bigram language model estimation: P(w2 | w1) = c(w1 w2) /
+    * c(w1 ·) over the corpus — the counting backbone of n-gram LMs
+    * (and of the perplexity-style quality filters built on them). Two
+    * keyed aggs: bigram counts, then the conditional via a window sum
+    * over the aggregated bigram table (the unigram-context total —
+    * never a second corpus pass). Restricted to contexts with ≥ 100
+    * observations so emitted probabilities are statistically meaningful
+    * AND the output is bounded at any corpus size (context count is
+    * capped by vocabulary, not data volume).
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val ctx = Window.partitionBy("w1")
+    big
+      .withColumn("c1", sum(col("c12")).over(ctx))
+      .where(col("c1") >= 100)
+      .select(col("w1"), col("w2"), col("c12"),
+        r4(col("c12") / col("c1").cast("double")).as("prob"))
+      .orderBy("w1", "w2")
+  }
+
+  val textBigramLmSql: String =
+    s"""WITH b AS (
+       |  SELECT unnest(sp[1:len(sp) - 1]) AS w1,
+       |    unnest(sp[2:len(sp)]) AS w2
+       |  FROM (SELECT string_split(text, ' ') AS sp FROM documents)),
+       |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY 1, 2),
+       |w AS (
+       |  SELECT w1, w2, c12,
+       |    SUM(c12) OVER (PARTITION BY w1) AS c1
+       |  FROM c)
+       |SELECT w1, w2, c12,
+       |  ${r4Sql("c12 / CAST(c1 AS DOUBLE)")} AS prob
+       |FROM w WHERE c1 >= 100
+       |ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> (textBigramLm _),
     "text_heavy_hitters" ->
       ((s: SparkSession, d: String) => textHeavyHitters(s, d)),
     "text_inverted_index" ->
@@ -324,6 +372,7 @@ object TextAnalysis {
     "text_ngrams" -> (textNgrams _))
 
   val oracles: Map[String, String] = Map(
+    "text_bigram_lm" -> textBigramLmSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "text_stats" -> textStatsSql,

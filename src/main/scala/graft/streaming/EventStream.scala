@@ -25,6 +25,19 @@ object EventStream {
   final case class Ev(event_id: Long, user_id: Long, event_type: String,
       ts_us: Long, value: Double)
 
+  /** Stream-static enrichment: each micro-batch left-joins the static
+    * dimension (broadcast — re-planned per batch, so a dim refresh is
+    * picked up on the next trigger). No watermark and no state: the
+    * static side is not a stream, so there is nothing to buffer — the
+    * cheapest join shape in Structured Streaming and the standard way
+    * to attach catalog attributes to a live event feed.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("c_mktsegment"))
+
   /** Emitted session summary (same shape as the batch `sessionize`). */
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)

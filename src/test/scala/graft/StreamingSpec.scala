@@ -215,6 +215,29 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static dim enrichment == batch left join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val dim = Tables(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[Ev]
+    val q = EventStream.enrichStream(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("enrich_out").collect().map(_.toSeq).toSet
+    val batch = EventStream.enrichStream(
+      Tables.eventsUs(spark, sf)
+        .select("event_id", "user_id", "event_type", "ts_us", "value"),
+      dim).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("foreachBatch incremental view maintenance == batch tumbling agg") {
     val sp = spark
     import sp.implicits._
