@@ -39,6 +39,11 @@ class GraftExtensionsSpec extends GraftSpec {
           |  (SELECT array(1L, 2L, 3L) AS hs UNION ALL
           |   SELECT array(3L, 4L) AS hs)""".stripMargin).head
       assert(kmv.getAs[Double]("est") == 4.0) // < k => exact count
+      val mg = s2.sql(
+        """SELECT mg_topk(t, 2) AS cands FROM
+          |  (SELECT explode(array('a','a','a','b','c','a','b')) AS t)"""
+          .stripMargin).head.getSeq[String](0)
+      assert(mg.contains("a")) // freq 4 > N/k = 3.5 => guaranteed
       // dim-table auto-broadcast: with size-based broadcast disabled, a
       // plain customer x nation join must STILL plan a BroadcastHashJoin
       // because the injected rule recognizes the dim signature

@@ -52,6 +52,25 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(brute == Map("a" -> 100L, "b" -> 80L))
   }
 
+  test("levenshtein LSH candidates cover the brute-force pair set") {
+    // recall check for dedup_levenshtein's candidate generation at the
+    // spec scale: the LSH-blocked output must equal global brute force
+    val sp = spark
+    import sp.implicits._
+    val lsh = operators.Dedup.dedupLevenshtein(sp, TestSpark.sf)
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    val docs = Tables(sp, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("t_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("t_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .where(expr("1.0 - levenshtein(t_a, t_b) / " +
+        "cast(greatest(length(t_a), length(t_b)) as double) >= 0.79995"))
+      .select("id_a", "id_b").collect().map(_.toSeq).toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("uniform data yields no false guarantees after verify") {
     val sp = spark
     import sp.implicits._
