@@ -335,7 +335,127 @@ object Temporal {
       |  COUNT(*) AS n
       |FROM e GROUP BY 1 ORDER BY hour_us""".stripMargin
 
+  // --------------------------------------------------------------- #118
+  /** #118 session statistics: the sessionize (#20) output re-aggregated
+    * into the distribution a product team actually reads — sessions,
+    * events/session, duration stats (avg via decimal sums, p95 via
+    * exact percentile under r4). Composition: the session build
+    * shuffles once on user_id, the rollup is one more tiny agg over
+    * session-sized rows.
+    */
+  def sessionsStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = sessionize(spark, dir)
+      .withColumn("duration_s",
+        ((col("end_us") - col("start_us")) / 1000000L).cast("long"))
+    s.agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sumDec(col("n_events").cast("double"), 18, 2) / count(lit(1)))
+          .as("avg_events"),
+        (sumDec(col("duration_s").cast("double"), 18, 2) / count(lit(1)))
+          .as("avg_duration_s"),
+        expr("cast(percentile(duration_s, 0.5) as double)")
+          .as("p50_duration_s"),
+        expr("cast(percentile(duration_s, 0.95) as double)")
+          .as("p95_duration_s"))
+      .select(col("n_sessions"), col("n_users"),
+        graft.Exprs.r4(col("avg_events")).as("avg_events"),
+        graft.Exprs.r4(col("avg_duration_s")).as("avg_duration_s"),
+        graft.Exprs.r4(col("p50_duration_s")).as("p50_duration_s"),
+        graft.Exprs.r4(col("p95_duration_s")).as("p95_duration_s"))
+  }
+
+  val sessionsStatsSql: String = {
+    import graft.Exprs.r4Sql
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+       |      OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+       |      AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |sess AS (
+       |  SELECT user_id,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us,
+       |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS session_id, ts_us
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id, session_id, COUNT(*) AS n_events,
+       |    (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s
+       |  FROM sess GROUP BY user_id, session_id)
+       |SELECT COUNT(*) AS n_sessions,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${r4Sql(
+          "CAST(SUM(CAST(CAST(n_events AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)")}
+       |    AS avg_events,
+       |  ${r4Sql(
+          "CAST(SUM(CAST(CAST(duration_s AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)")}
+       |    AS avg_duration_s,
+       |  ${r4Sql("CAST(quantile_cont(duration_s, 0.5) AS DOUBLE)")}
+       |    AS p50_duration_s,
+       |  ${r4Sql("CAST(quantile_cont(duration_s, 0.95) AS DOUBLE)")}
+       |    AS p95_duration_s
+       |FROM agg""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #119
+  /** #119 backlog curve (sweep line): daily opened/closed order counts
+    * and the running open-order backlog. The interval problem (how
+    * many orders are open on day D) becomes two +1/−1 event streams —
+    * order placed, last line shipped — merged, aggregated per day, and
+    * prefix-summed. That turns an interval-overlap join (quadratic-ish
+    * at scale) into one union + one keyed agg + one cumsum over the
+    * DAY-COUNT-sized curve (the single-partition sort sees ~10³ rows
+    * at any data volume). Orders with no shipped lines never emit a
+    * close event and correctly stay in the backlog.
+    */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+    val closeDay = Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(max(col("l_shipdate").cast("date")).as("cd"))
+    val opens = o.select(col("od").as("day"),
+      lit(1L).as("opened"), lit(0L).as("closed"))
+    val closes = o.join(closeDay, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cd").as("day"), lit(0L).as("opened"), lit(1L).as("closed"))
+    val curve = opens.union(closes)
+      .groupBy("day")
+      .agg(sum(col("opened")).as("opened"), sum(col("closed")).as("closed"))
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve
+      .withColumn("backlog", sum(col("opened") - col("closed")).over(cum))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("opened"), col("closed"), col("backlog"))
+      .orderBy("day")
+  }
+
+  val ordersBacklogSql: String =
+    """WITH opens AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS opened, 0 AS closed
+      |  FROM orders),
+      |closes AS (
+      |  SELECT cd AS day, 0 AS opened, 1 AS closed
+      |  FROM orders JOIN (
+      |    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS cd
+      |    FROM lineitem GROUP BY l_orderkey) c
+      |  ON o_orderkey = c.l_orderkey),
+      |curve AS (
+      |  SELECT day, CAST(SUM(opened) AS BIGINT) AS opened,
+      |    CAST(SUM(closed) AS BIGINT) AS closed
+      |  FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+      |  GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, opened, closed,
+      |  CAST(SUM(opened - closed) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS backlog
+      |FROM curve ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_backlog" -> (ordersBacklog _),
+    "sessions_stats" -> (sessionsStats _),
     "ts_ohlc" -> (tsOhlc _),
     "window_first_last" -> (windowFirstLast _),
     "window_percent_rank" -> (windowPercentRank _),
@@ -349,6 +469,8 @@ object Temporal {
     "ts_tumbling" -> (tsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "orders_backlog" -> ordersBacklogSql,
+    "sessions_stats" -> sessionsStatsSql,
     "ts_ohlc" -> tsOhlcSql,
     "window_first_last" -> windowFirstLastSql,
     "window_percent_rank" -> windowPercentRankSql,
