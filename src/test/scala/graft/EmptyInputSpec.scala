@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: representative operators from each
+  * family must return EMPTY results (not throw) when every table is
+  * empty — the first thing that happens in production when a partition
+  * or date-range filter matches nothing upstream.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  /** Same schemas as the real testdata, zero rows. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Tables.names.foreach { n =>
+      Tables(spark, TestSpark.sf, n).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  private val representative = Seq(
+    "q1_pricing_summary",   // scan + agg
+    "q5_region_revenue",    // star join
+    "sessionize",           // window cumsum
+    "dedup_minhash_lsh",    // LSH banding self-join
+    "dedup_exact",          // hash groupBy
+    "ann_bruteforce",       // broadcast query set
+    "text_stats",           // per-row projection
+    "scd2_intervals",       // stacked windows
+    "graph_triangles",      // self-join graph build (emits one stats row)
+    "events_markov",        // lag pairs
+    "orders_backlog",       // sweep line
+    "text_inverted_index")  // explode + relative df band
+
+  for (name <- representative)
+    test(s"$name handles an all-empty input without throwing") {
+      val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
+      // graph_triangles aggregates to a single stats row (all zeros /
+      // null transitivity); everything else must be empty
+      if (name == "graph_triangles") {
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Long]("n_triangles") == 0L)
+      } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
+    }
+}
