@@ -537,7 +537,60 @@ object Relational {
        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // --------------------------------------------------------------- #120
+  /** #120 TPC-H Q6 shape: the forecast-revenue scan — ALL predicates
+    * (date range, discount band, quantity cap) push to the parquet
+    * scan, so the plan is scan → partial agg → single-row exchange;
+    * no join, no window. The purest pushdown showcase in the suite:
+    * at 100 TB this query's cost is exactly the row-group pruning the
+    * filters buy.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(expr("l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sumDec(col("l_extendedprice") * col("l_discount"), 22, 6)
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6Sql: String =
+    s"""SELECT ${sumDecSql("l_extendedprice*l_discount", 22, 6)} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- #121
+  /** #121 rank vs dense_rank tie semantics: parts ranked by size
+    * within brand — sizes tie heavily, so `rank` shows gaps after tie
+    * groups while `dense_rank` stays gapless. Tie-group rank VALUES
+    * are deterministic by definition (equal keys ⇒ equal rank), so no
+    * tie-break is needed in the window ORDER BY itself — only the
+    * output's total order carries the p_partkey key.
+    */
+  def windowDenseRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+    Tables(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  val windowDenseRankSql: String =
+    """SELECT p_brand, p_partkey, p_size,
+      |  CAST(RANK() OVER w AS BIGINT) AS rk,
+      |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_size)
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "window_dense_rank" -> (windowDenseRank _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_unshipped" -> (q3TopUnshipped _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -555,6 +608,8 @@ object Relational {
     "agg_stats" -> (aggStats _))
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6Sql,
+    "window_dense_rank" -> windowDenseRankSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_unshipped" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
