@@ -453,7 +453,47 @@ object Temporal {
       |    AS backlog
       |FROM curve ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- #122
+  /** #122 running distinct cardinality: how many DISTINCT event types
+    * each user has seen as of every event. Window DISTINCT aggregates
+    * don't exist in either engine; the standard re-expression is
+    * first-occurrence flags (row_number per (user, type) == 1) folded
+    * by a running sum — two window passes over the SAME (user)
+    * partitioning, one Exchange.
+    */
+  def windowRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val firstW = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    val cumW = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsUs(spark, dir)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("is_first",
+        (row_number().over(firstW) === 1).cast("long"))
+      .withColumn("types_seen", sum(col("is_first")).over(cumW))
+      .select("user_id", "event_id", "ts_us", "types_seen")
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val windowRunningDistinctSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN ROW_NUMBER() OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts_us, event_id) = 1
+      |    THEN 1 ELSE 0 END AS is_first
+      |  FROM e)
+      |SELECT user_id, event_id, ts_us,
+      |  CAST(SUM(is_first) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS types_seen
+      |FROM f
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_running_distinct" -> (windowRunningDistinct _),
     "orders_backlog" -> (ordersBacklog _),
     "sessions_stats" -> (sessionsStats _),
     "ts_ohlc" -> (tsOhlc _),
@@ -469,6 +509,7 @@ object Temporal {
     "ts_tumbling" -> (tsTumbling _))
 
   val oracles: Map[String, String] = Map(
+    "window_running_distinct" -> windowRunningDistinctSql,
     "orders_backlog" -> ordersBacklogSql,
     "sessions_stats" -> sessionsStatsSql,
     "ts_ohlc" -> tsOhlcSql,
