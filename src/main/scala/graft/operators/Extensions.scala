@@ -1176,7 +1176,60 @@ object Extensions {
       |GROUP BY 1, 2
       |ORDER BY dow, hour""".stripMargin
 
+  // --------------------------------------------------------------- #123
+  /** #123 MAD (median-absolute-deviation) robust outliers: per group,
+    * the median, the MAD, and how many orders sit outside
+    * median ± 3·1.4826·MAD — the robust complement of the z-score
+    * detectors (#82), immune to the outliers it hunts. Two aggregation
+    * passes over the same grouping (median, then deviations against
+    * the broadcast medians) + one counting pass; the 1.4826
+    * normal-consistency constant and the threshold comparison are
+    * plain IEEE ops on r4-disciplined medians, identical both engines.
+    */
+  def aggMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    val med = o.groupBy("o_orderpriority")
+      .agg(r4(expr("percentile(o_totalprice, 0.5)")).as("med"))
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy("o_orderpriority")
+      .agg(r4(expr("percentile(adev, 0.5)")).as("mad"),
+        max(col("med")).as("med"))
+    dev.select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(abs(col("o_totalprice") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"), 1)).as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+
+  val aggMadOutliersSql: String =
+    s"""WITH med AS (
+       |  SELECT o_orderpriority,
+       |    ${r4Sql("quantile_cont(o_totalprice, 0.5)")} AS med
+       |  FROM orders GROUP BY o_orderpriority),
+       |dev AS (
+       |  SELECT o.o_orderpriority, o_orderkey, o_totalprice, med,
+       |    abs(o_totalprice - med) AS adev
+       |  FROM orders o JOIN med USING (o_orderpriority)),
+       |mad AS (
+       |  SELECT o_orderpriority,
+       |    ${r4Sql("quantile_cont(adev, 0.5)")} AS mad,
+       |    MAX(med) AS med
+       |  FROM dev GROUP BY o_orderpriority)
+       |SELECT dev.o_orderpriority, COUNT(*) AS n,
+       |  MAX(mad.med) AS med, MAX(mad.mad) AS mad,
+       |  COUNT(*) FILTER (WHERE abs(o_totalprice - mad.med) >
+       |    3.0 * 1.4826 * mad.mad) AS n_outliers
+       |FROM dev JOIN mad USING (o_orderpriority)
+       |GROUP BY dev.o_orderpriority
+       |ORDER BY dev.o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad_outliers" -> (aggMadOutliers _),
     "agg_hist_quantiles" -> (aggHistQuantiles _),
     "events_seasonality" -> (eventsSeasonality _),
     "orders_cohort_ltv" -> (ordersCohortLtv _),
@@ -1206,6 +1259,7 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "agg_mad_outliers" -> aggMadOutliersSql,
     "agg_hist_quantiles" -> aggHistQuantilesSql,
     "events_seasonality" -> eventsSeasonalitySql,
     "orders_cohort_ltv" -> ordersCohortLtvSql,
