@@ -24,6 +24,8 @@ object SparkEntry {
     operators.Quality.queries,
     operators.Change.queries,
     operators.Graph.queries,
+    operators.Subqueries.queries,
+    operators.Analytics.queries,
   )
 
   private def oracleModules = Seq(
@@ -40,6 +42,8 @@ object SparkEntry {
     operators.Quality.oracles,
     operators.Change.oracles,
     operators.Graph.oracles,
+    operators.Subqueries.oracles,
+    operators.Analytics.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -134,6 +134,40 @@ object Corpus {
       |WHERE c.source <> 'src0' AND b.source = 'src0'
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- #130
+  /** #130 Bloom-prefiltered decontamination — the 100 TB form of #65.
+    * The benchmark slice's 5-gram hashes fold into ONE m-bit Bloom
+    * filter (`bloom_agg`: fixed-size partials, bitwise-OR merge — only
+    * m/8 bytes cross the shuffle), which broadcasts to the corpus as a
+    * 1-row cross join. Docs failing `bloom_any` never explode their
+    * grams at all, so the exact verify join's big side shrinks from
+    * |corpus| × grams-per-doc to (match rate + false-positive rate) ×
+    * that — at a real corpus-vs-benchmark ratio, orders of magnitude.
+    * No false negatives ⇒ the verified output (and the oracle) are
+    * IDENTICAL to #65's exact join; the filter only deletes work.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    graft.functions.BloomSketch.register(spark)
+    val docs = Tables.spread(spark, dir, "documents")
+      .withColumn("ghs", expr("ngram_md5_hashes(split(text, ' '), 5)"))
+    val bench = docs.where(col("source") === "src0")
+    val bloom = bench.agg(
+      expr(s"bloom_agg(ghs, $mBits, $kProbes)").as("bloom"))
+    val benchGrams = bench
+      .select(col("doc_id").as("bench_id"), explode(col("ghs")).as("gh"))
+    docs.where(col("source") =!= "src0")
+      .join(broadcast(bloom))
+      .where(expr(s"bloom_any(bloom, ghs, $mBits, $kProbes)"))
+      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy("doc_id").agg(
+        count_distinct(col("gh")).as("n_shared_grams"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- #66
   /** #66 sequence packing: concat-then-chunk assignment of documents to
     * fixed-size training sequences, per source stream. Each document is
@@ -415,6 +449,8 @@ object Corpus {
     "sample_token_weighted" -> (sampleTokenWeighted _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" ->
+      ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "mix_domains" -> (mixDomains _),
     "dedup_passages" -> ((s: SparkSession, d: String) => dedupPassages(s, d)),
@@ -426,6 +462,9 @@ object Corpus {
     "sample_token_weighted" -> sampleTokenWeightedSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
+    // same answer as #65 by construction (no false negatives + exact
+    // verify) — the bloom only prunes the plan, never the result
+    "decontaminate_bloom" -> decontaminateSql,
     "pack_sequences" -> packSequencesSql,
     "mix_domains" -> mixDomainsSql,
     "dedup_passages" -> dedupPassagesSql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
@@ -262,13 +263,84 @@ object Graph {
        |CROSS JOIN n
        |ORDER BY antecedent, consequent""".stripMargin
 
+  // --------------------------------------------------------------- #135
+  /** #135 link prediction over the co-purchase graph: for every
+    * NON-adjacent node pair sharing ≥1 neighbor, common-neighbor
+    * count, resource-allocation index (Σ 1/deg(z) over shared
+    * neighbors z — decimal-summed so accumulation order can't drift),
+    * and neighbor-set Jaccard. Candidate pairs come from the wedge
+    * join (per-hub fan-out bounded by the support-floored degree),
+    * adjacency is removed by ONE anti-join against the edge list —
+    * never an all-pairs scan. The catalog reading: "jobs that share
+    * upstream inputs but were never linked" — the recommender over
+    * #5's lineage graph.
+    */
+  def graphLinkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionFrom(undirected(spark, dir))
+
+  /** Link-prediction scores over an arbitrary undirected edge list
+    * (`pa` < `pb`, one row per edge).
+    */
+  def linkPredictionFrom(und: DataFrame): DataFrame = {
+    val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val hub = sym.join(deg, "src")
+    val wedges = hub.select(col("src").as("z"), col("dst").as("a"),
+        col("deg").as("degz"))
+      .join(hub.select(col("src").as("z2"), col("dst").as("b")),
+        col("z") === col("z2") && col("a") < col("b"))
+    val cand = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum((lit(1.0) / col("degz")).cast(DecimalType(28, 12)))
+          .cast("double").as("ra_raw"))
+      .join(und, col("a") === col("pa") && col("b") === col("pb"),
+        "left_anti")
+    cand
+      .join(deg.select(col("src").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("degb")), "b")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        r4(col("ra_raw")).as("resource_alloc"),
+        r4(col("common_neighbors") /
+          (col("dega") + col("degb") - col("common_neighbors"))
+            .cast("double")).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  val graphLinkPredictionSql: String =
+    s"""WITH $edgeSql,
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |w AS (
+       |  SELECT x.dst AS a, y.dst AS b, x.src AS z
+       |  FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
+       |cand AS (
+       |  SELECT a, b, COUNT(*) AS common_neighbors,
+       |    CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / dz.deg AS DECIMAL(28,12)))
+       |      AS DOUBLE) AS ra_raw
+       |  FROM w JOIN deg dz ON w.z = dz.src
+       |  GROUP BY a, b),
+       |nonadj AS (
+       |  SELECT c.* FROM cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM und
+       |    WHERE und.pa = c.a AND und.pb = c.b))
+       |SELECT a, b, common_neighbors,
+       |  ${r4Sql("ra_raw")} AS resource_alloc,
+       |  ${r4Sql("common_neighbors / CAST(da.deg + db.deg " +
+                  "- common_neighbors AS DOUBLE)")} AS jaccard
+       |FROM nonadj
+       |JOIN deg da ON a = da.src
+       |JOIN deg db ON b = db.src
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => graphPagerank(s, d)),
     "graph_triangles" -> (graphTriangles _),
+    "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_basket_rules" -> (graphBasketRules _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_link_prediction" -> graphLinkPredictionSql,
     "graph_basket_rules" -> graphBasketRulesSql)
 }
