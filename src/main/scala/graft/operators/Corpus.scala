@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.Exprs.{r4, r4Sql}
 
@@ -445,7 +446,164 @@ object Corpus {
        |  FROM d CROSS JOIN mx)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #136
+  /** #136 deterministic train/val/test split: every doc lands in
+    * exactly one split by an md5 draw on its id — reproducible across
+    * engines, runs, and cluster layouts (no RNG state, no sampling
+    * operator), with 80/10/10 enforced by EXACT integer threshold
+    * comparisons (5h < 4·65536 etc. — no float boundary can flip a
+    * doc). Map-side classification + one keyed agg; the assignment
+    * column itself is what a real pipeline writes out as the split
+    * partition key.
+    */
+  def splitTrainVal(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when(col("h") * 5 < 4L * 65536L, "train")
+          .when(col("h") * 10 < 9L * 65536L, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy("source", "split")
+
+  val splitTrainValSql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, n_toks,
+      |    CASE WHEN h * 5 < 4 * 65536 THEN 'train'
+      |      WHEN h * 10 < 9 * 65536 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM d)
+      |SELECT source, split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // --------------------------------------------------------------- #137
+  /** #137 domain drift: χ² divergence of each source's unigram
+    * distribution from the corpus distribution over the top-200 vocab.
+    * Distributions are exact integer-count rationals; missing words
+    * enter as true zero terms via the source×vocab cross join (tiny:
+    * |sources|×200); each χ² term is decimal-cast before the sum so
+    * IEEE accumulation order can't drift. The corpus-monitoring signal
+    * for mixture shift between ingests — pairs with #67 (mixing) and
+    * #80 (Zipf shape).
+    */
+  def corpusDomainDrift(spark: SparkSession, dir: String,
+      vocabK: Int = 200): DataFrame = {
+    val toks = Tables.spread(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val global = toks.groupBy("tok").agg(count(lit(1)).as("cg"))
+    val vocab = global
+      .withColumn("rk", row_number().over(
+        Window.orderBy(desc("cg"), col("tok"))))
+      .where(col("rk") <= vocabK)
+      .select("tok", "cg")
+    val ng = vocab.agg(sum(col("cg")).as("ng"))
+    val srcCounts = toks
+      .join(broadcast(vocab.select("tok")), "tok")
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val ns = srcCounts.groupBy("source").agg(sum(col("cs")).as("ns"))
+    val grid = ns.crossJoin(broadcast(vocab))
+      .join(srcCounts, Seq("source", "tok"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+      .crossJoin(broadcast(ng))
+    val ps = col("cs") / col("ns").cast("double")
+    val pg = col("cg") / col("ng").cast("double")
+    grid
+      .withColumn("term",
+        ((ps - pg) * (ps - pg) / pg).cast(DecimalType(38, 18)))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens_vocab"),
+        sum(col("term")).cast("double").as("chi2_raw"))
+      .select(col("source"), col("n_tokens_vocab"),
+        r4(col("chi2_raw")).as("chi2"))
+      .orderBy("source")
+  }
+
+  val corpusDomainDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |global AS (SELECT tok, COUNT(*) AS cg FROM toks GROUP BY 1),
+       |vocab AS (
+       |  SELECT tok, cg FROM (
+       |    SELECT tok, cg,
+       |      ROW_NUMBER() OVER (ORDER BY cg DESC, tok) AS rk
+       |    FROM global)
+       |  WHERE rk <= 200),
+       |ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM vocab),
+       |sc AS (
+       |  SELECT source, t.tok, COUNT(*) AS cs
+       |  FROM toks t JOIN vocab v ON t.tok = v.tok
+       |  GROUP BY 1, 2),
+       |ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns
+       |  FROM sc GROUP BY 1),
+       |grid AS (
+       |  SELECT ns.source, ns.ns, v.tok, v.cg, COALESCE(sc.cs, 0) AS cs
+       |  FROM ns CROSS JOIN vocab v
+       |  LEFT JOIN sc ON sc.source = ns.source AND sc.tok = v.tok),
+       |terms AS (
+       |  SELECT source, ns,
+       |    CAST((cs / CAST(ns AS DOUBLE) - cg / CAST(ng AS DOUBLE))
+       |      * (cs / CAST(ns AS DOUBLE) - cg / CAST(ng AS DOUBLE))
+       |      / (cg / CAST(ng AS DOUBLE)) AS DECIMAL(38,18)) AS term
+       |  FROM grid CROSS JOIN ng)
+       |SELECT source, MAX(ns) AS n_tokens_vocab,
+       |  ${r4Sql("CAST(SUM(term) AS DOUBLE)")} AS chi2
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- #138
+  /** #138 first BPE merge iteration: corpus-weighted adjacent
+    * character-pair frequencies, computed over the DISTINCT-WORD
+    * vocabulary (pair extraction runs once per vocab word, then
+    * multiplies by the word's corpus count — the standard trick that
+    * makes distributed BPE training linear in |vocab|, not corpus
+    * tokens). Top-20 by (count, pair) total order; ties can't
+    * reorder cross-engine.
+    */
+  def textBpePairs(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val words = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .where(length(col("w")) >= 2)
+    words
+      .select(col("cw"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("cw")).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("pair"))
+      .limit(topK)
+  }
+
+  val textBpePairsSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS cw FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w HAVING len(w) >= 2),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> substr(w, i, 2))) AS pair, cw
+      |  FROM words)
+      |SELECT pair, CAST(SUM(cw) AS BIGINT) AS n_occurrences
+      |FROM pairs GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_train_val" -> (splitTrainVal _),
+    "corpus_domain_drift" ->
+      ((s: SparkSession, d: String) => corpusDomainDrift(s, d)),
+    "text_bpe_pairs" ->
+      ((s: SparkSession, d: String) => textBpePairs(s, d)),
     "sample_token_weighted" -> (sampleTokenWeighted _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
@@ -459,6 +617,9 @@ object Corpus {
       ((s: SparkSession, d: String) => corpusTokenBudget(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "split_train_val" -> splitTrainValSql,
+    "corpus_domain_drift" -> corpusDomainDriftSql,
+    "text_bpe_pairs" -> textBpePairsSql,
     "sample_token_weighted" -> sampleTokenWeightedSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,

@@ -268,13 +268,105 @@ object Multimodal {
       |    AS checksum
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #140
+  /** #140 perceptual-hash re-upload detection for media payloads: a
+    * 64-bit average-hash (64 stride-sampled bytes, bit i set iff
+    * sample i exceeds the sample mean — the mean compare cleared to
+    * exact integers: vᵢ·64 > Σv), then the #29 banding: 4×16-bit
+    * slices, hamming ≤ 3 pairs must agree on ≥1 slice (pigeonhole).
+    * The eval corpus plants the dominant real-world positive class —
+    * byte-identical re-uploads under fresh ids (every 7th doc) — on
+    * top of the organic corpus; a real deployment swaps the byte
+    * sampler for a DCT over decoded pixels to also catch re-ENCODES
+    * (the text stand-in bytes have no pixel alignment for that, as
+    * the corpus's word-edit near-dups shift every downstream byte).
+    * The signature/banding/verify pipeline — the part Spark owns — is
+    * identical. Payload bytes never shuffle: only the 8-byte
+    * signature leaves the scan.
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(64 % bands == 0 && bands > maxHamming)
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val docs = graft.Tables.spread(spark, dir, "documents")
+      .select("doc_id", "text")
+    val reuploads = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val base = docs.union(reuploads)
+      .withColumn("samples", expr(
+        "transform(sequence(0, 63), i -> ascii(substring(text, " +
+          "1 + cast(floor(i * length(text) / 64) as int), 1)))"))
+      .withColumn("ssum", expr("aggregate(samples, 0, (a, x) -> a + x)"))
+      .withColumn("sig", expr(
+        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> " +
+          "acc + IF(element_at(samples, i + 1) * 64 > ssum, " +
+          "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"))
+      .select("doc_id", "sig")
+    val banded = base.select(col("doc_id"), col("sig"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), b -> named_struct(
+           |  'band', b,
+           |  'bval', shiftright(sig, b * $bits) & $mask))""".stripMargin))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("cast(bit_count(a.sig ^ b.sig) as long)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Bits-array mirror of the signature (same integer-cleared mean
+    * compare), banded exactly like the #29 oracle.
+    */
+  val mmPhashDedupSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |t AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |      ascii(substr(text,
+      |        1 + CAST(FLOOR(i * len(text) / 64) AS INT), 1))) AS samples
+      |  FROM docs),
+      |s AS (
+      |  SELECT doc_id, samples,
+      |    CAST(list_sum(samples) AS BIGINT) AS ssum
+      |  FROM t),
+      |bb AS (
+      |  SELECT doc_id, list_transform(samples,
+      |    v -> CASE WHEN v * 64 > ssum THEN 1 ELSE 0 END) AS bits
+      |  FROM s),
+      |banded AS (
+      |  SELECT doc_id, bits, b,
+      |    list_sum(list_transform(range(0, 16),
+      |      k -> bits[b * 16 + k + 1] << k)) AS bval
+      |  FROM bb, range(0, 4) t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> abs(a.bits[i] - b.bits[i]))) AS BIGINT) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs
+      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" ->
+      ((s: SparkSession, d: String) => mmPhashDedup(s, d)),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_feature_extract" -> (mmFeatureExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_feature_extract" -> mmFeatureExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

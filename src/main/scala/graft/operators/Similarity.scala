@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.Exprs.{r4, r4Sql}
 
@@ -345,7 +346,75 @@ object Similarity {
       |  FLOOR(cos_raw * 10000.0 + 0.5) / 10000.0 AS cosine_exact
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- #139
+  /** #139 embedding dispersion per label — SemDeDup-style cluster
+    * coherence WITHOUT the pairwise join: for unit-normalized vectors,
+    * Σᵢⱼ v̂ᵢ·v̂ⱼ = ‖Σv̂‖², so the mean pairwise cosine inside a label is
+    * (‖Σv̂‖² − n)/(n(n−1)) — one posexplode + two keyed aggs over 64
+    * dims, O(n·d) instead of O(n²·d). Per-dimension component sums and
+    * the squared-sum reduction are decimal-cast, so no accumulation
+    * order can drift; norms are the established sequential in-order
+    * folds. (The −n term assumes exactly-unit norms; the float
+    * normalization leaves ±ulps, identically on both engines.)
+    * The signal: labels with high mean-pairwise-cosine are the
+    * near-duplicate clusters #76 prunes; centroid_norm ≈ 1 means the
+    * label collapsed to one direction.
+    */
+  def embedDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val nv = Tables.spread(spark, dir, "embeddings")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, cast(0 as double), " +
+          "(a, x) -> a + cast(x as double) * cast(x as double))")))
+    val comps = nv
+      .select(col("label"), col("nrm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vh", col("v").cast("double") / col("nrm"))
+    val dimSums = comps.groupBy("label", "dim")
+      .agg(sum(col("vh").cast(DecimalType(38, 18))).cast("double").as("sd"))
+    val norm2 = dimSums.groupBy("label")
+      .agg(sum((col("sd") * col("sd")).cast(DecimalType(38, 12)))
+        .cast("double").as("norm2"))
+    val counts = nv.groupBy("label").agg(count(lit(1)).as("n_vectors"))
+    counts.join(norm2, "label")
+      .select(col("label"), col("n_vectors"),
+        r4((col("norm2") - col("n_vectors")) /
+          (col("n_vectors") * (col("n_vectors") - lit(1))).cast("double"))
+          .as("mean_pairwise_cos"),
+        r4(sqrt(col("norm2")) / col("n_vectors").cast("double"))
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  val embedDispersionSql: String =
+    s"""WITH nv AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |comps AS (
+       |  SELECT label, i AS dim, embedding[CAST(i AS INT)]::DOUBLE / nrm AS vh
+       |  FROM nv, range(1, 65) t(i)),
+       |dimsums AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(vh AS DECIMAL(38,18))) AS DOUBLE) AS sd
+       |  FROM comps GROUP BY 1, 2),
+       |n2 AS (
+       |  SELECT label,
+       |    CAST(SUM(CAST(sd * sd AS DECIMAL(38,12))) AS DOUBLE) AS norm2
+       |  FROM dimsums GROUP BY 1),
+       |cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings
+       |  GROUP BY 1)
+       |SELECT cnt.label, n_vectors,
+       |  ${r4Sql("(norm2 - n_vectors) / " +
+                  "CAST(n_vectors * (n_vectors - 1) AS DOUBLE)")}
+       |    AS mean_pairwise_cos,
+       |  ${r4Sql("sqrt(norm2) / CAST(n_vectors AS DOUBLE)")}
+       |    AS centroid_norm
+       |FROM cnt JOIN n2 ON cnt.label = n2.label
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_dispersion" -> (embedDispersion _),
     "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "kmeans_lloyd" -> ((s: SparkSession, d: String) => kmeansLloyd(s, d)),
     "ann_bruteforce" -> (annBruteforce _),
@@ -737,6 +806,7 @@ object Similarity {
       |ORDER BY r.q_id, r.rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_dispersion" -> embedDispersionSql,
     "ann_pq" -> annPqSql,
     "kmeans_lloyd" -> kmeansLloydSql,
     "ann_bruteforce" -> annBruteforceSql,

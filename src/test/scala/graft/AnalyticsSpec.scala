@@ -94,6 +94,61 @@ class AnalyticsSpec extends GraftSpec {
     assert(g >= 0.0 && g < 1.0)
   }
 
+  test("split: every doc in exactly one split, ratios near 80/10/10") {
+    val docs = Tables(spark, sf, "documents").count()
+    val rows = operators.Corpus.splitTrainVal(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.values.sum == docs) // partition: no doc lost or doubled
+    val train = bySplit.getOrElse("train", 0L).toDouble / docs
+    val valr = bySplit.getOrElse("val", 0L).toDouble / docs
+    assert(math.abs(train - 0.8) < 0.06, s"train ratio $train")
+    assert(math.abs(valr - 0.1) < 0.04, s"val ratio $valr")
+  }
+
+  test("domain drift: chi2 non-negative, one row per source") {
+    val nSources = Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    val rows = operators.Corpus.corpusDomainDrift(spark, sf).collect()
+    assert(rows.length == nSources)
+    rows.foreach(r => assert(r.getAs[Double]("chi2") >= 0.0))
+  }
+
+  test("bpe pairs: 2-char pairs in descending corpus-weighted order") {
+    val rows = operators.Corpus.textBpePairs(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val counts = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dispersion: coherence bounded, centroid norm in [0,1]") {
+    val rows = operators.Similarity.embedDispersion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      val mpc = r.getAs[Double]("mean_pairwise_cos")
+      val cn = r.getAs[Double]("centroid_norm")
+      // mean pairwise cosine of ANY unit set lives in [-1/(n-1), 1]
+      assert(mpc >= -1.0 / (n - 1) - 5e-5 && mpc <= 1.0 + 5e-5)
+      assert(cn >= 0.0 && cn <= 1.0 + 5e-5)
+    }
+  }
+
+  test("phash: every planted re-upload pairs with its original at 0") {
+    val planted = Tables(spark, sf, "documents")
+      .where(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairs = operators.Multimodal.mmPhashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    val found = pairs.collect {
+      case (a, b, h) if b == a + 1000000L && h == 0L => a
+    }.toSet
+    assert(planted.subsetOf(found),
+      s"missing re-uploads: ${(planted -- found).take(5)}")
+  }
+
   test("intervals: merged coverage bounded by count x length") {
     val rows = Analytics.intervalsMerge(spark, sf).collect()
     assert(rows.nonEmpty)
