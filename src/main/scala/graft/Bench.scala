@@ -26,7 +26,10 @@ object Bench {
     // factor so the timed loop measures steady-state execution, not
     // whichever query happens to hit a cold JVM path first.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val warmSet =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    warmSet.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // two timed passes, keep the per-query minimum: the box shows
@@ -35,13 +38,24 @@ object Bench {
     def timeOnce(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) =>
           org.apache.spark.sql.DataFrame): Double = {
+      // operators that persist() shared subplans (graph edge lists,
+      // dedup clusters) register them in the CacheManager, which
+      // dedupes by analyzed plan — without this, a repeat pass (or a
+      // sibling query building the SAME subplan) silently reads the
+      // previous pass's cache and under-reports the operator's cost
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional arg filter: `runMain graft.Bench name1 name2` times only
+    // those queries (iteration loop; the driver's full run passes none)
+    val picked =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val sorted = picked.toSeq.sortBy(_._1)
     val pass1 = sorted.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
     val results = sorted.map { case (n, fn) =>
       val t2 = timeOnce(n, fn)

@@ -224,7 +224,245 @@ object Analytics {
       |    AS covered_days
       |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // --------------------------------------------------------------- #141
+  /** #141 Count-Min frequency estimation with observable error: the
+    * corpus token stream folds into ONE 4×256 CMS (`cms_agg` — fixed
+    * 8 KB partials, elementwise-add merge), which broadcasts back to
+    * probe the exact top-20 tokens. Emitting estimate AND exact makes
+    * the ε-overcount a measured column (CMS never undercounts) — the
+    * same observable-error discipline as #114's histogram quantiles.
+    * Positions are md5-derived so the oracle rebuilds every counter;
+    * production swaps xxhash in (same plan).
+    */
+  def textCmsFreq(spark: SparkSession, dir: String,
+      w: Int = 256, d: Int = 4, topK: Int = 20): DataFrame = {
+    graft.functions.CountMin.register(spark)
+    val toks = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cms = toks.agg(expr(s"cms_agg(tok, $w, $d)").as("cms"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), col("tok"))
+      .limit(topK)
+    exact.crossJoin(broadcast(cms))
+      .select(col("tok"), col("exact_count"),
+        expr(s"cms_est(cms, tok, $w, $d)").as("est"))
+      .withColumn("overcount", col("est") - col("exact_count"))
+      .orderBy(desc("exact_count"), col("tok"))
+  }
+
+  val textCmsFreqSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |cells AS (
+      |  SELECT r, ('0x' || substr(md5(tok || ':' || r), 1, 8))::BIGINT
+      |      % 256 AS pos,
+      |    CAST(SUM(c) AS BIGINT) AS total
+      |  FROM cnt CROSS JOIN range(0, 4) t(r)
+      |  GROUP BY 1, 2),
+      |top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+      |probe AS (
+      |  SELECT top.tok, top.c AS exact_count, MIN(total) AS est
+      |  FROM top CROSS JOIN range(0, 4) t(r)
+      |  JOIN cells ON cells.r = t.r AND cells.pos =
+      |    ('0x' || substr(md5(top.tok || ':' || t.r), 1, 8))::BIGINT % 256
+      |  GROUP BY 1, 2)
+      |SELECT tok, exact_count, est, est - exact_count AS overcount
+      |FROM probe ORDER BY exact_count DESC, tok""".stripMargin
+
+  // --------------------------------------------------------------- #144
+  /** #144 CUSUM changepoint detection per event type: the day where
+    * the cumulative deviation of daily volume from the series mean
+    * peaks — the standard level-shift detector for monitoring feeds.
+    * The statistic is cleared to pure integers: Sₙ(i) = n·Σ₍ⱼ≤ᵢ₎cⱼ −
+    * i·total is n× the CUSUM, so the argmax (tie-break: earliest day)
+    * involves NO division and can't drift; the reported magnitude
+    * divides once under r4. One keyed day-agg, two windows over one
+    * per-type Exchange, a rank-1 filter.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(86400000000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val totals = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(totals, "event_type")
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .withColumn("sn",
+        col("n_days") * col("cum") - col("i") * col("total"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(abs(col("sn")).desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("day").as("cp_day"),
+        r4(abs(col("sn")) / col("n_days").cast("double")).as("cusum_peak"))
+      .orderBy("event_type")
+  }
+
+  val eventsChangepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+       |      AS day,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    CAST(SUM(c) AS BIGINT) AS total
+       |  FROM daily GROUP BY 1),
+       |scored AS (
+       |  SELECT d.event_type, d.day, t.n_days, t.total,
+       |    SUM(c) OVER (PARTITION BY d.event_type ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY day) AS i
+       |  FROM daily d JOIN totals t ON d.event_type = t.event_type),
+       |sn AS (
+       |  SELECT event_type, day, n_days,
+       |    n_days * cum - i * total AS sn
+       |  FROM scored),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY abs(sn) DESC, day) AS rk
+       |  FROM sn)
+       |SELECT event_type, n_days, day AS cp_day,
+       |  ${r4Sql("abs(sn) / CAST(n_days AS DOUBLE)")} AS cusum_peak
+       |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- #142
+  /** #142 OLS revenue trend per order priority: slope/intercept of
+    * daily revenue over the day index from the five classic power
+    * sums — Σx and Σx² exact integers, Σy and Σxy exact decimals
+    * (day × decimal products), so both engines enter the closed-form
+    * with identical inputs and diverge only through the same IEEE
+    * division sequence (r4-rounded). Two keyed aggs, no window — the
+    * distributed-regression shape that needs no ML library.
+    */
+  def ordersTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("x"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("y"))
+    val sums = daily.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("long")).as("sx"),
+        sum(col("x").cast("long") * col("x")).as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x").cast(DecimalType(18, 0)) * col("y"))
+          .cast("double").as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    sums.select(col("o_orderpriority"), col("n").as("n_days"),
+        r4(slope).as("slope"),
+        r4((col("sy") - slope * col("sx")) / col("n").cast("double"))
+          .as("intercept"))
+      .orderBy("o_orderpriority")
+  }
+
+  val ordersTrendSql: String = {
+    val slope = "(n*sxy - sx*sy) / CAST(n*sxx - sx*sx AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority,
+       |    date_diff('day', DATE '1995-01-01', o_orderdate) AS x,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+       |      AS y
+       |  FROM orders GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT o_orderpriority, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy
+       |  FROM daily GROUP BY 1)
+       |SELECT o_orderpriority, n AS n_days,
+       |  ${r4Sql(slope)} AS slope,
+       |  ${r4Sql(s"(sy - ($slope) * sx) / CAST(n AS DOUBLE)")} AS intercept
+       |FROM sums ORDER BY o_orderpriority""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #143
+  /** #143 as-of linear interpolation: the expected purchase `value` at
+    * each view instant, interpolated between the same user's
+    * bracketing purchases. The union trick makes it ONE shuffle on
+    * the user key + two window passes (backward last / forward first
+    * with IGNORE NULLS) — never a probe×signal range join.
+    * Same-instant signal rows sort BEFORE the probe (tag), so the
+    * backward bracket may be exact-at-t and the forward bracket is
+    * strictly later — the denominator can't be zero. The time-series
+    * gap-fill primitive (#61) generalized to continuous values.
+    */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.eventsUs(spark, dir)
+    val ev = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ts_us").as("t"),
+        lit(0).as("tag"), lit(null).cast("long").as("probe_id"),
+        col("value").as("v"))
+    val probes = events.where(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts_us").as("t"),
+        lit(1).as("tag"), col("event_id").as("probe_id"),
+        lit(null).cast("double").as("v"))
+    val wb = Window.partitionBy("u").orderBy("t", "tag", "probe_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("u").orderBy("t", "tag", "probe_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.union(probes)
+      .withColumn("vp", last(col("v"), ignoreNulls = true).over(wb))
+      .withColumn("tp", last(when(col("tag") === 0, col("t")),
+        ignoreNulls = true).over(wb))
+      .withColumn("vn", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("tn", first(when(col("tag") === 0, col("t")),
+        ignoreNulls = true).over(wf))
+      .where(col("tag") === 1 && col("vp").isNotNull && col("vn").isNotNull)
+      .select(col("probe_id").as("view_event_id"), col("u").as("user_id"),
+        col("tp").as("prev_ts_us"), col("tn").as("next_ts_us"),
+        r4(col("vp") + (col("vn") - col("vp")) *
+          ((col("t") - col("tp")).cast("double") /
+            (col("tn") - col("tp")).cast("double"))).as("v_interp"))
+      .orderBy("view_event_id")
+  }
+
+  val tsInterpolateSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id AS u, epoch_us(ts) AS t, 0 AS tag,
+       |    CAST(NULL AS BIGINT) AS probe_id, value AS v
+       |  FROM events WHERE event_type = 'purchase'),
+       |probes AS (
+       |  SELECT user_id AS u, epoch_us(ts) AS t, 1 AS tag,
+       |    event_id AS probe_id, CAST(NULL AS DOUBLE) AS v
+       |  FROM events WHERE event_type = 'view'),
+       |uni AS (SELECT * FROM ev UNION ALL SELECT * FROM probes),
+       |br AS (
+       |  SELECT *,
+       |    LAST_VALUE(v IGNORE NULLS) OVER wb AS vp,
+       |    LAST_VALUE(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
+       |      OVER wb AS tp,
+       |    FIRST_VALUE(v IGNORE NULLS) OVER wf AS vn,
+       |    FIRST_VALUE(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
+       |      OVER wf AS tn
+       |  FROM uni
+       |  WINDOW wb AS (PARTITION BY u ORDER BY t, tag, probe_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wf AS (PARTITION BY u ORDER BY t, tag, probe_id
+       |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       |SELECT probe_id AS view_event_id, u AS user_id, tp AS prev_ts_us,
+       |  tn AS next_ts_us,
+       |  ${r4Sql("vp + (vn - vp) * (CAST(t - tp AS DOUBLE) " +
+                  "/ CAST(tn - tp AS DOUBLE))")} AS v_interp
+       |FROM br WHERE tag = 1 AND vp IS NOT NULL AND vn IS NOT NULL
+       |ORDER BY view_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_freq" ->
+      ((s: SparkSession, d: String) => textCmsFreq(s, d)),
+    "orders_trend" -> (ordersTrend _),
+    "ts_interpolate" -> (tsInterpolate _),
+    "events_changepoint" -> (eventsChangepoint _),
     "text_readability" -> (textReadability _),
     "events_diversity" -> (eventsDiversity _),
     "orders_gini" -> (ordersGini _),
@@ -232,6 +470,10 @@ object Analytics {
       ((s: SparkSession, d: String) => intervalsMerge(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "text_cms_freq" -> textCmsFreqSql,
+    "orders_trend" -> ordersTrendSql,
+    "ts_interpolate" -> tsInterpolateSql,
+    "events_changepoint" -> eventsChangepointSql,
     "text_readability" -> textReadabilitySql,
     "events_diversity" -> eventsDiversitySql,
     "orders_gini" -> ordersGiniSql,

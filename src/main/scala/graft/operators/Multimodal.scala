@@ -289,20 +289,17 @@ object Multimodal {
     require(64 % bands == 0 && bands > maxHamming)
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    graft.functions.Hashes.register(spark)
     val docs = graft.Tables.spread(spark, dir, "documents")
       .select("doc_id", "text")
     val reuploads = docs.where(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // native one-pass signature (Phash64); persisted because BOTH
+    // sides of the banded self-join reference this subplan — without
+    // it every signature computes twice
     val base = docs.union(reuploads)
-      .withColumn("samples", expr(
-        "transform(sequence(0, 63), i -> ascii(substring(text, " +
-          "1 + cast(floor(i * length(text) / 64) as int), 1)))"))
-      .withColumn("ssum", expr("aggregate(samples, 0, (a, x) -> a + x)"))
-      .withColumn("sig", expr(
-        "aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) -> " +
-          "acc + IF(element_at(samples, i + 1) * 64 > ssum, " +
-          "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"))
-      .select("doc_id", "sig")
+      .select(col("doc_id"), expr("phash64(text)").as("sig"))
+      .persist()
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> named_struct(

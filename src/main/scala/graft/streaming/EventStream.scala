@@ -334,4 +334,52 @@ object EventStream {
           }
       }
   }
+
+  /** Running per-user totals emitted each micro-batch. */
+  final case class UserTotals(user_id: Long, n_events: Long,
+      sum_scaled: Long)
+
+  /** Per-user running totals on the `transformWithState` API (the
+    * Spark 4 arbitrary-stateful-processing v2 form — typed ValueState
+    * behind a StatefulProcessor, RocksDB-backed): the event-count and
+    * value-sum per user update incrementally and the current totals
+    * emit every batch (OutputMode.Update). The sum accumulates in
+    * 1e-4-scaled longs so state is two fixed longs per user and the
+    * drained result is bit-equal to a batch decimal aggregate —
+    * accumulation order can't drift it.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, UserTotals] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    import org.apache.spark.sql.streaming.ValueState
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[UserTotals] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        s += math.floor(e.value * 10000.0 + 0.5).toLong
+      }
+      totals.update((n, s))
+      Iterator.single(UserTotals(key, n, s))
+    }
+  }
+
+  def runningTotals(events: Dataset[Ev]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[UserTotals])
+  }
 }

@@ -149,6 +149,82 @@ class AnalyticsSpec extends GraftSpec {
       s"missing re-uploads: ${(planted -- found).take(5)}")
   }
 
+  test("cms: never undercounts, and is exact when w >> distinct keys") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.CountMin.register(sp)
+    val rows = operators.Analytics.textCmsFreq(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L) // CMS one-sided error
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact_count"))
+    }
+    // wide sketch, few keys: every estimate collapses to the truth
+    val df = Seq.fill(50)("a").++(Seq.fill(30)("b")).++(Seq.fill(7)("c"))
+      .toDF("k").repartition(8)
+    val exactCms = df.agg(expr("cms_agg(k, 4096, 4)").as("cms"))
+    val out = df.distinct().crossJoin(exactCms)
+      .select(col("k"), expr("cms_est(cms, k, 4096, 4)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 50L, "b" -> 30L, "c" -> 7L))
+  }
+
+  test("trend: OLS sums match a driver-side recompute per priority") {
+    val rows = operators.Analytics.ordersTrend(spark, sf).collect()
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("x"))
+      .agg(sum(col("o_totalprice")).as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = daily(r.getString(0))
+        .map(p => (p.getAs[Int]("x").toDouble, p.getAs[Double]("y")))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n_days") == pts.length)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3)
+    }
+  }
+
+  test("interpolate: value lies between its brackets, time ordered") {
+    val rows = operators.Analytics.tsInterpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("prev_ts_us") <= r.getAs[Long]("next_ts_us"))
+    }
+  }
+
+  test("changepoint: peak day carries the max |cusum| of its series") {
+    val out = operators.Analytics.eventsChangepoint(spark, sf).collect()
+    assert(out.nonEmpty)
+    // recompute the integer statistic per type and compare the argmax
+    val daily = Tables.eventsUs(spark, sf)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(86400000000L)).cast("long").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+    out.foreach { r =>
+      val series = daily(r.getString(0)).map(p =>
+        (p.getAs[Long]("day"), p.getAs[Long]("c"))).sortBy(_._1)
+      val n = series.length.toLong
+      val total = series.map(_._2).sum
+      var cum = 0L
+      val sn = series.zipWithIndex.map { case ((day, c), i) =>
+        cum += c; (day, math.abs(n * cum - (i + 1) * total))
+      }
+      val best = sn.maxBy(p => (p._2, -p._1))
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Long]("cp_day") == best._1)
+      assert(math.abs(r.getAs[Double]("cusum_peak") - best._2.toDouble / n)
+        < 5e-5)
+    }
+  }
+
   test("intervals: merged coverage bounded by count x length") {
     val rows = Analytics.intervalsMerge(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -215,6 +215,49 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState running totals == batch aggregate") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query and restore the default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val events = loadEvents()
+      val stream = MemoryStream[Ev]
+      val q = EventStream.runningTotals(stream.toDS())
+        .writeStream.format("memory").queryName("totals_out")
+        .outputMode("update").start()
+      val (b1, rest) = events.splitAt(events.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      // totals are monotone per user: the max emission is the final one
+      val streamed = spark.table("totals_out")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("sum_scaled").as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = Tables.eventsUs(spark, sf)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(floor(value * 10000.0 + 0.5) as bigint)")).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static dim enrichment == batch left join") {
     val sp = spark
     import sp.implicits._
