@@ -334,6 +334,63 @@ object Analytics {
        |  ${r4Sql("abs(sn) / CAST(n_days AS DOUBLE)")} AS cusum_peak
        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #145
+  /** #145 linear multi-touch attribution: each purchase's value splits
+    * equally across the same user's views in the preceding 7 days;
+    * per view, the attributed revenue sums over all purchases it
+    * touched. The pair join is equi-keyed on user with the time
+    * residual INSIDE the join (the #11 range-join shape — never a
+    * cartesian); the 1/k split is one IEEE division per pair and each
+    * share is decimal-cast before the per-view sum, so pair
+    * enumeration order can't move a bit. Mass conservation (Σ
+    * attributed == Σ touched purchase value) is the spec's invariant.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+    val horizon = windowDays * 86400000000L
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("p_id"),
+        col("ts_us").as("pt"), col("value").as("pv"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+        col("ts_us").as("vt"))
+    val pairs = p.join(v, col("pu") === col("vu") &&
+      col("vt") <= col("pt") && col("pt") - col("vt") <= lit(horizon))
+    val wK = Window.partitionBy("p_id")
+    pairs
+      .withColumn("k", count(lit(1)).over(wK))
+      .withColumn("share",
+        (col("pv") / col("k").cast("double")).cast(DecimalType(28, 10)))
+      .groupBy("view_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("share")).cast("double").as("attr_raw"))
+      .select(col("view_id"), col("n_purchases"),
+        r4(col("attr_raw")).as("attributed_value"))
+      .orderBy("view_id")
+  }
+
+  val eventsAttributionSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id AS pu, event_id AS p_id, epoch_us(ts) AS pt,
+       |    value AS pv
+       |  FROM events WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id AS vu, event_id AS view_id, epoch_us(ts) AS vt
+       |  FROM events WHERE event_type = 'view'),
+       |pairs AS (
+       |  SELECT p_id, view_id, pv,
+       |    COUNT(*) OVER (PARTITION BY p_id) AS k
+       |  FROM p JOIN v ON pu = vu AND vt <= pt
+       |    AND pt - vt <= ${7 * 86400000000L}),
+       |shares AS (
+       |  SELECT view_id,
+       |    CAST(pv / CAST(k AS DOUBLE) AS DECIMAL(28,10)) AS share
+       |  FROM pairs)
+       |SELECT view_id, COUNT(*) AS n_purchases,
+       |  ${r4Sql("CAST(SUM(share) AS DOUBLE)")} AS attributed_value
+       |FROM shares GROUP BY view_id ORDER BY view_id""".stripMargin
+
   // --------------------------------------------------------------- #142
   /** #142 OLS revenue trend per order priority: slope/intercept of
     * daily revenue over the day index from the five classic power
@@ -463,6 +520,8 @@ object Analytics {
     "orders_trend" -> (ordersTrend _),
     "ts_interpolate" -> (tsInterpolate _),
     "events_changepoint" -> (eventsChangepoint _),
+    "events_attribution" ->
+      ((s: SparkSession, d: String) => eventsAttribution(s, d)),
     "text_readability" -> (textReadability _),
     "events_diversity" -> (eventsDiversity _),
     "orders_gini" -> (ordersGini _),
@@ -474,6 +533,7 @@ object Analytics {
     "orders_trend" -> ordersTrendSql,
     "ts_interpolate" -> tsInterpolateSql,
     "events_changepoint" -> eventsChangepointSql,
+    "events_attribution" -> eventsAttributionSql,
     "text_readability" -> textReadabilitySql,
     "events_diversity" -> eventsDiversitySql,
     "orders_gini" -> ordersGiniSql,

@@ -225,6 +225,25 @@ class AnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("attribution: conserves the touched purchase mass") {
+    val out = operators.Analytics.eventsAttribution(spark, sf).collect()
+    assert(out.nonEmpty)
+    val attributed = out.map(_.getAs[Double]("attributed_value")).sum
+    // total value of purchases that had >= 1 view in their window
+    val ev = Tables.eventsUs(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("p_id"),
+        col("ts_us").as("pt"), col("value").as("pv"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts_us").as("vt"))
+    val touched = p.join(v, col("pu") === col("vu") &&
+        col("vt") <= col("pt") &&
+        col("pt") - col("vt") <= lit(7L * 86400000000L), "left_semi")
+      .agg(sum("pv")).collect().head.getDouble(0)
+    // r4 rounding per view bounds the drift by 5e-5 per output row
+    assert(math.abs(attributed - touched) < 5e-5 * (out.length + 1))
+  }
+
   test("intervals: merged coverage bounded by count x length") {
     val rows = Analytics.intervalsMerge(spark, sf).collect()
     assert(rows.nonEmpty)
