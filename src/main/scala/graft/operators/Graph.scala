@@ -281,7 +281,14 @@ object Graph {
   /** Link-prediction scores over an arbitrary undirected edge list
     * (`pa` < `pb`, one row per edge).
     */
-  def linkPredictionFrom(und: DataFrame): DataFrame = {
+  def linkPredictionFrom(und0: DataFrame): DataFrame = {
+    // this operator references the edge subplan ~8× (two wedge sides
+    // through hub, degrees ×3, the adjacency anti-join) — the highest
+    // ref count in the graph family, and the ONE place the measured
+    // A/B favored persist (5.5 s vs 6.5 s at sf0.1) over parallel
+    // recompute; the siblings at 4-7 refs measured the opposite and
+    // stay persist-free (PLANS.md "Evaluated and rejected")
+    val und = und0.persist()
     val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))

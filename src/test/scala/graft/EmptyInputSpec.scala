@@ -32,7 +32,15 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_triangles",      // self-join graph build (emits one stats row)
     "events_markov",        // lag pairs
     "orders_backlog",       // sweep line
-    "text_inverted_index")  // explode + relative df band
+    "text_inverted_index",  // explode + relative df band
+    "q13_custdist",         // outer join + double agg
+    "decontaminate_bloom",  // bloom aggregate over empty benchmark
+    "text_cms_freq",        // CMS aggregate over empty stream
+    "graph_link_prediction",// wedge join on empty edge list
+    "events_attribution",   // range-join pairs
+    "events_changepoint",   // CUSUM windows
+    "mm_phash_dedup",       // signature banding
+    "intervals_merge")      // sweep windows
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
