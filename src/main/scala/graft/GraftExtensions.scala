@@ -45,6 +45,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
     inject("mg_topk", es => graft.functions.MisraGries(es(0),
       es(1).eval(null).asInstanceOf[Int]).toAggregateExpression())
+    inject("phash64", es => Phash64(es.head))
+    inject("bloom_agg", es => graft.functions.BloomAgg(es(0),
+      es(1).eval(null).asInstanceOf[Int],
+      es(2).eval(null).asInstanceOf[Int]).toAggregateExpression())
+    inject("bloom_any", es => graft.functions.BloomMightContainAny(
+      es(0), es(1), es(2).eval(null).asInstanceOf[Int],
+      es(3).eval(null).asInstanceOf[Int]))
+    inject("cms_agg", es => graft.functions.CountMinAgg(es(0),
+      es(1).eval(null).asInstanceOf[Int],
+      es(2).eval(null).asInstanceOf[Int]).toAggregateExpression())
+    inject("cms_est", es => graft.functions.CountMinEstimate(es(0), es(1),
+      es(2).eval(null).asInstanceOf[Int],
+      es(3).eval(null).asInstanceOf[Int]))
 
     ext.injectPostHocResolutionRule(BroadcastDimTables)
     ext.injectOptimizerRule(ApproxDistinctRewrite)

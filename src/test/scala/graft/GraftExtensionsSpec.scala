@@ -34,6 +34,21 @@ class GraftExtensionsSpec extends GraftSpec {
       assert(row.getAs[Double]("cos") == 1.0)
       assert(row.getAs[Long]("ic") == 2L)
       assert(row.getAs[Int]("ng") == 2)
+      // round-6 injections: phash + the bloom/CMS sketch pairs compose
+      // in pure SQL through the same extensions hook
+      val sk = s2.sql(
+        """WITH d AS (SELECT array(1L, 2L, 3L) AS hs, 'a' AS k
+          |  UNION ALL SELECT array(4L, 5L) AS hs, 'a' AS k)
+          |SELECT
+          |  bloom_any(bloom_agg(hs, 256, 2), array(3L), 256, 2) AS hit,
+          |  bloom_any(bloom_agg(hs, 256, 2), array(99L), 256, 2)
+          |    AS probably_not,
+          |  cms_est(cms_agg(k, 64, 4), 'a', 64, 4) AS cnt,
+          |  phash64('abcdefgh') <=> phash64('abcdefgh') AS stable
+          |FROM d""".stripMargin).head
+      assert(sk.getAs[Boolean]("hit"))
+      assert(sk.getAs[Long]("cnt") == 2L)
+      assert(sk.getAs[Boolean]("stable"))
       val kmv = s2.sql(
         """SELECT kmv_distinct(hs, 64) AS est FROM
           |  (SELECT array(1L, 2L, 3L) AS hs UNION ALL
