@@ -335,6 +335,95 @@ object EventStream {
       }
   }
 
+  /** Gap-based sessionization on `transformWithState` with EVENT-TIME
+    * TIMERS — the stateful-v2 twin of [[sessionize]]: open-session
+    * state in a typed ValueState, and the idle flush driven by
+    * `registerTimer` + `handleExpiredTimer` instead of
+    * GroupStateTimeout. Each update re-arms a timer at lastUs+gap;
+    * stale timers (a newer event extended the session) no-op by
+    * re-checking the deadline against the state — cheaper than
+    * delete+re-register and idempotent under replay. The session
+    * counter lives in its own ValueState so numbering survives a
+    * flush (batch-equivalent numbering for returning users; bound it
+    * with a TTLConfig in a real deployment — the [[sessionize]]
+    * tombstone discussion applies unchanged).
+    */
+  class TwsSessionizer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, Session] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues,
+      ExpiredTimerInfo, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    // (startUs, lastUs, n)
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    @transient private var seq: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        E.tuple(E.scalaLong, E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq", E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Session] = {
+      val out = Seq.newBuilder[Session]
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = if (open.exists()) Option(open.get()) else None
+      var next = if (seq.exists()) seq.get() else 1L
+      sorted.foreach { e =>
+        cur match {
+          case Some((s, l, n)) if e.ts_us - l > gapUs =>
+            out += Session(key, next, n, s, l)
+            next += 1
+            cur = Some((e.ts_us, e.ts_us, 1L))
+          case Some((s, _, n)) =>
+            cur = Some((s, e.ts_us, n + 1L))
+          case None =>
+            cur = Some((e.ts_us, e.ts_us, 1L))
+        }
+      }
+      cur.foreach { c =>
+        open.update(c)
+        getHandle.registerTimer(c._2 / 1000 + gapUs / 1000)
+      }
+      seq.update(next)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (open.exists()) {
+        val (s, l, n) = open.get()
+        // stale-timer guard: only flush if the fired deadline still
+        // matches the CURRENT session's idle deadline
+        if (info.getExpiryTimeInMs() >= l / 1000 + gapUs / 1000) {
+          val sq = if (seq.exists()) seq.get() else 1L
+          open.clear()
+          seq.update(sq + 1)
+          return Iterator.single(Session(key, sq, n, s, l))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[TwsSessionizer]] wired to the stream: event-time mode (timers
+    * fire on watermark advance), Append output.
+    */
+  def sessionizeTws(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer,
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[Session])
+  }
+
   /** Running per-user totals emitted each micro-batch. */
   final case class UserTotals(user_id: Long, n_events: Long,
       sum_scaled: Long)

@@ -215,6 +215,45 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState timer sessionize == batch sessionize") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val events = loadEvents()
+      val stream = MemoryStream[Ev]
+      val q = EventStream.sessionizeTws(stream.toDS())
+        .writeStream.format("memory").queryName("tws_sessions_out")
+        .outputMode("append").start()
+      val (b1, b2) = events.splitAt(events.size / 2)
+      Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+      // a single far-future event advances the watermark past every
+      // open session's idle deadline → the TIMERS flush them
+      val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+      stream.addData(Ev(-1L, -1L, "flush", flushTs, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_sessions_out")
+        .where(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .collect().map(_.toSeq).toSet
+      val batch = operators.Temporal.sessionize(spark, sf)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState running totals == batch aggregate") {
     val sp = spark
     import sp.implicits._
