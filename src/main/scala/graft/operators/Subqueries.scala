@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
@@ -265,7 +266,108 @@ object Subqueries {
        |GROUP BY c_nationkey
        |ORDER BY cntry""".stripMargin
 
+  // ---------------------------------------------------------------- #146
+  /** #146 TPC-H Q20 shape: suppliers who stock a 'widget' part heavily
+    * — the nested-EXISTS chain (supplier ⟵ semi ⟵ heavy (supp, part)
+    * lines ⟵ semi ⟵ LIKE-filtered parts) decorrelated into one keyed
+    * aggregate + two semi-joins. No partsupp table in this schema, so
+    * "heavily" is a shipped-quantity floor over 1996 lineitems; the
+    * quantity compare stays decimal-exact. The inner (suppkey,
+    * partkey) aggregate is the only shuffle; both semi-joins carry
+    * slim projections.
+    */
+  def q20HeavySuppliers(spark: SparkSession, dir: String,
+      minQty: Int = 60): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .where(col("p_name").like("%widget%"))
+      .select("p_partkey")
+    val heavy = Tables(spark, dir, "lineitem")
+      .where(expr(
+        "l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'"))
+      .select("l_suppkey", "l_partkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sumDec(col("l_quantity"), 18, 2).as("qty"))
+      .where(col("qty") > minQty)
+      .select("l_suppkey")
+    Tables(spark, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    s"""SELECT s_suppkey, s_name FROM supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part
+       |      WHERE p_name LIKE '%widget%')
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY l_suppkey, l_partkey
+       |  HAVING ${sumDecSql("l_quantity", 18, 2)} > 60)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- #147
+  /** #147 gaps-and-islands: each customer's order-day streaks. The
+    * island key is the classic day − ROW_NUMBER() difference (constant
+    * within a run of consecutive distinct days), so streaks fall out
+    * of ONE per-customer window + one keyed agg — no self-join, no
+    * iteration. Emits each customer's longest streak; pure integer
+    * arithmetic end to end.
+    */
+  def windowStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir, "orders")
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+    val wBest = Window.partitionBy("o_custkey")
+      .orderBy(desc("len"), desc("streak_start"))
+    val wAll = Window.partitionBy("o_custkey")
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+      .withColumn("n_streaks", count(lit(1)).over(wAll))
+      .withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .select(col("o_custkey"), col("n_streaks"),
+        col("len").as("longest_streak"),
+        col("streak_start").as("longest_start"))
+      .orderBy("o_custkey")
+  }
+
+  val windowStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT o_custkey,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS day
+      |  FROM orders),
+      |isl AS (
+      |  SELECT o_custkey, day,
+      |    day - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY day)
+      |      AS island
+      |  FROM days),
+      |streaks AS (
+      |  SELECT o_custkey, island, COUNT(*) AS len,
+      |    MIN(day) AS streak_start
+      |  FROM isl GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT o_custkey, len, streak_start,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n_streaks,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY len DESC, streak_start DESC) AS rk
+      |  FROM streaks)
+      |SELECT o_custkey, n_streaks, len AS longest_streak,
+      |  streak_start AS longest_start
+      |FROM ranked WHERE rk = 1 ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_heavy_suppliers" ->
+      ((s: SparkSession, d: String) => q20HeavySuppliers(s, d)),
+    "window_streaks" -> (windowStreaks _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q13_custdist" -> (q13CustDist _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -274,6 +376,8 @@ object Subqueries {
     "q22_sales_opp" -> (q22SalesOpp _))
 
   val oracles: Map[String, String] = Map(
+    "q20_heavy_suppliers" -> q20Sql,
+    "window_streaks" -> windowStreaksSql,
     "q9_product_profit" -> q9Sql,
     "q13_custdist" -> q13Sql,
     "q15_top_supplier" -> q15Sql,
