@@ -334,6 +334,47 @@ object Analytics {
        |  ${r4Sql("abs(sn) / CAST(n_days AS DOUBLE)")} AS cusum_peak
        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #148
+  /** #148 LLM-watermark detection (Kirchenbauer-style): score each doc
+    * for green-list excess, where the "green" half of the vocabulary
+    * is an md5-parity partition (the detector needs only the hash
+    * key, not the generator). z = (2g − n)/√n under the null
+    * (tokens green at rate ½); g and n are exact integers off one
+    * filter-fold per row — no explode, no shuffle but the final sort.
+    * The z > 4 flag means ≳ 3σ⁴ false-positive odds — corpus hygiene
+    * for synthetic-text contamination, next to #65's benchmark
+    * decontamination.
+    */
+  def textWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val green = expr(
+      "size(filter(transform(split(text, ' '), " +
+        "t -> conv(substring(md5(t), 1, 2), 16, 10) % 2), p -> p = 0))")
+    Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        green.as("n_green"))
+      .select(col("doc_id"), col("n_tokens"), col("n_green"),
+        r4((lit(2) * col("n_green") - col("n_tokens")) /
+          sqrt(col("n_tokens").cast("double"))).as("z_green"))
+      .withColumn("flagged", col("z_green") > 4.0)
+      .orderBy("doc_id")
+  }
+
+  val textWatermarkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(list_transform(string_split(text, ' '),
+       |      tk -> ('0x' || substr(md5(tk), 1, 2))::INT % 2),
+       |      p -> p = 0)) AS n_green
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_green,
+       |  ${r4Sql("(2 * n_green - n_tokens) / sqrt(CAST(n_tokens AS DOUBLE))")}
+       |    AS z_green,
+       |  ${r4Sql("(2 * n_green - n_tokens) / sqrt(CAST(n_tokens AS DOUBLE))")}
+       |    > 4.0 AS flagged
+       |FROM t ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- #145
   /** #145 linear multi-touch attribution: each purchase's value splits
     * equally across the same user's views in the preceding 7 days;
@@ -520,6 +561,7 @@ object Analytics {
     "orders_trend" -> (ordersTrend _),
     "ts_interpolate" -> (tsInterpolate _),
     "events_changepoint" -> (eventsChangepoint _),
+    "text_watermark" -> (textWatermark _),
     "events_attribution" ->
       ((s: SparkSession, d: String) => eventsAttribution(s, d)),
     "text_readability" -> (textReadability _),
@@ -533,6 +575,7 @@ object Analytics {
     "orders_trend" -> ordersTrendSql,
     "ts_interpolate" -> tsInterpolateSql,
     "events_changepoint" -> eventsChangepointSql,
+    "text_watermark" -> textWatermarkSql,
     "events_attribution" -> eventsAttributionSql,
     "text_readability" -> textReadabilitySql,
     "events_diversity" -> eventsDiversitySql,

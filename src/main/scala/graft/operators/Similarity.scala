@@ -413,7 +413,78 @@ object Similarity {
        |FROM cnt JOIN n2 ON cnt.label = n2.label
        |ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------------- #149
+  /** #149 embedding outlier detection: vectors far from their label
+    * centroid by z-score of squared distance — the mislabel/corrupt-
+    * vector screen that runs before any SemDeDup pass trusts the
+    * labels. Centroids come from the #139 decimal dim-sum machinery
+    * (one posexplode, exact); each vector's d² re-joins centroid
+    * components per dimension and decimal-sums its 64 terms, so no
+    * accumulation order exists anywhere; the z-score's mean/std are
+    * decimal power sums over d². Everything shuffles on (label, dim)
+    * then label — never vector×vector.
+    */
+  def embedOutliers(spark: SparkSession, dir: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    val base = Tables.spread(spark, dir, "embeddings")
+    val comps = base
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vd", col("v").cast("double"))
+    val cent = comps.groupBy("label", "dim")
+      .agg((sum(col("vd").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("cd"))
+    val d2 = comps.join(cent, Seq("label", "dim"))
+      .withColumn("term",
+        ((col("vd") - col("cd")) * (col("vd") - col("cd")))
+          .cast(DecimalType(38, 12)))
+      .groupBy("label", "vec_id")
+      .agg(sum(col("term")).cast("double").as("d2"))
+    val stats = d2.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      sum(col("d2").cast(DecimalType(38, 10))).cast("double").as("s1"),
+      sum((col("d2") * col("d2")).cast(DecimalType(38, 8))).cast("double")
+        .as("s2"))
+    val mean = col("s1") / col("n")
+    val variance = col("s2") / col("n") - mean * mean
+    d2.join(stats, "label")
+      .withColumn("z", (col("d2") - mean) / sqrt(variance))
+      .where(col("z") > zThreshold)
+      .select(col("label"), col("vec_id"), r4(col("d2")).as("dist2"),
+        r4(col("z")).as("z"))
+      .orderBy("label", "vec_id")
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH comps AS (
+       |  SELECT label, vec_id, i AS dim,
+       |    embedding[CAST(i AS INT)]::DOUBLE AS vd
+       |  FROM embeddings, range(1, 65) t(i)),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(vd AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cd
+       |  FROM comps GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT c.label, c.vec_id,
+       |    CAST(SUM(CAST((vd - cd) * (vd - cd) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS d2
+       |  FROM comps c JOIN cent ON c.label = cent.label
+       |    AND c.dim = cent.dim
+       |  GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT label, COUNT(*) AS n,
+       |    CAST(SUM(CAST(d2 AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(d2 * d2 AS DECIMAL(38,8))) AS DOUBLE) AS s2
+       |  FROM d2 GROUP BY 1)
+       |SELECT d2.label, vec_id, ${r4Sql("d2")} AS dist2,
+       |  ${r4Sql("(d2 - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))")} AS z
+       |FROM d2 JOIN stats ON d2.label = stats.label
+       |WHERE (d2 - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) > 2.0
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outliers" ->
+      ((s: SparkSession, d: String) => embedOutliers(s, d)),
     "embed_dispersion" -> (embedDispersion _),
     "ann_pq" -> ((s: SparkSession, d: String) => annPq(s, d)),
     "kmeans_lloyd" -> ((s: SparkSession, d: String) => kmeansLloyd(s, d)),
@@ -806,6 +877,7 @@ object Similarity {
       |ORDER BY r.q_id, r.rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_outliers" -> embedOutliersSql,
     "embed_dispersion" -> embedDispersionSql,
     "ann_pq" -> annPqSql,
     "kmeans_lloyd" -> kmeansLloydSql,

@@ -244,6 +244,44 @@ class AnalyticsSpec extends GraftSpec {
     assert(math.abs(attributed - touched) < 5e-5 * (out.length + 1))
   }
 
+  test("watermark: z matches an md5-parity recompute; organic text unflagged") {
+    val out = operators.Analytics.textWatermark(spark, sf).collect()
+    val texts = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def greenOf(t: String): (Int, Int) = {
+      val toks = t.split(" ", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val g = toks.count { tk =>
+        md.reset()
+        val hex = md.digest(tk.getBytes("UTF-8"))
+          .take(1).map("%02x".format(_)).mkString
+        Integer.parseInt(hex, 16) % 2 == 0
+      }
+      (toks.length, g)
+    }
+    out.take(25).foreach { r =>
+      val (n, g) = greenOf(texts(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Int]("n_tokens") == n)
+      assert(r.getAs[Int]("n_green") == g)
+      val z = (2.0 * g - n) / math.sqrt(n.toDouble)
+      assert(math.abs(r.getAs[Double]("z_green") - z) < 5e-5)
+    }
+    // the synthetic corpus is not watermarked: essentially nothing
+    // should cross the 4-sigma flag
+    assert(out.count(_.getAs[Boolean]("flagged")) <= out.length / 100)
+  }
+
+  test("embedding outliers: every emission exceeds the z threshold") {
+    val out = operators.Similarity.embedOutliers(spark, sf).collect()
+    val corpus = Tables(spark, sf, "embeddings").count()
+    out.foreach { r =>
+      assert(r.getAs[Double]("z") > 2.0 - 5e-5)
+      assert(r.getAs[Double]("dist2") >= 0.0)
+    }
+    // z > 2 on ~gaussian distances: a small tail, never the bulk
+    assert(out.length < corpus / 4)
+  }
+
   test("intervals: merged coverage bounded by count x length") {
     val rows = Analytics.intervalsMerge(spark, sf).collect()
     assert(rows.nonEmpty)
