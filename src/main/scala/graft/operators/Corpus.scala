@@ -169,6 +169,65 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- #150
+  /** #150 incremental-ingest dedup: the day-N pattern — new documents
+    * (the `src1` slice standing in for today's batch) dedup against
+    * the HISTORY (every other source) without re-joining the full
+    * corpus. History folds into one Bloom filter of 60-bit md5 content
+    * keys (m/8 bytes total, OR-merged partials); new docs that fail
+    * `bloom_any` never reach the verify join, so the exact-match join's
+    * left side shrinks to true-dup + false-positive rate. No false
+    * negatives ⇒ output == the plain cross-source equi-join. At 100 TB
+    * the bloom is built once per ingest window and reused across
+    * batches (the streaming dedup's state, batch-shaped).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String,
+      mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
+    graft.functions.BloomSketch.register(spark)
+    // 60-bit md5-derived content key (15 hex chars — fits BIGINT on
+    // both engines; the verify join makes collisions harmless)
+    val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+    val docs = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), h.as("h"))
+    val history = docs.where(col("source") =!= "src1")
+    // today's batch: the src1 slice plus a planted re-ingest of every
+    // 5th history doc under a fresh id — the corpus has no organic
+    // cross-source exact dupes, and a day-N batch ALWAYS carries
+    // already-ingested content (crawler overlap); this models it
+    // deterministically so the match path is exercised
+    val batch = docs.where(col("source") === "src1")
+      .unionByName(history.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("src1").as("source"), col("h")))
+    val bloom = history
+      .select(array(col("h")).as("hs"))
+      .agg(expr(s"bloom_agg(hs, $mBits, $kProbes)").as("bloom"))
+    batch
+      .join(broadcast(bloom))
+      .where(expr(s"bloom_any(bloom, array(h), $mBits, $kProbes)"))
+      .join(history.select(col("h").as("hh")), col("h") === col("hh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_history_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the exact cross-source content join — the bloom only
+    * prunes the plan (no false negatives + exact verify).
+    */
+  val dedupIncrementalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |hist AS (SELECT * FROM d WHERE source <> 'src1'),
+      |batch AS (
+      |  SELECT doc_id, h FROM d WHERE source = 'src1'
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, h FROM hist WHERE doc_id % 5 = 0)
+      |SELECT b.doc_id, COUNT(*) AS n_history_copies
+      |FROM batch b JOIN hist o ON b.h = o.h
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- #66
   /** #66 sequence packing: concat-then-chunk assignment of documents to
     * fixed-size training sequences, per source stream. Each document is
@@ -609,6 +668,8 @@ object Corpus {
     "decontaminate" -> (decontaminate _),
     "decontaminate_bloom" ->
       ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
+    "dedup_incremental" ->
+      ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "mix_domains" -> (mixDomains _),
     "dedup_passages" -> ((s: SparkSession, d: String) => dedupPassages(s, d)),
@@ -626,6 +687,7 @@ object Corpus {
     // same answer as #65 by construction (no false negatives + exact
     // verify) — the bloom only prunes the plan, never the result
     "decontaminate_bloom" -> decontaminateSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "pack_sequences" -> packSequencesSql,
     "mix_domains" -> mixDomainsSql,
     "dedup_passages" -> dedupPassagesSql,

@@ -282,6 +282,19 @@ class AnalyticsSpec extends GraftSpec {
     assert(out.length < corpus / 4)
   }
 
+  test("incremental dedup: every planted re-ingest matches history") {
+    val out = operators.Corpus.dedupIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_history_copies")).toMap
+    val planted = Tables(spark, sf, "documents")
+      .where(col("source") =!= "src1" && col("doc_id") % 5 === 0)
+      .select("doc_id").collect().map(_.getLong(0) + 2000000L).toSet
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(out.getOrElse(id, 0L) >= 1L, s"re-ingest $id not matched")
+    }
+  }
+
   test("intervals: merged coverage bounded by count x length") {
     val rows = Analytics.intervalsMerge(spark, sf).collect()
     assert(rows.nonEmpty)
