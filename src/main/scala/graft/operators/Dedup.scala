@@ -491,6 +491,13 @@ object Dedup {
       numHashes, bandRows)
     val t = d.select(col("doc_id"), col("text"))
     pairs
+      // candidate pairs fall out of the LSH join partitioned by band
+      // bucket, which correlates with CONTENT — and DP cost is
+      // length²-ish, so bucket-aligned partitions straggle. A
+      // round-robin rebalance of the (skinny) pair list spreads the
+      // DP evenly; the text attach happens after, on the rebalanced
+      // partitions.
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(broadcast(t.select(col("doc_id").as("id_a"),
         col("text").as("t_a"))), "id_a")
       .join(broadcast(t.select(col("doc_id").as("id_b"),
