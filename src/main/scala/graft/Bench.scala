@@ -14,6 +14,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
+    // fail fast on unknown query names: a typo'd `runMain graft.Bench
+    // nmae` must not silently time an empty set
+    val unknown = args.toSet.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"valid names are SparkEntry.queries keys")
     val spark = GraftSession(cpus, "graft-bench")
     // The timing action must evaluate EVERY output column: under a
     // terminal count(1), ColumnPruning deletes final projections and
@@ -26,10 +32,12 @@ object Bench {
     // factor so the timed loop measures steady-state execution, not
     // whichever query happens to hit a cold JVM path first.
     val warmDir = "/root/testdata/sf0.001"
-    val warmSet =
+    // optional arg filter: `runMain graft.Bench name1 name2` times only
+    // those queries (iteration loop; the driver's full run passes none)
+    val picked =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    warmSet.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     // two timed passes, keep the per-query minimum: the box shows
@@ -50,11 +58,6 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     }
-    // optional arg filter: `runMain graft.Bench name1 name2` times only
-    // those queries (iteration loop; the driver's full run passes none)
-    val picked =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val sorted = picked.toSeq.sortBy(_._1)
     val pass1 = sorted.map { case (n, fn) => n -> timeOnce(n, fn) }.toMap
     val results = sorted.map { case (n, fn) =>
@@ -68,6 +71,18 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // the driver's artifact keeps only a 2000-char tail of stdout, which
+    // truncates 148 per-query timings (r04 lost 85 of them) — persist
+    // the full line to a file as well so every round has a complete
+    // committed record (full runs only; arg-filtered loops would clobber
+    // it with partial data)
+    if (args.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full results written to $out")
+    }
     spark.stop()
   }
 }

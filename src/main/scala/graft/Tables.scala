@@ -43,6 +43,50 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Bounded persist slots for operators that cache a shared subplan
+    * (the link-prediction edge list, the phash signature table). The
+    * result DataFrame is lazy, so the operator can't unpersist before
+    * the caller materializes — but an unbounded leak isn't the only
+    * alternative: each operator owns ONE named slot, and persisting
+    * into it unpersists the slot's previous occupant. A long-lived
+    * session running the operator N times holds one cached subplan per
+    * operator (reclaimed by `spark.catalog.clearCache()` or session
+    * stop), not N.
+    */
+  private val persistSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def persistSlot(slot: String, df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    val prev = persistSlots.put(slot, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    cached
+  }
+
+  /** Size-gated broadcast hint for attach-side tables that GROW WITH THE
+    * CORPUS (per-doc gram arrays, full doc text, global vocabularies).
+    * An unconditional `broadcast()` on such a table is a driver OOM at
+    * 100 TB; no hint at all forfeits the broadcast-hash join that wins
+    * at bench scale when AQE's runtime stats miss (the attach side is a
+    * derived subplan, not a bare scan). So: hint only while the
+    * optimizer's size estimate stays under
+    * `spark.graft.attachBroadcastMaxBytes` (default 256 MiB — same dial
+    * family as BroadcastDimTables' `spark.graft.dimBroadcastMaxBytes`),
+    * and past the gate leave planning alone, which yields a shuffle
+    * join on the attach key. The estimate comes from the same
+    * `Statistics.sizeInBytes` chain join planning itself consults, so
+    * the gate tracks file size × column pruning, not a guess.
+    */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val limit = BigInt(df.sparkSession.conf
+      .get("spark.graft.attachBroadcastMaxBytes",
+        (256L * 1024 * 1024).toString).toLong)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit)
+      broadcast(df)
+    else df
+  }
+
   /** `events` with the nanos ts canonicalized to epoch MICROSECONDS
     * (`ts_us`). The DuckDB oracle reads the same parquet but truncates
     * TIMESTAMP(NANOS) to its microsecond TIMESTAMP, so every oracle'd

@@ -233,14 +233,15 @@ object Dedup {
       .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
       .select("doc_id", "grams")
     val pairs = lshCandidates(g, "grams", numHashes, bandRows)
-    // The gram side fits comfortably in memory at bench scale, so the
-    // attach joins broadcast; at cluster scale drop the hint and these
-    // become shuffle joins on doc_id (grams stay narrow either way —
-    // candidate pairs never drag arrays through the pair join above).
+    // The gram table grows with the corpus, so the attach-side hint is
+    // size-gated (Tables.maybeBroadcast): broadcast-hash at bench scale,
+    // shuffle joins on doc_id past the gate (grams stay narrow either
+    // way — candidate pairs never drag arrays through the pair join
+    // above).
     pairs
-      .join(broadcast(g.select(col("doc_id").as("id_a"),
+      .join(Tables.maybeBroadcast(g.select(col("doc_id").as("id_a"),
         col("grams").as("g_a"))), "id_a")
-      .join(broadcast(g.select(col("doc_id").as("id_b"),
+      .join(Tables.maybeBroadcast(g.select(col("doc_id").as("id_b"),
         col("grams").as("g_b"))), "id_b")
       // size prefilter: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|)
       // >= t, so this prunes intersect work without changing the output
@@ -416,10 +417,11 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val g = docs.select(col("doc_id"), col("grams"))
+    // size-gated like #30: the gram table is corpus-sized
     cand
-      .join(broadcast(g.select(col("doc_id").as("id_a"),
+      .join(Tables.maybeBroadcast(g.select(col("doc_id").as("id_a"),
         col("grams").as("g_a"))), "id_a")
-      .join(broadcast(g.select(col("doc_id").as("id_b"),
+      .join(Tables.maybeBroadcast(g.select(col("doc_id").as("id_b"),
         col("grams").as("g_b"))), "id_b")
       .withColumn("inter", expr("cast(intersect_count(g_a, g_b) as double)"))
       .withColumn("containment",
@@ -498,9 +500,11 @@ object Dedup {
       // DP evenly; the text attach happens after, on the rebalanced
       // partitions.
       .repartition(spark.sparkContext.defaultParallelism)
-      .join(broadcast(t.select(col("doc_id").as("id_a"),
+      // full doc TEXT — the heaviest attach side in the family, so the
+      // size gate matters most here
+      .join(Tables.maybeBroadcast(t.select(col("doc_id").as("id_a"),
         col("text").as("t_a"))), "id_a")
-      .join(broadcast(t.select(col("doc_id").as("id_b"),
+      .join(Tables.maybeBroadcast(t.select(col("doc_id").as("id_b"),
         col("text").as("t_b"))), "id_b")
       .where(expr("least(length(t_a), length(t_b)) >= " +
         s"$threshold * greatest(length(t_a), length(t_b))"))

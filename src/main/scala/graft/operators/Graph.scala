@@ -287,8 +287,10 @@ object Graph {
     // ref count in the graph family, and the ONE place the measured
     // A/B favored persist (5.5 s vs 6.5 s at sf0.1) over parallel
     // recompute; the siblings at 4-7 refs measured the opposite and
-    // stay persist-free (PLANS.md "Evaluated and rejected")
-    val und = und0.persist()
+    // stay persist-free (PLANS.md "Evaluated and rejected"). The slot
+    // bounds the cache to ONE edge list across repeated calls in a
+    // long-lived session (the r4 ADVICE leak).
+    val und = graft.Tables.persistSlot("graph.linkPrediction.edges", und0)
     val sym = und.select(col("pa").as("src"), col("pb").as("dst"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -296,10 +296,11 @@ object Multimodal {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     // native one-pass signature (Phash64); persisted because BOTH
     // sides of the banded self-join reference this subplan — without
-    // it every signature computes twice
-    val base = docs.union(reuploads)
-      .select(col("doc_id"), expr("phash64(text)").as("sig"))
-      .persist()
+    // it every signature computes twice. Slot-bounded: repeated calls
+    // keep one cached signature table, not one per call.
+    val base = graft.Tables.persistSlot("mm.phashDedup.sigs",
+      docs.union(reuploads)
+        .select(col("doc_id"), expr("phash64(text)").as("sig")))
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}), b -> named_struct(

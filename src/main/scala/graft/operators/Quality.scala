@@ -101,7 +101,9 @@ object Quality {
       .withColumn("total", sum("cnt").over(Window.partitionBy()))
       .withColumn("rarity",
         col("total").cast("double") / col("cnt").cast("double"))
-    toks.join(broadcast(gc), "tok")
+    // the vocabulary grows (sublinearly) with the corpus — size-gate
+    // the broadcast instead of assuming it stays dim-sized
+    toks.join(graft.Tables.maybeBroadcast(gc), "tok")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
         (sum(col("rarity").cast("decimal(28,10)")).cast("double") /
