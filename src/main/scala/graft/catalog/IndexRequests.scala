@@ -72,6 +72,56 @@ object IndexRequests {
       .select("uuid", "name", "level", "token", "filters")
   }
 
+  /** Reference-faithful routing with the `urlparams` fallback
+    * (`/root/reference/reactor.py:66` sets `action = "urlparams"`
+    * BEFORE schema validation, and `reactor.py:147` indexes for
+    * `action in ["index", "urlparams"]`): a message that fails BOTH
+    * schemas is not dead-lettered — it still indexes, with every
+    * parameter resolved message → context → environment → default.
+    * Even unparseable JSON indexes when the request context supplies
+    * the uuid (the reference's `mes = {}` path at reactor.py:58-63).
+    * The only hard failure is an unresolvable uuid (the reference
+    * would construct its job instance with `uuid=None` and fail).
+    *
+    * `strict = true` restores the `accepted`/`deadLetter` contract —
+    * every schema-invalid message rejects — for deployments that want
+    * auditable intake over URL-param compatibility.
+    *
+    * Output columns: uuid, action ("index" | "indexed" | "urlparams"),
+    * level, token, filters, reject_reason (NULL = routed). Rows with
+    * action "index"/"urlparams" feed `FileIndexer`; "indexed" feeds the
+    * handshake consumer. Same execution shape as `accepted`: one
+    * codegen'd projection, no shuffle.
+    */
+  def routed(messages: DataFrame,
+      contextUuid: Option[String] = None,
+      envUuid: Option[String] = None,
+      contextLevel: Option[String] = None,
+      envLevel: Option[String] = None,
+      strict: Boolean = false): DataFrame = {
+    val uuidFallback = contextUuid.orElse(envUuid)
+      .map(lit).getOrElse(lit(null).cast("string"))
+    val levelFallback = contextLevel.orElse(envLevel).getOrElse("1")
+    val schemaReason = rejectReason
+    val resolvedUuid = coalesce(col("uuid"), uuidFallback)
+    val reason =
+      if (strict) schemaReason
+      else when(resolvedUuid.isNull,
+        // surface the schema failure when there is one (malformed_json,
+        // missing_uuid); a schema-VALID row can only land here never —
+        // valid implies uuid present
+        coalesce(schemaReason, lit("missing_uuid")))
+        .otherwise(lit(null).cast("string"))
+    messages
+      .withColumn("reject_reason", reason)
+      .withColumn("action",
+        when(schemaReason.isNull, col("name")).otherwise(lit("urlparams")))
+      .withColumn("uuid", resolvedUuid)
+      .withColumn("level", coalesce(col("level"), lit(levelFallback)))
+      .select("uuid", "action", "level", "token", "filters",
+        "reject_reason")
+  }
+
   /** The dead-letter stream: every message that failed validation, with
     * the raw payload (when parseable fields exist they ride along) and
     * the reason — the Spark form of `rx.on_failure("Message was not

@@ -194,10 +194,11 @@ object Analytics {
       .orderBy("o_custkey")
   }
 
-  val intervalsMergeSql: String =
-    """WITH iv AS (
+  /** Parameter-matched oracle (same `lengthDays` as the operator). */
+  def intervalsMergeSql(lengthDays: Int = 30): String =
+    s"""WITH iv AS (
       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
-      |    CAST(o_orderdate AS DATE) + 30 AS e
+      |    CAST(o_orderdate AS DATE) + $lengthDays AS e
       |  FROM orders),
       |marked AS (
       |  SELECT o_custkey, s, e,
@@ -411,7 +412,11 @@ object Analytics {
       .orderBy("view_id")
   }
 
-  val eventsAttributionSql: String =
+  /** Parameter-matched oracle: interpolates the SAME `windowDays` the
+    * Scala operator takes, so non-default calls stay oracle-comparable
+    * (the textCmsFreq pattern).
+    */
+  def eventsAttributionSql(windowDays: Int = 7): String =
     s"""WITH p AS (
        |  SELECT user_id AS pu, event_id AS p_id, epoch_us(ts) AS pt,
        |    value AS pv
@@ -423,7 +428,7 @@ object Analytics {
        |  SELECT p_id, view_id, pv,
        |    COUNT(*) OVER (PARTITION BY p_id) AS k
        |  FROM p JOIN v ON pu = vu AND vt <= pt
-       |    AND pt - vt <= ${7 * 86400000000L}),
+       |    AND pt - vt <= ${windowDays * 86400000000L}),
        |shares AS (
        |  SELECT view_id,
        |    CAST(pv / CAST(k AS DOUBLE) AS DECIMAL(28,10)) AS share
@@ -497,17 +502,21 @@ object Analytics {
     */
   def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.eventsUs(spark, dir)
+    // `tie` is event_id on BOTH legs (never NULL): two same-instant
+    // purchases by one user would otherwise sort nondeterministically —
+    // and engine-divergently, since Spark sorts NULLs first where
+    // DuckDB sorts them last (r4 ADVICE)
     val ev = events.where(col("event_type") === "purchase")
       .select(col("user_id").as("u"), col("ts_us").as("t"),
         lit(0).as("tag"), lit(null).cast("long").as("probe_id"),
-        col("value").as("v"))
+        col("value").as("v"), col("event_id").as("tie"))
     val probes = events.where(col("event_type") === "view")
       .select(col("user_id").as("u"), col("ts_us").as("t"),
         lit(1).as("tag"), col("event_id").as("probe_id"),
-        lit(null).cast("double").as("v"))
-    val wb = Window.partitionBy("u").orderBy("t", "tag", "probe_id")
+        lit(null).cast("double").as("v"), col("event_id").as("tie"))
+    val wb = Window.partitionBy("u").orderBy("t", "tag", "tie")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy("u").orderBy("t", "tag", "probe_id")
+    val wf = Window.partitionBy("u").orderBy("t", "tag", "tie")
       .rowsBetween(1, Window.unboundedFollowing)
     ev.union(probes)
       .withColumn("vp", last(col("v"), ignoreNulls = true).over(wb))
@@ -528,11 +537,13 @@ object Analytics {
   val tsInterpolateSql: String =
     s"""WITH ev AS (
        |  SELECT user_id AS u, epoch_us(ts) AS t, 0 AS tag,
-       |    CAST(NULL AS BIGINT) AS probe_id, value AS v
+       |    CAST(NULL AS BIGINT) AS probe_id, value AS v,
+       |    event_id AS tie
        |  FROM events WHERE event_type = 'purchase'),
        |probes AS (
        |  SELECT user_id AS u, epoch_us(ts) AS t, 1 AS tag,
-       |    event_id AS probe_id, CAST(NULL AS DOUBLE) AS v
+       |    event_id AS probe_id, CAST(NULL AS DOUBLE) AS v,
+       |    event_id AS tie
        |  FROM events WHERE event_type = 'view'),
        |uni AS (SELECT * FROM ev UNION ALL SELECT * FROM probes),
        |br AS (
@@ -544,9 +555,9 @@ object Analytics {
        |    FIRST_VALUE(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
        |      OVER wf AS tn
        |  FROM uni
-       |  WINDOW wb AS (PARTITION BY u ORDER BY t, tag, probe_id
+       |  WINDOW wb AS (PARTITION BY u ORDER BY t, tag, tie
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |  wf AS (PARTITION BY u ORDER BY t, tag, probe_id
+       |  wf AS (PARTITION BY u ORDER BY t, tag, tie
        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
        |SELECT probe_id AS view_event_id, u AS user_id, tp AS prev_ts_us,
        |  tn AS next_ts_us,
@@ -576,9 +587,9 @@ object Analytics {
     "ts_interpolate" -> tsInterpolateSql,
     "events_changepoint" -> eventsChangepointSql,
     "text_watermark" -> textWatermarkSql,
-    "events_attribution" -> eventsAttributionSql,
+    "events_attribution" -> eventsAttributionSql(),
     "text_readability" -> textReadabilitySql,
     "events_diversity" -> eventsDiversitySql,
     "orders_gini" -> ordersGiniSql,
-    "intervals_merge" -> intervalsMergeSql)
+    "intervals_merge" -> intervalsMergeSql())
 }

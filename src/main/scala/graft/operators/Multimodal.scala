@@ -283,6 +283,11 @@ object Multimodal {
     * The signature/banding/verify pipeline — the part Spark owns — is
     * identical. Payload bytes never shuffle: only the 8-byte
     * signature leaves the scan.
+    *
+    * ASCII contract: `phash64` samples UTF8String BYTES; its oracle
+    * samples CHARACTERS. On any non-ASCII payload the two diverge —
+    * feed this operator ASCII (or raw binary) payloads, or extend
+    * Phash64 to code-point sampling first (see `mmPhashDedupSql`).
     */
   def mmPhashDedup(spark: SparkSession, dir: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
@@ -321,10 +326,19 @@ object Multimodal {
   }
 
   /** Bits-array mirror of the signature (same integer-cleared mean
-    * compare), banded exactly like the #29 oracle.
+    * compare), banded exactly like the #29 oracle. Parameter-matched:
+    * interpolates the SAME bands/maxHamming the operator takes.
+    *
+    * ASCII caveat (operator-level, not just a Hashes comment): Phash64
+    * samples UTF8String BYTES while this oracle samples CHARACTERS via
+    * `ascii(substr(...))` — identical on ASCII payloads (the eval
+    * corpora), divergent on any multibyte text. A production corpus
+    * with non-ASCII content should pre-filter/transliterate before
+    * phash-dedup, or extend Phash64 to code-point sampling.
     */
-  val mmPhashDedupSql: String =
-    """WITH docs AS (
+  def mmPhashDedupSql(bands: Int = 4, maxHamming: Int = 3): String = {
+    val bits = 64 / bands
+    s"""WITH docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
@@ -343,9 +357,9 @@ object Multimodal {
       |  FROM s),
       |banded AS (
       |  SELECT doc_id, bits, b,
-      |    list_sum(list_transform(range(0, 16),
-      |      k -> bits[b * 16 + k + 1] << k)) AS bval
-      |  FROM bb, range(0, 4) t(b)),
+      |    list_sum(list_transform(range(0, $bits),
+      |      k -> bits[b * $bits + k + 1] << k)) AS bval
+      |  FROM bb, range(0, $bands) t(b)),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |    CAST(list_sum(list_transform(range(1, 65),
@@ -353,7 +367,8 @@ object Multimodal {
       |  FROM banded a JOIN banded b
       |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b, hamming FROM pairs
-      |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+      |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup" ->
@@ -364,7 +379,7 @@ object Multimodal {
     "mm_resize" -> (mmResize _))
 
   val oracles: Map[String, String] = Map(
-    "mm_phash_dedup" -> mmPhashDedupSql,
+    "mm_phash_dedup" -> mmPhashDedupSql(),
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_feature_extract" -> mmFeatureExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,

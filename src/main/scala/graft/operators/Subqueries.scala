@@ -297,7 +297,8 @@ object Subqueries {
       .orderBy("s_suppkey")
   }
 
-  val q20Sql: String =
+  /** Parameter-matched oracle (same `minQty` as the operator). */
+  def q20Sql(minQty: Int = 60): String =
     s"""SELECT s_suppkey, s_name FROM supplier
        |WHERE s_suppkey IN (
        |  SELECT l_suppkey FROM lineitem
@@ -306,7 +307,7 @@ object Subqueries {
        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
        |  GROUP BY l_suppkey, l_partkey
-       |  HAVING ${sumDecSql("l_quantity", 18, 2)} > 60)
+       |  HAVING ${sumDecSql("l_quantity", 18, 2)} > $minQty)
        |ORDER BY s_suppkey""".stripMargin
 
   // ---------------------------------------------------------------- #147
@@ -376,7 +377,7 @@ object Subqueries {
     "q22_sales_opp" -> (q22SalesOpp _))
 
   val oracles: Map[String, String] = Map(
-    "q20_heavy_suppliers" -> q20Sql,
+    "q20_heavy_suppliers" -> q20Sql(),
     "window_streaks" -> windowStreaksSql,
     "q9_product_profit" -> q9Sql,
     "q13_custdist" -> q13Sql,

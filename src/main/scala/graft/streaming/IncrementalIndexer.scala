@@ -25,6 +25,24 @@ object IncrementalIndexer {
   val manifestSchema: StructType = StructType.fromDDL(
     "doc_id BIGINT, path STRING, n_chars BIGINT")
 
+  /** The reference's event-forwarding settings, mirrored from its
+    * `config.yml` defaults (`state_enter: false`, `state_exit: true`,
+    * `standalone: false`): `stateEnter`/`stateExit` gate the
+    * enter/exit `forward_event` calls around each handled action
+    * (`/root/reference/reactor.py:130-141, 158-176`), and `standalone`
+    * short-circuits forwarding entirely
+    * (`/root/reference/reactor.py:32`) — while the two-message
+    * `indexed` handshake STILL sends (reactor.py:190-208: standalone
+    * only re-addresses it, it never suppresses it).
+    */
+  final case class ProtocolSettings(
+      stateEnter: Boolean = false,
+      stateExit: Boolean = true,
+      standalone: Boolean = false) {
+    def forwardEnter: Boolean = !standalone && stateEnter
+    def forwardExit: Boolean = !standalone && stateExit
+  }
+
   /** Start indexing manifests arriving in `inDir` into the parquet
     * catalog at `outDir`.
     */
@@ -67,9 +85,22 @@ object IncrementalIndexer {
   def startWithProtocol(spark: SparkSession, inDir: String, outDir: String,
       rejectDir: String, eventsDir: String, checkpointDir: String,
       filters: Seq[IndexFilter], generatedBy: String,
-      defaultLevel: String = "1"): StreamingQuery = {
+      defaultLevel: String = "1",
+      settings: ProtocolSettings = ProtocolSettings()): StreamingQuery = {
     val manifests = graft.sources.CatalogIO.readStreamJson(
       spark, inDir, manifestSchema)
+    // forward_event, Spark-side: one record per gated call appended to
+    // the same event log the handshake uses. `phase` distinguishes
+    // enter from exit; `job_state` mirrors the reference's reading
+    // (INDEXING on enter — reactor.py:160 literal — and still INDEXING
+    // on exit, because `store.index(transition=False)` never moves the
+    // state itself; FINISHED needs the second message).
+    def forward(batchId: Long, phase: String, nFiles: Long): Unit =
+      spark.range(1)
+        .select(lit(generatedBy).as("uuid"), lit("index").as("name"),
+          lit(phase).as("phase"), lit("INDEXING").as("job_state"),
+          lit(nFiles).as("n_files"), lit(batchId).as("batch_id"))
+        .write.mode("append").json(eventsDir)
     manifests.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -82,14 +113,21 @@ object IncrementalIndexer {
             when(col("_corrupt").isNotNull, "malformed_json")
               .otherwise("missing_path"))
           .write.mode("append").json(rejectDir)
+        if (settings.forwardEnter) forward(batchId, "state_enter", 0L)
         val indexed = FileIndexer.index(good, "path", filters, generatedBy,
           defaultLevel)
         indexed.write.mode("append")
           .partitionBy("processing_level").parquet(outDir)
-        // two-message protocol: tell the job manager we indexed
-        indexed.agg(count(lit(1)).as("n_files"))
+        // this batch's indexed count (the reference's `len(resp)`) —
+        // recomputed on the tiny control-plane batch, never a rescan
+        // of the accumulated catalog
+        val nFiles = indexed.count()
+        if (settings.forwardExit) forward(batchId, "state_exit", nFiles)
+        // two-message protocol: tell the job manager we indexed — sent
+        // in EVERY mode, standalone included (reactor.py:190-208)
+        spark.range(1)
           .select(lit(generatedBy).as("uuid"), lit("indexed").as("name"),
-            col("n_files"), lit(batchId).as("batch_id"))
+            lit(nFiles).as("n_files"), lit(batchId).as("batch_id"))
           .write.mode("append").json(eventsDir)
         ()
       }

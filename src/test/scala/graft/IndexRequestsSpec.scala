@@ -39,6 +39,51 @@ class IndexRequestsSpec extends GraftSpec {
       "missing_name", "missing_uuid", "unknown_action"))
   }
 
+  test("urlparams fallback: schema-invalid messages still index " +
+    "(reference reactor.py:66, 147)") {
+    // missing name / unknown action: the reference sets
+    // action="urlparams" before validation and indexes anyway
+    val dir = writeMessages(
+      """{"uuid": "107a54fe", "name": "index"}
+        |{"uuid": "22222222", "name": "indexed"}
+        |{"uuid": "33333333", "name": "transmogrify"}
+        |{"uuid": "44444444", "level": "3"}
+        |{"name": "index"}
+        |this is not json at all
+        |""".stripMargin)
+    val msgs = IndexRequests.read(spark, dir)
+
+    val routed = IndexRequests.routed(msgs)
+    val byUuid = routed.where(col("reject_reason").isNull).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // valid messages keep their schema action; invalid-but-addressable
+    // ones fall back to urlparams and resolve params the same way
+    assert(byUuid == Map(
+      "107a54fe" -> ("index", "1"),
+      "22222222" -> ("indexed", "1"),
+      "33333333" -> ("urlparams", "1"),
+      "44444444" -> ("urlparams", "3")))
+    // the only hard failures: no uuid anywhere (reference would build
+    // its job instance with uuid=None and fail)
+    val dead = routed.where(col("reject_reason").isNotNull)
+      .select("reject_reason").collect().map(_.getString(0)).sorted
+    assert(dead.toSeq == Seq("malformed_json", "missing_uuid"))
+
+    // context uuid rescues even unparseable JSON (reference mes={}
+    // path: params resolve entirely from context/env)
+    val rescued = IndexRequests.routed(msgs,
+      contextUuid = Some("ctx-uuid"), contextLevel = Some("2"))
+    assert(rescued.where(col("reject_reason").isNotNull).count() == 0)
+    assert(rescued.where(col("uuid") === "ctx-uuid")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet ==
+      Set(("urlparams", "2")))
+
+    // strict mode restores the auditable dead-letter contract
+    val strict = IndexRequests.routed(msgs, strict = true)
+    assert(strict.where(col("reject_reason").isNull).collect()
+      .map(_.getString(0)).toSet == Set("107a54fe", "22222222"))
+  }
+
   test("level resolves message -> context/env -> default '1'") {
     val dir = writeMessages(
       """{"uuid": "a", "name": "index", "level": "3"}
@@ -114,5 +159,49 @@ class IndexRequestsSpec extends GraftSpec {
     val h = handshake.select("uuid", "name", "n_files").collect()
     assert(h.exists(r => r.getString(0) == "job-C" &&
       r.getString(1) == "indexed" && r.getLong(2) == 2L))
+    // reference config.yml defaults: state_enter=false, state_exit=true
+    // — so exactly one forwarded exit event rides the log, no enter
+    val fwd = handshake.where(col("name") === "index")
+      .select("phase", "job_state", "n_files").collect()
+    assert(fwd.map(_.getString(0)).toSeq == Seq("state_exit"))
+    assert(fwd.head.getString(1) == "INDEXING") // transition=False:
+    // the index action never moves the state itself
+    assert(fwd.head.getLong(2) == 2L)
+  }
+
+  test("state_enter/state_exit forwarding: gated by settings, " +
+    "standalone mutes forwarding but never the handshake") {
+    import graft.streaming.IncrementalIndexer.ProtocolSettings
+    def run(settings: ProtocolSettings): (Seq[String], Long) = {
+      val base = Files.createTempDirectory("graft_fwd")
+      val in = base.resolve("in"); Files.createDirectories(in)
+      Files.writeString(in.resolve("w1.jsonl"),
+        """{"doc_id": 1, "path": "a/x.csv", "n_chars": 10}
+          |""".stripMargin)
+      val q = IncrementalIndexer.startWithProtocol(spark, in.toString,
+        base.resolve("catalog").toString, base.resolve("rej").toString,
+        base.resolve("events").toString, base.resolve("chk").toString,
+        filters = Seq(IndexFilter("1", Seq("\\.csv$"))),
+        generatedBy = "job-F", settings = settings)
+      q.awaitTermination()
+      val evs = spark.read.json(base.resolve("events").toString)
+      // with forwarding fully muted, no record carries `phase` and the
+      // inferred schema omits it — that IS the expected empty case
+      val phases =
+        if (!evs.columns.contains("phase")) Seq.empty[String]
+        else evs.where(col("name") === "index")
+          .select("phase").collect().map(_.getString(0)).sorted.toSeq
+      (phases, evs.where(col("name") === "indexed").count())
+    }
+    // both gates open: enter AND exit forwarded (reactor.py:130-176)
+    assert(run(ProtocolSettings(stateEnter = true, stateExit = true)) ==
+      (Seq("state_enter", "state_exit"), 1L))
+    // both gates closed: nothing forwarded
+    assert(run(ProtocolSettings(stateEnter = false, stateExit = false)) ==
+      (Seq.empty, 1L))
+    // standalone overrides open gates (reactor.py:32) — yet the
+    // two-message handshake still sends (reactor.py:190-208)
+    assert(run(ProtocolSettings(stateEnter = true, stateExit = true,
+      standalone = true)) == (Seq.empty, 1L))
   }
 }
