@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Graph.queries,
     operators.Subqueries.queries,
     operators.Analytics.queries,
+    operators.Advanced.queries,
   )
 
   private def oracleModules = Seq(
@@ -44,6 +45,7 @@ object SparkEntry {
     operators.Graph.oracles,
     operators.Subqueries.oracles,
     operators.Analytics.oracles,
+    operators.Advanced.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

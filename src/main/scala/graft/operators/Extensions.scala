@@ -175,6 +175,48 @@ object Extensions {
        |FROM lab JOIN sz USING (cluster_root)
        |ORDER BY doc_id""".stripMargin
 
+  /** #157 dedup-cluster size distribution: how many clusters of each
+    * size the near-dup graph produces — the one-line QC readout a
+    * dedup sweep reports (a sudden fat tail means a template or a
+    * crawler loop entered the corpus). One keyed agg over the
+    * structure-sized cluster table; `pct_docs` is exact integers under
+    * one r4'd division.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(spark, dir)
+    val n = clusters.agg(count(lit(1)).cast("double").as("n_docs"))
+    clusters
+      .groupBy("cluster_size")
+      .agg(countDistinct("cluster_root").as("n_clusters"),
+        count(lit(1)).as("n_docs_in"))
+      .crossJoin(broadcast(n))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs_in"),
+        r4(col("n_docs_in").cast("double") / col("n_docs"))
+          .as("pct_docs"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE pr AS (SELECT * FROM $pairsSub),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr
+       |      UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |lab AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_root, COUNT(*) AS cluster_size
+       |       FROM lab GROUP BY cluster_root),
+       |mem AS (
+       |  SELECT lab.id, lab.cluster_root, sz.cluster_size
+       |  FROM lab JOIN sz USING (cluster_root)),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM mem)
+       |SELECT cluster_size, COUNT(DISTINCT cluster_root) AS n_clusters,
+       |  COUNT(*) AS n_docs_in,
+       |  ${r4Sql("CAST(COUNT(*) AS DOUBLE) / MAX(tot.n_docs)")} AS pct_docs
+       |FROM mem, tot GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   /** #42 TF-IDF-style term weighting with a RATIONAL idf (N/df instead
     * of ln(N/df)) so the score is cross-engine exact: top-3 terms per
     * document by (tf * N / df), deterministic tie-break on the token.
@@ -677,8 +719,10 @@ object Extensions {
   def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     // clusters are computed ONCE (the plan is rooted at dedupCluster's
     // checkpointed labels) and persisted: both the keep-best ranking and
-    // the drop-list join read the same materialization
-    val clusters = dedupCluster(spark, dir).persist()
+    // the drop-list join read the same materialization. Slot-bounded
+    // (one cached cluster table across repeated calls, not one per call)
+    val clusters = graft.Tables.persistSlot("pipeline.cleanCorpus.clusters",
+      dedupCluster(spark, dir))
     val quality = TextAnalysis.textQuality(spark, dir)
       .select("doc_id", "quality")
     val keeps = keepBest(clusters, quality).select("cluster_root", "keep_id")
@@ -1242,6 +1286,7 @@ object Extensions {
     "agg_kmv_distinct" -> (aggKmvDistinct _),
     "agg_cube" -> (aggCube _),
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_semantic" -> (dedupSemantic _),
     "text_tfidf" -> (textTfidf _),
     "ts_sliding" -> (tsSliding _),
@@ -1272,6 +1317,7 @@ object Extensions {
     "agg_kmv_distinct" -> aggKmvDistinctSql,
     "agg_cube" -> aggCubeSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_semantic" -> dedupSemanticSql,
     "text_tfidf" -> textTfidfSql,
     "ts_sliding" -> tsSlidingSql,

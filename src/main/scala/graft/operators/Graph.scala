@@ -41,7 +41,7 @@ object Graph {
     * it, graph density tracks data volume instead of structure and
     * wedge counts explode quadratically.
     */
-  private def undirected(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def undirected(spark: SparkSession, dir: String): DataFrame =
     undirected(spark, dir, minSupport = 2)
 
   private def undirected(spark: SparkSession, dir: String,
@@ -63,7 +63,7 @@ object Graph {
       .union(u.select(col("pb").as("src"), col("pa").as("dst")))
   }
 
-  private val edgeSql =
+  private[operators] val edgeSql =
     """li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |und AS (
       |  SELECT pa, pb FROM (
