@@ -17,14 +17,13 @@ import org.apache.spark.sql.functions._
   *    and never cross replicas.
   *  - `region`/`nation` stay single-copy: they are bounded enumeration
   *    dims at ANY data scale (the BroadcastDimTables premise).
-  *  - `documents.text` is salted per replica — a replica-dependent
-  *    token-prefix drop (15%..24%) plus a replica tag token — so
-  *    cross-replica bigram Jaccard lands ~0.7, under the 0.8 dedup
-  *    thresholds: near-dup structure grows WITH the corpus instead of
-  *    every doc acquiring K-1 planted twins. (Containment still pairs
-  *    replicas — a suffix IS a contained duplicate; that output growing
-  *    ~linearly with corpus size is correct behavior, noted in
-  *    PLANS.md.)
+  *  - `documents.text` goes through a per-replica token SUBSTITUTION
+  *    CIPHER (each token → a replica-tagged md5 token): document
+  *    structure — token counts, repetition, and the WITHIN-replica
+  *    near-dup relationships — is preserved exactly while
+  *    cross-replica token sets are disjoint (Jaccard 0), so a K×
+  *    corpus carries K× the dup density, never K² planted
+  *    cross-replica twins.
   *  - `embeddings.embedding` is circularly rotated by a per-replica
   *    offset: deterministic, norm-preserving, and uncorrelated with
   *    the original (rotating a random vector decorrelates it), so
