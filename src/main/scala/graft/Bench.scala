@@ -77,8 +77,15 @@ object Bench {
     // committed record (full runs only; arg-filtered loops would clobber
     // it with partial data)
     if (args.isEmpty) {
+      // the committed BENCH_local.json must stay the curated idle sweep:
+      // the default artifact name is derived from the sf dir (and is NOT
+      // the committed name), so neither the driver's per-round run nor an
+      // sf0.01 smoke run can clobber it. Writing the committed artifact
+      // requires opting in via SPARK_GRAFT_BENCH_OUT=BENCH_local.json.
+      val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9._-]", "_")
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_run_$sfTag.json"))
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full results written to $out")

@@ -106,8 +106,14 @@ object ScaleProbe {
         if (i == 0) df
         else {
           // circular rotation by (i*7+3) mod dim positions:
-          // norm-preserving and decorrelated from the source vector
-          val r = pmod(lit(i * 7 + 3), size(col("embedding")))
+          // norm-preserving and decorrelated from the source vector.
+          // (i*7+3) mod dim hits 0 at i=27 for dim 64, which would make
+          // that replica an exact clone — remap offset 0 into [1, dim-1]
+          // so every replica ≥1 genuinely rotates.
+          val r0 = pmod(lit(i * 7 + 3), size(col("embedding")))
+          val r = when(r0 === 0,
+            pmod(lit(i * 7 + 3), size(col("embedding")) - 1) + 1
+          ).otherwise(r0)
           df.withColumn("embedding",
             when(r === 0, col("embedding")).otherwise(
               concat(

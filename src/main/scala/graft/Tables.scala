@@ -59,7 +59,14 @@ object Tables {
   def persistSlot(slot: String, df: DataFrame): DataFrame = {
     val cached = df.persist()
     val prev = persistSlots.put(slot, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    // Spark's CacheManager keys by canonicalized plan: re-persisting the
+    // SAME subplan (operator re-run, Bench pass 2) returns the existing
+    // entry, so unpersisting `prev` — a different DataFrame object over
+    // the same plan — would evict the shared cache and every later call
+    // would recompute. Evict only a genuinely different previous plan.
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     cached
   }
 

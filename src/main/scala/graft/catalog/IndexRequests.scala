@@ -98,10 +98,24 @@ object IndexRequests {
       envUuid: Option[String] = None,
       contextLevel: Option[String] = None,
       envLevel: Option[String] = None,
+      contextToken: Option[String] = None,
+      envToken: Option[String] = None,
+      contextFiltersJson: Option[String] = None,
+      envFiltersJson: Option[String] = None,
       strict: Boolean = false): DataFrame = {
     val uuidFallback = contextUuid.orElse(envUuid)
       .map(lit).getOrElse(lit(null).cast("string"))
     val levelFallback = contextLevel.orElse(envLevel).getOrElse("1")
+    val tokenFallback = contextToken.orElse(envToken)
+      .map(lit).getOrElse(lit(null).cast("string"))
+    // context/env supply filters as their JSON string representation
+    // (reactor.py:106-110 notes exactly this encoding); parse against the
+    // same struct shape the message schema uses so downstream consumers
+    // see one filter type regardless of where the value resolved from
+    val filtersType = requestSchema("filters").dataType
+    val filtersFallback = contextFiltersJson.orElse(envFiltersJson)
+      .map(j => from_json(lit(j), filtersType))
+      .getOrElse(lit(null).cast(filtersType))
     val schemaReason = rejectReason
     val resolvedUuid = coalesce(col("uuid"), uuidFallback)
     val reason =
@@ -118,6 +132,8 @@ object IndexRequests {
         when(schemaReason.isNull, col("name")).otherwise(lit("urlparams")))
       .withColumn("uuid", resolvedUuid)
       .withColumn("level", coalesce(col("level"), lit(levelFallback)))
+      .withColumn("token", coalesce(col("token"), tokenFallback))
+      .withColumn("filters", coalesce(col("filters"), filtersFallback))
       .select("uuid", "action", "level", "token", "filters",
         "reject_reason")
   }

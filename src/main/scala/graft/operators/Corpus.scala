@@ -354,6 +354,107 @@ object Corpus {
        |FROM p LEFT JOIN shared s ON p.ph = s.ph
        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #160
+  /** #160 unaligned duplicated-SPAN detection — the declarative
+    * approximation of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2022).
+    * `dedup_passages` (#68) hashes NON-overlapping fixed chunks, so a
+    * duplicated span that straddles a chunk boundary (any alignment
+    * shift of 1..7 tokens) produces zero matching hashes and is missed.
+    * Here every OVERLAPPING w-token window (stride 1) is hashed, so a
+    * cross-document duplicated span of >= w tokens matches at EVERY
+    * alignment; per document, the shared windows are run-merged into
+    * maximal covered intervals (stacked windows: consecutive shared
+    * starts closer than w merge) and the covered token count reported.
+    *
+    * Scale: the shingle stream is w× the token stream (w=8) but stays
+    * one scan — (doc, pos, hash) aggregates to the distinct-doc count
+    * per hash (map-side combine), the shared-hash set is DUPLICATE-
+    * DENSITY-sized and size-gates onto the broadcast path for the
+    * attach join, and the run-merge is one lag window per document.
+    * No self-join, no all-pairs — same shape that lets MinHash LSH
+    * scale, applied at substring granularity.
+    */
+  def dedupSubstrings(spark: SparkSession, dir: String,
+      window: Int = 8): DataFrame =
+    dedupSubstringsDocs(Tables.spread(spark, dir, "documents"), window)
+
+  /** Core of #160 over an arbitrary `(doc_id, text)` table (spec entry
+    * point: plant an unaligned duplicated span, prove #68 misses it).
+    */
+  private[operators] def dedupSubstringsDocs(docs: DataFrame,
+      window: Int): DataFrame = {
+    val w = window
+    // every overlapping w-token window, hashed; docs shorter than w
+    // tokens carry no window and drop out (mirrors #68's chunk rule)
+    val s = docs
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - $w + 1),
+           |  i -> struct(i AS pos,
+           |    md5(concat_ws(' ', slice(toks, i, $w))) AS sh))"""
+          .stripMargin)).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.sh").as("sh"))
+    // hashes carried by >= 2 distinct docs: duplicate-density-sized,
+    // so the attach join onto the position stream size-gates to a
+    // broadcast; past the gate it is a plain equi-join on the hash
+    val sharedHashes = Tables.maybeBroadcast(
+      s.select("doc_id", "sh").distinct()
+        .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2).select("sh"))
+    // run-merge per doc: sorted shared starts; a start within w-1 of
+    // its predecessor extends the current run (contributes the overlap
+    // delta), a farther one opens a new run (contributes w)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = s.join(sharedHashes, "sh")
+      .select("doc_id", "pos")
+      .withColumn("prev", lag("pos", 1).over(wDoc))
+      .groupBy("doc_id").agg(
+        sum(when(col("prev").isNull, lit(w))
+          .otherwise(least(lit(w), col("pos") - col("prev"))))
+          .cast("bigint").as("dup_tokens"))
+    // per-doc totals from the same stream (max start + w - 1 tokens);
+    // left join keeps clean docs at dup_tokens = 0
+    s.groupBy("doc_id")
+      .agg((max(col("pos")) + lit(w - 1)).cast("bigint").as("n_tokens"))
+      .join(Tables.maybeBroadcast(covered), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        r4(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 8),
+       |s AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    md5(array_to_string(toks[i : i + 7], ' ')) AS sh
+       |  FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)),
+       |shared AS (
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM s)
+       |  GROUP BY sh HAVING COUNT(*) >= 2),
+       |runs AS (
+       |  SELECT s.doc_id, s.pos,
+       |    lag(s.pos) OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS prev
+       |  FROM s JOIN shared USING (sh)),
+       |cov AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN prev IS NULL THEN 8
+       |    ELSE LEAST(8, pos - prev) END) AS BIGINT) AS dup_tokens
+       |  FROM runs GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, CAST(MAX(pos) + 7 AS BIGINT) AS n_tokens
+       |  FROM s GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_tokens,
+       |  COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+       |  ${r4Sql("COALESCE(cov.dup_tokens, 0) / CAST(tot.n_tokens AS DOUBLE)")}
+       |    AS dup_frac
+       |FROM tot LEFT JOIN cov ON tot.doc_id = cov.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- #69
   /** #69 out-of-vocabulary rate: build the corpus top-K vocabulary
     * (global token frequencies, ties broken lexically) and report each
@@ -657,12 +758,127 @@ object Corpus {
       |FROM pairs GROUP BY pair
       |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- #161
+  /** #161 multi-iteration BPE training (k merges): the real tokenizer-
+    * training loop, not just #138's first pair table. Each iteration
+    * counts corpus-weighted adjacent symbol pairs over the distinct-word
+    * vocabulary, emits the top-`topK` pair table, then merges the #1
+    * pair (count desc, pair asc — a total order, so cross-engine
+    * deterministic) into every word greedily left-to-right and repeats
+    * on the merged symbols, exactly Sennrich et al.'s algorithm.
+    *
+    * Scale: per iteration one keyed pair aggregation with map-side
+    * combine (vocabulary-sized, not corpus-sized — the distinct-word
+    * trick from #138), a row_number over the AGGREGATED pair table
+    * (tiny: distinct adjacent symbol pairs), and one narrow map that
+    * folds the merge through each word's symbol array. The only
+    * driver-side value is the 1-row winning pair per iteration — the
+    * same fixpoint pattern as k-means centroids. `localCheckpoint`
+    * cuts lineage so iteration k doesn't replay 1..k-1.
+    */
+  def textBpeMerges(spark: SparkSession, dir: String,
+      iterations: Int = 3, topK: Int = 10): DataFrame = {
+    def sqlLit(s: String): String =
+      s.replace("\\", "\\\\").replace("'", "\\'")
+    var vocab = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .where(length(col("w")) >= 2)
+      .select(col("cw"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val perIter = (1 to iterations).map { it =>
+      val ranked = vocab
+        .select(col("cw"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> concat_ws(' ', slice(syms, i, 2)))""".stripMargin))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cw").as("n_occurrences"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("n_occurrences"), col("pair"))))
+        .where(col("rk") <= topK)
+        .select(lit(it).as("iter"), col("rk"), col("pair"),
+          col("n_occurrences"))
+        .localCheckpoint(true) // pin THIS iteration's counts (10 rows)
+      if (it < iterations) {
+        // winning pair -> greedy left-to-right merge fold: the merged
+        // symbol can never chain-merge within the same iteration
+        // because the folded tail compares against the FULL symbol
+        val parts = ranked.where(col("rk") === 1)
+          .head.getAs[String]("pair").split(' ')
+        val (a, b) = (sqlLit(parts(0)), sqlLit(parts(1)))
+        vocab = vocab.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             |  (acc, s) -> CASE WHEN size(acc) > 0
+             |      AND element_at(acc, -1) = '$a' AND s = '$b'
+             |    THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+             |    ELSE concat(acc, array(s)) END)""".stripMargin))
+          .localCheckpoint(true)
+      }
+      ranked
+    }
+    perIter.reduce(_.unionAll(_)).orderBy("iter", "rk")
+  }
+
+  /** DuckDB mirror of the 3-iteration merge loop. The greedy merge is
+    * expressed as repeated boundary-space `replace` over the space-
+    * joined symbol string: ' a b ' -> ' ab '. One replace pass merges
+    * every OTHER occurrence in a consecutive chain (the consumed
+    * boundary space hides the next), so the pass is applied 7 times —
+    * enough for chains up to 2^7 occurrences, far past any real token —
+    * after which the result equals the left-to-right greedy fold.
+    */
+  val textBpeMergesSql: String = {
+    def rep7(inner: String): String =
+      (1 to 7).foldLeft(inner)((s, _) => s"replace($s, pat, rep)")
+    def pairsOf(v: String): String =
+      s"""SELECT cw, unnest(list_transform(
+         |    range(1, len(string_split(s, ' '))),
+         |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]))
+         |    AS pair
+         |  FROM $v""".stripMargin
+    def iterCtes(i: Int, vPrev: String): String =
+      s"""p$i AS (
+         |  SELECT pair, CAST(SUM(cw) AS BIGINT) AS c FROM (
+         |  ${pairsOf(vPrev)})
+         |  GROUP BY pair),
+         |t$i AS (
+         |  SELECT pair, c,
+         |    CAST(row_number() OVER (ORDER BY c DESC, pair) AS INTEGER)
+         |      AS rk
+         |  FROM p$i),
+         |m$i AS (
+         |  SELECT ' ' || pair || ' ' AS pat,
+         |    ' ' || replace(pair, ' ', '') || ' ' AS rep
+         |  FROM t$i WHERE rk = 1),
+         |v$i AS (
+         |  SELECT cw, trim(${rep7("' ' || s || ' '")}) AS s
+         |  FROM $vPrev CROSS JOIN m$i)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS cw FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w HAVING len(w) >= 2),
+       |v0 AS (
+       |  SELECT cw, array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS s
+       |  FROM words),
+       |${iterCtes(1, "v0")},
+       |${iterCtes(2, "v1")},
+       |${iterCtes(3, "v2")}
+       |SELECT 1 AS iter, rk, pair, c AS n_occurrences
+       |FROM t1 WHERE rk <= 10
+       |UNION ALL SELECT 2, rk, pair, c FROM t2 WHERE rk <= 10
+       |UNION ALL SELECT 3, rk, pair, c FROM t3 WHERE rk <= 10
+       |ORDER BY iter, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_val" -> (splitTrainVal _),
     "corpus_domain_drift" ->
       ((s: SparkSession, d: String) => corpusDomainDrift(s, d)),
     "text_bpe_pairs" ->
       ((s: SparkSession, d: String) => textBpePairs(s, d)),
+    "text_bpe_merges" ->
+      ((s: SparkSession, d: String) => textBpeMerges(s, d)),
     "sample_token_weighted" -> (sampleTokenWeighted _),
     "text_repetition" -> (textRepetition _),
     "decontaminate" -> (decontaminate _),
@@ -673,6 +889,8 @@ object Corpus {
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "mix_domains" -> (mixDomains _),
     "dedup_passages" -> ((s: SparkSession, d: String) => dedupPassages(s, d)),
+    "dedup_substrings" ->
+      ((s: SparkSession, d: String) => dedupSubstrings(s, d)),
     "text_oov_rate" -> ((s: SparkSession, d: String) => textOovRate(s, d)),
     "corpus_token_budget" ->
       ((s: SparkSession, d: String) => corpusTokenBudget(s, d)))
@@ -681,6 +899,7 @@ object Corpus {
     "split_train_val" -> splitTrainValSql,
     "corpus_domain_drift" -> corpusDomainDriftSql,
     "text_bpe_pairs" -> textBpePairsSql,
+    "text_bpe_merges" -> textBpeMergesSql,
     "sample_token_weighted" -> sampleTokenWeightedSql,
     "text_repetition" -> textRepetitionSql,
     "decontaminate" -> decontaminateSql,
@@ -691,6 +910,7 @@ object Corpus {
     "pack_sequences" -> packSequencesSql,
     "mix_domains" -> mixDomainsSql,
     "dedup_passages" -> dedupPassagesSql,
+    "dedup_substrings" -> dedupSubstringsSql,
     "text_oov_rate" -> textOovRateSql,
     "corpus_token_budget" -> corpusTokenBudgetSql)
 }

@@ -37,11 +37,11 @@ object Extensions {
     // the (expensive) upstream pair pipeline is evaluated ONCE — a
     // union of two selects would run the LSH/k-NN plan twice before the
     // persist ever sees it
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+    val edges = graft.Tables.persistSlot("extensions.clusterPairs.edges",
+      pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // localCheckpoint each iteration: materializes the labels AND cuts
     // the lineage so iteration N's plan doesn't replay iterations 1..N-1.
     // Init folds the FIRST propagation in for free (min of self and all
@@ -80,6 +80,9 @@ object Extensions {
         explode(col("ids")).as(idName))
       .select(idName, "cluster_root", "cluster_size")
       .orderBy(idName)
+    // eager release: the loop is the only consumer (labels are already
+    // checkpointed), so don't hold the slot's memory until the next
+    // clusterPairs call swaps the slot
     edges.unpersist()
     out
   }

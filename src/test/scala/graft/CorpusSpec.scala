@@ -94,6 +94,67 @@ class CorpusSpec extends GraftSpec {
     assert(hashFlagged == stringFlagged)
   }
 
+  test("dedup_substrings finds a planted UNALIGNED duplicated span " +
+    "that dedup_passages misses") {
+    val sp = spark
+    import sp.implicits._
+    // a 16-token span S planted at offset 4 in doc 1 and offset 3 in
+    // doc 2: the 1-token alignment shift guarantees no 8-token
+    // NON-overlapping chunk of doc 1 equals any chunk of doc 2, while
+    // every OVERLAPPING 8-window fully inside S matches
+    val span = (1 to 16).map(i => s"s$i")
+    val docA = ((1 to 4).map(i => s"a$i") ++ span ++
+      (21 to 40).map(i => s"a$i")).mkString(" ") // 40 tokens
+    val docB = ((1 to 3).map(i => s"b$i") ++ span ++
+      (20 to 36).map(i => s"b$i")).mkString(" ") // 36 tokens
+    val docC = (1 to 24).map(i => s"c$i").mkString(" ") // clean control
+    val dir = java.nio.file.Files.createTempDirectory("graft_subdup")
+    Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+
+    // the aligned-chunk operator sees zero sharing anywhere
+    val pass = operators.Corpus.dedupPassages(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(pass == Map(1L -> 0L, 2L -> 0L, 3L -> 0L),
+      s"chunk alignment should hide the span, got $pass")
+
+    // the overlapping-shingle operator recovers the full 16-token span
+    // in both carriers (9 consecutive shared window starts run-merge to
+    // exactly 16 covered tokens) and keeps the control clean
+    val sub = operators.Corpus.dedupSubstrings(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(sub == Map(1L -> (40L, 16L), 2L -> (36L, 16L),
+      3L -> (24L, 0L)), s"got $sub")
+  }
+
+  test("text_bpe_merges runs the real merge loop (hand-computed trace)") {
+    val sp = spark
+    import sp.implicits._
+    // one doc, words: banana x3, bandana x1. By hand:
+    //   it1 pairs: (a n)=8 (n a)=6 (b a)=4 (d a)=1 (n d)=1 -> merge "a n"
+    //   it2 over [b,an,an,a]/[b,an,d,an,a]: (an a)=4 (b an)=4 tie ->
+    //     lexical order picks "an a"; (an an)=3 (an d)=1 (d an)=1
+    //   it3 over [b,an,ana]/[b,an,d,ana]: (b an)=4 (an ana)=3 ...
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe")
+    Seq((1L, "banana banana banana bandana")).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = operators.Corpus.textBpeMerges(spark, dir.toString)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val winners = out.filter(_._2 == 1)
+      .map(r => (r._1, r._3, r._4)).toSeq
+    assert(winners == Seq((1, "a n", 8L), (2, "an a", 4L), (3, "b an", 4L)))
+    // the merged pair is gone from the next iteration's pair universe
+    val it2pairs = out.filter(_._1 == 2).map(_._3).toSet
+    val it3pairs = out.filter(_._1 == 3).map(_._3).toSet
+    assert(!it2pairs.contains("a n") && !it3pairs.contains("an a"))
+    // it2's full table matches the hand trace
+    assert(out.filter(_._1 == 2).map(r => r._3 -> r._4).toMap ==
+      Map("an a" -> 4L, "b an" -> 4L, "an an" -> 3L,
+        "an d" -> 1L, "d an" -> 1L))
+  }
+
   test("text_oov_rate: vocab tokens cover total minus OOV, bounds hold") {
     val oov = operators.Corpus.textOovRate(spark, sf)
     val rows = oov.collect()

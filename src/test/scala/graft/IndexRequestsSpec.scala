@@ -84,6 +84,36 @@ class IndexRequestsSpec extends GraftSpec {
       .map(_.getString(0)).toSet == Set("107a54fe", "22222222"))
   }
 
+  test("token and filters also resolve message -> context -> env " +
+    "(reference PARAMS, reactor.py:90-102)") {
+    val dir = writeMessages(
+      """{"uuid": "a", "name": "index", "token": "msg-tok", "filters": [{"processing_level": "9", "patterns": [".msg$"]}]}
+        |{"uuid": "b", "name": "index"}
+        |""".stripMargin)
+    val msgs = IndexRequests.read(spark, dir)
+    val ctxFilters = """[{"processing_level": "2", "patterns": [".ctx$"]}]"""
+    val routed = IndexRequests.routed(msgs,
+      contextToken = Some("ctx-tok"), envToken = Some("env-tok"),
+      contextFiltersJson = Some(ctxFilters))
+      .orderBy("uuid").collect()
+    // message values win for both params
+    assert(routed(0).getString(3) == "msg-tok")
+    assert(IndexRequests.filtersOf(routed(0)) ==
+      Seq(IndexFilter("9", Seq(".msg$"))))
+    // absent values resolve context-first (context beats env for token)
+    assert(routed(1).getString(3) == "ctx-tok")
+    assert(IndexRequests.filtersOf(routed(1)) ==
+      Seq(IndexFilter("2", Seq(".ctx$"))))
+    // env is the last non-default resort
+    val envOnly = IndexRequests.routed(msgs, envToken = Some("env-tok"))
+      .orderBy("uuid").collect()
+    assert(envOnly(1).getString(3) == "env-tok")
+    // with nothing anywhere, token/filters stay null (their PARAMS
+    // default is None — only level defaults to "1")
+    val bare = IndexRequests.routed(msgs).orderBy("uuid").collect()
+    assert(bare(1).isNullAt(3) && bare(1).isNullAt(4))
+  }
+
   test("level resolves message -> context/env -> default '1'") {
     val dir = writeMessages(
       """{"uuid": "a", "name": "index", "level": "3"}

@@ -33,6 +33,30 @@ class TablesSpec extends GraftSpec {
     assert(min > 1577836800000000L && max < 1893456000000000L)
   }
 
+  test("persistSlot keeps the shared cache entry on repeated same-plan calls") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def isCached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.withCachedData.exists(_.isInstanceOf[InMemoryRelation])
+    def build() = Tables(spark, sf, "region").selectExpr("r_regionkey * 2 as k")
+    val first = Tables.persistSlot("spec.sameplan", build())
+    first.count()
+    assert(isCached(first), "first persistSlot call must cache")
+    // Second call with the SAME plan: CacheManager returns the existing
+    // entry; the slot swap must NOT evict it (the r5 bug evicted here
+    // because `prev ne cached` even though both share one cache entry).
+    val second = Tables.persistSlot("spec.sameplan", build())
+    second.count()
+    assert(isCached(second), "same-plan re-persist must stay cached")
+    assert(isCached(build()), "shared cache entry must survive the slot swap")
+    // A genuinely different plan in the slot evicts the old occupant.
+    val third = Tables.persistSlot("spec.sameplan",
+      Tables(spark, sf, "region").selectExpr("r_regionkey * 3 as k"))
+    third.count()
+    assert(isCached(third))
+    assert(!isCached(build()), "different-plan swap must evict the previous occupant")
+    third.unpersist(blocking = true)
+  }
+
   test("embeddings are fixed 64-dim vectors") {
     import org.apache.spark.sql.functions._
     val dims = Tables(spark, sf, "embeddings")
