@@ -39,6 +39,17 @@ object IndexRequests {
   def read(spark: SparkSession, path: String): DataFrame =
     graft.sources.CatalogIO.readJson(spark, path, requestSchema)
 
+  /** `minify_job_dict` parity (`/root/reference/reactor.py:16-25`): the
+    * reference strips an EXPLICIT key list — `_links`, `retries`,
+    * `localId` — from every inbound job dict before processing, so a
+    * persisted raw message never carries them. `drop` is a no-op for
+    * absent columns, mirroring the reference's `if strip_key in
+    * post_dict` guard; all other keys ride through untouched.
+    */
+  val minifyStripKeys: Seq[String] = Seq("_links", "retries", "localId")
+
+  def minify(df: DataFrame): DataFrame = df.drop(minifyStripKeys: _*)
+
   /** First failed check, as the reference's validator would report it;
     * NULL = valid. The checks mirror index.jsonschema: parseable,
     * required uuid, required name, name ∈ {index, indexed}, and every

@@ -43,6 +43,43 @@ object IncrementalIndexer {
     def forwardExit: Boolean = !standalone && stateExit
   }
 
+  /** Exactly-once READ of the append-only catalog under at-least-once
+    * message delivery: the reference sends every protocol message with
+    * `retryMaxAttempts=10` (`/root/reference/reactor.py:40-42,206-208`),
+    * so a redelivered index request re-runs the (deterministic) indexing
+    * of the same manifest and appends identical records. Its catalog
+    * absorbs that because `store.index` upserts by content; the Spark
+    * analogue is merge-on-read — one `dropDuplicates` over the record's
+    * full content key. Deterministic content + content-keyed dedupe =
+    * idempotent catalog state, no matter how many times the message
+    * arrives.
+    *
+    * Scale: one hash aggregation keyed on the content columns — the
+    * same shuffle shape as `dedup_exact`, linear, no join.
+    */
+  def catalogState(catalog: DataFrame): DataFrame =
+    catalog.dropDuplicates(
+      Seq("doc_id", "path", "n_chars", "processing_level", "generated_by"))
+
+  /** Fold of the handshake event log into per-job state — the job
+    * manager's half of the two-message protocol ("two messages required
+    * to move a job to FINISHED", `/root/reference/reactor.py:183-215`).
+    * Duplicate deliveries of one `indexed` message collapse on its
+    * `(uuid, batch_id)` identity BEFORE any count aggregates, so a
+    * replayed handshake can't inflate `n_files` or resurrect a state:
+    * FINISHED is a fixpoint, exactly as the reference's job-manager
+    * transition is idempotent under its retried sends.
+    */
+  def jobStates(events: DataFrame): DataFrame =
+    events.where(col("name") === "indexed")
+      .groupBy(col("uuid"), col("batch_id"))
+      .agg(max("n_files").as("n_files"))
+      .groupBy(col("uuid"))
+      .agg(sum("n_files").as("n_files"),
+        count(lit(1)).as("n_batches"))
+      .select(col("uuid"), lit("FINISHED").as("job_state"),
+        col("n_files"), col("n_batches"))
+
   /** Start indexing manifests arriving in `inDir` into the parquet
     * catalog at `outDir`.
     */
