@@ -94,17 +94,26 @@ object Tables {
     else df
   }
 
-  /** `events` with the nanos ts canonicalized to epoch MICROSECONDS
-    * (`ts_us`). The DuckDB oracle reads the same parquet but truncates
-    * TIMESTAMP(NANOS) to its microsecond TIMESTAMP, so every oracle'd
-    * event query must compare/order/emit at micro precision on BOTH
-    * sides (`ts div 1000` here == `epoch_us(ts)` there). Raw `ts` is
-    * dropped on purpose so no query accidentally uses nano precision.
+  /** `events` with ts canonicalized to epoch MICROSECONDS (`ts_us`).
+    * The testdata generator has emitted the column two ways across
+    * rounds — TIMESTAMP(NANOS) (read as a nanos long under the
+    * `nanosAsLong` legacy flag) and plain microsecond TIMESTAMP_NTZ —
+    * so the canonicalization dispatches on the landed type: nanos long
+    * truncates (`div 1000`), a timestamp converts exactly
+    * (`unix_micros` under the session's UTC zone). Either path lands on
+    * the SAME ts_us the DuckDB oracle's `epoch_us(ts)` computes (DuckDB
+    * truncates nanos parquet to its micro TIMESTAMP on read), so every
+    * oracle'd event query compares/orders/emits at micro precision on
+    * both sides. Raw `ts` is dropped on purpose so no query accidentally
+    * depends on the encoding du jour.
     */
   def eventsUs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
-    apply(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .drop("ts")
+    val df = apply(spark, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+    df.withColumn("ts_us", tsUs).drop("ts")
   }
 }
