@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Subqueries.queries,
     operators.Analytics.queries,
     operators.Advanced.queries,
+    operators.Frontier.queries,
   )
 
   private def oracleModules = Seq(
@@ -46,6 +47,7 @@ object SparkEntry {
     operators.Subqueries.oracles,
     operators.Analytics.oracles,
     operators.Advanced.oracles,
+    operators.Frontier.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

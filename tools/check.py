@@ -26,8 +26,9 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_verify(sf_dir, out):
-    cmd = ["sbt", f'runMain graft.Verify {sf_dir} {out}']
+def run_verify(sf_dir, out, only=None):
+    names = " " + " ".join(sorted(only)) if only else ""
+    cmd = ["sbt", f'runMain graft.Verify {sf_dir} {out}{names}']
     print(f"[check] running: {' '.join(cmd)}")
     r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
@@ -75,8 +76,13 @@ def main():
     args = ap.parse_args()
 
     OUT = args.out
+    only_arg = set(args.only.split(",")) if args.only else None
     if not args.skip_verify:
-        run_verify(args.sf, OUT)
+        # --only + a fresh dump dir = dump just those queries; with the
+        # default dir the full dump is refreshed so older entries stay
+        # comparable
+        run_verify(args.sf, OUT,
+                   only_arg if OUT != "/tmp/graft_verify" else None)
 
     with open(f"{OUT}/oracle_sql.json") as f:
         oracles = json.load(f)
