@@ -28,6 +28,7 @@ object SparkEntry {
     operators.Analytics.queries,
     operators.Advanced.queries,
     operators.Frontier.queries,
+    operators.Curation.queries,
   )
 
   private def oracleModules = Seq(
@@ -48,6 +49,7 @@ object SparkEntry {
     operators.Analytics.oracles,
     operators.Advanced.oracles,
     operators.Frontier.oracles,
+    operators.Curation.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -4,81 +4,106 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
-/** Memory-pressure probe: times named queries at a (large) replica dir
-  * while recording per-query executor memory behavior from task metrics —
-  * spill bytes (in-memory + disk), shuffle read/write volume, and the max
-  * per-task peak execution memory. This grounds the "a cluster absorbs
-  * K× by partition width" claim with evidence from the regime where the
-  * working set no longer fits the heap: a 30× sf0.1 replica on the same
-  * 8 GiB JVM emulates one overloaded executor, so the interesting outcome
-  * is NOT "no spill" but "spills to disk and completes at ~linear wall,
-  * no OOM, no cliff" — exactly what Spark's sort-based shuffle and
-  * spillable aggregation promise when partition counts are sized right.
+/** Memory-pressure probe: runs named queries against a ScaleProbe
+  * replica while a SparkListener totals the task metrics that reveal
+  * whether the operator survives partitions that no longer fit in
+  * memory — shuffle SPILL bytes (memory + disk), peak per-task
+  * execution memory, and shuffle read/write volume.
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=<dir> runMain graft.SpillProbe out.json q1 q2 ...`
-  * (single timed pass per query — pressure runs are about metrics, not
-  * min-of-N timing; Bench remains the timing instrument).
+  * This is the harness behind the "cluster absorbs by width" claim: at
+  * 10× the heap still swallows every partition, so spill stays 0 and
+  * wall-clock ratios are the whole story. At 30× on the same fixed
+  * heap (-Xmx stands in for ONE executor's memory), a healthy operator
+  * spills gracefully in its sort/aggregate stages and completes at
+  * ~linear cost; a memory-UNBOUNDED shape (a hash agg over a
+  * corpus-sized key space, a broadcast that should have been gated)
+  * instead OOMs or cliffs. The probe records which one happens.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=<replicaDir> runMain graft.SpillProbe
+  * [query ...]` (defaults to the top-6 heavies from the 10× decade
+  * sweep). One JSON line per query on stdout:
+  *   {"query":…,"sec":…,"spill_mem_mb":…,"spill_disk_mb":…,
+  *    "peak_task_mem_mb":…,"shuffle_write_mb":…,"shuffle_read_mb":…}
+  * plus a trailing `{"metric":"spill_probe", …}` summary line; the
+  * full set is also written to SPARK_GRAFT_BENCH_OUT (default
+  * /tmp/spill_probe.json).
   */
 object SpillProbe {
+
+  /** The 10×-decade heavy set (PLANS.md): the graph family plus the
+    * two linear-compute outliers — the shapes most likely to expose a
+    * memory cliff when partition count stays fixed and volume grows.
+    */
+  val defaultHeavies: Seq[String] = Seq(
+    "graph_components", "graph_pagerank", "graph_triangles",
+    "graph_link_prediction", "ann_pq", "dedup_levenshtein")
+
+  private final class MetricsTotals extends SparkListener {
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    val peakTaskMem = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        peakTaskMem.getAndAccumulate(m.peakExecutionMemory, Math.max _)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit =
+      Seq(spillMem, spillDisk, peakTaskMem, shuffleWrite, shuffleRead)
+        .foreach(_.set(0L))
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SpillProbe <outFile> <query>...")
-    val outFile = args(0)
-    val names = args.drop(1).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.isEmpty) defaultHeavies else args.toSeq
     val unknown = names.toSet.diff(SparkEntry.queries.keySet)
-    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_probe30")
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession(cpus, "graft-spill-probe")
+    val totals = new MetricsTotals
+    spark.sparkContext.addSparkListener(totals)
 
-    val memSpill = new AtomicLong
-    val diskSpill = new AtomicLong
-    val shufWrite = new AtomicLong
-    val shufRead = new AtomicLong
-    val peakExec = new AtomicLong
-    val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          memSpill.addAndGet(m.memoryBytesSpilled)
-          diskSpill.addAndGet(m.diskBytesSpilled)
-          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-          peakExec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
+    def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
 
-    val rows = names.map { name =>
+    val lines = names.map { name =>
+      val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()
-      memSpill.set(0); diskSpill.set(0)
-      shufWrite.set(0); shufRead.set(0); peakExec.set(0)
+      totals.reset()
       val t0 = System.nanoTime()
-      val res =
+      val (sec, err) =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[spill] $name failed: ${e.getMessage}"); -1.0
-        }
-      // listener events are posted asynchronously; drain the bus so the
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, None)
+        } catch { case e: Throwable => (-1.0, Some(e.getMessage)) }
+      // listener events post asynchronously; drain the bus so the
       // counters cover every task of the job just finished
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      val row =
-        s"""{"query":"$name","sec":$res,"memSpillBytes":${memSpill.get}""" +
-          s""","diskSpillBytes":${diskSpill.get}""" +
-          s""","shuffleWriteBytes":${shufWrite.get}""" +
-          s""","shuffleReadBytes":${shufRead.get}""" +
-          s""","peakTaskExecMemBytes":${peakExec.get}}"""
-      println(row)
-      row
+      val line = s"""{"query":"$name","sec":${math.round(sec * 1000) / 1000.0}""" +
+        s""","spill_mem_mb":${mb(totals.spillMem.get)}""" +
+        s""","spill_disk_mb":${mb(totals.spillDisk.get)}""" +
+        s""","peak_task_mem_mb":${mb(totals.peakTaskMem.get)}""" +
+        s""","shuffle_write_mb":${mb(totals.shuffleWrite.get)}""" +
+        s""","shuffle_read_mb":${mb(totals.shuffleRead.get)}""" +
+        err.map(m => s""","error":"${m.replaceAll("[\"\\n]", " ").take(200)}"""")
+          .getOrElse("") + "}"
+      println(line)
+      line
     }
-    val doc = rows.mkString("[", ",\n", "]\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    System.err.println(s"[spill] wrote $outFile")
+    val summary =
+      s"""{"metric":"spill_probe","sf":"$sfDir","heap":"${Runtime.getRuntime.maxMemory() >> 20}m","queries":[${lines.mkString(",")}]}"""
+    println(summary)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/spill_probe.json"))
+    java.nio.file.Files.write(out,
+      (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
