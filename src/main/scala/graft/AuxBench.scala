@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Timing harness for operator VARIANTS that are deliberately not in
+  * `SparkEntry.queries` (no DuckDB oracle — e.g. data-dependent plan
+  * parameters the oracle SQL can't reproduce without a sizing stage).
+  * Same protocol as Bench: noop-sink write, clearCache between passes,
+  * min-of-2, one JSON line. Usage:
+  * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.AuxBench [name ...]`.
+  */
+object AuxBench {
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #31's scale dial turned automatically (bits from log2(n))
+    "dedup_embedding_auto" ->
+      ((s: SparkSession, d: String) => operators.Dedup.dedupEmbeddingAuto(s, d)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.isEmpty) variants.keys.toSeq.sorted else args.toSeq
+    val unknown = names.toSet.diff(variants.keySet)
+    require(unknown.isEmpty,
+      s"unknown variants: ${unknown.toSeq.sorted.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString).toInt
+    val spark = GraftSession(cpus, "graft-aux-bench")
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[aux] failed: ${e.getMessage}"); -1.0
+      }
+    }
+    val results = names.map { n =>
+      val fn = variants(n)
+      run(fn(spark, "/root/testdata/sf0.001")) // warmup
+      val (t1, t2) = (timeOnce(fn), timeOnce(fn))
+      n -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"aux","queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

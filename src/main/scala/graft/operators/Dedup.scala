@@ -338,6 +338,27 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The scale dial above, turned automatically: size `bits` so each
+    * band's expected bucket occupancy stays ≤ `targetOccupancy`
+    * (bits = max(6, ceil(log2(n / targetOccupancy)))), holding the
+    * RANDOM-collision candidate count ~linear in n instead of the
+    * fixed-bits quadratic (measured: the fixed 4×6 eval query ran the
+    * 10× ScaleProbe decade at 17× wall — exactly the n²/2^bits
+    * envelope; this variant restores ~linear). Costs one count() job
+    * up front — the standard price of a data-dependent plan parameter.
+    * The registered eval query keeps fixed 4×6 so the DuckDB oracle
+    * reproduces it without a scalar-subquery sizing stage; production
+    * would also grow `bands` (or multi-probe) to hold the S-curve
+    * recall point while bits grow.
+    */
+  def dedupEmbeddingAuto(spark: SparkSession, dir: String,
+      targetOccupancy: Int = 32): DataFrame = {
+    val n = Tables(spark, dir, "embeddings").count()
+    val bits = math.max(6, math.ceil(
+      math.log(n.toDouble / targetOccupancy) / math.log(2)).toInt)
+    dedupEmbedding(spark, dir, bands = 4, bits = bits)
+  }
+
   /** Oracle mirror: the same 24 md5-parity plane signs, the same 4×6
     * banding, the same exact-cosine verify — the candidate sets are
     * bit-identical across engines, so the compare is exact.

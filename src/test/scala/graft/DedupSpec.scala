@@ -107,6 +107,18 @@ class DedupSpec extends GraftSpec {
     assert(fine.size < coarse.size)
   }
 
+  test("embedding dedup auto-sizing floors at the eval geometry on " +
+      "small corpora") {
+    // n at this sf is under the target occupancy, so the computed bits
+    // floor to 6 and the auto variant IS the fixed 4x6 eval query —
+    // the dial only turns once n outgrows a band's bucket space
+    val auto = operators.Dedup.dedupEmbeddingAuto(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val fixed = operators.Dedup.dedupEmbedding(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(auto == fixed)
+  }
+
   test("containment pairs: threshold holds, contained side is smaller") {
     val rows = operators.Dedup.dedupContainment(spark, sf).collect()
     assert(rows.nonEmpty)
