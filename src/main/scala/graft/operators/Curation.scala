@@ -545,18 +545,189 @@ object Curation {
        |FROM e3 GROUP BY src ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------------------- #170
+  /** #170 PMI-scored collocations: the corpus's top-100 bigram
+    * collocations by pointwise mutual information, with a support
+    * floor (c12 ≥ 2 — a hapax pair always has sky-high PMI; this
+    * corpus's independence-heavy token mix keeps the floor low). All
+    * probabilities live in the BIGRAM event space
+    * (c1 = Σ_w2 c12, c2 = Σ_w1 c12, N = total bigrams), so
+    * PMI = log2(c12·N / (c1·c2)) and the integer-bits form is
+    * floor(log2((c12·N) div (c1·c2))) — same `length(bin(k))-1` device
+    * as #160/#165; cross-products stay under int64 through ~10^9-token
+    * corpora. The top-100 ranks by (pmi_bits, support): genuinely
+    * associated pairs lead, independence (ratio ≈ 1 → 0 bits) trails.
+    *
+    * Scale: two keyed aggs over one bigram explode; the two marginal
+    * attach joins are vocabulary-sized (size-gated broadcast); the
+    * top-100 is TakeOrdered (per-partition heads, no global window).
+    */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bigrams = docs
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").as("n_bigrams"))
+    c12.where(col("c12") >= 2)
+      .join(Tables.maybeBroadcast(c1), "w1")
+      .join(Tables.maybeBroadcast(c2), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_bits", expr(
+        """cast(length(bin(greatest((c12 * n_bigrams) div (c1 * c2),
+          |  cast(1 as bigint)))) - 1 as bigint)""".stripMargin))
+      .select("w1", "w2", "c12", "pmi_bits")
+      .orderBy(desc("pmi_bits"), desc("c12"), col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** Oracle mirror: same bigram-space marginals, same integer-bits
+    * ratio, same (pmi_bits, c12, w1, w2) total order.
+    */
+  val textCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+      |  FROM toks),
+      |c12 AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+      |c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2),
+      |n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams FROM c12),
+      |scored AS (
+      |  SELECT w1, w2, c12,
+      |    (length(bin(greatest((c12 * n_bigrams) // (c1 * c2), 1)))
+      |      - 1)::BIGINT AS pmi_bits
+      |  FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+      |  WHERE c12 >= 2)
+      |SELECT w1, w2, c12, pmi_bits FROM scored
+      |ORDER BY pmi_bits DESC, c12 DESC, w1, w2 LIMIT 100""".stripMargin
+
+  // --------------------------------------------------------------- #171
+  /** #171 hard-negative mining for embedding training: for each query
+    * vector, the top-5 most-cosine-similar corpus vectors with a
+    * DIFFERENT label — the "hard negatives" a contrastive trainer
+    * wants (similar in embedding space, known non-matching). The label
+    * column stands in for the relevance grouping; queries are
+    * corpus-seeded like every registered ANN eval.
+    *
+    * Scale: #32's brute-force contract — corpus scans once against the
+    * BROADCAST bounded query table, per-partition window top-k, no
+    * corpus shuffle. The label filter rides the scan.
+    */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    val q = v.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val c = v.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cosine_raw"), col("c_id"))
+    c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .withColumn("cosine_raw", expr("cosine_f32(q_emb, c_emb)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        col("c_label").cast("long").as("neg_label"),
+        r4(col("cosine_raw")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle mirror: #32's scan with the label-mismatch predicate. */
+  val annHardNegativesSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    CAST(c.label AS BIGINT) AS neg_label,
+      |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+      |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / (q.norm * c.norm) AS cosine_raw
+      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.label <> c.label),
+      |ranked AS (
+      |  SELECT q_id, c_id, neg_label, cosine_raw, ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id, neg_label,
+      |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- #172
+  /** #172 leakage-safe train/val split: near-duplicate documents must
+    * land in the SAME split, or the validation set leaks training
+    * data. Cluster key = the #27 normalization hash (lowercase,
+    * punctuation→space, squeezed); the cluster representative (min
+    * doc_id) is hashed to assign the WHOLE cluster 90/10 — so a doc
+    * and its near-duplicate can never straddle the boundary, which a
+    * per-doc split (#136) cannot guarantee. Production swaps the
+    * cluster key for the MinHash-LSH cluster table (#41) — same shape,
+    * fuzzier equivalence.
+    *
+    * Scale: one keyed agg to cluster reps + one equi-join back on the
+    * cluster key; both map-side-combinable / AQE-coalesced.
+    */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("norm_hash", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+    val reps = docs.groupBy("norm_hash")
+      .agg(min("doc_id").as("cluster_rep"))
+      .withColumn("split",
+        when(conv(substring(md5(col("cluster_rep").cast("string")), 1, 8),
+          16, 10).cast("long") % 10L < 9L, "train").otherwise("val"))
+    docs.join(reps, "norm_hash")
+      .select(col("doc_id"), col("cluster_rep"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle mirror: same normalization, same rep hash, same 90/10. */
+  val splitLeakageSafeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      |  FROM documents),
+      |reps AS (
+      |  SELECT norm_hash, MIN(doc_id) AS cluster_rep,
+      |    CASE WHEN ('0x' || substr(md5(CAST(MIN(doc_id) AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 10 < 9 THEN 'train' ELSE 'val' END AS split
+      |  FROM d GROUP BY norm_hash)
+      |SELECT d.doc_id, reps.cluster_rep, reps.split
+      |FROM d JOIN reps USING (norm_hash) ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "ann_ivf_pq" -> ((s: SparkSession, d: String) => annIvfPq(s, d)),
     "corpus_temperature_mix" -> (corpusTemperatureMix _),
-    "graph_kcore" -> ((s: SparkSession, d: String) => graphKcore(s, d)))
+    "graph_kcore" -> ((s: SparkSession, d: String) => graphKcore(s, d)),
+    "text_collocations" -> (textCollocations _),
+    "ann_hard_negatives" -> (annHardNegatives _),
+    "split_leakage_safe" -> (splitLeakageSafe _))
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
     "text_quality_classifier" -> textQualityClassifierSql,
     "ann_ivf_pq" -> annIvfPqSql,
     "corpus_temperature_mix" -> corpusTemperatureMixSql,
-    "graph_kcore" -> graphKcoreSql)
+    "graph_kcore" -> graphKcoreSql,
+    "text_collocations" -> textCollocationsSql,
+    "ann_hard_negatives" -> annHardNegativesSql,
+    "split_leakage_safe" -> splitLeakageSafeSql)
 }

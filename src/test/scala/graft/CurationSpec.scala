@@ -96,6 +96,74 @@ class CurationSpec extends GraftSpec {
     assert(bySize.last.getAs[Double]("upsample") <= 1.0 + 1e-9)
   }
 
+  test("text_collocations: support floor holds and the ranking is the " +
+      "documented total order") {
+    val r = Curation.textCollocations(spark, sf).collect()
+    assert(r.nonEmpty && r.length <= 100)
+    assert(r.forall(_.getAs[Long]("c12") >= 2))
+    val keys = r.map(x => (-x.getAs[Long]("pmi_bits"), -x.getAs[Long]("c12"),
+      x.getAs[String]("w1"), x.getAs[String]("w2"))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("text_collocations: pmi_bits is the integer-bits ratio of the " +
+      "raw corpus counts") {
+    // re-derive one emitted pair's counts straight from the text and
+    // recompute floor(log2((c12*N) div (c1*c2)))
+    val top = Curation.textCollocations(spark, sf).head()
+    val (w1, w2) = (top.getAs[String]("w1"), top.getAs[String]("w2"))
+    val bg = Tables(spark, sf, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1,
+          |              element_at(t, i + 1) AS w2))""".stripMargin)).as("p"))
+      .select("p.w1", "p.w2")
+    val n = bg.count()
+    val c12 = bg.where(col("w1") === w1 && col("w2") === w2).count()
+    val c1 = bg.where(col("w1") === w1).count()
+    val c2 = bg.where(col("w2") === w2).count()
+    val ratio = math.max(c12 * n / (c1 * c2), 1L)
+    val expectBits = 63 - java.lang.Long.numberOfLeadingZeros(ratio)
+    assert(top.getAs[Long]("c12") == c12)
+    assert(top.getAs[Long]("pmi_bits") == expectBits,
+      s"pair ($w1,$w2): c12=$c12 c1=$c1 c2=$c2 n=$n")
+  }
+
+  test("ann_hard_negatives: every negative has a different label and " +
+      "similarity is rank-monotone") {
+    val v = Tables(spark, sf, "embeddings")
+    val withLabels = Curation.annHardNegatives(spark, sf)
+      .join(v.select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("q_label")), "q_id")
+    assert(withLabels.count() > 0)
+    assert(withLabels.where(col("neg_label") === col("q_label")).count() == 0)
+    withLabels.collect().groupBy(_.getAs[Long]("q_id")).foreach {
+      case (_, rows) =>
+        val byRank = rows.sortBy(_.getAs[Long]("rank"))
+        assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+          (1L to byRank.length).toSeq)
+        val cos = byRank.map(_.getAs[Double]("cosine")).toSeq
+        assert(cos == cos.sorted.reverse)
+    }
+  }
+
+  test("split_leakage_safe: normalized duplicates can never straddle " +
+      "the split boundary") {
+    val s = Curation.splitLeakageSafe(spark, sf)
+    // every cluster maps to exactly one split
+    assert(s.groupBy("cluster_rep")
+      .agg(countDistinct("split").as("k"))
+      .where(col("k") =!= 1).count() == 0)
+    // the representative is a member of its own cluster
+    assert(s.where(col("doc_id") === col("cluster_rep")).count() ==
+      s.select("cluster_rep").distinct().count())
+    // both splits exist and train dominates (90/10 by cluster hash)
+    val frac = s.where(col("split") === "train").count().toDouble / s.count()
+    assert(frac > 0.6 && frac < 1.0, s"train fraction $frac")
+  }
+
   test("graph_kcore: minimum degree >= k and 3 rounds reach the fixpoint") {
     val core = Curation.graphKcore(spark, sf)
     assert(core.where(col("deg") < 3).count() == 0)
