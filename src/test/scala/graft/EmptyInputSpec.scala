@@ -40,7 +40,21 @@ class EmptyInputSpec extends AnyFunSuite {
     "events_attribution",   // range-join pairs
     "events_changepoint",   // CUSUM windows
     "mm_phash_dedup",       // signature banding
-    "intervals_merge")      // sweep windows
+    "intervals_merge",      // sweep windows
+    // round-8 additions (#160-172)
+    "text_perplexity",      // bigram LM over empty corpus
+    "corpus_quality_buckets", // ntile over empty scores
+    "corpus_dsir_weights",  // likelihood ratio, empty target + corpus
+    "graph_lpa",            // label propagation on empty edges
+    "embed_pca_power",      // power iteration over empty cloud
+    "text_bm25",            // retrieval with empty postings AND queries
+    "text_quality_classifier", // hashed dot product per empty doc set
+    "ann_ivf_pq",           // composite index over empty corpus
+    "corpus_temperature_mix", // mixture over zero sources
+    "graph_kcore",          // peeling an empty graph
+    "text_collocations",    // PMI over empty bigram space
+    "ann_hard_negatives",   // label-filtered scan, no vectors
+    "split_leakage_safe")   // cluster split of nothing
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
