@@ -14,7 +14,11 @@ object AuxBench {
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #31's scale dial turned automatically (bits from log2(n))
     "dedup_embedding_auto" ->
-      ((s: SparkSession, d: String) => operators.Dedup.dedupEmbeddingAuto(s, d)))
+      ((s: SparkSession, d: String) => operators.Dedup.dedupEmbeddingAuto(s, d)),
+    // #169 with the symmetric edge list persisted (A/B vs the unrolled
+    // 27x-recompute plan)
+    "graph_kcore_persist" ->
+      ((s: SparkSession, d: String) => operators.Curation.graphKcorePersist(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

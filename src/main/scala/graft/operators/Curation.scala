@@ -509,10 +509,29 @@ object Curation {
     graphKcore(spark, dir, k = 3, rounds = 3)
 
   def graphKcore(spark: SparkSession, dir: String, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    graphKcoreOn(symmetricEdges(spark, dir), k, rounds)
+
+  /** A/B variant: the symmetric edge list in a bounded persist slot.
+    * The unrolled 3-round plan references the edge subtree 3^rounds =
+    * 27 times — well past the 4-7× duplication where the r5 A/B found
+    * recompute-in-parallel beating a persist barrier on an idle box.
+    * AuxBench measures both; PLANS.md records the verdict.
+    */
+  def graphKcorePersist(spark: SparkSession, dir: String): DataFrame =
+    graphKcoreOn(
+      Tables.persistSlot("graph_kcore_edges", symmetricEdges(spark, dir)),
+      k = 3, rounds = 3)
+
+  private def symmetricEdges(spark: SparkSession, dir: String): DataFrame = {
     val und = Graph.undirected(spark, dir)
-    var e = und.select(col("pa").as("src"), col("pb").as("dst"))
+    und.select(col("pa").as("src"), col("pb").as("dst"))
       .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+  }
+
+  private def graphKcoreOn(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var e = edges
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select(col("src").as("node"))
