@@ -729,6 +729,101 @@ object Curation {
       |SELECT d.doc_id, reps.cluster_rep, reps.split
       |FROM d JOIN reps USING (norm_hash) ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #173
+  /** #173 index-quality evaluation: recall@3 of the LSH index (#33)
+    * against the brute-force ground truth (#32), per query — the QC
+    * readout you run after tuning any ANN structure (the recall half
+    * of the recall/cost dial the LSH docs describe). Emits per query:
+    * truth size, LSH hit count, overlap, and the r4'd recall ratio
+    * (ONE IEEE division).
+    *
+    * Scale: both inputs are the registered operators' own flows
+    * (broadcast bounded query set against the corpus — no new
+    * corpus-sized path); the recall join keys on the tiny
+    * (q_id, c_id) result sets.
+    */
+  def annRecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    val q = Similarity.evalQueries(spark, dir)
+    val truth = Similarity.annBruteforceFrom(v, q, k = 3)
+      .select("q_id", "c_id")
+    val hits = Similarity.annLshFrom(v, q, k = 3)
+      .select("q_id", "c_id")
+    val nTruth = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    val nHits = hits.groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    val nOverlap = truth.join(hits, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    q.select("q_id")
+      .join(nTruth, Seq("q_id"), "left")
+      .join(nHits, Seq("q_id"), "left")
+      .join(nOverlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_truth", "n_hits", "n_overlap"))
+      .select(col("q_id"), col("n_truth"), col("n_hits"), col("n_overlap"),
+        r4(col("n_overlap").cast("double") / col("n_truth")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle mirror: one embedding CTE carrying both the norm and the
+    * 8-bit md5-parity bucket, the #32 ranking without the bucket
+    * predicate (truth) and with it (hits), then the overlap counts.
+    */
+  val annRecallAtKSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+      |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+      |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+      |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+      |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id FROM v WHERE vec_id % 50 = 0),
+      |truth AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |    FROM (
+      |      SELECT qv.vec_id AS q_id, c.vec_id AS c_id,
+      |        list_sum(list_transform(range(1, len(qv.embedding) + 1),
+      |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |          / (qv.norm * c.norm) AS cosine_raw
+      |      FROM v qv JOIN v c
+      |        ON qv.vec_id % 50 = 0 AND qv.vec_id <> c.vec_id))
+      |  WHERE rank <= 3),
+      |hits AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+      |      PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+      |    FROM (
+      |      SELECT qv.vec_id AS q_id, c.vec_id AS c_id,
+      |        list_sum(list_transform(range(1, len(qv.embedding) + 1),
+      |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |          / (qv.norm * c.norm) AS cosine_raw
+      |      FROM v qv JOIN v c
+      |        ON qv.vec_id % 50 = 0 AND qv.vec_id <> c.vec_id
+      |        AND qv.bucket = c.bucket))
+      |  WHERE rank <= 3),
+      |nt AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+      |       FROM truth GROUP BY q_id),
+      |nh AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |       FROM hits GROUP BY q_id),
+      |nov AS (
+      |  SELECT truth.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      |  FROM truth JOIN hits USING (q_id, c_id) GROUP BY truth.q_id)
+      |SELECT q.q_id, COALESCE(nt.n_truth, 0) AS n_truth,
+      |  COALESCE(nh.n_hits, 0) AS n_hits,
+      |  COALESCE(nov.n_overlap, 0) AS n_overlap,
+      |  FLOOR((CAST(COALESCE(nov.n_overlap, 0) AS DOUBLE)
+      |    / COALESCE(nt.n_truth, 0)) * 10000.0 + 0.5) / 10000.0 AS recall
+      |FROM q
+      |LEFT JOIN nt USING (q_id)
+      |LEFT JOIN nh USING (q_id)
+      |LEFT JOIN nov USING (q_id)
+      |ORDER BY q.q_id""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
@@ -738,7 +833,8 @@ object Curation {
     "graph_kcore" -> ((s: SparkSession, d: String) => graphKcore(s, d)),
     "text_collocations" -> (textCollocations _),
     "ann_hard_negatives" -> (annHardNegatives _),
-    "split_leakage_safe" -> (splitLeakageSafe _))
+    "split_leakage_safe" -> (splitLeakageSafe _),
+    "ann_recall_at_k" -> (annRecallAtK _))
 
   val oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
@@ -748,5 +844,6 @@ object Curation {
     "graph_kcore" -> graphKcoreSql,
     "text_collocations" -> textCollocationsSql,
     "ann_hard_negatives" -> annHardNegativesSql,
-    "split_leakage_safe" -> splitLeakageSafeSql)
+    "split_leakage_safe" -> splitLeakageSafeSql,
+    "ann_recall_at_k" -> annRecallAtKSql)
 }

@@ -164,6 +164,27 @@ class CurationSpec extends GraftSpec {
     assert(frac > 0.6 && frac < 1.0, s"train fraction $frac")
   }
 
+  test("ann_recall_at_k: recall is overlap over truth and the bounds hold") {
+    val r = Curation.annRecallAtK(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (t, h, o) = (x.getAs[Long]("n_truth"), x.getAs[Long]("n_hits"),
+        x.getAs[Long]("n_overlap"))
+      assert(o <= math.min(t, h), s"overlap $o exceeds min($t, $h)")
+      val rec = x.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(math.abs(rec - math.floor(o.toDouble / t * 10000 + 0.5) / 10000)
+        < 1e-12)
+    }
+    // one row per query vector (queries with an empty bucket — likely
+    // at this tiny sf with 256 buckets over 20 vectors — still report,
+    // with zero hits); truth is always full-k on a >k corpus
+    val nQueries = Tables(spark, sf, "embeddings")
+      .where(col("vec_id") % 50 === 0).count()
+    assert(r.length == nQueries)
+    assert(r.forall(_.getAs[Long]("n_truth") == 3L))
+  }
+
   test("graph_kcore: minimum degree >= k and 3 rounds reach the fixpoint") {
     val core = Curation.graphKcore(spark, sf)
     assert(core.where(col("deg") < 3).count() == 0)
