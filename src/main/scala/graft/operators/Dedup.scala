@@ -101,7 +101,7 @@ object Dedup {
     * distinct the surviving (id_a < id_b) pairs. Band geometry is the
     * recall/occupancy dial: p(candidate | j) = 1-(1-j^bandRows)^bands.
     */
-  private[operators] def lshCandidates(grams: DataFrame, gramCol: String,
+  private[graft] def lshCandidates(grams: DataFrame, gramCol: String,
       numHashes: Int, bandRows: Int): DataFrame = {
     require(numHashes % bandRows == 0,
       s"bandRows must divide numHashes ($bandRows / $numHashes)")

@@ -335,6 +335,64 @@ object EventStream {
       }
   }
 
+  /** A near-dup candidate pair surfaced by the streaming LSH index. */
+  final case class CandPair(id_a: Long, id_b: Long)
+
+  /** Streaming MinHash-LSH near-dup candidate generation — the
+    * incremental form of batch #28's candidate stage: each arriving
+    * document maps to its per-band bucket keys with the SAME native
+    * one-pass expressions as the batch op (hashed trigram shingles →
+    * minhash signature → banded slice digest), and a
+    * flatMapGroupsWithState keyed on the bucket holds the doc_ids seen
+    * there, emitting one normalized (lo, hi) pair per prior occupant
+    * when a new document lands. Re-delivered doc_ids are suppressed by
+    * the state (at-least-once-safe). A pair surfaces once per shared
+    * band — `.distinct()` downstream, exactly like the batch equi-join.
+    *
+    * Scale: per-bucket state is the occupant doc-id list — bounded by
+    * band-bucket occupancy, the SAME quantity the batch op's sizing
+    * math controls (grow bandRows with log₂(n)); the shuffle key is the
+    * bucket, identical to the batch join key, so a streaming cluster
+    * partitions the index exactly as the batch one partitions the join.
+    */
+  def nearDupCandidatesStream(docs: Dataset[Doc], numHashes: Int,
+      bandRows: Int): Dataset[CandPair] = {
+    require(numHashes % bandRows == 0,
+      s"bandRows must divide numHashes ($bandRows / $numHashes)")
+    val sp = docs.sparkSession
+    graft.functions.Hashes.register(sp)
+    import sp.implicits._
+    docs.toDF()
+      .withColumn("sig", expr(
+        s"minhash_sig_from_hashes(ngram_hashes(split(text, ' '), 3), " +
+          s"$numHashes)"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${numHashes / bandRows - 1}),
+           |  b -> concat_ws('|', b, md5(concat_ws(',',
+           |    slice(sig, b * $bandRows + 1, $bandRows)))))"""
+          .stripMargin)).as("bucket"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)],
+         state: GroupState[List[Long]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          // batch-mates in doc_id order so intra-batch pairs are
+          // deterministic; re-delivered ids no-op
+          rows.map(_._1).toSeq.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach(o =>
+                out += (if (o < id) CandPair(o, id) else CandPair(id, o)))
+              seen = id :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization on `transformWithState` with EVENT-TIME
     * TIMERS — the stateful-v2 twin of [[sessionize]]: open-session
     * state in a typed ValueState, and the idle flush driven by

@@ -192,6 +192,45 @@ class StreamingSpec extends GraftSpec {
     assert(streamed == batch)
   }
 
+  test("streaming minhash-LSH candidate index == batch lshCandidates, " +
+      "idempotent under redelivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    val stream = MemoryStream[Doc]
+    val q = EventStream
+      .nearDupCandidatesStream(stream.toDS(), numHashes = 16, bandRows = 4)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    // two batches, then REDELIVER the first batch: the per-bucket state
+    // must suppress the replayed ids, so no pair is emitted twice with
+    // swapped order and no self-pair appears
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    Seq(b1, b2, b1).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("neardup_out")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.functions.Hashes.register(spark)
+    val grams = Tables(spark, sf, "documents")
+      .withColumn("hsh", expr("ngram_hashes(split(text, ' '), 3)"))
+      .select("doc_id", "hsh")
+    val batch = operators.Dedup.lshCandidates(grams, "hsh", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(5)}, " +
+        s"batch-only: ${batch.diff(streamed).take(5)}")
+    // and the verified near-dup set is reachable from the streamed
+    // candidates: every batch-verified pair is a streamed candidate
+    val verified = operators.Dedup.dedupMinhashLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(streamed))
+  }
+
   test("streaming exact dedup == batch dedup_exact keep set") {
     val sp = spark
     import sp.implicits._
