@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Null-value robustness: operators must survive ROWS with null
+  * text / null embedding (the other degenerate-input axis from
+  * EmptyInputSpec's zero-row tables — in production these are the
+  * upstream extraction failures that always exist at 100 TB). The
+  * contract: no throw, and null-content rows neither crash the
+  * pipeline nor fabricate results (they may legitimately be absent
+  * from output or grouped under a null key).
+  */
+class NullInputSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  /** Real testdata with 2 null-text docs and 1 null-embedding vector
+    * appended (fresh ids so joins stay consistent).
+    */
+  private lazy val nulledDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulls").toString
+    Tables.names.foreach { n =>
+      val base = Tables(spark, TestSpark.sf, n)
+      val out = n match {
+        case "documents" =>
+          val nulls = base.limit(2)
+            .withColumn("doc_id", col("doc_id") + lit(900000L))
+            .withColumn("text", lit(null).cast("string"))
+          base.unionByName(nulls)
+        case "embeddings" =>
+          val nulls = base.limit(1)
+            .withColumn("vec_id", col("vec_id") + lit(900000L))
+            .withColumn("embedding",
+              lit(null).cast("array<float>"))
+          base.unionByName(nulls)
+        case _ => base
+      }
+      out.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  private val representative = Seq(
+    // text-heavy: tokenizers, hashes, regex normalization
+    "dedup_exact", "dedup_norm", "dedup_minhash_lsh", "text_stats",
+    "text_quality_classifier", "text_bm25", "text_collocations",
+    "text_perplexity", "split_leakage_safe", "pipeline_clean_corpus",
+    // embedding-heavy: distance/signature arithmetic
+    "ann_bruteforce", "ann_lsh", "dedup_embedding", "kmeans_lloyd",
+    "embed_pca_power", "ann_recall_at_k")
+
+  for (name <- representative)
+    test(s"$name survives null text / null embedding rows") {
+      val rows = SparkEntry.queries(name)(spark, nulledDir).collect()
+      // the base corpus is intact underneath, so output never collapses
+      assert(rows.nonEmpty, s"$name returned nothing on the nulled corpus")
+    }
+}
