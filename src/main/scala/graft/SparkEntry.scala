@@ -29,6 +29,7 @@ object SparkEntry {
     operators.Advanced.queries,
     operators.Frontier.queries,
     operators.Curation.queries,
+    operators.Horizon.queries,
   )
 
   private def oracleModules = Seq(
@@ -50,6 +51,7 @@ object SparkEntry {
     operators.Advanced.oracles,
     operators.Frontier.oracles,
     operators.Curation.oracles,
+    operators.Horizon.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,750 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Round-9 widening (SURVEY.md §2 #174+): the remaining TPC-H shape
+  * plus the evaluation/planning layer a curation pipeline runs AFTER
+  * scoring — fusing quality signals, planning epoch mixes, and
+  * calibrating its own sketches.
+  *
+  *  - `q12_shipmode`: TPC-H Q12 shape — late-line priority counts per
+  *    ship mode (conditional aggregation over a fact⋈fact join). With
+  *    q12 every TPC-H query expressible on this schema (no `partsupp`
+  *    table exists, so Q11/Q16 have no home) is covered.
+  *  - `text_entropy`: per-document integer-bits token entropy — the
+  *    diversity complement of #64's repetition filter (a doc of one
+  *    repeated token scores 0; an all-distinct doc scores ≈ log2 N).
+  *  - `quality_ensemble`: Borda rank fusion of three independent
+  *    quality signals (length, lexical diversity, bigram
+  *    non-repetition) — the standard way to combine filter scores
+  *    without calibrating their scales against each other.
+  *  - `corpus_epoch_plan`: epoch/repeat planning for data-constrained
+  *    training (Muennighoff et al. 2023) — repeat small sources toward
+  *    mixture parity, capped at 4 epochs.
+  *  - `ts_acf`: per-type autocorrelation of the gap-filled hourly
+  *    event series, lags 1-3 — the burstiness diagnostic.
+  *  - `dedup_minhash_est`: MinHash estimate-vs-exact calibration on
+  *    the index's own candidate pairs (the dedup analogue of #173),
+  *    with an engine-portable md5 signature so the estimates
+  *    themselves are oracle-checked.
+  *  - `graph_bfs`: multi-source BFS hop labeling from a landmark set —
+  *    the frontier-growth traversal the whole-graph iterators
+  *    (#99/#152/#163/#169) don't cover.
+  *  - `embed_dim_stats`: exact per-dimension order statistics of the
+  *    embedding cloud — the quantile-clip/scale table int8 pipelines
+  *    read (#84's scale is its coarsest summary).
+  *  - `sample_fixed_k`: fixed-size-per-stratum md5 sampling (the
+  *    eval-set builder; #44's fraction sampler can't pin sizes).
+  *  - `events_dispersion`: Poisson index-of-dispersion per event type
+  *    over the gap-filled hourly series — integer-compared over/under
+  *    dispersion flags, the burstiness QC next to #178.
+  *
+  * Cross-engine exactness: q12 is pure integer counting over a derived
+  * mode column (md5-free modulo arithmetic — identical in both
+  * engines). Entropy uses the INTEGER-BITS device of #160/#165/#170:
+  * Σ cᵢ·(bits(N) − bits(cᵢ)) = N·bits(N) − Σ cᵢ·bits(cᵢ) with
+  * bits(k) = length(bin(k)) − 1, all int64-exact, then ONE r4'd IEEE
+  * division by N. The ensemble's per-signal orderings use at most ONE
+  * IEEE division each (a/b is correctly rounded and identical in both
+  * engines); every rank and the Borda sum are exact integers.
+  *
+  * Scale design (100 TB):
+  *  - q12: the orders side projects to (orderkey, priority) before the
+  *    join — AQE picks broadcast vs sort-merge on the shuffled key; the
+  *    mode/lateness arithmetic is map-side on the scan, and the final
+  *    agg is 5 groups with map-side combine.
+  *  - text_entropy: one explode → keyed agg (map-side combinable) →
+  *    per-doc agg (map-side combinable). No joins, no windows — the
+  *    same two-shuffle shape as #34.
+  *  - quality_ensemble: the three signals are ARRAY-function map-side
+  *    work on the scan (no explode, no shuffle); the global rankings
+  *    are the #85/#106 global-window shape — fine to |corpus| rows of
+  *    12-byte (signal, id) pairs, and at true 100 TB the drop-in
+  *    replacement is bucketed ranks via #161's tertile device (the
+  *    Borda sum is rank-scale-free, so bucketed ranks fuse the same
+  *    way). The payload text never enters the sort — only doc_id and
+  *    three numbers.
+  */
+object Horizon {
+
+  // --------------------------------------------------------------- #174
+  /** #174 TPC-H Q12 shape: for each ship mode, how many LATE lines
+    * belonged to high-priority orders vs low — the "is the cheap
+    * carrier hurting urgent orders" audit. This schema carries no
+    * l_shipmode / l_receiptdate / l_commitdate, so (a) the mode is a
+    * deterministic derived dimension (5 carriers by
+    * (l_suppkey + l_linenumber) mod 5 — stable line-level assignment),
+    * and (b) "late" is the #128 convention: l_shipdate more than 60
+    * days past o_orderdate. Q12's MAIL/SHIP restriction is kept (2 of
+    * 5 modes pass).
+    *
+    * Plan: both fact scans project slim; the only shuffle is the
+    * orderkey join (AQE chooses broadcast vs sort-merge); mode
+    * derivation, the mode IN filter, and the lateness residual are all
+    * map-side; the final aggregate is ≤ 2 groups with map-side combine.
+    */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    val modes = array(lit("MAIL"), lit("SHIP"), lit("TRUCK"),
+      lit("AIR"), lit("RAIL"))
+    val l = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        element_at(modes,
+          (pmod(col("l_suppkey") + col("l_linenumber"), lit(5)) + 1)
+            .cast("int")).as("ship_mode"))
+      .where(col("ship_mode").isin("MAIL", "SHIP"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    l.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("ship_mode")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_mode")
+  }
+
+  val q12Sql: String =
+    """SELECT ship_mode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM (
+      |  SELECT l_orderkey, l_shipdate,
+      |    (['MAIL', 'SHIP', 'TRUCK', 'AIR', 'RAIL'])[
+      |      CAST((l_suppkey + l_linenumber) % 5 AS INT) + 1] AS ship_mode
+      |  FROM lineitem) l
+      |JOIN orders ON o_orderkey = l_orderkey
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |WHERE ship_mode IN ('MAIL', 'SHIP')
+      |GROUP BY ship_mode
+      |ORDER BY ship_mode""".stripMargin
+
+  // --------------------------------------------------------------- #175
+  /** #175 integer-bits token entropy per document. For token counts
+    * cᵢ summing to N, the Shannon entropy is
+    * Σ (cᵢ/N)·log2(N/cᵢ); replacing log2 with the integer floor
+    * bits(k) = length(bin(k)) − 1 (the #160 device) gives
+    * ent_bits = (N·bits(N) − Σ cᵢ·bits(cᵢ)) / N — within 1 bit of the
+    * real value, monotone in the same direction (0 iff the doc is one
+    * token repeated; ≈ bits(N) when all tokens are distinct), and
+    * bit-identical across engines: every term is int64 arithmetic and
+    * the ONE IEEE division is r4'd. The filtering use is the Gopher
+    * "entropy floor" — boilerplate and keyword-stuffed docs sit at the
+    * bottom of the column.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val bits: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => (length(bin(c)) - 1).cast("long")
+    val counts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * bits(col("c"))).as("sum_cbits"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r4((col("n_tokens") * bits(col("n_tokens")) - col("sum_cbits"))
+          .cast("double") / col("n_tokens")).as("ent_bits"))
+      .orderBy("doc_id")
+  }
+
+  val textEntropySql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY doc_id, token),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS sum_cbits
+       |  FROM counts GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ${r4Sql("(n_tokens * (length(bin(n_tokens)) - 1) - sum_cbits)" +
+                  " / n_tokens")} AS ent_bits
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #176
+  /** #176 Borda rank fusion of three quality signals: token length
+    * (longer is better), lexical diversity (distinct-token ratio,
+    * higher is better), and bigram non-repetition (#64's signal,
+    * higher distinct-bigram ratio is better). Each signal contributes
+    * a full-corpus row_number rank (ties broken by doc_id — total
+    * order, engine-stable); the composite is the rank SUM, re-ranked.
+    * Rank fusion is how production filters combine heterogeneous
+    * scores (model-based, heuristic, LM-based) without calibrating
+    * their scales; the Borda sum is also what #49's keep-best consumes
+    * when "best" is multi-signal.
+    *
+    * All three signals are computed with ARRAY functions on the scan —
+    * no explode, no join, no shuffle before the ranking windows. Docs
+    * need ≥ 2 tokens (the bigram signal must exist).
+    */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        size(array_distinct(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat(element_at(toks, i), ' ',
+            |              element_at(toks, i + 1)))""".stripMargin)))
+          .cast("long").as("n_distinct_bg"))
+      .withColumn("div_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("bg_ratio",
+        col("n_distinct_bg").cast("double") / col("n_bigrams"))
+    val byLen = Window.orderBy(desc("n_tokens"), col("doc_id"))
+    val byDiv = Window.orderBy(desc("div_ratio"), col("doc_id"))
+    val byRep = Window.orderBy(desc("bg_ratio"), col("doc_id"))
+    val ranked = sig
+      .withColumn("r_len", row_number().over(byLen).cast("long"))
+      .withColumn("r_div", row_number().over(byDiv).cast("long"))
+      .withColumn("r_rep", row_number().over(byRep).cast("long"))
+      .withColumn("borda", col("r_len") + col("r_div") + col("r_rep"))
+    ranked
+      .withColumn("final_rank", row_number()
+        .over(Window.orderBy(col("borda"), col("doc_id"))).cast("long"))
+      .select("doc_id", "r_len", "r_div", "r_rep", "borda", "final_rank")
+      .orderBy("final_rank")
+  }
+
+  val qualityEnsembleSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |    CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+      |    CAST(len(list_distinct(list_transform(range(1, len(t)),
+      |      i -> t[i] || ' ' || t[i + 1]))) AS BIGINT) AS n_distinct_bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |ranked AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id)
+      |      AS BIGINT) AS r_len,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY n_distinct / n_tokens DESC, doc_id)
+      |      AS BIGINT) AS r_div,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY n_distinct_bg / n_bigrams DESC, doc_id)
+      |      AS BIGINT) AS r_rep
+      |  FROM sig),
+      |fused AS (
+      |  SELECT doc_id, r_len, r_div, r_rep,
+      |    r_len + r_div + r_rep AS borda
+      |  FROM ranked)
+      |SELECT doc_id, r_len, r_div, r_rep, borda,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY borda, doc_id) AS BIGINT)
+      |    AS final_rank
+      |FROM fused ORDER BY final_rank""".stripMargin
+
+  // --------------------------------------------------------------- #177
+  /** #177 epoch/repeat plan for data-constrained training (the
+    * Muennighoff et al. 2023 recipe): when the target mixture wants
+    * more tokens from a source than it has, REPEAT the source — up to
+    * a cap (4 epochs here; beyond ~4 repeats the marginal value of a
+    * repeated token decays sharply). Budget per source = the largest
+    * source's token count (train every source toward parity with the
+    * biggest); epochs = min(cap, ceil(budget / tokens)); the plan
+    * reports per-source planned tokens, the achieved mixture share,
+    * and the unique-token fraction of what the trainer will actually
+    * see.
+    *
+    * Exactness: tokens/epochs/planned are pure int64 (ceil via
+    * (a + b − 1) div b); share and unique_frac are each ONE r4'd IEEE
+    * division. Scale: one keyed agg to |sources| rows; the budget and
+    * the total are 1-row/global-window aggregates over that
+    * structure-sized table — driver-scale math, corpus touched once.
+    */
+  def corpusEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val budget = perSrc.agg(max("n_tokens").as("budget"))
+    val planned = perSrc.crossJoin(broadcast(budget))
+      .withColumn("epochs",
+        least(lit(4L), expr("(budget + n_tokens - 1) div n_tokens")))
+      .withColumn("planned_tokens", col("epochs") * col("n_tokens"))
+    planned
+      .withColumn("total_planned",
+        sum("planned_tokens").over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("epochs"), col("planned_tokens"),
+        r4(col("planned_tokens").cast("double") / col("total_planned"))
+          .as("share"),
+        r4(col("n_tokens").cast("double") / col("planned_tokens"))
+          .as("unique_frac"))
+      .orderBy("source")
+  }
+
+  val corpusEpochPlanSql: String =
+    s"""WITH per_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT MAX(n_tokens) AS budget FROM per_src),
+       |planned AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    least(4, (budget + n_tokens - 1) // n_tokens) AS epochs,
+       |    least(4, (budget + n_tokens - 1) // n_tokens) * n_tokens
+       |      AS planned_tokens
+       |  FROM per_src CROSS JOIN b)
+       |SELECT source, n_docs, n_tokens, epochs, planned_tokens,
+       |  ${r4Sql("planned_tokens / CAST(SUM(planned_tokens) OVER () AS DOUBLE)")}
+       |    AS share,
+       |  ${r4Sql("n_tokens / CAST(planned_tokens AS DOUBLE)")} AS unique_frac
+       |FROM planned ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- #178
+  /** #178 autocorrelation of the hourly event-count series, per event
+    * type, lags 1–3 — the seasonality/burstiness diagnostic read
+    * before choosing session windows or anomaly baselines (#82's
+    * z-scores assume weak autocorrelation; this measures it).
+    *
+    * The series is the GAP-FILLED (#61 shape) hourly count over each
+    * type's [min, max] hour span — zero hours are real observations,
+    * skipping them would bias r upward. Pearson r at lag L over pairs
+    * (x_t, x_{t+L}) clears to integer cross-products:
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)·(n·Σyy − Σy²)) — every
+    * sum is an exact int64 (counts are integers), and the 3 IEEE ops
+    * (one multiply, one sqrt, one divide — each correctly rounded,
+    * engine-identical) happen once per (type, lag) row, r4'd.
+    * Zero-variance series emit NULL (0/0 is engine-divergent).
+    *
+    * Scale: one keyed agg to (type, hour) cells, the dense axis is a
+    * per-type sequence explode (span-sized, not event-sized), the lag
+    * pairing is 3 leads over ONE per-type window Exchange, and the
+    * final agg is 3·|types| rows with map-side combine.
+    */
+  def tsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val axis = hourly.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi)")).as("hr"))
+    val dense = axis.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val lagged = (1 to 3).map { lag =>
+      dense.select(col("event_type"), lit(lag.toLong).as("lag"),
+        col("x"), lead(col("x"), lag).over(w).as("y"))
+    }.reduce(_ union _).where(col("y").isNotNull)
+    lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+            lit(null).cast("double"))
+            .otherwise(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  val tsAcfSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |axis AS (
+       |  SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+       |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+       |        FROM hourly GROUP BY event_type)),
+       |dense AS (
+       |  SELECT a.event_type, a.hr, COALESCE(h.c, 0) AS x
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |lagged AS (
+       |  SELECT event_type, lag, x, y FROM (
+       |    SELECT event_type, l.lag, x,
+       |      CASE l.lag
+       |        WHEN 1 THEN LEAD(x, 1) OVER w
+       |        WHEN 2 THEN LEAD(x, 2) OVER w
+       |        WHEN 3 THEN LEAD(x, 3) OVER w END AS y
+       |    FROM dense CROSS JOIN
+       |      (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS lag) l
+       |    WINDOW w AS (PARTITION BY event_type, l.lag ORDER BY hr))
+       |  WHERE y IS NOT NULL),
+       |s AS (
+       |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM lagged GROUP BY 1, 2)
+       |SELECT event_type, lag, n,
+       |  ${r4Sql("""(n * sxy - sx * sy) / sqrt(CASE
+       |      WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       |      ELSE CAST(n * sxx - sx * sx AS DOUBLE) *
+       |           CAST(n * syy - sy * sy AS DOUBLE) END)""")} AS acf
+       |FROM s ORDER BY event_type, lag""".stripMargin
+
+  // --------------------------------------------------------------- #179
+  /** #179 MinHash estimation-accuracy calibration — the QC readout
+    * that justifies the #28 threshold choice: for every LSH candidate
+    * pair, the SIGNATURE-estimated Jaccard (fraction of agreeing
+    * minhash coordinates) next to the exact trigram Jaccard and the
+    * absolute error. This is the dedup analogue of #173's recall@k:
+    * it measures the sketch against the truth it approximates, on the
+    * pairs the index actually surfaces.
+    *
+    * PORTABILITY variant of the signature: minhash coordinate k is the
+    * lexicographic MIN of md5(k || ':' || shingle) over the doc's
+    * distinct word-trigram shingles (16 coordinates, banded 4×4 for
+    * candidates) — byte-identical in Spark and DuckDB, unlike #28's
+    * native xxhash64 signatures (which stay the production path; md5
+    * here buys a value-level oracle for the ESTIMATES themselves).
+    * est/exact/err are each ONE r4'd division of exact integers.
+    *
+    * Scale: identical shape to #28 — map-side signatures, band-bucket
+    * equi-join for candidates, verify re-join by doc_id with the
+    * size-gated attach; no global cross product. The md5-per-(k,gram)
+    * cost is 16× one hash per shingle, still map-side linear.
+    */
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |                 element_at(t, i + 2))))""".stripMargin).as("sh"))
+    val sig = sh.withColumn("sig", expr(
+      """transform(sequence(0, 15),
+        |  k -> array_min(transform(sh,
+        |    g -> md5(concat(cast(k as string), ':', g)))))""".stripMargin))
+    val banded = sig.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> named_struct('band', b,
+          |    'bsig', md5(concat_ws(',', slice(sig, b * 4 + 1, 4)))))"""
+          .stripMargin)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bsig").as("bsig"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val side = sig.select(col("doc_id"), col("sh"), col("sig"))
+    pairs
+      .join(Tables.maybeBroadcast(side.toDF("id_a", "sh_a", "sig_a")), "id_a")
+      .join(Tables.maybeBroadcast(side.toDF("id_b", "sh_b", "sig_b")), "id_b")
+      .withColumn("agree", expr(
+        "size(filter(sequence(1, 16), k -> sig_a[k - 1] = sig_b[k - 1]))")
+        .cast("long"))
+      .withColumn("inter",
+        expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+      .withColumn("uni",
+        (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        r4(col("agree").cast("double") / 16).as("est_jaccard"),
+        r4(col("inter").cast("double") / col("uni")).as("exact_jaccard"),
+        r4(abs(col("agree").cast("double") / 16 -
+          col("inter").cast("double") / col("uni"))).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val dedupMinhashEstSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |sig AS (
+       |  SELECT doc_id, sh, list_transform(range(0, 16),
+       |    k -> list_aggregate(list_transform(sh,
+       |      g -> md5(CAST(k AS VARCHAR) || ':' || g)), 'min')) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, b.band,
+       |    md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], ','))
+       |      AS bsig
+       |  FROM sig CROSS JOIN
+       |    (SELECT unnest(range(0, 4)) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bsig = b.bsig
+       |    AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(1, 17),
+       |      k -> sa.sig[k] = sb.sig[k])) AS agree,
+       |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+       |      AS uni
+       |  FROM pairs JOIN sig sa ON sa.doc_id = id_a
+       |             JOIN sig sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b,
+       |  ${r4Sql("agree / 16.0")} AS est_jaccard,
+       |  ${r4Sql("inter / CAST(uni AS DOUBLE)")} AS exact_jaccard,
+       |  ${r4Sql("abs(agree / 16.0 - inter / CAST(uni AS DOUBLE))")}
+       |    AS abs_err
+       |FROM scored ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- #180
+  /** #180 multi-source BFS hop labeling (3 hops) from the 5
+    * smallest-id landmark nodes, over the support-floored co-purchase
+    * graph — the traversal primitive behind "distance to a trusted
+    * seed set" features (spam/fraud propagation, catalog taxonomy
+    * distance). Completes the graph family's missing axis: #99/#152/
+    * #163/#169 iterate on WHOLE-graph state; BFS grows a FRONTIER.
+    *
+    * Each round: reach ∪ (reach ⋈ edges → neighbor, hop+1), min-hop
+    * per node — unrolled 3 rounds (the #99 fixed-k shape). All hops
+    * are exact integers; no floats anywhere.
+    *
+    * Scale: each round shuffles the structure-sized (support-floored)
+    * edge list once on src, plus a min-combine keyed agg over the
+    * reach set — the same-key iteration shape AQE lines up; the reach
+    * table is bounded by |nodes|, never by order volume. At true
+    * 100 TB the landmark set stays a broadcast and rounds stay
+    * edge-list-sized; the unreached long tail never materializes.
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undirected(spark, dir)
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val landmarks = nodes.orderBy("node").limit(5)
+    var reach = landmarks.withColumn("hop", lit(0L))
+    for (_ <- 1 to 3) {
+      val expand = reach.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      reach = reach.union(expand)
+        .groupBy("node").agg(min("hop").as("hop"))
+    }
+    reach.select(col("node"), col("hop")).orderBy("node")
+  }
+
+  val graphBfsSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, MIN(hop) AS hop FROM (
+         |    SELECT node, hop FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.hop + 1 AS hop
+         |    FROM $prev p JOIN e ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH ${Graph.edgeSql},
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |lm AS (SELECT node FROM nodes ORDER BY node LIMIT 5),
+       |r0 AS (SELECT node, 0 AS hop FROM lm),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, CAST(hop AS BIGINT) AS hop
+       |FROM r3 ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #181
+  /** #181 per-dimension embedding distribution profile: exact order
+    * statistics (min / p05 / p50 / p95 / max) of every embedding
+    * coordinate — the table a preprocessing stage reads before
+    * quantile-clipping, scaling, or int8-quantizing vectors (#84's
+    * global max-abs scale is this table's coarsest summary).
+    *
+    * Order statistics are selected by EXACT integer rank (ceil(q·n)
+    * via (q·n ceil-div) — ties broken by vec_id, a total order), so
+    * there is no interpolation to diverge between engines; the float32
+    * coordinates widen to double losslessly and round under r4 only
+    * for display. n is a COUNT window over the same Exchange the
+    * ranking uses — no second pass, no join.
+    *
+    * Scale: ONE Exchange keyed by dimension. 64 keys bound the
+    * parallelism of the sort — at true 100 TB the two-phase refinement
+    * (range-partition within dimension, merge per-range order stats)
+    * or #114's mergeable-histogram quantiles replace the exact sort;
+    * the output contract (dim → clip bounds) is unchanged.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    val byDim = Window.partitionBy("dim")
+    val ranked = ex
+      .withColumn("r", row_number().over(byDim.orderBy(col("x"), col("vec_id")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(byDim))
+    ranked.groupBy("dim")
+      .agg(max("n").as("n"),
+        r4(max(when(col("r") === 1L, col("x")))).as("min_x"),
+        r4(max(when(col("r") === expr("(n + 19) div 20"), col("x"))))
+          .as("p05"),
+        r4(max(when(col("r") === expr("(n + 1) div 2"), col("x"))))
+          .as("p50"),
+        r4(max(when(col("r") === expr("(19 * n + 19) div 20"), col("x"))))
+          .as("p95"),
+        r4(max(when(col("r") === col("n"), col("x")))).as("max_x"))
+      .orderBy("dim")
+  }
+
+  val embedDimStatsSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(j AS BIGINT) AS dim, embedding[j]::DOUBLE AS x
+       |  FROM (SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS j FROM embeddings)),
+       |ranked AS (
+       |  SELECT dim, x,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x, vec_id)
+       |      AS BIGINT) AS r,
+       |    CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+       |  FROM ex)
+       |SELECT dim, MAX(n) AS n,
+       |  ${r4Sql("MAX(CASE WHEN r = 1 THEN x END)")} AS min_x,
+       |  ${r4Sql("MAX(CASE WHEN r = (n + 19) // 20 THEN x END)")} AS p05,
+       |  ${r4Sql("MAX(CASE WHEN r = (n + 1) // 2 THEN x END)")} AS p50,
+       |  ${r4Sql("MAX(CASE WHEN r = (19 * n + 19) // 20 THEN x END)")} AS p95,
+       |  ${r4Sql("MAX(CASE WHEN r = n THEN x END)")} AS max_x
+       |FROM ranked GROUP BY dim ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------- #182
+  /** #182 fixed-size-per-stratum deterministic sample (k = 10 docs per
+    * source): rank every doc by an md5 draw WITHIN its source and keep
+    * the first k — the eval-set builder's contract (every stratum
+    * contributes EXACTLY k, unlike #44's fraction sampling whose
+    * stratum sizes float with the data). The draw is salted
+    * (`fk:<doc_id>`) so this sample decorrelates from #44/#67/#102's
+    * draws.
+    *
+    * Scale: the rank-≤-k filter over a per-source window is the
+    * window_topk shape — Spark's WindowGroupLimit prunes to
+    * per-partition top-k map-side BEFORE the Exchange, so the shuffle
+    * carries ~k rows per (partition × source), not the corpus.
+    */
+  def sampleFixedK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("fk:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .where(col("r") <= 10)
+      .orderBy("source", "r")
+  }
+
+  val sampleFixedKSql: String =
+    """SELECT source, doc_id, r FROM (
+      |  SELECT source, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5('fk:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS BIGINT) AS r
+      |  FROM documents)
+      |WHERE r <= 10 ORDER BY source, r""".stripMargin
+
+  // --------------------------------------------------------------- #183
+  /** #183 index-of-dispersion test per event type over the gap-filled
+    * hourly series (#178's axis): D = variance/mean of hourly counts.
+    * A Poisson arrival process has D = 1; D ≫ 1 flags bursty/bot
+    * traffic (pairs with #154's gap stats), D ≪ 1 flags rate-limited
+    * or scripted uniformity. The over/under-dispersion FLAG compares
+    * in pure integers (n·Σx² − (Σx)² vs n·Σx — no epsilon, no float
+    * boundary), and D itself is ONE r4'd division of those exact
+    * int64 cross-products.
+    *
+    * Scale: same shape as #178 — keyed agg to (type, hour) cells,
+    * span-sized axis explode, final |types|-row agg with map-side
+    * combine.
+    */
+  def eventsDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val axis = hourly.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi)")).as("hr"))
+    axis.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"),
+        coalesce(col("c"), lit(0L)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum("x").as("total"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_hours"), col("total"),
+        r4(col("total").cast("double") / col("n_hours")).as("mean_rate"),
+        r4((col("n_hours") * col("sxx") - col("total") * col("total"))
+          .cast("double") / (col("n_hours") * col("total"))).as("dispersion"),
+        (col("n_hours") * col("sxx") - col("total") * col("total") >
+          col("n_hours") * col("total")).as("overdispersed"))
+      .orderBy("event_type")
+  }
+
+  val eventsDispersionSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |axis AS (
+       |  SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+       |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+       |        FROM hourly GROUP BY event_type)),
+       |dense AS (
+       |  SELECT a.event_type, COALESCE(h.c, 0) AS x
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |    CAST(SUM(x) AS BIGINT) AS total,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM dense GROUP BY event_type)
+       |SELECT event_type, n_hours, total,
+       |  ${r4Sql("total / CAST(n_hours AS DOUBLE)")} AS mean_rate,
+       |  ${r4Sql("(n_hours * sxx - total * total) / " +
+                  "CAST(n_hours * total AS DOUBLE)")} AS dispersion,
+       |  (n_hours * sxx - total * total) > (n_hours * total)
+       |    AS overdispersed
+       |FROM s ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_shipmode" -> (q12Shipmode _),
+    "text_entropy" -> (textEntropy _),
+    "quality_ensemble" -> (qualityEnsemble _),
+    "corpus_epoch_plan" -> (corpusEpochPlan _),
+    "ts_acf" -> (tsAcf _),
+    "dedup_minhash_est" -> (dedupMinhashEst _),
+    "graph_bfs" -> (graphBfs _),
+    "embed_dim_stats" -> (embedDimStats _),
+    "sample_fixed_k" -> (sampleFixedK _),
+    "events_dispersion" -> (eventsDispersion _))
+
+  val oracles: Map[String, String] = Map(
+    "q12_shipmode" -> q12Sql,
+    "text_entropy" -> textEntropySql,
+    "quality_ensemble" -> qualityEnsembleSql,
+    "corpus_epoch_plan" -> corpusEpochPlanSql,
+    "ts_acf" -> tsAcfSql,
+    "dedup_minhash_est" -> dedupMinhashEstSql,
+    "graph_bfs" -> graphBfsSql,
+    "embed_dim_stats" -> embedDimStatsSql,
+    "sample_fixed_k" -> sampleFixedKSql,
+    "events_dispersion" -> eventsDispersionSql)
+}

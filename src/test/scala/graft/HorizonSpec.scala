@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Horizon
+
+/** Invariant specs for the round-9 additions (#174-176). Value-level
+  * correctness is the DuckDB oracle's job (tools/check.py); these pin
+  * the structural and semantic contracts.
+  */
+class HorizonSpec extends GraftSpec {
+
+  test("q12_shipmode: only MAIL/SHIP; high+low == independent late count") {
+    val q = Horizon.q12Shipmode(spark, sf)
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    assert(rows.forall(r => Set("MAIL", "SHIP")(r.getString(0))))
+    // independent recount of late MAIL/SHIP lines (mode derived the
+    // same way, lateness the #128 convention)
+    val l = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"),
+        pmod(col("l_suppkey") + col("l_linenumber"), lit(5)).as("m"))
+      .where(col("m").isin(0, 1)) // MAIL=0, SHIP=1 in the mode array
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey") &&
+      col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == late.count())
+  }
+
+  test("text_entropy: per-doc bounds and the single-token-doc zero") {
+    val e = Horizon.textEntropy(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+    assert(e.count() == docs.count())
+    // 0 <= ent_bits <= bits(n_tokens); n_distinct <= n_tokens
+    assert(e.where(col("ent_bits") < 0 ||
+      col("n_distinct") > col("n_tokens") ||
+      col("ent_bits") > (length(bin(col("n_tokens"))) - 1)).count() == 0)
+    // a doc of ONE distinct token has exactly zero entropy, and any
+    // doc with >1 distinct token has strictly positive entropy iff the
+    // bits() floor distinguishes its counts from N (>= 0 always)
+    assert(e.where(col("n_distinct") === 1 && col("ent_bits") =!= 0.0)
+      .count() == 0)
+    e.unpersist()
+  }
+
+  test("text_entropy: all-distinct doc scores bits(N) exactly") {
+    // synthetic check straight through the same arithmetic: for an
+    // all-distinct doc every c_i = 1, so sum_cbits = 0 and
+    // ent_bits = bits(N) — the column's documented ceiling
+    val e = Horizon.textEntropy(spark, sf)
+    val allDistinct = e.where(col("n_distinct") === col("n_tokens"))
+    assert(allDistinct.where(col("ent_bits") =!=
+      (length(bin(col("n_tokens"))) - 1).cast("double")).count() == 0)
+  }
+
+  test("quality_ensemble: each rank column is a permutation of 1..n") {
+    val q = Horizon.qualityEnsemble(spark, sf).cache()
+    val n = q.count()
+    assert(n > 0)
+    for (c <- Seq("r_len", "r_div", "r_rep", "final_rank")) {
+      val d = q.agg(
+        countDistinct(col(c)).as("nd"),
+        min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+      assert(d.getLong(0) == n && d.getLong(1) == 1L && d.getLong(2) == n,
+        s"$c is not a permutation of 1..$n: $d")
+    }
+    // borda bounds: [3, 3n]
+    assert(q.where(col("borda") < 3 || col("borda") > 3 * n).count() == 0)
+    q.unpersist()
+  }
+
+  test("corpus_epoch_plan: cap respected; biggest source is the 1-epoch " +
+      "anchor; unique_frac == 1/epochs") {
+    val p = operators.Horizon.corpusEpochPlan(spark, sf).cache()
+    assert(p.where(col("epochs") < 1 || col("epochs") > 4).count() == 0)
+    // the budget-setting source repeats exactly once
+    val top = p.orderBy(desc("n_tokens")).limit(1).head()
+    assert(top.getAs[Long]("epochs") == 1L &&
+      top.getAs[Long]("planned_tokens") == top.getAs[Long]("n_tokens"))
+    // planned = epochs * tokens, and unique_frac is exactly r4(1/epochs)
+    assert(p.where(col("planned_tokens") =!=
+      col("epochs") * col("n_tokens")).count() == 0)
+    assert(p.where(col("unique_frac") =!=
+      graft.Exprs.r4(lit(1.0) / col("epochs"))).count() == 0)
+    // achieved shares sum to ~1 (each share is r4'd: |sources|·1e-4 slack)
+    val s = p.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(s - 1.0) < 2e-3, s"shares sum to $s")
+    p.unpersist()
+  }
+
+  test("ts_acf: 3 lags per type, |acf| <= 1, pair counts shrink with lag") {
+    val a = operators.Horizon.tsAcf(spark, sf).cache()
+    val types = Tables(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(a.count() == 3 * types)
+    assert(a.where(abs(col("acf")) > 1.0 + 1e-9).count() == 0)
+    // the dense axis loses exactly one pair per extra lag step
+    val byLag = a.groupBy("event_type")
+      .agg((max("n") - min("n")).as("spread")).where(col("spread") =!= 2L)
+    assert(byLag.count() == 0)
+    a.unpersist()
+  }
+
+  test("dedup_minhash_est: err is |est - exact|, both in [0,1], and the " +
+      "estimate is calibrated on high-similarity pairs") {
+    val e = operators.Horizon.dedupMinhashEst(spark, sf).cache()
+    assert(e.count() > 0)
+    assert(e.where(col("est_jaccard") < 0 || col("est_jaccard") > 1 ||
+      col("exact_jaccard") < 0 || col("exact_jaccard") > 1).count() == 0)
+    assert(e.where(col("id_a") >= col("id_b")).count() == 0)
+    // abs_err recomputes (up to the two r4 grids: 1e-4 slack)
+    assert(e.where(abs(col("abs_err") -
+      abs(col("est_jaccard") - col("exact_jaccard"))) > 2e-4).count() == 0)
+    // identical shingle sets must estimate exactly 1 (same md5 minima)
+    assert(e.where(col("exact_jaccard") === 1.0 &&
+      col("est_jaccard") =!= 1.0).count() == 0)
+    e.unpersist()
+  }
+
+  test("graph_bfs: 5 landmark roots at hop 0; hops within [0,3]; every " +
+      "hop-1 node is adjacent to a landmark") {
+    val b = operators.Horizon.graphBfs(spark, sf).cache()
+    assert(b.where(col("hop") < 0 || col("hop") > 3).count() == 0)
+    val roots = b.where(col("hop") === 0).orderBy("node")
+      .collect().map(_.getLong(0))
+    assert(roots.length == 5)
+    // the roots ARE the 5 smallest nodes of the edge list (recompute
+    // the support-floored co-purchase edges the Graph family shares)
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(countDistinct(col("a.o")).as("sup"))
+      .where(col("sup") >= 2)
+      .select("pa", "pb")
+    val nodes = und.select(col("pa").as("n"))
+      .union(und.select(col("pb").as("n"))).distinct()
+    val smallest = nodes.orderBy("n").limit(5).collect().map(_.getLong(0))
+    assert(roots.sameElements(smallest))
+    // hop-1 nodes each share an edge with some root
+    val rootSet = roots.toSet
+    val adj = und.where(
+        (col("pa").isin(rootSet.toSeq: _*)) ||
+        (col("pb").isin(rootSet.toSeq: _*)))
+      .select(col("pa").as("n")).union(und.where(
+        (col("pa").isin(rootSet.toSeq: _*)) ||
+        (col("pb").isin(rootSet.toSeq: _*)))
+        .select(col("pb").as("n")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val hop1 = b.where(col("hop") === 1).collect().map(_.getLong(0))
+    assert(hop1.forall(adj.contains), "a hop-1 node is not root-adjacent")
+    b.unpersist()
+  }
+
+  test("embed_dim_stats: one row per dimension; order stats are ordered") {
+    val s = operators.Horizon.embedDimStats(spark, sf).cache()
+    val dims = Tables(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(s.count() == dims)
+    // min <= p05 <= p50 <= p95 <= max on every row, none null
+    assert(s.where(col("min_x").isNull || col("p05").isNull ||
+      col("p50").isNull || col("p95").isNull || col("max_x").isNull)
+      .count() == 0)
+    assert(s.where(col("min_x") > col("p05") || col("p05") > col("p50") ||
+      col("p50") > col("p95") || col("p95") > col("max_x")).count() == 0)
+    // n = corpus size for every dim (dense vectors)
+    val nvecs = Tables(spark, sf, "embeddings").count()
+    assert(s.where(col("n") =!= nvecs).count() == 0)
+    s.unpersist()
+  }
+
+  test("sample_fixed_k: exactly k per source, ranks 1..k, repeatable") {
+    val a = operators.Horizon.sampleFixedK(spark, sf)
+    val b = operators.Horizon.sampleFixedK(spark, sf)
+    val sizes = a.groupBy("source").agg(count(lit(1)).as("c"),
+      min("r").as("lo"), max("r").as("hi"))
+    assert(sizes.where(col("c") =!= 10L || col("lo") =!= 1L ||
+      col("hi") =!= 10L).count() == 0)
+    // deterministic: two invocations agree row-for-row
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("events_dispersion: flag agrees with the r4'd statistic; mean " +
+      "consistent with totals") {
+    val d = operators.Horizon.eventsDispersion(spark, sf).cache()
+    assert(d.count() > 0)
+    // integer flag vs rounded statistic can only disagree inside the
+    // r4 grid around 1.0
+    assert(d.where(col("overdispersed") && col("dispersion") < 1.0 - 1e-4)
+      .count() == 0)
+    assert(d.where(!col("overdispersed") && col("dispersion") > 1.0 + 1e-4)
+      .count() == 0)
+    // mean_rate recomputes from total / n_hours
+    assert(d.where(abs(col("mean_rate") -
+      col("total").cast("double") / col("n_hours")) > 1e-4).count() == 0)
+    d.unpersist()
+  }
+
+  test("quality_ensemble: a repeated-token doc never out-ranks an " +
+      "all-distinct doc of the same length on the diversity signal") {
+    val q = Horizon.qualityEnsemble(spark, sf)
+    val sig = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        (size(array_distinct(col("toks"))) === size(col("toks")))
+          .as("all_distinct"))
+    val j = q.join(sig, "doc_id")
+    val worstDistinct = j.where(col("all_distinct"))
+      .agg(max("r_div")).head().getLong(0)
+    val bestRepeated = j.where(!col("all_distinct"))
+      .agg(min("r_div")).head().getLong(0)
+    // every all-distinct doc (div_ratio = 1.0) ranks above every
+    // repeated-token doc (div_ratio < 1.0)
+    assert(worstDistinct < bestRepeated,
+      s"diversity ranking violated: $worstDistinct !< $bestRepeated")
+  }
+}
