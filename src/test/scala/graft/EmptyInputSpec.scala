@@ -54,7 +54,18 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_kcore",          // peeling an empty graph
     "text_collocations",    // PMI over empty bigram space
     "ann_hard_negatives",   // label-filtered scan, no vectors
-    "split_leakage_safe")   // cluster split of nothing
+    "split_leakage_safe",   // cluster split of nothing
+    // round-9 additions (#174-183)
+    "q12_shipmode",         // fact join, empty both sides
+    "text_entropy",         // bits arithmetic over no docs
+    "quality_ensemble",     // rank fusion of zero signals
+    "corpus_epoch_plan",    // plan over zero sources (empty max)
+    "ts_acf",               // lag windows over an empty axis
+    "dedup_minhash_est",    // calibration with no candidates
+    "graph_bfs",            // BFS from an empty landmark set
+    "embed_dim_stats",      // order stats of an empty cloud
+    "sample_fixed_k",       // top-k of empty strata
+    "events_dispersion")    // dispersion over an empty axis
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -47,7 +47,11 @@ class NullInputSpec extends AnyFunSuite {
     "text_perplexity", "split_leakage_safe", "pipeline_clean_corpus",
     // embedding-heavy: distance/signature arithmetic
     "ann_bruteforce", "ann_lsh", "dedup_embedding", "kmeans_lloyd",
-    "embed_pca_power", "ann_recall_at_k")
+    "embed_pca_power", "ann_recall_at_k",
+    // round-9 additions: entropy/rank arithmetic over null text,
+    // order stats over a null vector, calibration signatures
+    "text_entropy", "quality_ensemble", "corpus_epoch_plan",
+    "sample_fixed_k", "dedup_minhash_est", "embed_dim_stats")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
