@@ -42,6 +42,13 @@ import graft.Exprs.{r4, r4Sql}
   *  - `events_dispersion`: Poisson index-of-dispersion per event type
   *    over the gap-filled hourly series — integer-compared over/under
   *    dispersion flags, the burstiness QC next to #178.
+  *  - `ts_cross_corr`: lead-lag cross-correlation between event-type
+  *    pairs at lags −2..+2 (#178's bivariate extension).
+  *  - `text_source_jaccard`: source-pair vocabulary-overlap matrix —
+  *    the "same crawl under two names?" composition diagnostic.
+  *  - `mix_curriculum`: entropy-ranked curriculum schedule with the
+  *    cumulative token plan (diverse-first ordering over #175's
+  *    exact per-source score).
   *
   * Cross-engine exactness: q12 is pure integer counting over a derived
   * mode column (md5-free modulo arithmetic — identical in both
@@ -731,6 +738,237 @@ object Horizon {
        |    AS overdispersed
        |FROM s ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #184
+  /** #184 cross-correlation between event-type pairs at lags −2..+2
+    * hours — the lead-lag discovery readout (#178's bivariate
+    * extension): "view peaks lead purchase peaks by one hour" is this
+    * table's positive-lag row. Series are the GLOBAL-span gap-filled
+    * hourly counts (both types on one axis, zeros included), so every
+    * (pair, lag) correlates over the same n.
+    *
+    * Same exactness contract as #178: Pearson r cleared to integer
+    * cross-products over exact int64 sums; 3 IEEE ops r4'd once per
+    * output row; NULL on zero variance.
+    *
+    * Scale: the dense table is (|types| × span) rows — axis-sized, not
+    * event-sized; the per-lag pairing is an equi-join of that table
+    * with itself on (hr − lag) keyed by hour, and the final agg is
+    * |types|²·5 rows. Event volume only touches the first keyed agg.
+    */
+  def tsCrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val span = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val types = hourly.select("event_type").distinct()
+    val axis = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("hr"))
+    val dense = axis.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val lagged = (-2 to 2).map { l =>
+      dense.as("a").join(dense.as("b"),
+          col("a.hr") === col("b.hr") - lit(l.toLong) &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          lit(l.toLong).as("lag"),
+          col("a.x").as("x"), col("b.x").as("y"))
+    }.reduce(_ union _)
+    lagged.groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("lag"), col("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+            lit(null).cast("double"))
+            .otherwise(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("xcorr"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  val tsCrossCorrSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |span AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+       |axis AS (
+       |  SELECT t.event_type, unnest(range(lo, hi + 1)) AS hr
+       |  FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN span),
+       |dense AS (
+       |  SELECT a.event_type, a.hr, COALESCE(h.c, 0) AS x
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |lagged AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    l.lag, a.x AS x, b.x AS y
+       |  FROM dense a JOIN
+       |    (SELECT CAST(unnest([-2, -1, 0, 1, 2]) AS BIGINT) AS lag) l
+       |    ON TRUE
+       |  JOIN dense b
+       |    ON a.hr = b.hr - l.lag AND a.event_type < b.event_type),
+       |s AS (
+       |  SELECT type_a, type_b, lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM lagged GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, lag, n,
+       |  ${r4Sql("""(n * sxy - sx * sy) / sqrt(CASE
+       |      WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       |      ELSE CAST(n * sxx - sx * sx AS DOUBLE) *
+       |           CAST(n * syy - sy * sy AS DOUBLE) END)""")} AS xcorr
+       |FROM s ORDER BY type_a, type_b, lag""".stripMargin
+
+  // --------------------------------------------------------------- #185
+  /** #185 source-pair vocabulary overlap matrix: Jaccard of the
+    * distinct-token vocabularies of every source pair — the corpus
+    * composition diagnostic ("are src3 and src7 the same crawl under
+    * two names?") read before mixing decisions (#67/#168/#177 all
+    * assume sources are distinct populations; this measures it).
+    *
+    * Exactness: set sizes and intersections are exact integers off
+    * one distinct (source, token) table; Jaccard is ONE r4'd
+    * division.
+    *
+    * Scale: the distinct (source, token) table is vocabulary-sized ×
+    * |sources|; the pair intersection is an equi-join on token (never
+    * a doc-level flow), and the output is |sources|² rows. At 100 TB
+    * the token join is the one data-shaped shuffle and it's bounded
+    * by vocabulary, not corpus volume.
+    */
+  def textSourceJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(Tables.maybeBroadcast(sizes.toDF("src_a", "na")), "src_a")
+      .join(Tables.maybeBroadcast(sizes.toDF("src_b", "nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("inter"),
+        r4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val textSourceJaccardSql: String =
+    s"""WITH vocab AS (
+       |  SELECT DISTINCT source, token
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+       |  FROM vocab GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM vocab a JOIN vocab b
+       |    ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, sa.nv AS na, sb.nv AS nb, inter,
+       |  ${r4Sql("inter / CAST(sa.nv + sb.nv - inter AS DOUBLE)")} AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.source = src_a
+       |JOIN sizes sb ON sb.source = src_b
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // --------------------------------------------------------------- #186
+  /** #186 entropy-ranked curriculum schedule: order sources by mean
+    * integer-bits token entropy (highest-diversity first — the
+    * "clean/diverse early, repetitive tail late" curriculum shape)
+    * and emit each source's position plus the cumulative token
+    * schedule a trainer would consume. The per-source score is the
+    * EXACT ratio of summed per-doc surprisal numerators to summed
+    * tokens (one r4'd division per source — not a mean of per-doc
+    * rounded means, which would compound r4 grids).
+    *
+    * Scale: #175's two keyed aggs roll straight up to |sources| rows;
+    * ranking and the cumulative window run on that structure-sized
+    * table.
+    */
+  def mixCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val bits: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => (length(bin(c)) - 1).cast("long")
+    val perDoc = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * bits(col("c"))).as("sum_cbits"))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens") * bits(col("n_tokens")) - col("sum_cbits"))
+          .as("surprisal"))
+    val perSrc = perDoc.groupBy("source")
+      .agg(sum("n_tokens").as("n_tokens"),
+        sum("surprisal").as("surprisal"))
+      .withColumn("score",
+        r4(col("surprisal").cast("double") / col("n_tokens")))
+    val byScore = Window.orderBy(desc("score"), col("source"))
+    perSrc
+      .withColumn("position", row_number().over(byScore).cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        byScore.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_tokens",
+        sum("n_tokens").over(Window.partitionBy()))
+      .select(col("position"), col("source"), col("score"),
+        col("n_tokens"), col("cum_tokens"),
+        r4(col("cum_tokens").cast("double") / col("total_tokens"))
+          .as("cum_share"))
+      .orderBy("position")
+  }
+
+  val mixCurriculumSql: String =
+    s"""WITH counts AS (
+       |  SELECT doc_id, source, token, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS token
+       |        FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |per_doc AS (
+       |  SELECT source,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(c) * (length(bin(CAST(SUM(c) AS BIGINT))) - 1)
+       |      - SUM(c * (length(bin(c)) - 1)) AS BIGINT) AS surprisal
+       |  FROM counts GROUP BY doc_id, source),
+       |per_src AS (
+       |  SELECT source,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(surprisal) AS BIGINT) AS surprisal
+       |  FROM per_doc GROUP BY source),
+       |scored AS (
+       |  SELECT source, n_tokens,
+       |    ${r4Sql("surprisal / CAST(n_tokens AS DOUBLE)")} AS score
+       |  FROM per_src),
+       |ranked AS (
+       |  SELECT source, n_tokens, score,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, source)
+       |      AS BIGINT) AS position,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+       |  FROM scored)
+       |SELECT position, source, score, n_tokens, cum_tokens,
+       |  ${r4Sql("cum_tokens / CAST(total_tokens AS DOUBLE)")} AS cum_share
+       |FROM ranked ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode _),
     "text_entropy" -> (textEntropy _),
@@ -741,7 +979,10 @@ object Horizon {
     "graph_bfs" -> (graphBfs _),
     "embed_dim_stats" -> (embedDimStats _),
     "sample_fixed_k" -> (sampleFixedK _),
-    "events_dispersion" -> (eventsDispersion _))
+    "events_dispersion" -> (eventsDispersion _),
+    "ts_cross_corr" -> (tsCrossCorr _),
+    "text_source_jaccard" -> (textSourceJaccard _),
+    "mix_curriculum" -> (mixCurriculum _))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12Sql,
@@ -753,5 +994,8 @@ object Horizon {
     "graph_bfs" -> graphBfsSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "sample_fixed_k" -> sampleFixedKSql,
-    "events_dispersion" -> eventsDispersionSql)
+    "events_dispersion" -> eventsDispersionSql,
+    "ts_cross_corr" -> tsCrossCorrSql,
+    "text_source_jaccard" -> textSourceJaccardSql,
+    "mix_curriculum" -> mixCurriculumSql)
 }

@@ -198,6 +198,54 @@ class HorizonSpec extends GraftSpec {
     d.unpersist()
   }
 
+  test("ts_cross_corr: full pair-lag grid; |r| <= 1; pair count shrinks " +
+      "by |lag|") {
+    val x = operators.Horizon.tsCrossCorr(spark, sf).cache()
+    val types = Tables(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(x.count() == types * (types - 1) / 2 * 5)
+    assert(x.where(abs(col("xcorr")) > 1.0 + 1e-9).count() == 0)
+    // n at lag L is (global span + 1) - |L| for every pair
+    val bad = x.groupBy("type_a", "type_b")
+      .agg(max("n").as("n0"))
+      .join(x, Seq("type_a", "type_b"))
+      .where(col("n") =!= col("n0") - abs(col("lag")))
+    assert(bad.count() == 0)
+    x.unpersist()
+  }
+
+  test("text_source_jaccard: all source pairs; inter bounded by set sizes") {
+    val j = operators.Horizon.textSourceJaccard(spark, sf).cache()
+    val srcs = Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(j.count() == srcs * (srcs - 1) / 2)
+    assert(j.where(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(j.where(col("inter") > least(col("na"), col("nb"))).count() == 0)
+    // recompute jaccard from the integer columns (same r4 grid)
+    assert(j.where(abs(col("jaccard") - col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter"))) > 1e-4).count() == 0)
+    j.unpersist()
+  }
+
+  test("mix_curriculum: positions are a schedule — scores descend, " +
+      "cumulative tokens reach the corpus total") {
+    val c = operators.Horizon.mixCurriculum(spark, sf).cache()
+    val n = c.count()
+    assert(n > 0)
+    val d = c.agg(countDistinct("position").as("nd"),
+      min("position").as("lo"), max("position").as("hi")).head()
+    assert(d.getLong(0) == n && d.getLong(1) == 1L && d.getLong(2) == n)
+    // scores never increase along the schedule
+    val w = org.apache.spark.sql.expressions.Window.orderBy("position")
+    val inc = c.withColumn("prev", lag("score", 1).over(w))
+      .where(col("prev").isNotNull && col("score") > col("prev"))
+    assert(inc.count() == 0)
+    // the last cumulative share is exactly 1.0 (total/total under r4)
+    val last = c.orderBy(desc("position")).limit(1).head()
+    assert(last.getAs[Double]("cum_share") == 1.0)
+    c.unpersist()
+  }
+
   test("quality_ensemble: a repeated-token doc never out-ranks an " +
       "all-distinct doc of the same length on the diversity signal") {
     val q = Horizon.qualityEnsemble(spark, sf)
