@@ -49,6 +49,13 @@ import graft.Exprs.{r4, r4Sql}
   *  - `mix_curriculum`: entropy-ranked curriculum schedule with the
   *    cumulative token plan (diverse-first ordering over #175's
   *    exact per-source score).
+  *  - `ann_mmr`: MMR-diversified top-3 retrieval (λ=0.7) — unrolled
+  *    greedy maximal marginal relevance over a top-10 cosine pool.
+  *  - `dedup_threshold_sweep`: the dedup yield curve (pairs/docs
+  *    touched per Jaccard threshold 0.5-0.9) over the #179 portable
+  *    candidates — thresholds below 0.8 stay oracle-checkable.
+  *  - `events_user_overlap`: audience-overlap (user-set Jaccard)
+  *    matrix per event-type pair — #185's device on behavior.
   *
   * Cross-engine exactness: q12 is pure integer counting over a derived
   * mode column (md5-free modulo arithmetic — identical in both
@@ -433,7 +440,11 @@ object Horizon {
     * size-gated attach; no global cross product. The md5-per-(k,gram)
     * cost is 16× one hash per shingle, still map-side linear.
     */
-  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared by #179/#188: documents → (doc_id, sh, sig) with the
+    * md5-PORTABLE 16-coordinate minhash signature over distinct word
+    * trigrams (reproducible in DuckDB, unlike #28's native xxhash64).
+    */
+  private def portableSig(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
@@ -441,10 +452,16 @@ object Horizon {
         """array_distinct(transform(sequence(1, size(t) - 2),
           |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
           |                 element_at(t, i + 2))))""".stripMargin).as("sh"))
-    val sig = sh.withColumn("sig", expr(
+    sh.withColumn("sig", expr(
       """transform(sequence(0, 15),
         |  k -> array_min(transform(sh,
         |    g -> md5(concat(cast(k as string), ':', g)))))""".stripMargin))
+  }
+
+  /** Shared by #179/#188: the 4×4-banded candidate pairs of
+    * [[portableSig]] (id_a < id_b, distinct).
+    */
+  private def portableCandidates(sig: DataFrame): DataFrame = {
     val banded = sig.select(col("doc_id"), explode(expr(
         """transform(sequence(0, 3),
           |  b -> named_struct('band', b,
@@ -452,12 +469,43 @@ object Horizon {
           .stripMargin)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.bsig").as("bsig"))
-    val pairs = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  /** Oracle building block shared by #179/#188: CTEs `sh`, `sig`,
+    * `banded`, `pairs` mirroring [[portableSig]]/[[portableCandidates]].
+    */
+  private val portableCandidatesSqlCtes: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |sig AS (
+      |  SELECT doc_id, sh, list_transform(range(0, 16),
+      |    k -> list_aggregate(list_transform(sh,
+      |      g -> md5(CAST(k AS VARCHAR) || ':' || g)), 'min')) AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b.band,
+      |    md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], ','))
+      |      AS bsig
+      |  FROM sig CROSS JOIN
+      |    (SELECT unnest(range(0, 4)) AS band) b),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bsig = b.bsig
+      |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sig = portableSig(spark, dir)
+    val pairs = portableCandidates(sig)
     val side = sig.select(col("doc_id"), col("sh"), col("sig"))
     pairs
       .join(Tables.maybeBroadcast(side.toDF("id_a", "sh_a", "sig_a")), "id_a")
@@ -478,27 +526,7 @@ object Horizon {
   }
 
   val dedupMinhashEstSql: String =
-    s"""WITH sh AS (
-       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
-       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-       |  WHERE len(t) >= 3),
-       |sig AS (
-       |  SELECT doc_id, sh, list_transform(range(0, 16),
-       |    k -> list_aggregate(list_transform(sh,
-       |      g -> md5(CAST(k AS VARCHAR) || ':' || g)), 'min')) AS sig
-       |  FROM sh),
-       |banded AS (
-       |  SELECT doc_id, b.band,
-       |    md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], ','))
-       |      AS bsig
-       |  FROM sig CROSS JOIN
-       |    (SELECT unnest(range(0, 4)) AS band) b),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bsig = b.bsig
-       |    AND a.doc_id < b.doc_id),
+    s"""WITH $portableCandidatesSqlCtes,
        |scored AS (
        |  SELECT id_a, id_b,
        |    len(list_filter(range(1, 17),
@@ -969,6 +997,263 @@ object Horizon {
        |  ${r4Sql("cum_tokens / CAST(total_tokens AS DOUBLE)")} AS cum_share
        |FROM ranked ORDER BY position""".stripMargin
 
+  // --------------------------------------------------------------- #187
+  /** #187 MMR-diversified top-3 retrieval (λ = 0.7): greedy maximal
+    * marginal relevance over a top-10 cosine candidate pool per query
+    * — position 1 is the plain nearest neighbor, positions 2-3
+    * maximize 0.7·sim(q,c) − 0.3·max_{s∈selected} sim(c,s). The
+    * redundancy-avoiding retrieval contract RAG stacks and negative
+    * miners want (#171 mines HARD negatives; MMR prevents them from
+    * all being the same near-duplicate).
+    *
+    * The greedy recursion is unrolled 2 steps (k = 3), each an argmax
+    * (row_number over (score DESC, c_id) = 1) after attaching the
+    * previous selections' penalty cosines. Scores are identical
+    * expression trees over identical doubles in both engines
+    * (correctly-rounded ops, no accumulation), so the orderings — and
+    * the r4'd reported scores — are engine-stable.
+    *
+    * Scale: #32's broadcast-query contract bounds the pool build (the
+    * corpus never shuffles; WindowGroupLimit prunes per-partition);
+    * everything after operates on |queries| × 10 rows.
+    */
+  def annMmr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    annMmrFrom(
+      emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
+      emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+  }
+
+  /** The production entry point (the #32 `*From` contract): caller
+    * supplies the corpus and a BOUNDED query set — the eval-geometry
+    * default above grows queries with the corpus only so the oracle
+    * has rows to check.
+    */
+  def annMmrFrom(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val wPool = Window.partitionBy("q_id")
+      .orderBy(desc("cos_q"), col("c_id"))
+    val pool = corpus.join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("cos_q", expr("cosine_f32(q_emb, c_emb)"))
+      .withColumn("prank", row_number().over(wPool).cast("long"))
+      .where(col("prank") <= 10)
+      .select("q_id", "c_id", "c_emb", "cos_q")
+    val s1 = pool.withColumn("r", row_number().over(wPool))
+      .where(col("r") === 1)
+      .select(col("q_id"), col("c_id").as("s1_id"),
+        col("c_emb").as("s1_emb"), col("cos_q").as("s1_cos"))
+    val step2 = pool.join(Tables.maybeBroadcast(s1), "q_id")
+      .where(col("c_id") =!= col("s1_id"))
+      .withColumn("pen1", expr("cosine_f32(c_emb, s1_emb)"))
+      .withColumn("mmr", lit(0.7) * col("cos_q") - lit(0.3) * col("pen1"))
+    val wMmr = Window.partitionBy("q_id").orderBy(desc("mmr"), col("c_id"))
+    val s2 = step2.withColumn("r", row_number().over(wMmr))
+      .where(col("r") === 1)
+      .select(col("q_id"), col("c_id").as("s2_id"),
+        col("c_emb").as("s2_emb"), col("mmr").as("s2_mmr"),
+        col("cos_q").as("s2_cos"))
+    val step3 = step2.drop("mmr", "pen1")
+      .join(Tables.maybeBroadcast(s2.drop("s2_mmr", "s2_cos")), "q_id")
+      .where(col("c_id") =!= col("s2_id"))
+      .withColumn("mmr", lit(0.7) * col("cos_q") - lit(0.3) *
+        greatest(expr("cosine_f32(c_emb, s1_emb)"),
+          expr("cosine_f32(c_emb, s2_emb)")))
+    val s3 = step3.withColumn("r", row_number().over(wMmr))
+      .where(col("r") === 1)
+      .select(col("q_id"), col("c_id").as("s3_id"),
+        col("mmr").as("s3_mmr"), col("cos_q").as("s3_cos"))
+    s1.select(col("q_id"), lit(1L).as("position"),
+        col("s1_id").as("c_id"), r4(col("s1_cos")).as("cosine"),
+        r4(col("s1_cos")).as("score"))
+      .union(s2.select(col("q_id"), lit(2L).as("position"),
+        col("s2_id").as("c_id"), r4(col("s2_cos")).as("cosine"),
+        r4(col("s2_mmr")).as("score")))
+      .union(s3.select(col("q_id"), lit(3L).as("position"),
+        col("s3_id").as("c_id"), r4(col("s3_cos")).as("cosine"),
+        r4(col("s3_mmr")).as("score")))
+      .orderBy("q_id", "position")
+  }
+
+  val annMmrSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+         |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+       |  FROM embeddings),
+       |pool AS (
+       |  SELECT q_id, c_id, c_emb, c_norm, q_emb, q_norm, cos_q FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      c.embedding AS c_emb, c.norm AS c_norm,
+       |      q.embedding AS q_emb, q.norm AS q_norm,
+       |      ${dot("q.embedding", "c.embedding")} / (q.norm * c.norm)
+       |        AS cos_q,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${dot("q.embedding", "c.embedding")}
+       |          / (q.norm * c.norm) DESC, c.vec_id) AS prank
+       |    FROM v q JOIN v c
+       |      ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |  WHERE prank <= 10),
+       |s1 AS (
+       |  SELECT q_id, c_id AS s1_id, c_emb AS s1_emb, c_norm AS s1_norm,
+       |    cos_q AS s1_cos
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos_q DESC, c_id) AS r FROM pool) WHERE r = 1),
+       |step2 AS (
+       |  SELECT p.*, s1_id, s1_emb, s1_norm, s1_cos,
+       |    0.7 * cos_q - 0.3 * (${dot("p.c_emb", "s1_emb")}
+       |      / (p.c_norm * s1_norm)) AS mmr
+       |  FROM pool p JOIN s1 USING (q_id) WHERE p.c_id <> s1_id),
+       |s2 AS (
+       |  SELECT q_id, c_id AS s2_id, c_emb AS s2_emb, c_norm AS s2_norm,
+       |    cos_q AS s2_cos, mmr AS s2_mmr
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY mmr DESC, c_id) AS r FROM step2) WHERE r = 1),
+       |step3 AS (
+       |  SELECT t.q_id, t.c_id, t.cos_q,
+       |    0.7 * t.cos_q - 0.3 * greatest(
+       |      ${dot("t.c_emb", "t.s1_emb")} / (t.c_norm * t.s1_norm),
+       |      ${dot("t.c_emb", "s2_emb")} / (t.c_norm * s2_norm)) AS mmr
+       |  FROM (SELECT p.*, s1_id, s1_emb, s1_norm FROM pool p
+       |        JOIN s1 USING (q_id) WHERE p.c_id <> s1_id) t
+       |  JOIN s2 ON t.q_id = s2.q_id AND t.c_id <> s2_id),
+       |s3 AS (
+       |  SELECT q_id, c_id AS s3_id, cos_q AS s3_cos, mmr AS s3_mmr
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY mmr DESC, c_id) AS r FROM step3) WHERE r = 1),
+       |outp AS (
+       |  SELECT q_id, 1 AS position, s1_id AS c_id,
+       |    ${r4Sql("s1_cos")} AS cosine, ${r4Sql("s1_cos")} AS score
+       |  FROM s1
+       |  UNION ALL
+       |  SELECT q_id, 2, s2_id, ${r4Sql("s2_cos")}, ${r4Sql("s2_mmr")}
+       |  FROM s2
+       |  UNION ALL
+       |  SELECT q_id, 3, s3_id, ${r4Sql("s3_cos")}, ${r4Sql("s3_mmr")}
+       |  FROM s3)
+       |SELECT q_id, CAST(position AS BIGINT) AS position, c_id,
+       |  cosine, score
+       |FROM outp ORDER BY q_id, position""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #188
+  /** #188 dedup threshold yield curve: for each Jaccard threshold in
+    * {0.5, 0.6, 0.7, 0.8, 0.9}, how many candidate pairs and how many
+    * distinct documents the dedup pass would touch — the tuning
+    * readout that turns "pick 0.8" from folklore into a measured
+    * trade (yield vs threshold), run BEFORE committing a full dedup
+    * sweep. Pairs are the #179 md5-portable LSH candidates scored
+    * with exact trigram Jaccard, so the curve measures exactly what
+    * the production pass would act on (and the oracle reproduces the
+    * candidate set byte-for-byte — thresholds below #28's 0.8 stay
+    * oracle-checkable, which native xxhash64 candidates can't offer).
+    *
+    * Scale: the candidate/verify shape of #28 plus a 5-row threshold
+    * explode of the SCORED pair table (structure-sized).
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sig = portableSig(spark, dir)
+    val pairs = portableCandidates(sig)
+    val side = sig.select(col("doc_id"), col("sh"))
+    val scored = pairs
+      .join(Tables.maybeBroadcast(side.toDF("id_a", "sh_a")), "id_a")
+      .join(Tables.maybeBroadcast(side.toDF("id_b", "sh_b")), "id_b")
+      .withColumn("inter",
+        expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+      .withColumn("uni",
+        (expr("size(sh_a)") + expr("size(sh_b)")).cast("long") - col("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") * 10L).as("i10"), col("uni"))
+    // threshold t in tenths: jaccard >= t/10  <=>  10*inter >= t*uni
+    // (exact integer comparison — no float boundary)
+    val swept = scored.crossJoin(
+        broadcast(spark.range(5, 10).select(col("id").as("t"))))
+      .where(col("i10") >= col("t") * col("uni"))
+    swept.select(col("t"), col("id_a").as("doc_id"))
+      .union(swept.select(col("t"), col("id_b").as("doc_id")))
+      .groupBy("t").agg(countDistinct("doc_id").as("n_docs"))
+      .join(swept.groupBy("t").agg(count(lit(1)).as("n_pairs")), "t")
+      .select((col("t").cast("double") / 10).as("threshold"),
+        col("n_pairs"), col("n_docs"))
+      .orderBy("threshold")
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH $portableCandidatesSqlCtes,
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    10 * len(list_intersect(sa.sh, sb.sh)) AS i10,
+       |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+       |      AS uni
+       |  FROM pairs JOIN sig sa ON sa.doc_id = id_a
+       |             JOIN sig sb ON sb.doc_id = id_b),
+       |swept AS (
+       |  SELECT t.t, id_a, id_b FROM scored CROSS JOIN
+       |    (SELECT CAST(unnest(range(5, 10)) AS BIGINT) AS t) t
+       |  WHERE i10 >= t.t * uni),
+       |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |       FROM swept GROUP BY t),
+       |nd AS (
+       |  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM (SELECT t, id_a AS doc_id FROM swept
+       |        UNION ALL SELECT t, id_b FROM swept)
+       |  GROUP BY t)
+       |SELECT t / 10.0 AS threshold, n_pairs, n_docs
+       |FROM np JOIN nd USING (t) ORDER BY threshold""".stripMargin
+
+  // --------------------------------------------------------------- #189
+  /** #189 audience-overlap matrix: Jaccard of the distinct USER sets
+    * of every event-type pair — #185's device pointed at behavior
+    * ("do viewers and purchasers overlap, or are they disjoint
+    * populations?"), the readout funnel design (#48) and attribution
+    * windows (#145) implicitly assume.
+    *
+    * Scale: the distinct (type, user) table is audience-sized; the
+    * pair intersection joins on user_id (audience-shaped, not event-
+    * shaped); output is |types|² rows.
+    */
+  def eventsUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val aud = Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = aud.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    aud.as("a")
+      .join(aud.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(Tables.maybeBroadcast(sizes.toDF("type_a", "na")), "type_a")
+      .join(Tables.maybeBroadcast(sizes.toDF("type_b", "nb")), "type_b")
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("inter"),
+        r4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventsUserOverlapSql: String =
+    s"""WITH aud AS (
+       |  SELECT DISTINCT event_type, user_id FROM events),
+       |sizes AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu
+       |  FROM aud GROUP BY event_type),
+       |inter AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM aud a JOIN aud b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT type_a, type_b, sa.nu AS na, sb.nu AS nb, inter,
+       |  ${r4Sql("inter / CAST(sa.nu + sb.nu - inter AS DOUBLE)")} AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.event_type = type_a
+       |JOIN sizes sb ON sb.event_type = type_b
+       |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode _),
     "text_entropy" -> (textEntropy _),
@@ -982,7 +1267,10 @@ object Horizon {
     "events_dispersion" -> (eventsDispersion _),
     "ts_cross_corr" -> (tsCrossCorr _),
     "text_source_jaccard" -> (textSourceJaccard _),
-    "mix_curriculum" -> (mixCurriculum _))
+    "mix_curriculum" -> (mixCurriculum _),
+    "ann_mmr" -> (annMmr _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "events_user_overlap" -> (eventsUserOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12Sql,
@@ -997,5 +1285,8 @@ object Horizon {
     "events_dispersion" -> eventsDispersionSql,
     "ts_cross_corr" -> tsCrossCorrSql,
     "text_source_jaccard" -> textSourceJaccardSql,
-    "mix_curriculum" -> mixCurriculumSql)
+    "mix_curriculum" -> mixCurriculumSql,
+    "ann_mmr" -> annMmrSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
+    "events_user_overlap" -> eventsUserOverlapSql)
 }

@@ -246,6 +246,53 @@ class HorizonSpec extends GraftSpec {
     c.unpersist()
   }
 
+  test("ann_mmr: position 1 is the plain nearest neighbor; selections " +
+      "are distinct; greedy objective never increases") {
+    val m = operators.Horizon.annMmr(spark, sf).cache()
+    // 3 positions per query, all distinct candidates
+    val per = m.groupBy("q_id").agg(count(lit(1)).as("c"),
+      countDistinct("c_id").as("d"))
+    assert(per.where(col("c") =!= 3L || col("d") =!= 3L).count() == 0)
+    // position 1 == ann_bruteforce rank 1 (same query set, same tie rule)
+    val bf1 = operators.Similarity.queries("ann_bruteforce")(spark, sf)
+      .where(col("rank") === 1).select(col("q_id"), col("c_id").as("bf_id"))
+    val p1 = m.where(col("position") === 1).select("q_id", "c_id")
+    assert(p1.join(bf1, "q_id").where(col("c_id") =!= col("bf_id"))
+      .count() == 0)
+    // the greedy objective is non-increasing across positions (r4 slack)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("position")
+    val inc = m.withColumn("prev", lag("score", 1).over(w))
+      .where(col("prev").isNotNull && col("score") > col("prev") + 2e-4)
+    assert(inc.count() == 0)
+    m.unpersist()
+  }
+
+  test("dedup_threshold_sweep: yield curve is monotone in the threshold") {
+    val s = operators.Horizon.dedupThresholdSweep(spark, sf).cache()
+    assert(s.count() == 5)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("threshold")
+    val bad = s
+      .withColumn("pp", lag("n_pairs", 1).over(w))
+      .withColumn("pd", lag("n_docs", 1).over(w))
+      .where(col("pp").isNotNull &&
+        (col("n_pairs") > col("pp") || col("n_docs") > col("pd")))
+    assert(bad.count() == 0)
+    // a pair touches at most 2 docs
+    assert(s.where(col("n_docs") > col("n_pairs") * 2).count() == 0)
+    s.unpersist()
+  }
+
+  test("events_user_overlap: full pair grid; intersection bounded") {
+    val o = operators.Horizon.eventsUserOverlap(spark, sf).cache()
+    val types = Tables(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(o.count() == types * (types - 1) / 2)
+    assert(o.where(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(o.where(col("inter") > least(col("na"), col("nb"))).count() == 0)
+    o.unpersist()
+  }
+
   test("quality_ensemble: a repeated-token doc never out-ranks an " +
       "all-distinct doc of the same length on the diversity signal") {
     val q = Horizon.qualityEnsemble(spark, sf)
