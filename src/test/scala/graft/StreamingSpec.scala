@@ -441,4 +441,68 @@ class StreamingSpec extends GraftSpec {
       assert(math.abs(z - batch(id)) < 1e-9, s"event $id z drifted")
     }
   }
+
+  test("streaming heavy hitters: per-batch MG candidates + mergeable " +
+      "partial counts == exact batch heavy hitters") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.MisraGries.register(spark)
+    val events = loadEvents()
+    val k = 16
+    // item stream with real cardinality (~|types| × 97) AND real skew:
+    // ~30% of the mass lands on 3 hot items, the rest spreads thin —
+    // so the true heavy-hitter set is small and the candidate union
+    // must actually prune (all-uniform items would make the test
+    // vacuous: either everything or nothing is a heavy hitter)
+    def itemCol = when(pmod(col("user_id"), lit(10)) < 3,
+        concat(lit("hot:"), pmod(col("user_id"), lit(3)).cast("string")))
+      .otherwise(concat(col("event_type"), lit(":"),
+        pmod(col("user_id"), lit(97)).cast("string")))
+    val candDir = java.nio.file.Files
+      .createTempDirectory("graft_hh_cand").toString
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_hh_part").toString
+    val stream = MemoryStream[Ev]
+    // The streaming shape of #104: each micro-batch contributes (a) its
+    // MG top-k CANDIDATE set and (b) exact per-item partial counts.
+    // Soundness of the union: if freq(x) > N/k globally then some batch
+    // has freq_b(x) > n_b/k (pigeonhole over Σn_b = N), and MG's
+    // superset guarantee surfaces x as that batch's candidate — so the
+    // union of per-batch candidates covers every global heavy hitter,
+    // and the merged partials recount them exactly.
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val items = batch.select(itemCol.as("item"))
+        items.agg(expr(s"mg_topk(item, $k)").as("cands"))
+          .select(explode(col("cands")).as("cand"))
+          .write.mode("append").parquet(candDir)
+        items.groupBy("item").agg(count(lit(1)).as("pn"))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    // uneven batches, one out of time order — the merge is insensitive
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val cands = spark.read.parquet(candDir).distinct()
+    val counts = spark.read.parquet(partDir)
+      .groupBy("item").agg(sum("pn").as("n"))
+    val total = counts.agg(sum("n")).head().getLong(0)
+    val streamed = counts
+      .join(cands, col("item") === col("cand"), "left_semi")
+      .where(col("n") * k > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact batch reference: no sketch, no candidates
+    val batchRef = Tables.eventsUs(spark, sf)
+      .select(itemCol.as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") * k > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty, "degenerate: no heavy hitters at this k")
+    assert(streamed == batchRef)
+  }
 }
