@@ -65,7 +65,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_bfs",            // BFS from an empty landmark set
     "embed_dim_stats",      // order stats of an empty cloud
     "sample_fixed_k",       // top-k of empty strata
-    "events_dispersion")    // dispersion over an empty axis
+    "events_dispersion",    // dispersion over an empty axis
+    "ts_cross_corr",        // pair grid over an empty axis
+    "text_source_jaccard",  // vocabulary sets of no sources
+    "mix_curriculum",       // schedule over zero sources
+    "ann_mmr",              // greedy steps over an empty pool
+    "dedup_threshold_sweep",// sweep of zero candidates
+    "events_user_overlap")  // audiences of no events
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -51,7 +51,9 @@ class NullInputSpec extends AnyFunSuite {
     // round-9 additions: entropy/rank arithmetic over null text,
     // order stats over a null vector, calibration signatures
     "text_entropy", "quality_ensemble", "corpus_epoch_plan",
-    "sample_fixed_k", "dedup_minhash_est", "embed_dim_stats")
+    "sample_fixed_k", "dedup_minhash_est", "embed_dim_stats",
+    "text_source_jaccard", "mix_curriculum", "ann_mmr",
+    "dedup_threshold_sweep")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
