@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Exprs.{r4, r4Sql}
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Round-9 widening (SURVEY.md §2 #174+): the remaining TPC-H shape
   * plus the evaluation/planning layer a curation pipeline runs AFTER
@@ -56,6 +56,10 @@ import graft.Exprs.{r4, r4Sql}
   *    candidates — thresholds below 0.8 stay oracle-checkable.
   *  - `events_user_overlap`: audience-overlap (user-set Jaccard)
   *    matrix per event-type pair — #185's device on behavior.
+  *  - `embed_label_drift`: per-label early-vs-late centroid cosine —
+  *    the "re-embed / retrain the quantizer" drift alarm.
+  *  - `text_script_profile`: per-source character-class composition
+  *    (letters/digits/spaces/other) — charset QC next to #36.
   *
   * Cross-engine exactness: q12 is pure integer counting over a derived
   * mode column (md5-free modulo arithmetic — identical in both
@@ -1254,6 +1258,174 @@ object Horizon {
        |JOIN sizes sb ON sb.event_type = type_b
        |ORDER BY type_a, type_b""".stripMargin
 
+  // --------------------------------------------------------------- #190
+  /** #190 embedding drift monitor: per label, the cosine between the
+    * centroid of the EARLY half and the LATE half of the vector
+    * population (halves by vec_id rank — the ingestion-order proxy
+    * this synthetic corpus offers; swap the rank for an ingest
+    * timestamp in production). cos ≈ 1 means the embedding
+    * distribution is stationary; a dropping cosine is the
+    * "re-embed / retrain the quantizer" alarm for every index built
+    * on #55/#84/#107's geometry.
+    *
+    * Exactness: cosine is scale-invariant, so centroids are
+    * represented by per-dim SUMS — exact via the sumDec contract
+    * (float32 widens to double losslessly, decimal sums are
+    * order-free). The three 64-term dot products fold over
+    * dim-SORTED arrays (sequential, deterministic in both engines —
+    * the list_sum convention the ann oracles already pin), then 3
+    * IEEE ops r4'd once per label.
+    *
+    * Scale: one explode → keyed decimal agg (map-side combinable) to
+    * |labels|×dims rows; everything after is structure-sized.
+    */
+  def embedLabelDrift(spark: SparkSession, dir: String): DataFrame = {
+    val byLabel = Window.partitionBy("label")
+    val halves = Tables(spark, dir, "embeddings")
+      .withColumn("r", row_number().over(byLabel.orderBy("vec_id")))
+      .withColumn("n", count(lit(1)).over(byLabel))
+      .where(col("n") >= 2)
+      .withColumn("half",
+        when(col("r") * 2 <= col("n"), lit("early")).otherwise(lit("late")))
+    val sums = halves
+      .select(col("label"), col("half"), posexplode(col("embedding")))
+      .select(col("label"), col("half"), col("pos").as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy("label", "half", "dim")
+      .agg(sumDec(col("x"), 38, 18).as("s"))
+    val paired = sums.groupBy("label", "dim")
+      .agg(max(when(col("half") === "early", col("s"))).as("sa"),
+        max(when(col("half") === "late", col("s"))).as("sb"))
+      .select(col("label"), col("dim"),
+        (col("sa") * col("sb")).as("pab"),
+        (col("sa") * col("sa")).as("paa"),
+        (col("sb") * col("sb")).as("pbb"))
+    val counts = halves.groupBy("label")
+      .agg(sum(when(col("half") === "early", 1L).otherwise(0L))
+          .as("n_early"),
+        sum(when(col("half") === "late", 1L).otherwise(0L)).as("n_late"))
+    paired
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("pab"),
+        col("paa"), col("pbb")))).as("terms"))
+      .select(col("label"),
+        expr("aggregate(terms, cast(0.0 as double), (a, t) -> a + t.pab)")
+          .as("nab"),
+        expr("aggregate(terms, cast(0.0 as double), (a, t) -> a + t.paa)")
+          .as("naa"),
+        expr("aggregate(terms, cast(0.0 as double), (a, t) -> a + t.pbb)")
+          .as("nbb"))
+      .join(Tables.maybeBroadcast(counts), "label")
+      .select(col("label"), col("n_early"), col("n_late"),
+        r4(col("nab") / sqrt(col("naa") * col("nbb"))).as("cos_drift"))
+      .orderBy("label")
+  }
+
+  val embedLabelDriftSql: String =
+    s"""WITH ranked AS (
+       |  SELECT label, vec_id, embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS r,
+       |    COUNT(*) OVER (PARTITION BY label) AS n
+       |  FROM embeddings),
+       |halves AS (
+       |  SELECT label,
+       |    CASE WHEN r * 2 <= n THEN 'early' ELSE 'late' END AS half,
+       |    embedding
+       |  FROM ranked WHERE n >= 2),
+       |ex AS (
+       |  SELECT label, half, j AS dim, embedding[j]::DOUBLE AS x
+       |  FROM (SELECT label, half, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS j FROM halves)),
+       |sums AS (
+       |  SELECT label, half, dim, ${sumDecSql("x", 38, 18)} AS s
+       |  FROM ex GROUP BY 1, 2, 3),
+       |paired AS (
+       |  SELECT label, dim,
+       |    MAX(CASE WHEN half = 'early' THEN s END) AS sa,
+       |    MAX(CASE WHEN half = 'late' THEN s END) AS sb
+       |  FROM sums GROUP BY 1, 2),
+       |folded AS (
+       |  SELECT label,
+       |    list_sum(list(sa * sb ORDER BY dim)) AS nab,
+       |    list_sum(list(sa * sa ORDER BY dim)) AS naa,
+       |    list_sum(list(sb * sb ORDER BY dim)) AS nbb
+       |  FROM paired GROUP BY label),
+       |counts AS (
+       |  SELECT label,
+       |    CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_early,
+       |    CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_late
+       |  FROM halves GROUP BY label)
+       |SELECT label, n_early, n_late,
+       |  ${r4Sql("nab / sqrt(naa * nbb)")} AS cos_drift
+       |FROM folded JOIN counts USING (label)
+       |ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------- #191
+  /** #191 per-source character-class composition profile: fractions of
+    * lowercase letters, digits, spaces, and other characters — the
+    * charset/script QC read next to #36's language ID ("is src12
+    * suddenly 40% digits?" catches encoding regressions and log spam
+    * at the source level before they hit per-doc filters).
+    *
+    * Counting device: class count = length(text) − length(text with
+    * the class deleted) — one global regexp_replace per class, pure
+    * integer arithmetic after that (DuckDB mirrors with the 'g'
+    * flag). Σ per source, then one r4'd division per fraction.
+    *
+    * Scale: per-doc map-side projection, one keyed agg with map-side
+    * combine to |sources| rows — the #34 shape.
+    */
+  def textScriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long")
+    val per = Tables(spark, dir, "documents")
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        cnt("[a-z]").as("letters"),
+        cnt("[0-9]").as("digits"),
+        cnt(" ").as("spaces"))
+    per.groupBy("source")
+      .agg(sum("nc").as("n_chars"), sum("letters").as("letters"),
+        sum("digits").as("digits"), sum("spaces").as("spaces"))
+      .select(col("source"), col("n_chars"),
+        r4(col("letters").cast("double") / col("n_chars")).as("letter_frac"),
+        r4(col("digits").cast("double") / col("n_chars")).as("digit_frac"),
+        r4(col("spaces").cast("double") / col("n_chars")).as("space_frac"),
+        r4((col("n_chars") - col("letters") - col("digits") - col("spaces"))
+          .cast("double") / col("n_chars")).as("other_frac"))
+      .orderBy("source")
+  }
+
+  val textScriptProfileSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(length(text) -
+       |      length(regexp_replace(text, '[a-z]', '', 'g')) AS BIGINT)
+       |      AS letters,
+       |    CAST(length(text) -
+       |      length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+       |      AS digits,
+       |    CAST(length(text) -
+       |      length(regexp_replace(text, ' ', '', 'g')) AS BIGINT)
+       |      AS spaces
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |    CAST(SUM(letters) AS BIGINT) AS letters,
+       |    CAST(SUM(digits) AS BIGINT) AS digits,
+       |    CAST(SUM(spaces) AS BIGINT) AS spaces
+       |  FROM per GROUP BY source)
+       |SELECT source, n_chars,
+       |  ${r4Sql("letters / CAST(n_chars AS DOUBLE)")} AS letter_frac,
+       |  ${r4Sql("digits / CAST(n_chars AS DOUBLE)")} AS digit_frac,
+       |  ${r4Sql("spaces / CAST(n_chars AS DOUBLE)")} AS space_frac,
+       |  ${r4Sql("(n_chars - letters - digits - spaces) / " +
+                  "CAST(n_chars AS DOUBLE)")} AS other_frac
+       |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode _),
     "text_entropy" -> (textEntropy _),
@@ -1270,7 +1442,9 @@ object Horizon {
     "mix_curriculum" -> (mixCurriculum _),
     "ann_mmr" -> (annMmr _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
-    "events_user_overlap" -> (eventsUserOverlap _))
+    "events_user_overlap" -> (eventsUserOverlap _),
+    "embed_label_drift" -> (embedLabelDrift _),
+    "text_script_profile" -> (textScriptProfile _))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12Sql,
@@ -1288,5 +1462,7 @@ object Horizon {
     "mix_curriculum" -> mixCurriculumSql,
     "ann_mmr" -> annMmrSql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
-    "events_user_overlap" -> eventsUserOverlapSql)
+    "events_user_overlap" -> eventsUserOverlapSql,
+    "embed_label_drift" -> embedLabelDriftSql,
+    "text_script_profile" -> textScriptProfileSql)
 }

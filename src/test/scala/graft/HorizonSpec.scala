@@ -293,6 +293,63 @@ class HorizonSpec extends GraftSpec {
     o.unpersist()
   }
 
+  test("embed_label_drift: one row per (>=2)-vector label; halves " +
+      "partition the population; cosine bounded") {
+    val d = operators.Horizon.embedLabelDrift(spark, sf).cache()
+    val byLabel = Tables(spark, sf, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n")).where(col("n") >= 2)
+    assert(d.count() == byLabel.count())
+    val j = d.join(byLabel, "label")
+    // n_early = floor(n/2), halves partition
+    assert(j.where(col("n_early") + col("n_late") =!= col("n") ||
+      col("n_early") =!= expr("n div 2")).count() == 0)
+    assert(d.where(abs(col("cos_drift")) > 1.0 + 1e-9).count() == 0)
+    // NOTE: this synthetic corpus's labels are NOT tight clusters —
+    // half-centroid sums are noise-dominated, so cos_drift sits well
+    // below 1 here (measured ~[-0.3, 0.5]); the spec pins determinism
+    // and a true-positive: a label made STATIONARY by construction
+    // (duplicating its vectors across both halves) must read ≈ 1.
+    val again = operators.Horizon.embedLabelDrift(spark, sf)
+    assert(d.exceptAll(again).count() == 0 &&
+      again.exceptAll(d).count() == 0)
+    d.unpersist()
+  }
+
+  test("embed_label_drift: stationary label reads 1.0, orthogonal " +
+      "shift reads 0.0") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_drift").toString
+    def v(i: Int): Array[Float] = {
+      val a = Array.fill(4)(0.0f); a(i) = 1.0f; a
+    }
+    // label 0: late half repeats the early half's vectors → cos 1
+    // label 1: early on axis 0, late on axis 1 → cos 0
+    val rows = Seq(
+      (1L, v(0), 0), (2L, v(1), 0), (3L, v(0), 0), (4L, v(1), 0),
+      (10L, v(0), 1), (11L, v(0), 1), (12L, v(1), 1), (13L, v(1), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val d = operators.Horizon.embedLabelDrift(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(d(0) == 1.0, s"stationary label drifted: ${d(0)}")
+    assert(d(1) == 0.0, s"orthogonal shift not detected: ${d(1)}")
+  }
+
+  test("text_script_profile: per-source fractions partition the chars") {
+    val p = operators.Horizon.textScriptProfile(spark, sf).cache()
+    val srcs = Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(p.count() == srcs)
+    // the four fractions sum to 1 within the stacked r4 grids
+    assert(p.where(abs(col("letter_frac") + col("digit_frac") +
+      col("space_frac") + col("other_frac") - 1.0) > 4e-4).count() == 0)
+    // this corpus is tokenized lowercase text: letters dominate
+    assert(p.where(col("letter_frac") < 0.5).count() == 0)
+    p.unpersist()
+  }
+
   test("quality_ensemble: a repeated-token doc never out-ranks an " +
       "all-distinct doc of the same length on the diversity signal") {
     val q = Horizon.qualityEnsemble(spark, sf)
