@@ -60,6 +60,11 @@ import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
   *    the "re-embed / retrain the quantizer" drift alarm.
   *  - `text_script_profile`: per-source character-class composition
   *    (letters/digits/spaces/other) — charset QC next to #36.
+  *  - `window_rolling_median`: robust rolling smoother by exact
+  *    order-statistic selection over a 5-row frame.
+  *  - `mm_audio_features`: per-file windowed-energy features over
+  *    binary payloads (the per-FILE typed feature row; #50/#51 emit
+  *    per-chunk records).
   *
   * Cross-engine exactness: q12 is pure integer counting over a derived
   * mode column (md5-free modulo arithmetic — identical in both
@@ -88,6 +93,10 @@ import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
   *    three numbers.
   */
 object Horizon {
+
+  /** One media file's typed features (#193). */
+  final case class AudioFeat(doc_id: Long, n_bytes: Long, n_windows: Long,
+      peak_idx: Long, peak_energy: Long, mean_energy: Double)
 
   // --------------------------------------------------------------- #174
   /** #174 TPC-H Q12 shape: for each ship mode, how many LATE lines
@@ -1426,6 +1435,121 @@ object Horizon {
                   "CAST(n_chars AS DOUBLE)")} AS other_frac
        |FROM agg ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #192
+  /** #192 rolling median (5-order frame) of each customer's order
+    * values — the robust smoother the moving AVERAGE family
+    * (#47/#54) can't provide: one pathological order shifts a mean
+    * for 5 frames but leaves the median untouched. Exact order-
+    * statistic semantics: the frame's values sort and the
+    * ceil(n/2)-th is selected (n < 5 at history starts) — selection,
+    * not interpolation, so the emitted double IS an input value and
+    * both engines agree bit-for-bit.
+    *
+    * Scale: one per-customer window Exchange; the frame is O(1) per
+    * row (collect of ≤ 5 values), so memory per row is bounded — no
+    * whole-partition buffering.
+    */
+  def windowRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("frame", array_sort(collect_list("o_totalprice").over(w)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("element_at(frame, cast((size(frame) + 1) div 2 as int))")
+          .as("rolling_median"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowRollingMedianSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  list_sort(frame)[CAST((len(frame) + 1) // 2 AS INT)]
+      |    AS rolling_median
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    list(o_totalprice) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS frame
+      |  FROM orders)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --------------------------------------------------------------- #193
+  /** #193 windowed audio-style feature extraction over binary
+    * payloads: 256-byte windows, per-window energy Σ byte² (the RMS
+    * proxy a real pipeline computes from PCM samples — the byte loop
+    * is the STUB standing in for the codec, per the #39 convention),
+    * rolled up per document to (window count, peak window index,
+    * peak energy, mean energy). Completes the multimodal quartet's
+    * missing shape: #50/#51 emit per-chunk records; this emits the
+    * per-FILE typed feature row a training pipeline joins back to
+    * metadata.
+    *
+    * Exactness: energies are exact integer sums of byte² ≤ 255²·256
+    * per window; peak selection ties break on the LOWEST window index
+    * (min over (−energy, idx) structs); the mean is ONE r4'd
+    * division.
+    *
+    * Scale: the payload never shuffles — windowing and energy are
+    * map-side on the scan partitions (partition-batched typed
+    * iteration, the mapInPandas batch shape); only the 5-column
+    * feature row flows onward.
+    */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // upstream extraction failures arrive as null payloads at 100 TB
+      // — skip them instead of NPE-ing the task (the oracle agrees:
+      // a null text generates zero windows)
+      .where(col("payload").isNotNull)
+      .as[Multimodal.BinaryDoc]
+    bin.mapPartitions(_.map { d =>
+      val n = d.payload.length
+      val nw = (n + 255) / 256
+      var peakIdx = 0L; var peakE = -1L; var sumE = 0L
+      var w = 0
+      while (w < nw) {
+        val start = w * 256
+        val end = math.min(start + 256, n)
+        var e = 0L; var i = start
+        while (i < end) {
+          val b = java.lang.Byte.toUnsignedInt(d.payload(i))
+          e += b.toLong * b; i += 1
+        }
+        if (e > peakE) { peakE = e; peakIdx = w.toLong }
+        sumE += e; w += 1
+      }
+      AudioFeat(d.doc_id, n.toLong, nw.toLong, peakIdx, peakE,
+        math.floor(sumE.toDouble / nw * 10000.0 + 0.5) / 10000.0)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
+  val mmAudioFeaturesSql: String =
+    s"""WITH wins AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    unnest(range(0, (length(text) + 255) // 256)) AS w,
+       |    text
+       |  FROM documents),
+       |energy AS (
+       |  SELECT doc_id, n, w,
+       |    CAST(list_sum(list_transform(
+       |      range(CAST(w * 256 + 1 AS INT),
+       |        CAST(least(w * 256 + 256, n) + 1 AS INT)),
+       |      i -> ascii(substr(text, CAST(i AS INT), 1)) *
+       |           ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT)
+       |      AS e
+       |  FROM wins)
+       |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+       |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST((MIN(struct_pack(ne := -e, i := w))).i AS BIGINT)
+       |    AS peak_idx,
+       |  CAST(MAX(e) AS BIGINT) AS peak_energy,
+       |  ${r4Sql("SUM(e) / CAST(COUNT(*) AS DOUBLE)")} AS mean_energy
+       |FROM energy GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode _),
     "text_entropy" -> (textEntropy _),
@@ -1444,7 +1568,9 @@ object Horizon {
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "events_user_overlap" -> (eventsUserOverlap _),
     "embed_label_drift" -> (embedLabelDrift _),
-    "text_script_profile" -> (textScriptProfile _))
+    "text_script_profile" -> (textScriptProfile _),
+    "window_rolling_median" -> (windowRollingMedian _),
+    "mm_audio_features" -> (mmAudioFeatures _))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12Sql,
@@ -1464,5 +1590,7 @@ object Horizon {
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "events_user_overlap" -> eventsUserOverlapSql,
     "embed_label_drift" -> embedLabelDriftSql,
-    "text_script_profile" -> textScriptProfileSql)
+    "text_script_profile" -> textScriptProfileSql,
+    "window_rolling_median" -> windowRollingMedianSql,
+    "mm_audio_features" -> mmAudioFeaturesSql)
 }

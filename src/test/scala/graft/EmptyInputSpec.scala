@@ -71,7 +71,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "mix_curriculum",       // schedule over zero sources
     "ann_mmr",              // greedy steps over an empty pool
     "dedup_threshold_sweep",// sweep of zero candidates
-    "events_user_overlap")  // audiences of no events
+    "events_user_overlap",  // audiences of no events
+    "embed_label_drift",    // halves of an empty cloud
+    "text_script_profile",  // char classes of no docs
+    "window_rolling_median",// frames over no orders
+    "mm_audio_features")    // features of no payloads
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

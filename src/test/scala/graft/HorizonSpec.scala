@@ -350,6 +350,44 @@ class HorizonSpec extends GraftSpec {
     p.unpersist()
   }
 
+  test("window_rolling_median: every order emits; single-order " +
+      "customers are their own median") {
+    val m = operators.Horizon.windowRollingMedian(spark, sf).cache()
+    val orders = Tables(spark, sf, "orders")
+    assert(m.count() == orders.count())
+    val singles = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("c")).where(col("c") === 1)
+    val j = m.join(singles, "o_custkey")
+      .join(orders.select("o_orderkey", "o_totalprice"), "o_orderkey")
+    assert(j.where(col("rolling_median") =!= col("o_totalprice"))
+      .count() == 0)
+    // the median is always one of the customer's own order values
+    val vals = orders.select(col("o_custkey"),
+      col("o_totalprice").as("v"))
+    assert(m.join(vals, Seq("o_custkey"))
+      .groupBy("o_custkey", "o_orderkey", "rolling_median")
+      .agg(max(when(col("rolling_median") === col("v"), 1)
+        .otherwise(0)).as("hit"))
+      .where(col("hit") === 0).count() == 0)
+    m.unpersist()
+  }
+
+  test("mm_audio_features: window geometry and energy bounds hold") {
+    val f = operators.Horizon.mmAudioFeatures(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+    assert(f.count() == docs.count())
+    assert(f.where(col("n_windows") =!=
+      expr("(n_bytes + 255) div 256")).count() == 0)
+    assert(f.where(col("peak_idx") < 0 ||
+      col("peak_idx") >= col("n_windows")).count() == 0)
+    // window energy ceiling: 256 bytes × 255²
+    assert(f.where(col("peak_energy") > 256L * 255L * 255L).count() == 0)
+    // mean of windows never exceeds the peak (r4 slack)
+    assert(f.where(col("mean_energy") >
+      col("peak_energy") + 1e-4).count() == 0)
+    f.unpersist()
+  }
+
   test("quality_ensemble: a repeated-token doc never out-ranks an " +
       "all-distinct doc of the same length on the diversity signal") {
     val q = Horizon.qualityEnsemble(spark, sf)

@@ -53,7 +53,8 @@ class NullInputSpec extends AnyFunSuite {
     "text_entropy", "quality_ensemble", "corpus_epoch_plan",
     "sample_fixed_k", "dedup_minhash_est", "embed_dim_stats",
     "text_source_jaccard", "mix_curriculum", "ann_mmr",
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep", "embed_label_drift", "text_script_profile",
+    "mm_audio_features")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
