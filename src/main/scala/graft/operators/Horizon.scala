@@ -65,6 +65,12 @@ import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
   *  - `mm_audio_features`: per-file windowed-energy features over
   *    binary payloads (the per-FILE typed feature row; #50/#51 emit
   *    per-chunk records).
+  *  - `join_asof_nearest`: nearest-by-|Δt| as-of join with tolerance
+  *    (the sensor-fusion variant of #10's backward as-of).
+  *  - `dedup_prefix`: shared-16-token-prefix duplicate groups (the
+  *    truncation-artifact pass #26/#60 miss).
+  *  - `corpus_vocab_growth`: Heaps-law vocabulary growth curve per
+  *    source — "is more data still buying new vocabulary?".
   *
   * Cross-engine exactness: q12 is pure integer counting over a derived
   * mode column (md5-free modulo arithmetic — identical in both
@@ -1550,6 +1556,187 @@ object Horizon {
        |  ${r4Sql("SUM(e) / CAST(COUNT(*) AS DOUBLE)")} AS mean_energy
        |FROM energy GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #194
+  /** #194 NEAREST-neighbor as-of join: each view pairs with the
+    * closest purchase (same user) by |Δt| within a 1-hour tolerance —
+    * the sensor-fusion/attribution variant #10's BACKWARD as-of can't
+    * express (a purchase 5 s after the view beats one 50 min before).
+    * Equidistant ties take the earlier (backward) purchase; the
+    * same-instant case is backward with Δ = 0.
+    *
+    * Same plan shape as #143: ONE union + ONE per-user window
+    * Exchange, backward/forward IGNORE-NULLS window passes carrying
+    * (ts, id, value) structs — never a pair-explosion join. All
+    * deltas are exact integer microseconds; the tolerance and the
+    * nearer-side choice are integer compares.
+    */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.eventsUs(spark, dir)
+    val ev = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ts_us").as("t"),
+        lit(0).as("tag"), lit(null).cast("long").as("probe_id"),
+        struct(col("ts_us").as("pt"), col("event_id").as("pid"),
+          col("value").as("pv")).as("p"),
+        col("event_id").as("tie"))
+    val probes = events.where(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("ts_us").as("t"),
+        lit(1).as("tag"), col("event_id").as("probe_id"),
+        lit(null).cast("struct<pt:bigint,pid:bigint,pv:double>").as("p"),
+        col("event_id").as("tie"))
+    val wb = Window.partitionBy("u").orderBy("t", "tag", "tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("u").orderBy("t", "tag", "tie")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val tol = 3600000000L
+    ev.union(probes)
+      .withColumn("pb", last(col("p"), ignoreNulls = true).over(wb))
+      .withColumn("pf", first(col("p"), ignoreNulls = true).over(wf))
+      .where(col("tag") === 1)
+      .withColumn("db", col("t") - col("pb.pt"))
+      .withColumn("df", col("pf.pt") - col("t"))
+      .withColumn("pick", when(col("pb").isNull && col("pf").isNull,
+          lit(null).cast("string"))
+        .when(col("pf").isNull, lit("b"))
+        .when(col("pb").isNull, lit("f"))
+        .when(col("db") <= col("df"), lit("b")).otherwise(lit("f")))
+      .withColumn("delta_us",
+        when(col("pick") === "b", col("db")).otherwise(col("df")))
+      .where(col("pick").isNotNull && col("delta_us") <= tol)
+      .select(col("probe_id").as("view_event_id"), col("u").as("user_id"),
+        when(col("pick") === "b", col("pb.pid")).otherwise(col("pf.pid"))
+          .as("purchase_event_id"),
+        col("delta_us"),
+        when(col("pick") === "b", col("pb.pv")).otherwise(col("pf.pv"))
+          .as("purchase_value"))
+      .orderBy("view_event_id")
+  }
+
+  val joinAsofNearestSql: String =
+    """WITH ev AS (
+      |  SELECT user_id AS u, epoch_us(ts) AS t, 0 AS tag,
+      |    CAST(NULL AS BIGINT) AS probe_id,
+      |    struct_pack(pt := epoch_us(ts), pid := event_id, pv := value)
+      |      AS p,
+      |    event_id AS tie
+      |  FROM events WHERE event_type = 'purchase'),
+      |probes AS (
+      |  SELECT user_id AS u, epoch_us(ts) AS t, 1 AS tag,
+      |    event_id AS probe_id,
+      |    CAST(NULL AS STRUCT(pt BIGINT, pid BIGINT, pv DOUBLE)) AS p,
+      |    event_id AS tie
+      |  FROM events WHERE event_type = 'view'),
+      |uni AS (SELECT * FROM ev UNION ALL SELECT * FROM probes),
+      |w AS (
+      |  SELECT *,
+      |    LAST_VALUE(p IGNORE NULLS) OVER (PARTITION BY u
+      |      ORDER BY t, tag, tie
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |    FIRST_VALUE(p IGNORE NULLS) OVER (PARTITION BY u
+      |      ORDER BY t, tag, tie
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS pf
+      |  FROM uni),
+      |chosen AS (
+      |  SELECT probe_id, u,
+      |    CASE WHEN pb IS NULL AND pf IS NULL THEN NULL
+      |         WHEN pf IS NULL THEN 'b'
+      |         WHEN pb IS NULL THEN 'f'
+      |         WHEN t - pb.pt <= pf.pt - t THEN 'b' ELSE 'f' END AS pick,
+      |    t - pb.pt AS db, pf.pt - t AS df, pb, pf
+      |  FROM w WHERE tag = 1)
+      |SELECT probe_id AS view_event_id, u AS user_id,
+      |  CASE WHEN pick = 'b' THEN pb.pid ELSE pf.pid END
+      |    AS purchase_event_id,
+      |  CAST(CASE WHEN pick = 'b' THEN db ELSE df END AS BIGINT)
+      |    AS delta_us,
+      |  CASE WHEN pick = 'b' THEN pb.pv ELSE pf.pv END AS purchase_value
+      |FROM chosen
+      |WHERE pick IS NOT NULL
+      |  AND (CASE WHEN pick = 'b' THEN db ELSE df END) <= 3600000000
+      |ORDER BY view_event_id""".stripMargin
+
+  // --------------------------------------------------------------- #195
+  /** #195 prefix-duplicate detection: documents sharing an identical
+    * 16-token PREFIX — the truncation-artifact dedup pass (a crawl
+    * that cut the same page at different lengths produces docs exact
+    * dedup (#26) and even fingerprint dedup (#60) miss, while their
+    * shared prefix gives them away). The #60 group-report shape:
+    * prefix fingerprint → keep the smallest doc_id, count the rest.
+    */
+  def dedupPrefix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 16)
+      .select(col("doc_id"),
+        md5(expr("concat_ws(' ', slice(t, 1, 16))")).as("prefix_fp"))
+      .groupBy("prefix_fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+      .orderBy("prefix_fp")
+  }
+
+  val dedupPrefixSql: String =
+    """SELECT md5(array_to_string(t[1:16], ' ')) AS prefix_fp,
+      |  MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |WHERE len(t) >= 16
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY prefix_fp""".stripMargin
+
+  // --------------------------------------------------------------- #196
+  /** #196 vocabulary growth curve (the Heaps-law QC readout):
+    * processing sources in lexicographic order, how many NEW token
+    * types each source contributes, cumulatively — the "is more data
+    * still buying new vocabulary?" curve that motivates dedup and
+    * source-mixing decisions. A token's first source is its MIN
+    * source name (exact, order-free); the per-source rollup and both
+    * cumulative columns are integer windows over |sources| rows.
+    *
+    * Scale: one distinct (token, source) reduce, one min-per-token
+    * keyed agg — vocabulary-shaped flows; the curve itself is
+    * structure-sized.
+    */
+  def corpusVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val perSrcTokens = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSrc = toks.groupBy("token").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("new_types"))
+    val wCum = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSrcTokens
+      .join(firstSrc, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wCum))
+      .withColumn("cum_types", sum("new_types").over(wCum))
+      .withColumn("new_type_rate",
+        r4(col("new_types").cast("double") / col("n_tokens")))
+      .orderBy("source")
+  }
+
+  val corpusVocabGrowthSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |per_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |  FROM toks GROUP BY source),
+       |first_src AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+       |    SELECT token, MIN(source) AS source FROM toks GROUP BY token)
+       |  GROUP BY source)
+       |SELECT source, n_tokens,
+       |  COALESCE(new_types, 0) AS new_types,
+       |  CAST(SUM(n_tokens) OVER (ORDER BY source
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY source
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types,
+       |  ${r4Sql("COALESCE(new_types, 0) / CAST(n_tokens AS DOUBLE)")}
+       |    AS new_type_rate
+       |FROM per_src LEFT JOIN first_src USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode _),
     "text_entropy" -> (textEntropy _),
@@ -1570,7 +1757,10 @@ object Horizon {
     "embed_label_drift" -> (embedLabelDrift _),
     "text_script_profile" -> (textScriptProfile _),
     "window_rolling_median" -> (windowRollingMedian _),
-    "mm_audio_features" -> (mmAudioFeatures _))
+    "mm_audio_features" -> (mmAudioFeatures _),
+    "join_asof_nearest" -> (joinAsofNearest _),
+    "dedup_prefix" -> (dedupPrefix _),
+    "corpus_vocab_growth" -> (corpusVocabGrowth _))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12Sql,
@@ -1592,5 +1782,8 @@ object Horizon {
     "embed_label_drift" -> embedLabelDriftSql,
     "text_script_profile" -> textScriptProfileSql,
     "window_rolling_median" -> windowRollingMedianSql,
-    "mm_audio_features" -> mmAudioFeaturesSql)
+    "mm_audio_features" -> mmAudioFeaturesSql,
+    "join_asof_nearest" -> joinAsofNearestSql,
+    "dedup_prefix" -> dedupPrefixSql,
+    "corpus_vocab_growth" -> corpusVocabGrowthSql)
 }

@@ -388,6 +388,76 @@ class HorizonSpec extends GraftSpec {
     f.unpersist()
   }
 
+  test("join_asof_nearest: every pairing is the true nearest purchase " +
+      "within tolerance (brute-force cross-check)") {
+    val n = operators.Horizon.joinAsofNearest(spark, sf).cache()
+    assert(n.count() > 0)
+    assert(n.where(col("delta_us") < 0 ||
+      col("delta_us") > 3600000000L).count() == 0)
+    // brute force: all (view, purchase) same-user pairs, min |delta|
+    // with the backward/earlier-purchase tie rule
+    val ev = Tables.eventsUs(spark, sf)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"),
+        col("user_id"), col("ts_us").as("vt"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("pt"),
+        col("event_id").as("pid"))
+    val best = views.join(purch, "user_id")
+      .withColumn("d", abs(col("vt") - col("pt")))
+      .where(col("d") <= 3600000000L)
+      // tie rule: smaller |delta| wins; equal |delta| -> backward
+      // (pt <= vt) wins; still equal -> smaller event id
+      .withColumn("backward", when(col("pt") <= col("vt"), 0).otherwise(1))
+      .groupBy("view_event_id")
+      .agg(min(struct(col("d"), col("backward"), col("pid"))).as("mn"))
+      .select(col("view_event_id"), col("mn.pid").as("exp_pid"),
+        col("mn.d").as("exp_d"))
+    val j = n.join(best, "view_event_id")
+    assert(n.count() == best.count())
+    assert(j.where(col("purchase_event_id") =!= col("exp_pid") ||
+      col("delta_us") =!= col("exp_d")).count() == 0)
+    n.unpersist()
+  }
+
+  test("dedup_prefix: groups really share the 16-token prefix") {
+    val g = operators.Horizon.dedupPrefix(spark, sf).cache()
+    assert(g.count() > 0)
+    assert(g.where(col("n_docs") < 2).count() == 0)
+    // recompute: per fingerprint, exactly ONE distinct prefix string
+    val pre = Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 16)
+      .select(col("doc_id"),
+        expr("concat_ws(' ', slice(t, 1, 16))").as("prefix"))
+      .withColumn("prefix_fp", md5(col("prefix")))
+    val distinctPer = pre.groupBy("prefix_fp")
+      .agg(countDistinct("prefix").as("np"), count(lit(1)).as("n"))
+    assert(g.join(distinctPer, "prefix_fp")
+      .where(col("np") =!= 1 || col("n") =!= col("n_docs")).count() == 0)
+    g.unpersist()
+  }
+
+  test("corpus_vocab_growth: cumulative types reach the corpus " +
+      "vocabulary exactly; curves are monotone") {
+    val c = operators.Horizon.corpusVocabGrowth(spark, sf).cache()
+    val vocab = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    val last = c.orderBy(desc("source")).limit(1).head()
+    assert(last.getAs[Long]("cum_types") == vocab)
+    assert(c.agg(sum("new_types")).head().getLong(0) == vocab)
+    // monotone cumulatives, new_types bounded by volume
+    val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+    val bad = c.withColumn("pt", lag("cum_types", 1).over(w))
+      .withColumn("pk", lag("cum_tokens", 1).over(w))
+      .where(col("pt").isNotNull &&
+        (col("cum_types") < col("pt") || col("cum_tokens") < col("pk")))
+    assert(bad.count() == 0)
+    assert(c.where(col("new_types") > col("n_tokens")).count() == 0)
+    c.unpersist()
+  }
+
   test("quality_ensemble: a repeated-token doc never out-ranks an " +
       "all-distinct doc of the same length on the diversity signal") {
     val q = Horizon.qualityEnsemble(spark, sf)
