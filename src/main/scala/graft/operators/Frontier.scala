@@ -283,7 +283,11 @@ object Frontier {
     * majority) — the granularity a catalog wants for "related product
     * groups" vs "reachable at all".
     */
-  def graphLpa(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** Just the final (id, lbl) LPA assignment — the piece #198's
+    * modularity scoring consumes without #163's sizes join and sort.
+    */
+  private[operators] def lpaLabels(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
     val und = Graph.undirected(spark, dir)
     val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(und.select(col("pb").as("src"), col("pa").as("dst")))
@@ -300,6 +304,11 @@ object Frontier {
         .where(col("rn") === 1)
         .select("id", "lbl")
     }
+    labels
+  }
+
+  def graphLpa(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val labels = lpaLabels(spark, dir, k)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     labels
       .join(sizes, "lbl")
@@ -308,7 +317,10 @@ object Frontier {
       .orderBy("node_id")
   }
 
-  def graphLpaSql(k: Int = 3): String = {
+  /** The l0..lk label-propagation CTE chain (after `e`), shared with
+    * #198's modularity scoring. Final labels live in CTE `l<k>`.
+    */
+  private[operators] def lpaLabelCtes(k: Int): String = {
     val iters = (1 to k).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}"
       s"""c$i AS (
@@ -320,9 +332,13 @@ object Frontier {
          |      PARTITION BY id ORDER BY c DESC, lbl) AS rn
          |    FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       |$iters""".stripMargin
+  }
+
+  def graphLpaSql(k: Int = 3): String = {
     s"""WITH ${Graph.edgeSql},
-       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
-       |$iters,
+       |${lpaLabelCtes(k)},
        |sz AS (SELECT lbl, COUNT(*) AS community_size FROM l$k GROUP BY lbl)
        |SELECT l$k.id AS node_id, l$k.lbl AS community, sz.community_size
        |FROM l$k JOIN sz USING (lbl) ORDER BY node_id""".stripMargin

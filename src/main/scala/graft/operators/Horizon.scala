@@ -71,6 +71,11 @@ import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
   *    truncation-artifact pass #26/#60 miss).
   *  - `corpus_vocab_growth`: Heaps-law vocabulary growth curve per
   *    source — "is more data still buying new vocabulary?".
+  *  - `events_active_users`: DAU/WAU/MAU + stickiness rollup (rolling
+  *    distinct via trailing-range joins over the span-sized axis).
+  *  - `graph_modularity`: modularity Q of the #163 LPA partition as
+  *    ONE rational of exact cross-products — the community-quality
+  *    eval beside #173/#157.
   *
   * Cross-engine exactness: q12 is pure integer counting over a derived
   * mode column (md5-free modulo arithmetic — identical in both
@@ -1737,6 +1742,133 @@ object Horizon {
        |FROM per_src LEFT JOIN first_src USING (source)
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #197
+  /** #197 active-user rollup: per day, DAU plus rolling 7-day (WAU)
+    * and 30-day (MAU) distinct users and the DAU/MAU "stickiness"
+    * ratio — the product-health dashboard row. Rolling DISTINCT
+    * cannot ride an ordinary window frame (distincts don't compose),
+    * so each day joins the distinct (user, day) table over its
+    * trailing range — the axis is span-sized, so the replication
+    * factor is the window length, never event volume.
+    *
+    * Counts are exact integers; stickiness is ONE r4'd division.
+    */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.eventsUs(spark, dir)
+      .select(col("user_id"),
+        (col("ts_us") / lit(86400000000L)).cast("long").as("day"))
+      .distinct()
+    val days = userDays.select("day").distinct()
+    def rolling(win: Long, name: String): DataFrame = days.as("d")
+      .join(userDays.as("u"),
+        col("u.day") <= col("d.day") &&
+          col("u.day") > col("d.day") - win)
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct("user_id").as(name))
+    val dau = userDays.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    dau
+      .join(rolling(7L, "wau"), "day")
+      .join(rolling(30L, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        r4(col("dau").cast("double") / col("mau")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val eventsActiveUsersSql: String =
+    s"""WITH user_days AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+       |  FROM events),
+       |days AS (SELECT DISTINCT day FROM user_days),
+       |dau AS (
+       |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+       |  FROM user_days GROUP BY day),
+       |wau AS (
+       |  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+       |  FROM days d JOIN user_days u
+       |    ON u.day <= d.day AND u.day > d.day - 7
+       |  GROUP BY d.day),
+       |mau AS (
+       |  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+       |  FROM days d JOIN user_days u
+       |    ON u.day <= d.day AND u.day > d.day - 30
+       |  GROUP BY d.day)
+       |SELECT day, dau, wau, mau,
+       |  ${r4Sql("dau / CAST(mau AS DOUBLE)")} AS stickiness
+       |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+       |ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------- #198
+  /** #198 modularity of the #163 LPA communities — the quality score
+    * that turns "we ran community detection" into "the partition is
+    * better than random": Q = Σ_c (e_c/m − (d_c/2m)²) over the
+    * support-floored co-purchase graph. The community-eval readout
+    * beside #173 (ANN recall) and #157 (dedup clusters).
+    *
+    * Exactness: e_c (intra-community edges), d_c (total community
+    * degree) and m are exact integers; Q clears to ONE rational —
+    * Q = (4m·Σe_c − Σd_c²) / 4m² — computed as one r4'd division of
+    * exact int64 cross-products (degrees ≤ 2m ~ structure-sized, so
+    * the squares stay far under int64).
+    *
+    * Scale: reuses #163's fixed-k LPA labels (structure-sized edge
+    * iteration); the scoring pass is two keyed aggs over the edge
+    * list and a 1-row reduce.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Frontier.lpaLabels(spark, dir)
+    val und = Graph.undirected(spark, dir)
+    val edges = und
+      .join(Tables.maybeBroadcast(labels.toDF("pa", "ca")), "pa")
+      .join(Tables.maybeBroadcast(labels.toDF("pb", "cb")), "pb")
+    val m = edges.agg(count(lit(1)).as("m"))
+    val intra = edges.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = edges.select(col("pa").as("node"), col("ca").as("community"))
+      .union(edges.select(col("pb").as("node"), col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    val perC = deg.join(intra, deg("community") === intra("community"),
+        "left")
+      .select(deg("community"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
+    perC.crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+        max("m").as("m"),
+        sum("e_in").as("sum_e_in"),
+        sum(col("d_c") * col("d_c")).as("sum_d2"))
+      .select(col("n_communities"), col("m"), col("sum_e_in"),
+        r4((lit(4L) * col("m") * col("sum_e_in") - col("sum_d2"))
+          .cast("double") / (lit(4L) * col("m") * col("m")))
+          .as("modularity"))
+  }
+
+  val graphModularitySql: String = {
+    s"""WITH ${Graph.edgeSql},
+       |${Frontier.lpaLabelCtes(3)},
+       |ue AS (
+       |  SELECT u.pa, u.pb, la.lbl AS ca, lb.lbl AS cb
+       |  FROM und u JOIN l3 la ON la.id = u.pa
+       |             JOIN l3 lb ON lb.id = u.pb),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+       |intra AS (
+       |  SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+       |  FROM ue WHERE ca = cb GROUP BY ca),
+       |deg AS (
+       |  SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+       |    SELECT pa AS node, ca AS community FROM ue
+       |    UNION ALL SELECT pb, cb FROM ue)
+       |  GROUP BY community),
+       |per_c AS (
+       |  SELECT deg.community, COALESCE(e_in, 0) AS e_in, d_c
+       |  FROM deg LEFT JOIN intra ON deg.community = intra.community)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  MAX(m.m) AS m,
+       |  CAST(SUM(e_in) AS BIGINT) AS sum_e_in,
+       |  ${r4Sql("(4 * MAX(m.m) * SUM(e_in) - SUM(d_c * d_c)) / " +
+                  "CAST(4 * MAX(m.m) * MAX(m.m) AS DOUBLE)")} AS modularity
+       |FROM per_c CROSS JOIN m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode _),
     "text_entropy" -> (textEntropy _),
@@ -1760,7 +1892,9 @@ object Horizon {
     "mm_audio_features" -> (mmAudioFeatures _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "dedup_prefix" -> (dedupPrefix _),
-    "corpus_vocab_growth" -> (corpusVocabGrowth _))
+    "corpus_vocab_growth" -> (corpusVocabGrowth _),
+    "events_active_users" -> (eventsActiveUsers _),
+    "graph_modularity" -> (graphModularity _))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12Sql,
@@ -1785,5 +1919,7 @@ object Horizon {
     "mm_audio_features" -> mmAudioFeaturesSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "dedup_prefix" -> dedupPrefixSql,
-    "corpus_vocab_growth" -> corpusVocabGrowthSql)
+    "corpus_vocab_growth" -> corpusVocabGrowthSql,
+    "events_active_users" -> eventsActiveUsersSql,
+    "graph_modularity" -> graphModularitySql)
 }

@@ -75,16 +75,24 @@ class EmptyInputSpec extends AnyFunSuite {
     "embed_label_drift",    // halves of an empty cloud
     "text_script_profile",  // char classes of no docs
     "window_rolling_median",// frames over no orders
-    "mm_audio_features")    // features of no payloads
+    "mm_audio_features",    // features of no payloads
+    "join_asof_nearest",    // nearest pair over no events
+    "dedup_prefix",         // prefix groups of no docs
+    "corpus_vocab_growth",  // growth curve of an empty corpus
+    "events_active_users",  // rolling distinct over no days
+    "graph_modularity")     // scoring an empty partition (1 stats row)
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
       val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
-      // graph_triangles aggregates to a single stats row (all zeros /
-      // null transitivity); everything else must be empty
+      // graph_triangles / graph_modularity aggregate to a single stats
+      // row (zero counts, null score); everything else must be empty
       if (name == "graph_triangles") {
         assert(rows.length == 1)
         assert(rows.head.getAs[Long]("n_triangles") == 0L)
+      } else if (name == "graph_modularity") {
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Long]("n_communities") == 0L)
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

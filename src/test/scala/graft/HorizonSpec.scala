@@ -458,6 +458,32 @@ class HorizonSpec extends GraftSpec {
     c.unpersist()
   }
 
+  test("events_active_users: DAU <= WAU <= MAU; windows anchor on the " +
+      "first day; stickiness bounded") {
+    val a = operators.Horizon.eventsActiveUsers(spark, sf).cache()
+    assert(a.count() > 0)
+    assert(a.where(col("dau") > col("wau") ||
+      col("wau") > col("mau")).count() == 0)
+    assert(a.where(col("stickiness") < 0 ||
+      col("stickiness") > 1.0 + 1e-9).count() == 0)
+    // day 1 has no history: all three windows see the same population
+    val first = a.orderBy("day").limit(1).head()
+    assert(first.getAs[Long]("dau") == first.getAs[Long]("wau") &&
+      first.getAs[Long]("wau") == first.getAs[Long]("mau"))
+    a.unpersist()
+  }
+
+  test("graph_modularity: bounded score, intra edges bounded by m, " +
+      "communities match the LPA partition") {
+    val q = operators.Horizon.graphModularity(spark, sf).head()
+    val mod = q.getAs[Double]("modularity")
+    assert(mod >= -0.5 - 1e-9 && mod <= 1.0 + 1e-9, s"Q out of range: $mod")
+    assert(q.getAs[Long]("sum_e_in") <= q.getAs[Long]("m"))
+    val nLpa = operators.Frontier.graphLpa(spark, sf)
+      .select("community").distinct().count()
+    assert(q.getAs[Long]("n_communities") == nLpa)
+  }
+
   test("quality_ensemble: a repeated-token doc never out-ranks an " +
       "all-distinct doc of the same length on the diversity signal") {
     val q = Horizon.qualityEnsemble(spark, sf)

@@ -54,7 +54,7 @@ class NullInputSpec extends AnyFunSuite {
     "sample_fixed_k", "dedup_minhash_est", "embed_dim_stats",
     "text_source_jaccard", "mix_curriculum", "ann_mmr",
     "dedup_threshold_sweep", "embed_label_drift", "text_script_profile",
-    "mm_audio_features")
+    "mm_audio_features", "dedup_prefix", "corpus_vocab_growth")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
