@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Frontier.queries,
     operators.Curation.queries,
     operators.Horizon.queries,
+    operators.Meridian.queries,
   )
 
   private def oracleModules = Seq(
@@ -52,6 +53,7 @@ object SparkEntry {
     operators.Frontier.oracles,
     operators.Curation.oracles,
     operators.Horizon.oracles,
+    operators.Meridian.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

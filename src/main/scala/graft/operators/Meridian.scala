@@ -1,0 +1,548 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Round-10 widening (SURVEY.md §2 #199+): evaluation closures for
+  * families that could run but not yet GRADE themselves, plus the
+  * retrieval-prep and backtest shapes a production curation pipeline
+  * still lacked.
+  *
+  *  - `graph_closeness`: landmark closeness centrality — per-landmark
+  *    BFS hops (the #180 frontier device keyed by (landmark, node))
+  *    folded to the classic k/Σd approximation. #180 labels "how far
+  *    from the seed set"; this ranks "how central overall".
+  *  - `text_kneser_ney`: interpolated Kneser-Ney bigram probabilities
+  *    with the canonical D = 0.75 discount — the LM-estimation
+  *    upgrade of #117 (raw MLE) that #160's perplexity scoring would
+  *    use in production. The discount clears to ONE rational:
+  *    P = ((4·c12−3)·B + 3·N1+(w1·)·N1-(·w2)) / (4·c1·B), every
+  *    factor an exact int64 count, ONE r4'd IEEE division.
+  *  - `text_langid_eval`: confusion matrix of #36's language
+  *    identifier against the gold `lang` column — the eval row the
+  *    langid heuristic never had (per (gold, predicted) cell counts +
+  *    per-gold-row share).
+  *  - `quality_classifier_eval`: precision/recall/F1 of #166's hashed
+  *    linear classifier against #81's cascade survival as gold — each
+  *    metric ONE r4'd division of exact confusion counts (F1 via
+  *    2tp/(2tp+fp+fn), not a composition of divisions).
+  *  - `events_forecast_snaive`: seasonal-naive backtest (forecast =
+  *    value one week earlier) over the #178 gap-filled hourly series,
+  *    scored on each type's final week — MAE + signed bias, the
+  *    baseline every fancier forecaster must beat.
+  *  - `corpus_chunks`: RAG/retrieval chunker — overlapping 64-token
+  *    windows at stride 48 per document (16-token overlap), with
+  *    exact integer chunk arithmetic and a content hash per chunk
+  *    (#66 packs the corpus end-to-end for TRAINING; this preserves
+  *    doc-local windows for RETRIEVAL).
+  *  - `embed_quantile_clip`: per-dimension p05/p95 clip profile — the
+  *    int8-quantization prep readout over #181's exact order-stat
+  *    bounds: how many coordinates each dimension would clip and the
+  *    resulting int8 scale.
+  *  - `join_interval_overlap`: interval×interval overlap join via
+  *    DAY-BUCKET blocking — user sessions (#20) against the data-
+  *    derived top-20 peak-traffic hours, emitting per-session overlap
+  *    microseconds. The equi-key-free interval join made shuffleable:
+  *    sessions explode into the days they touch (≈1 row each),
+  *    windows carry their day, and the join is a plain hash equi-join
+  *    on day with the range predicate as residual — never a
+  *    nested-loop pair explosion (#111's BNLJ is justified only by
+  *    its O(1) literal dim; this one scales with BOTH sides).
+  *
+  * Cross-engine exactness: every aggregate here is an exact int64
+  * count/sum; each emitted ratio (closeness, p_kn, share, precision/
+  * recall/F1, MAE, clip_frac, int8 scale) is ONE r4'd IEEE division
+  * (or subtraction) of exact values — no float accumulation anywhere.
+  * Order statistics (#205's bounds) are selected by exact integer
+  * rank with vec_id tie-breaks, the #181 device.
+  *
+  * Scale design (100 TB):
+  *  - graph_closeness: 3 unrolled rounds over the support-floored
+  *    edge list keyed by (landmark, node) — 5× #180's reach rows,
+  *    still structure-sized; ReuseExchange collapses the repeated
+  *    edge subplan (the measured #180 A/B transfers: no lineage cut).
+  *  - text_kneser_ney: bigram-vocabulary-sized table (never
+  *    token-sized after the first keyed agg); c1/N1+ ride ONE w1
+  *    window Exchange, N1- one w2 Exchange, B is a 1-row broadcast.
+  *  - corpus_chunks: pure map-side explode — zero shuffles, output
+  *    ≈ 1.33× token volume (stride/size), partition-width parallel.
+  *  - events_forecast_snaive: span-sized dense axis, one per-type
+  *    window Exchange, 168-row lag — identical envelope to #178.
+  *  - embed_quantile_clip: one Exchange keyed by dimension for the
+  *    rank pass; the bounds join is a dim-bounded (64-row) broadcast.
+  *  - join_interval_overlap: the peak dim is a top-k (20-row)
+  *    broadcast; the global hour ranking sorts a SPAN-sized table
+  *    (hours, not events); sessions shuffle once for sessionization
+  *    and the overlap join adds no further event-sized shuffle.
+  */
+object Meridian {
+
+  // --------------------------------------------------------------- #199
+  /** #199 landmark closeness centrality: BFS hop counts from the 5
+    * smallest-id landmarks, kept per (landmark, node) — unlike #180's
+    * multi-source MIN — then closeness ≈ |reached landmarks| / Σhops.
+    * Nodes reached by more landmarks in fewer hops rank higher; a
+    * landmark reached only by itself (Σ = 0) emits NULL rather than a
+    * divide-by-zero.
+    */
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undirected(spark, dir)
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val landmarks = nodes.orderBy("node").limit(5)
+      .select(col("node").as("lm"))
+    var reach = landmarks
+      .withColumn("node", col("lm")).withColumn("hop", lit(0L))
+    for (_ <- 1 to 3) {
+      val expand = reach.join(edges, col("node") === col("src"))
+        .select(col("lm"), col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      reach = reach.select("lm", "node", "hop").union(expand)
+        .groupBy("lm", "node").agg(min("hop").as("hop"))
+    }
+    reach.groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks"), sum("hop").as("sum_hops"))
+      .select(col("node"), col("n_landmarks"), col("sum_hops"),
+        when(col("sum_hops") > 0L,
+          r4(col("n_landmarks").cast("double") / col("sum_hops")))
+          .as("closeness"))
+      .orderBy("node")
+  }
+
+  val graphClosenessSql: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT lm, node, MIN(hop) AS hop FROM (
+         |    SELECT lm, node, hop FROM $prev
+         |    UNION ALL
+         |    SELECT p.lm, e.dst AS node, p.hop + 1 AS hop
+         |    FROM $prev p JOIN e ON e.src = p.node)
+         |  GROUP BY lm, node)""".stripMargin
+    s"""WITH ${Graph.edgeSql},
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |lmk AS (SELECT node FROM nodes ORDER BY node LIMIT 5),
+       |r0 AS (SELECT node AS lm, node, 0 AS hop FROM lmk),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+       |  CAST(SUM(hop) AS BIGINT) AS sum_hops,
+       |  CASE WHEN SUM(hop) > 0 THEN
+       |    ${r4Sql("COUNT(*) / CAST(SUM(hop) AS DOUBLE)")} END AS closeness
+       |FROM r3 GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #200
+  /** #200 interpolated Kneser-Ney bigram LM (D = 0.75), the estimator
+    * behind real n-gram LM toolkits: discounted bigram mass plus the
+    * famous continuation-probability backoff ("how many contexts does
+    * w2 COMPLETE" rather than "how often does w2 occur").
+    *
+    * P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1) · (N1-(·w2)/B)
+    * with D = 3/4 clears to ONE rational over exact int64 counts:
+    * ((4·c12 − 3)·B + 3·N1+·N1-) / (4·c1·B)   [c12 ≥ 1 ⇒ no max]
+    * — ONE r4'd division. (Factors stay < 2^63 up to ~10^9 distinct
+    * bigram types; past that the numerator moves to DECIMAL(38,0)
+    * with the same shape.) Context floor c1 ≥ 100 as in #117.
+    */
+  def textKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val wc = Window.partitionBy("w1")
+    val wr = Window.partitionBy("w2")
+    val tot = big.agg(count(lit(1)).as("bt"))
+    big
+      .withColumn("c1", sum("c12").over(wc))
+      .withColumn("n1p", count(lit(1)).over(wc))
+      .withColumn("n1m", count(lit(1)).over(wr))
+      .crossJoin(broadcast(tot))
+      .where(col("c1") >= 100L)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p"), col("n1m"),
+        r4(((lit(4L) * col("c12") - lit(3L)) * col("bt") +
+            lit(3L) * col("n1p") * col("n1m")).cast("double") /
+           (lit(4L) * col("c1") * col("bt")).cast("double")).as("p_kn"))
+      .orderBy("w1", "w2")
+  }
+
+  val textKneserNeySql: String =
+    s"""WITH b AS (
+       |  SELECT unnest(sp[1:len(sp) - 1]) AS w1,
+       |    unnest(sp[2:len(sp)]) AS w2
+       |  FROM (SELECT string_split(text, ' ') AS sp FROM documents)
+       |  WHERE len(sp) >= 2),
+       |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+       |      FROM b GROUP BY 1, 2),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM c),
+       |w AS (
+       |  SELECT w1, w2, c12,
+       |    CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p,
+       |    CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1m
+       |  FROM c)
+       |SELECT w1, w2, c12, c1, n1p, n1m,
+       |  ${r4Sql("((4 * c12 - 3) * bt + 3 * n1p * n1m) / " +
+                  "CAST(4 * c1 * bt AS DOUBLE)")} AS p_kn
+       |FROM w CROSS JOIN t
+       |WHERE c1 >= 100 ORDER BY w1, w2""".stripMargin
+
+  // --------------------------------------------------------------- #201
+  /** #201 language-ID evaluation: the confusion matrix of #36's
+    * stopword-profile predictor against the gold `lang` column — cell
+    * counts plus each cell's share of its gold row (ONE r4'd
+    * division). The eval readout that turns "we have a langid
+    * heuristic" into "here is where it misclassifies".
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = TextAnalysis.textLangId(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val wg = Window.partitionBy("lang")
+    cells.withColumn("gold_total", sum("n").over(wg))
+      .select(col("lang"), col("pred_lang"), col("n"), col("gold_total"),
+        r4(col("n").cast("double") / col("gold_total")).as("share"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val textLangidEvalSql: String =
+    s"""WITH pred AS (${TextAnalysis.textLangIdSql}),
+       |cells AS (
+       |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS gold_total,
+       |  ${r4Sql("n / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE)")}
+       |    AS share
+       |FROM cells ORDER BY lang, pred_lang""".stripMargin
+
+  // --------------------------------------------------------------- #202
+  /** #202 classifier evaluation: #166's hashed linear scorer judged
+    * against #81's cascade survival as the gold label — the
+    * confusion counts and the three standard metrics, each ONE r4'd
+    * division of exact integers (F1 computed directly as
+    * 2tp/(2tp+fp+fn), never precision∘recall). Single-row output;
+    * empty-metric cells emit NULL, not 0/0.
+    */
+  def qualityClassifierEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Curation.textQualityClassifier(spark, dir)
+      .select(col("doc_id"), (col("sum_w") >= 0L).as("pred_keep"))
+    val gold = Quality.cascadeFate(spark, dir)
+      .select(col("doc_id"), (col("ff") === 4L).as("gold_keep"))
+    pred.join(gold, "doc_id")
+      .agg(
+        sum(when(col("pred_keep") && col("gold_keep"), 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred_keep") && !col("gold_keep"), 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(!col("pred_keep") && col("gold_keep"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(when(!col("pred_keep") && !col("gold_keep"), 1L).otherwise(0L))
+          .as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0L,
+          r4(col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("precision_score"),
+        when(col("tp") + col("fn") > 0L,
+          r4(col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("recall_score"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          r4((lit(2L) * col("tp")).cast("double") /
+             (lit(2L) * col("tp") + col("fp") + col("fn"))))
+          .as("f1_score"))
+  }
+
+  val qualityClassifierEvalSql: String =
+    s"""WITH p0 AS (${Curation.textQualityClassifierSql}),
+       |${Quality.cascadeFateCtes},
+       |j AS (
+       |  SELECT (p0.sum_w >= 0) AS pred_keep, (f.ff = 4) AS gold_keep
+       |  FROM p0 JOIN f ON p0.doc_id = f.doc_id),
+       |cm AS (
+       |  SELECT
+       |    CAST(COUNT(*) FILTER (WHERE pred_keep AND gold_keep) AS BIGINT)
+       |      AS tp,
+       |    CAST(COUNT(*) FILTER (WHERE pred_keep AND NOT gold_keep)
+       |      AS BIGINT) AS fp,
+       |    CAST(COUNT(*) FILTER (WHERE NOT pred_keep AND gold_keep)
+       |      AS BIGINT) AS fn,
+       |    CAST(COUNT(*) FILTER (WHERE NOT pred_keep AND NOT gold_keep)
+       |      AS BIGINT) AS tn
+       |  FROM j)
+       |SELECT tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0 THEN
+       |    ${r4Sql("tp / CAST(tp + fp AS DOUBLE)")} END AS precision_score,
+       |  CASE WHEN tp + fn > 0 THEN
+       |    ${r4Sql("tp / CAST(tp + fn AS DOUBLE)")} END AS recall_score,
+       |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+       |    ${r4Sql("2 * tp / CAST(2 * tp + fp + fn AS DOUBLE)")} END
+       |    AS f1_score
+       |FROM cm""".stripMargin
+
+  // --------------------------------------------------------------- #203
+  /** #203 seasonal-naive forecast backtest: over each event type's
+    * gap-filled hourly series (#178's construction), forecast every
+    * hour of the FINAL week as the count one week (168 h) earlier and
+    * score it — n_eval, totals, signed bias (exact ints) and MAE (ONE
+    * r4'd division). Types whose span can't cover train+eval drop
+    * out. The sanity baseline any real forecaster must beat.
+    */
+  def eventsForecastSnaive(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val span = hourly.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+    val axis = span.select(col("event_type"), col("hi"),
+      explode(expr("sequence(lo, hi)")).as("hr"))
+    val dense = axis.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), col("hi"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    dense
+      .withColumn("f", lag(col("x"), 168).over(w))
+      .where(col("hr") > col("hi") - 168L && col("f").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum("x").as("actual_total"),
+        sum("f").as("forecast_total"),
+        sum(abs(col("x") - col("f"))).as("abs_err"),
+        sum(col("x") - col("f")).as("bias"))
+      .select(col("event_type"), col("n_eval"), col("actual_total"),
+        col("forecast_total"), col("bias"),
+        r4(col("abs_err").cast("double") / col("n_eval")).as("mae"))
+      .orderBy("event_type")
+  }
+
+  val eventsForecastSnaiveSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |axis AS (
+       |  SELECT event_type, hi, unnest(range(lo, hi + 1)) AS hr
+       |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+       |        FROM hourly GROUP BY event_type)),
+       |dense AS (
+       |  SELECT a.event_type, a.hr, a.hi, COALESCE(h.c, 0) AS x
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |l AS (
+       |  SELECT *, LAG(x, 168) OVER (PARTITION BY event_type ORDER BY hr)
+       |    AS f
+       |  FROM dense)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  CAST(SUM(x) AS BIGINT) AS actual_total,
+       |  CAST(SUM(f) AS BIGINT) AS forecast_total,
+       |  CAST(SUM(x - f) AS BIGINT) AS bias,
+       |  ${r4Sql("SUM(ABS(x - f)) / CAST(COUNT(*) AS DOUBLE)")} AS mae
+       |FROM l WHERE hr > hi - 168 AND f IS NOT NULL
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- #204
+  /** #204 retrieval chunker: overlapping 64-token windows at stride
+    * 48 (16-token overlap so no boundary sentence is ever lost to
+    * retrieval), one row per chunk with its token span and content
+    * hash. Chunk count per doc is exact integer arithmetic:
+    * k = ⌊max(n−17, 0)/48⌋ + 1 — the smallest k with
+    * 48·(k−1) + 64 ≥ n (last chunk may run short).
+    */
+  def corpusChunks(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0, greatest(n - 17, 0) div 48)"))
+          .as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * 48L + 1L)
+      .withColumn("chunk",
+        expr("slice(toks, cast(start_tok as int), 64)"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val corpusChunksSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, greatest(n - 17, 0) // 48 + 1)) AS chunk_idx
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_idx * 48 + 1 AS BIGINT) AS start_tok,
+      |  CAST(len(toks[(chunk_idx * 48 + 1):least(chunk_idx * 48 + 64, n)])
+      |    AS BIGINT) AS n_chunk_toks,
+      |  md5(array_to_string(
+      |    toks[(chunk_idx * 48 + 1):least(chunk_idx * 48 + 64, n)], ' '))
+      |    AS chunk_hash
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------- #205
+  /** #205 int8 quantile-clip profile: per dimension, the EXACT p05/p95
+    * order-stat bounds (#181's integer-rank selection, un-rounded for
+    * the comparisons), how many coordinates sit outside them, and the
+    * (p95−p05)/255 int8 scale — the table that decides whether
+    * quantile clipping (vs #84's global max-abs) is worth it per
+    * dimension. Counts compare doubles against an exactly-selected
+    * data value, so they cannot flake across engines.
+    */
+  def embedQuantileClip(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("x"))
+    val byDim = Window.partitionBy("dim")
+    val ranked = ex
+      .withColumn("r",
+        row_number().over(byDim.orderBy(col("x"), col("vec_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byDim))
+    val bounds = ranked.groupBy("dim")
+      .agg(max(when(col("r") === expr("(n + 19) div 20"), col("x"))).as("lo"),
+        max(when(col("r") === expr("(19 * n + 19) div 20"), col("x")))
+          .as("hi"))
+    // dim-bounded (|dims| rows) — a true O(1) broadcast, like #111's dim
+    ex.join(broadcast(bounds), "dim")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("x") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        max("lo").as("lo_x"), max("hi").as("hi_x"))
+      .select(col("dim"), col("n"),
+        r4(col("lo_x")).as("p05"), r4(col("hi_x")).as("p95"),
+        col("n_lo"), col("n_hi"),
+        r4((col("n_lo") + col("n_hi")).cast("double") / col("n"))
+          .as("clip_frac"),
+        r4((col("hi_x") - col("lo_x")) / lit(255.0)).as("int8_scale"))
+      .orderBy("dim")
+  }
+
+  val embedQuantileClipSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(j AS BIGINT) AS dim, embedding[j]::DOUBLE AS x
+       |  FROM (SELECT vec_id, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS j FROM embeddings)),
+       |ranked AS (
+       |  SELECT dim, x,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x, vec_id)
+       |      AS BIGINT) AS r,
+       |    CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+       |  FROM ex),
+       |bounds AS (
+       |  SELECT dim,
+       |    MAX(CASE WHEN r = (n + 19) // 20 THEN x END) AS lo,
+       |    MAX(CASE WHEN r = (19 * n + 19) // 20 THEN x END) AS hi
+       |  FROM ranked GROUP BY dim)
+       |SELECT e.dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${r4Sql("MAX(lo)")} AS p05, ${r4Sql("MAX(hi)")} AS p95,
+       |  CAST(COUNT(*) FILTER (WHERE x < lo) AS BIGINT) AS n_lo,
+       |  CAST(COUNT(*) FILTER (WHERE x > hi) AS BIGINT) AS n_hi,
+       |  ${r4Sql("(COUNT(*) FILTER (WHERE x < lo) + " +
+                  "COUNT(*) FILTER (WHERE x > hi)) / CAST(COUNT(*) AS DOUBLE)")}
+       |    AS clip_frac,
+       |  ${r4Sql("(MAX(hi) - MAX(lo)) / 255.0")} AS int8_scale
+       |FROM ex e JOIN bounds b ON e.dim = b.dim
+       |GROUP BY e.dim ORDER BY e.dim""".stripMargin
+
+  // --------------------------------------------------------------- #206
+  /** #206 interval-overlap join with day-bucket blocking: each user
+    * session (#20) against the top-20 busiest hours of the whole
+    * event log ("did this session ride a traffic spike, and for how
+    * long"). The STRICT predicate (start < w_end AND end > w_start —
+    * boundary touches excluded; an instantaneous session strictly
+    * inside a window joins with 0 µs) makes the day blocking provably
+    * lossless: the resulting non-empty intersection contains a point
+    * in [w_start, w_end), which lies inside the
+    * window's hour, hence inside its calendar day, hence that day is
+    * among the days the session spans — so exploding sessions by
+    * their covered days (≈1 row each; sessions are ≤ hours long) and
+    * equi-joining on day finds every overlapping pair exactly once.
+    */
+  def joinIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy((col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    // global top-20: the ranked table is SPAN-sized (hours), never
+    // event-sized; at true scale TakeOrdered replaces the window sort
+    val peak = hourly
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("hr"))))
+      .where(col("rk") <= 20)
+      .select(col("hr"),
+        (col("hr") * 3600000000L).as("w_start"),
+        ((col("hr") + 1L) * 3600000000L).as("w_end"),
+        expr("hr div 24").as("day"))
+    val sess = Temporal.sessionize(spark, dir)
+      .select(col("user_id"), col("session_id"), col("start_us"),
+        col("end_us"),
+        explode(expr(
+          "sequence(start_us div 86400000000, end_us div 86400000000)"))
+          .as("day"))
+    sess.join(broadcast(peak), Seq("day"))
+      .where(col("start_us") < col("w_end") && col("end_us") > col("w_start"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_peak_windows"),
+        sum(least(col("end_us"), col("w_end")) -
+            greatest(col("start_us"), col("w_start"))).as("overlap_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val joinIntervalOverlapSql: String =
+    s"""WITH s0 AS (${Temporal.sessionizeSql}),
+       |hourly AS (
+       |  SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |peak AS (
+       |  SELECT hr, hr * 3600000000 AS w_start,
+       |    (hr + 1) * 3600000000 AS w_end, hr // 24 AS day
+       |  FROM (SELECT hr, n,
+       |      ROW_NUMBER() OVER (ORDER BY n DESC, hr) AS rk FROM hourly)
+       |  WHERE rk <= 20),
+       |sd AS (
+       |  SELECT user_id, session_id, start_us, end_us,
+       |    unnest(range(start_us // 86400000000,
+       |                 end_us // 86400000000 + 1)) AS day
+       |  FROM s0)
+       |SELECT user_id, session_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_peak_windows,
+       |  CAST(SUM(least(end_us, w_end) - greatest(start_us, w_start))
+       |    AS BIGINT) AS overlap_us
+       |FROM sd JOIN peak USING (day)
+       |WHERE start_us < w_end AND end_us > w_start
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness" -> (graphCloseness _),
+    "text_kneser_ney" -> (textKneserNey _),
+    "text_langid_eval" -> (textLangidEval _),
+    "quality_classifier_eval" -> (qualityClassifierEval _),
+    "events_forecast_snaive" -> (eventsForecastSnaive _),
+    "corpus_chunks" -> (corpusChunks _),
+    "embed_quantile_clip" -> (embedQuantileClip _),
+    "join_interval_overlap" -> (joinIntervalOverlap _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_closeness" -> graphClosenessSql,
+    "text_kneser_ney" -> textKneserNeySql,
+    "text_langid_eval" -> textLangidEvalSql,
+    "quality_classifier_eval" -> qualityClassifierEvalSql,
+    "events_forecast_snaive" -> eventsForecastSnaiveSql,
+    "corpus_chunks" -> corpusChunksSql,
+    "embed_quantile_clip" -> embedQuantileClipSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql)
+}

@@ -177,9 +177,13 @@ object Quality {
     * doc then crosses with the 4-row rule dim so the whole funnel is a
     * single aggregation, not one scan per rule.
     */
-  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val perDoc = Tables.spread(spark, dir, "documents")
+  /** Per-doc cascade fate (#81's inner pass): `ff` is the index of the
+    * first gate the document fails, 4 = survives all four. Exposed for
+    * the #202 classifier-evaluation operator, which uses survival as
+    * its gold label.
+    */
+  private[operators] def cascadeFate(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_bigrams", greatest(col("n_tokens") - 1, lit(0L)))
@@ -205,6 +209,10 @@ object Quality {
             lit(2L))
           .when(col("digit_frac") >= 0.2, lit(3L))
           .otherwise(lit(4L)).as("ff"))
+
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = cascadeFate(spark, dir)
     val rules = Seq(
       (0L, "min_tokens"), (1L, "repetition"),
       (2L, "token_shape"), (3L, "digit_ratio"))
@@ -218,15 +226,18 @@ object Quality {
       .orderBy("rule_id")
   }
 
-  val filterCascadeSql: String =
-    """WITH d AS (
+  /** SQL mirror of [[cascadeFate]] as CTEs `d` (signals) and `f`
+    * (doc_id, ff) — shared by #81 and #202.
+    */
+  private[operators] val cascadeFateCtes: String =
+    """d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |    len(string_split(text, ' ')) - 1 AS n_bigrams,
       |    len(list_distinct(list_transform(
       |      range(1, len(string_split(text, ' '))),
-      |      i -> string_split(text, ' ')[i] || ' '
-      |        || string_split(text, ' ')[i + 1]))) AS n_distinct_bigrams,
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |        string_split(text, ' ')[i + 1]))) AS n_distinct_bigrams,
       |    CAST(len(replace(text, ' ', '')) AS DOUBLE)
       |      / len(string_split(text, ' ')) AS mean_tok_len,
       |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
@@ -241,7 +252,10 @@ object Quality {
       |         WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 2
       |         WHEN digit_frac >= 0.2 THEN 3
       |         ELSE 4 END AS ff
-      |  FROM d)
+      |  FROM d)""".stripMargin
+
+  val filterCascadeSql: String =
+    s"""WITH $cascadeFateCtes
       |SELECT CAST(r.rule_id AS BIGINT) AS rule_id, r.rule,
       |  CAST(COUNT(*) FILTER (WHERE f.ff >= r.rule_id) AS BIGINT) AS n_in,
       |  CAST(COUNT(*) FILTER (WHERE f.ff = r.rule_id) AS BIGINT)

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Horizon, Meridian, Temporal}
+
+/** Invariant specs for the round-10 additions (#199-#206). Value-level
+  * correctness is the DuckDB oracle's job (tools/check.py); these pin
+  * the structural/semantic contracts and the two devices that must be
+  * PROVED rather than eyeballed: the day-bucket interval-join blocking
+  * (vs a brute-force pair join) and the per-landmark BFS's consistency
+  * with #180's multi-source min-hop.
+  */
+class MeridianSpec extends GraftSpec {
+
+  test("graph_closeness: hop bounds, landmark self-rows, and consistency " +
+      "with #180's multi-source min-hop") {
+    val c = Meridian.graphCloseness(spark, sf).cache()
+    assert(c.count() > 0)
+    assert(c.where(col("n_landmarks") < 1 || col("n_landmarks") > 5)
+      .count() == 0)
+    // closeness is NULL exactly when sum_hops == 0
+    assert(c.where(col("sum_hops") === 0 && col("closeness").isNotNull)
+      .count() == 0)
+    assert(c.where(col("sum_hops") > 0 && col("closeness").isNull)
+      .count() == 0)
+    // #180's min-hop is the MIN over per-landmark hops: every node BFS
+    // reaches, closeness reaches with sum_hops >= bfs_hop (sum of <= 5
+    // terms each >= the min), and the reached node sets agree exactly
+    val bfs = Horizon.graphBfs(spark, sf).withColumnRenamed("hop", "min_hop")
+    val j = c.join(bfs, Seq("node"), "full")
+    assert(j.where(col("n_landmarks").isNull || col("min_hop").isNull)
+      .count() == 0, "closeness and multi-source BFS reach different sets")
+    assert(j.where(col("sum_hops") < col("min_hop")).count() == 0)
+    c.unpersist()
+  }
+
+  test("text_kneser_ney: probabilities in (0,1]; discounted mass below " +
+      "MLE for frequent bigrams; context floor holds") {
+    val k = Meridian.textKneserNey(spark, sf).cache()
+    assert(k.count() > 0)
+    assert(k.where(col("c1") < 100).count() == 0)
+    assert(k.where(col("p_kn") <= 0 || col("p_kn") > 1).count() == 0)
+    // P_KN = (c12 - 3/4)/c1 + positive backoff > (c12 - 1)/c1; allow
+    // r4 display rounding (5e-5) on the emitted column
+    assert(k.where(col("p_kn") <
+      (col("c12") - 1).cast("double") / col("c1") - 0.001).count() == 0)
+    k.unpersist()
+  }
+
+  test("text_langid_eval: cells partition the corpus; shares sum to ~1 " +
+      "per gold language") {
+    val e = Meridian.textLangidEval(spark, sf).cache()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(e.agg(sum("n")).head().getLong(0) == nDocs)
+    // per-gold-row totals are consistent and shares sum to 1 ± r4 slop
+    val perGold = e.groupBy("lang")
+      .agg(sum("n").as("s"), max("gold_total").as("t"),
+        sum("share").as("share_sum"))
+    assert(perGold.where(col("s") =!= col("t")).count() == 0)
+    assert(perGold.where(abs(col("share_sum") - 1.0) > 0.001).count() == 0)
+    e.unpersist()
+  }
+
+  test("quality_classifier_eval: confusion counts partition the corpus; " +
+      "metrics match a driver-side recount") {
+    val r = Meridian.qualityClassifierEval(spark, sf).head()
+    val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+    val fn = r.getAs[Long]("fn"); val tn = r.getAs[Long]("tn")
+    assert(tp + fp + fn + tn == Tables(spark, sf, "documents").count())
+    def r4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    if (tp + fp > 0)
+      assert(r.getAs[Double]("precision_score") ==
+        r4d(tp.toDouble / (tp + fp)))
+    if (tp + fn > 0)
+      assert(r.getAs[Double]("recall_score") == r4d(tp.toDouble / (tp + fn)))
+    if (2 * tp + fp + fn > 0)
+      assert(r.getAs[Double]("f1_score") ==
+        r4d(2.0 * tp / (2 * tp + fp + fn)))
+  }
+
+  test("events_forecast_snaive: eval window is the final week; bias is " +
+      "the signed total gap; MAE bounds the bias") {
+    val f = Meridian.eventsForecastSnaive(spark, sf).cache()
+    // n_eval <= 168 rows (one final week at hourly grain)
+    assert(f.where(col("n_eval") < 1 || col("n_eval") > 168).count() == 0)
+    assert(f.where(col("bias") =!=
+      col("actual_total") - col("forecast_total")).count() == 0)
+    // |bias|/n <= mae (triangle inequality), allowing r4 rounding slop
+    assert(f.where(abs(col("bias")).cast("double") / col("n_eval") >
+      col("mae") + 0.001).count() == 0)
+    f.unpersist()
+  }
+
+  test("corpus_chunks: stride-48 starts, 64-cap, full coverage, and the " +
+      "documented chunk-count formula") {
+    val c = Meridian.corpusChunks(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    // starts are 1 + 48*idx; sizes in [1, 64]
+    assert(c.where(col("start_tok") =!= col("chunk_idx") * 48 + 1)
+      .count() == 0)
+    assert(c.where(col("n_chunk_toks") < 1 || col("n_chunk_toks") > 64)
+      .count() == 0)
+    val per = c.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"),
+        max(col("start_tok") + col("n_chunk_toks") - 1).as("covered"))
+      .join(docs, "doc_id")
+    // k == floor(max(n-17,0)/48) + 1 and the last chunk ends at n
+    assert(per.where(col("k") =!=
+      expr("greatest(n - 17, 0) div 48 + 1")).count() == 0)
+    assert(per.where(col("covered") =!= col("n")).count() == 0)
+    // every doc chunked
+    assert(per.count() == docs.count())
+    c.unpersist()
+  }
+
+  test("embed_quantile_clip: bounds ordered, clip counts within rank " +
+      "slack, one row per dimension") {
+    val q = Meridian.embedQuantileClip(spark, sf).cache()
+    val dims = Tables(spark, sf, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(q.count() == dims)
+    assert(q.where(col("p05") > col("p95")).count() == 0)
+    // n_lo = #(x < value at rank ceil-ish 5%) < that rank; same high side
+    assert(q.where(col("n_lo") > (col("n") + 19) / 20).count() == 0)
+    assert(q.where(col("n_hi") > (col("n") + 19) / 20).count() == 0)
+    assert(q.where(col("int8_scale") < 0).count() == 0)
+    q.unpersist()
+  }
+
+  test("join_interval_overlap: day-bucket blocking equals the brute-force " +
+      "pair join; overlaps are positive and bounded") {
+    val fast = Meridian.joinIntervalOverlap(spark, sf).cache()
+    // boundary TOUCHES are excluded by the strict predicate, but an
+    // instantaneous (single-event) session strictly inside a window
+    // legitimately joins with 0 µs
+    assert(fast.where(col("overlap_us") < 0).count() == 0)
+    // overlap cannot exceed windows joined * 1h
+    assert(fast.where(col("overlap_us") > col("n_peak_windows") * 3600000000L)
+      .count() == 0)
+    // brute force: same peak set, full cross join, same strict predicate
+    val hourly = Tables.eventsUs(spark, sf)
+      .groupBy((col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val peak = hourly
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("hr"))))
+      .where(col("rk") <= 20)
+      .select((col("hr") * 3600000000L).as("w_start"),
+        ((col("hr") + 1L) * 3600000000L).as("w_end"))
+    val brute = Temporal.sessionize(spark, sf)
+      .crossJoin(peak)
+      .where(col("start_us") < col("w_end") && col("end_us") > col("w_start"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_peak_windows"),
+        sum(least(col("end_us"), col("w_end")) -
+            greatest(col("start_us"), col("w_start"))).as("overlap_us"))
+    assert(fast.join(brute, Seq("user_id", "session_id"), "full")
+      .where(fast("n_peak_windows") =!= brute("n_peak_windows") ||
+        fast("overlap_us") =!= brute("overlap_us") ||
+        fast("n_peak_windows").isNull || brute("n_peak_windows").isNull)
+      .count() == 0, "day-bucket blocking diverges from brute force")
+    fast.unpersist()
+  }
+}
