@@ -360,6 +360,7 @@ object Meridian {
     */
   def corpusChunks(spark: SparkSession, dir: String): DataFrame = {
     Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull) // extraction failures chunk to nothing
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -378,7 +379,7 @@ object Meridian {
     """WITH d AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-      |  FROM documents),
+      |  FROM documents WHERE text IS NOT NULL),
       |c AS (
       |  SELECT doc_id, toks, n,
       |    unnest(range(0, greatest(n - 17, 0) // 48 + 1)) AS chunk_idx

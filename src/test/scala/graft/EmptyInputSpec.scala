@@ -80,7 +80,16 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_prefix",         // prefix groups of no docs
     "corpus_vocab_growth",  // growth curve of an empty corpus
     "events_active_users",  // rolling distinct over no days
-    "graph_modularity")     // scoring an empty partition (1 stats row)
+    "graph_modularity",     // scoring an empty partition (1 stats row)
+    // round-10 additions (#199-206)
+    "graph_closeness",      // BFS from no landmarks
+    "text_kneser_ney",      // KN over an empty bigram table
+    "text_langid_eval",     // confusion cells of no docs
+    "quality_classifier_eval", // 1 stats row of null confusion counts
+    "events_forecast_snaive",  // backtest over an empty axis
+    "corpus_chunks",        // chunking no docs
+    "embed_quantile_clip",  // clip profile of an empty cloud
+    "join_interval_overlap")   // overlap join with no sessions/windows
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -93,6 +102,11 @@ class EmptyInputSpec extends AnyFunSuite {
       } else if (name == "graph_modularity") {
         assert(rows.length == 1)
         assert(rows.head.getAs[Long]("n_communities") == 0L)
+      } else if (name == "quality_classifier_eval") {
+        // global agg: one row, null counts, null metrics — no 0/0
+        assert(rows.length == 1)
+        assert(rows.head.isNullAt(rows.head.fieldIndex("tp")))
+        assert(rows.head.isNullAt(rows.head.fieldIndex("f1_score")))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

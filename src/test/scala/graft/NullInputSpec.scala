@@ -54,7 +54,13 @@ class NullInputSpec extends AnyFunSuite {
     "sample_fixed_k", "dedup_minhash_est", "embed_dim_stats",
     "text_source_jaccard", "mix_curriculum", "ann_mmr",
     "dedup_threshold_sweep", "embed_label_drift", "text_script_profile",
-    "mm_audio_features", "dedup_prefix", "corpus_vocab_growth")
+    "mm_audio_features", "dedup_prefix", "corpus_vocab_growth",
+    // round-10 additions: KN/bigram arithmetic over null text, null
+    // pred_lang confusion cell, classifier-vs-cascade join with the
+    // null doc dropped on one side, chunking skips nulls, clip
+    // profile over a null vector
+    "text_kneser_ney", "text_langid_eval", "quality_classifier_eval",
+    "corpus_chunks", "embed_quantile_clip")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
