@@ -527,6 +527,263 @@ object Meridian {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // --------------------------------------------------------------- #207
+  /** #207 FORWARD as-of join — the missing direction of the family
+    * (#10 backward, #194 nearest): each purchase picks the NEXT view
+    * strictly after it ("did the purchase lead to a return visit").
+    * Same union-ordering device as #10 with the window flipped to
+    * (1, unbounded following); a view at the purchase's exact
+    * timestamp sorts BEFORE it (tag 0 < 1) and stays backward's —
+    * the two directions partition same-instant ties consistently.
+    */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("tag"),
+        when(col("event_type") === "view", col("event_id")).as("vid"),
+        when(col("event_type") === "view", col("ts_us")).as("vts"))
+    val wf = Window.partitionBy("user_id")
+      .orderBy("ts_us", "tag", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("view_event_id",
+        first(col("vid"), ignoreNulls = true).over(wf))
+      .withColumn("view_ts_us", first(col("vts"), ignoreNulls = true).over(wf))
+      .where(col("tag") === 1 && col("view_event_id").isNotNull)
+      .select("event_id", "user_id", "ts_us", "view_event_id", "view_ts_us")
+      .orderBy("event_id")
+  }
+
+  val joinAsofForwardSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |u AS (
+      |  SELECT *, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+      |    CASE WHEN event_type = 'view' THEN event_id END AS vid,
+      |    CASE WHEN event_type = 'view' THEN ts_us END AS vts
+      |  FROM e),
+      |w AS (
+      |  SELECT *,
+      |    FIRST_VALUE(vid IGNORE NULLS) OVER win AS view_event_id,
+      |    FIRST_VALUE(vts IGNORE NULLS) OVER win AS view_ts_us
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+      |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us
+      |FROM w WHERE tag = 1 AND view_event_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- #208
+  /** #208 degree assortativity of the co-purchase graph: Pearson r of
+    * endpoint degrees over both arc orientations — "do hubs link to
+    * hubs?" (r > 0) or "hubs to leaves" (r < 0), the one-number
+    * structural summary next to #198's modularity. The #178 exact
+    * device: every sum is an int64 of integer degrees; the 3 IEEE ops
+    * happen once, r4'd; zero-variance (regular) graphs emit NULL.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undirected(spark, dir)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    e.join(Tables.maybeBroadcast(deg.toDF("src", "dx")), "src")
+      .join(Tables.maybeBroadcast(deg.toDF("dst", "dy")), "dst")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("src").as("n_nodes"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n").as("n_arcs"), col("n_nodes"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+            lit(null).cast("double"))
+            .otherwise(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH ${Graph.edgeSql},
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY src),
+       |pairs AS (
+       |  SELECT e.src, da.d AS dx, db.d AS dy
+       |  FROM e JOIN deg da ON da.src = e.src
+       |         JOIN deg db ON db.src = e.dst),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+       |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+       |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+       |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+       |  FROM pairs)
+       |SELECT n AS n_arcs, n_nodes,
+       |  ${r4Sql("""(n * sxy - sx * sy) / sqrt(CASE
+       |      WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+       |      ELSE CAST(n * sxx - sx * sx AS DOUBLE) *
+       |           CAST(n * syy - sy * sy AS DOUBLE) END)""")}
+       |    AS assortativity
+       |FROM st""".stripMargin
+
+  // --------------------------------------------------------------- #209
+  /** #209 degree-distribution profile: exact order statistics (min /
+    * p50 / p95 / max — integer ranks, node-id tie-breaks, #181's
+    * device) plus the ONE-division mean — the graph-QC readout read
+    * before choosing support floors or salting hub keys. The ranked
+    * table is structure-sized (|nodes|), so the global sort is the
+    * same class as #206's hour ranking.
+    */
+  def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undirected(spark, dir)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val ranked = deg
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("d"), col("src"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    ranked.agg(
+        max("n").as("n_nodes"),
+        sum("d").as("sum_deg"),
+        max(when(col("r") === 1L, col("d"))).as("min_deg"),
+        max(when(col("r") === expr("(n + 1) div 2"), col("d"))).as("p50_deg"),
+        max(when(col("r") === expr("(19 * n + 19) div 20"), col("d")))
+          .as("p95_deg"),
+        max(when(col("r") === col("n"), col("d"))).as("max_deg"))
+      .select(col("n_nodes"), col("min_deg"), col("p50_deg"),
+        col("p95_deg"), col("max_deg"),
+        r4(col("sum_deg").cast("double") / col("n_nodes")).as("mean_deg"))
+  }
+
+  val graphDegreeStatsSql: String =
+    s"""WITH ${Graph.edgeSql},
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+       |        FROM e GROUP BY src),
+       |ranked AS (
+       |  SELECT d,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY d, src) AS BIGINT) AS r,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM deg)
+       |SELECT MAX(n) AS n_nodes,
+       |  MAX(CASE WHEN r = 1 THEN d END) AS min_deg,
+       |  MAX(CASE WHEN r = (n + 1) // 2 THEN d END) AS p50_deg,
+       |  MAX(CASE WHEN r = (19 * n + 19) // 20 THEN d END) AS p95_deg,
+       |  MAX(CASE WHEN r = n THEN d END) AS max_deg,
+       |  ${r4Sql("SUM(d) / CAST(MAX(n) AS DOUBLE)")} AS mean_deg
+       |FROM ranked""".stripMargin
+
+  // --------------------------------------------------------------- #210
+  /** #210 doc-length histogram: per (source, ⌊log2 tokens⌋ bucket) —
+    * doc and token volume plus each bucket's share of its source
+    * (ONE r4'd division). Log-2 buckets via the #160/#175 integer-bits
+    * device (`length(bin(k)) − 1`), exact in both engines; the
+    * composition readout sitting beside #191 (charsets) and #196
+    * (vocabulary growth).
+    */
+  def corpusLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+    Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .withColumn("bucket", (length(bin(col("n_toks"))) - 1).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .withColumn("src_docs", sum("n_docs").over(w))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        r4(col("n_docs").cast("double") / col("src_docs")).as("doc_share"))
+      .orderBy("source", "bucket")
+  }
+
+  val corpusLengthHistogramSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (
+       |  SELECT source,
+       |    CAST(length(bin(n_toks)) - 1 AS BIGINT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1, 2)
+       |SELECT source, bucket, n_docs, n_tokens,
+       |  ${r4Sql("n_docs / CAST(SUM(n_docs) OVER " +
+                  "(PARTITION BY source) AS DOUBLE)")} AS doc_share
+       |FROM h ORDER BY source, bucket""".stripMargin
+
+  // --------------------------------------------------------------- #211
+  /** #211 hapax rate: per source, how many of its distinct token types
+    * are corpus-wide hapax legomena (global count 1 — so each belongs
+    * to exactly one source) — the classic "is this source noise or
+    * novelty" corpus-linguistics readout completing #196's growth
+    * curve. Vocabulary-sized flows throughout; ONE r4'd division.
+    */
+  def corpusHapaxRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val corpus = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    toks.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+      .join(corpus, "token")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        r4(col("n_hapax").cast("double") / col("n_types")).as("hapax_rate"))
+      .orderBy("source")
+  }
+
+  val corpusHapaxRateSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY token),
+       |per_src AS (
+       |  SELECT source, token FROM toks GROUP BY source, token)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+       |  CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE c = 1) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS hapax_rate
+       |FROM per_src JOIN corpus USING (token)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- #212
+  /** #212 PQ distortion audit: per (subspace, codebook cell), how many
+    * vectors landed there and their mean/max quantization error — the
+    * index-quality eval for #107/#167 (the PQ analogue of #173's
+    * recall@k): unbalanced cells or high-distortion outliers mean the
+    * codebook needs more Lloyd steps or more centroids. Reuses the
+    * EXACT #107 model ([[Similarity.pqModel]]); the distortion is the
+    * argmin distance the encoder already computed — free to audit.
+    * Mean goes through a decimal-exact sum, ONE r4'd division.
+    */
+  def embedPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val (_, coded) = Similarity.pqModel(spark, dir, m = 2, ksub = 16)
+    coded.groupBy("s", "cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist").cast("decimal(28,12)")).cast("double").as("sum_d"),
+        max("dist").as("max_d"))
+      .select(col("s").as("subspace"), col("cid"), col("n_vectors"),
+        r4(col("sum_d") / col("n_vectors")).as("mean_distortion"),
+        r4(col("max_d")).as("max_distortion"))
+      .orderBy("subspace", "cid")
+  }
+
+  val embedPqDistortionSql: String =
+    s"""WITH ${Similarity.pqCtes}
+       |SELECT s AS subspace, cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  ${r4Sql("CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE) / " +
+                  "COUNT(*)")} AS mean_distortion,
+       |  ${r4Sql("MAX(dist)")} AS max_distortion
+       |FROM coded GROUP BY s, cid ORDER BY subspace, cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> (graphCloseness _),
     "text_kneser_ney" -> (textKneserNey _),
@@ -535,7 +792,13 @@ object Meridian {
     "events_forecast_snaive" -> (eventsForecastSnaive _),
     "corpus_chunks" -> (corpusChunks _),
     "embed_quantile_clip" -> (embedQuantileClip _),
-    "join_interval_overlap" -> (joinIntervalOverlap _))
+    "join_interval_overlap" -> (joinIntervalOverlap _),
+    "join_asof_forward" -> (joinAsofForward _),
+    "graph_assortativity" -> (graphAssortativity _),
+    "graph_degree_stats" -> (graphDegreeStats _),
+    "corpus_length_histogram" -> (corpusLengthHistogram _),
+    "corpus_hapax_rate" -> (corpusHapaxRate _),
+    "embed_pq_distortion" -> (embedPqDistortion _))
 
   val oracles: Map[String, String] = Map(
     "graph_closeness" -> graphClosenessSql,
@@ -545,5 +808,11 @@ object Meridian {
     "events_forecast_snaive" -> eventsForecastSnaiveSql,
     "corpus_chunks" -> corpusChunksSql,
     "embed_quantile_clip" -> embedQuantileClipSql,
-    "join_interval_overlap" -> joinIntervalOverlapSql)
+    "join_interval_overlap" -> joinIntervalOverlapSql,
+    "join_asof_forward" -> joinAsofForwardSql,
+    "graph_assortativity" -> graphAssortativitySql,
+    "graph_degree_stats" -> graphDegreeStatsSql,
+    "corpus_length_histogram" -> corpusLengthHistogramSql,
+    "corpus_hapax_rate" -> corpusHapaxRateSql,
+    "embed_pq_distortion" -> embedPqDistortionSql)
 }

@@ -743,32 +743,42 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String): DataFrame =
     annPq(spark, dir, k = 5, m = 2, ksub = 16)
 
-  def annPq(spark: SparkSession, dir: String, k: Int, m: Int,
-      ksub: Int): DataFrame = {
-    graft.functions.Hashes.register(spark)
-    require(64 % m == 0, s"m must divide 64, got $m")
+  /** Per-subspace split shared by the PQ family (#107/#167/#212). */
+  private def pqSubspaces(df: DataFrame, idCol: String, vecCol: String,
+      out: String, m: Int): DataFrame = {
     val subLen = 64 / m
+    (0 until m).map { s =>
+      df.select(col(idCol), lit(s).as("s"),
+        expr(s"transform(slice($vecCol, ${s * subLen + 1}, $subLen), " +
+          "x -> cast(x as double))").as(out))
+    }.reduce(_ union _)
+  }
+
+  private def pqSqDist(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, t) -> acc + t)")
+
+  /** PQ model shared by #107 and #212: (cent, coded). `cent` is the
+    * one-Lloyd-step codebook per subspace; `coded` carries every
+    * vector's per-subspace code AND its quantization distortion (the
+    * argmin squared distance — free at assignment time, and exactly
+    * what #212 audits).
+    */
+  private[operators] def pqModel(spark: SparkSession, dir: String,
+      m: Int, ksub: Int): (DataFrame, DataFrame) = {
+    require(64 % m == 0, s"m must divide 64, got $m")
     val v = Tables.spread(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    def subspaces(df: DataFrame, idCol: String, vecCol: String,
-        out: String): DataFrame =
-      (0 until m).map { s =>
-        df.select(col(idCol), lit(s).as("s"),
-          expr(s"transform(slice($vecCol, ${s * subLen + 1}, $subLen), " +
-            "x -> cast(x as double))").as(out))
-      }.reduce(_ union _)
-    val parts = subspaces(v, "vec_id", "embedding", "sv")
-    val sqDist = (a: String, b: String) =>
-      expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-        "0D, (acc, t) -> acc + t)")
+    val parts = pqSubspaces(v, "vec_id", "embedding", "sv", m)
     val seedC = parts.where(col("vec_id") < ksub)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
     def assign(cent: DataFrame): DataFrame = parts
       .join(broadcast(cent), "s")
-      .withColumn("dist", sqDist("sv", "cv"))
+      .withColumn("dist", pqSqDist("sv", "cv"))
       .groupBy("vec_id", "s")
       .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-      .select(col("vec_id"), col("s"), col("mn.cid").as("cid"))
+      .select(col("vec_id"), col("s"), col("mn.cid").as("cid"),
+        col("mn.dist").as("dist"))
     val cent = assign(seedC).join(parts, Seq("vec_id", "s"))
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
       .groupBy("s", "cid", "d")
@@ -777,9 +787,19 @@ object Similarity {
       .groupBy("s", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), " +
         "t -> t.c)").as("cv"))
-    val codes = assign(cent)
+    (cent, assign(cent))
+  }
+
+  def annPq(spark: SparkSession, dir: String, k: Int, m: Int,
+      ksub: Int): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (cent, coded) = pqModel(spark, dir, m, ksub)
+    val codes = coded.select("vec_id", "s", "cid")
+    val sqDist = pqSqDist _
     val q = evalQueries(spark, dir)
-    val table = subspaces(q, "q_id", "q_emb", "qv")
+    val table = pqSubspaces(q, "q_id", "q_emb", "qv", m)
       .join(broadcast(cent), "s")
       .withColumn("dq", sqDist("qv", "cv"))
       .select("q_id", "s", "cid", "dq")
@@ -805,8 +825,13 @@ object Similarity {
     * is a sequential double fold; the 2-term ADC add goes through the
     * same decimal cast), same (approx, vec_id) ranking.
     */
-  val annPqSql: String =
-    """WITH v AS (
+  /** SQL mirror of [[pqModel]] (m=2, ksub=16) as shared CTEs ending in
+    * `coded(vec_id, s, cid, dist)` — used by #107 and #212. NOTE: no
+    * line here may start with whitespace + `|` (embedders stripMargin
+    * after interpolation).
+    */
+  private[operators] val pqCtes: String =
+    """v AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
@@ -836,13 +861,18 @@ object Similarity {
       |      range(1, 33) t(d)
       |    GROUP BY a0.s, a0.cid, d)
       |  GROUP BY s, cid),
-      |codes AS (
-      |  SELECT vec_id, s, (min({'d': dist, 'c': cid})).c AS cid FROM (
+      |coded AS (
+      |  SELECT vec_id, s, (min({'d': dist, 'c': cid})).c AS cid,
+      |    (min({'d': dist, 'c': cid})).d AS dist FROM (
       |    SELECT p.vec_id, p.s, c.cid,
       |      list_sum(list_transform(range(1, 33),
       |        i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]))) AS dist
       |    FROM parts p JOIN cent c ON p.s = c.s)
-      |  GROUP BY vec_id, s),
+      |  GROUP BY vec_id, s)""".stripMargin
+
+  val annPqSql: String =
+    s"""WITH $pqCtes,
+      |codes AS (SELECT vec_id, s, cid FROM coded),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
       |      FROM v WHERE vec_id % 50 = 0),
       |qparts AS (

@@ -89,7 +89,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "events_forecast_snaive",  // backtest over an empty axis
     "corpus_chunks",        // chunking no docs
     "embed_quantile_clip",  // clip profile of an empty cloud
-    "join_interval_overlap")   // overlap join with no sessions/windows
+    "join_interval_overlap",   // overlap join with no sessions/windows
+    "join_asof_forward",    // forward window over no events
+    "graph_assortativity",  // 1 stats row of null moments
+    "graph_degree_stats",   // 1 stats row of null order stats
+    "corpus_length_histogram", // buckets of no docs
+    "corpus_hapax_rate",    // hapax sets of no sources
+    "embed_pq_distortion")  // codebook cells of an empty cloud
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -107,6 +113,11 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.fieldIndex("tp")))
         assert(rows.head.isNullAt(rows.head.fieldIndex("f1_score")))
+      } else if (name == "graph_assortativity" ||
+          name == "graph_degree_stats") {
+        // global agg over an empty graph: one row of null stats
+        assert(rows.length == 1)
+        assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

@@ -163,4 +163,93 @@ class MeridianSpec extends GraftSpec {
       .count() == 0, "day-bucket blocking diverges from brute force")
     fast.unpersist()
   }
+
+  test("join_asof_forward: strictly-later views only, and each match is " +
+      "the user's earliest later view (brute-force check)") {
+    val f = Meridian.joinAsofForward(spark, sf).cache()
+    assert(f.count() > 0)
+    assert(f.where(col("view_ts_us") <= col("ts_us")).count() == 0)
+    // brute force: min (ts, id)-ordered view strictly after each purchase
+    val ev = Tables.eventsUs(spark, sf)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("v_id"),
+        col("ts_us").as("v_ts"))
+    val brute = ev.where(col("event_type") === "purchase")
+      .join(views, col("user_id") === col("vu") && col("v_ts") > col("ts_us"))
+      .groupBy(col("event_id"))
+      .agg(min(struct(col("v_ts"), col("v_id"))).as("mn"))
+      .select(col("event_id"), col("mn.v_id").as("b_view"),
+        col("mn.v_ts").as("b_ts"))
+    assert(f.join(brute, Seq("event_id"), "full")
+      .where(col("view_event_id") =!= col("b_view") ||
+        col("view_ts_us") =!= col("b_ts") ||
+        col("view_event_id").isNull || col("b_view").isNull)
+      .count() == 0, "forward as-of diverges from brute force")
+    f.unpersist()
+  }
+
+  test("graph_assortativity: |r| <= 1 and arc count is twice the " +
+      "undirected edge count") {
+    val r = Meridian.graphAssortativity(spark, sf).head()
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0001 && a <= 1.0001)
+    val und = Meridian.graphDegreeStats(spark, sf).head()
+    // mean_deg * n_nodes == n_arcs (sum of degrees = 2m)
+    assert(math.abs(und.getAs[Double]("mean_deg") *
+      und.getAs[Long]("n_nodes") - r.getAs[Long]("n_arcs")) <
+      0.001 * r.getAs[Long]("n_arcs") + 1)
+  }
+
+  test("graph_degree_stats: order statistics are ordered and within " +
+      "the support floor") {
+    val s = Meridian.graphDegreeStats(spark, sf).head()
+    val (mn, p50, p95, mx) = (s.getAs[Long]("min_deg"),
+      s.getAs[Long]("p50_deg"), s.getAs[Long]("p95_deg"),
+      s.getAs[Long]("max_deg"))
+    assert(mn >= 1 && mn <= p50 && p50 <= p95 && p95 <= mx)
+    assert(s.getAs[Double]("mean_deg") >= mn && s.getAs[Double]("mean_deg") <= mx)
+  }
+
+  test("corpus_length_histogram: docs partition into buckets; shares " +
+      "sum to ~1 per source; buckets are true log2 floors") {
+    val h = Meridian.corpusLengthHistogram(spark, sf).cache()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(h.agg(sum("n_docs")).head().getLong(0) == nDocs)
+    val perSrc = h.groupBy("source").agg(sum("doc_share").as("s"))
+    assert(perSrc.where(abs(col("s") - 1.0) > 0.01).count() == 0)
+    // bucket b holds only docs with 2^b <= n_toks < 2^(b+1):
+    // n_tokens (the bucket total) must fit those bounds times n_docs
+    assert(h.where(col("n_tokens") < col("n_docs") * pow(lit(2.0), col("bucket")) ||
+      col("n_tokens") >= col("n_docs") * pow(lit(2.0), col("bucket") + 1))
+      .count() == 0)
+    h.unpersist()
+  }
+
+  test("corpus_hapax_rate: source hapax counts partition the corpus " +
+      "hapax set; rates in [0,1]") {
+    val r = Meridian.corpusHapaxRate(spark, sf).cache()
+    assert(r.where(col("hapax_rate") < 0 || col("hapax_rate") > 1)
+      .count() == 0)
+    assert(r.where(col("n_hapax") > col("n_types")).count() == 0)
+    val corpusHapax = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .where(col("c") === 1).count()
+    assert(r.agg(sum("n_hapax")).head().getLong(0) == corpusHapax)
+    r.unpersist()
+  }
+
+  test("embed_pq_distortion: cells partition the coded vectors; " +
+      "mean <= max; distortions non-negative") {
+    val d = Meridian.embedPqDistortion(spark, sf).cache()
+    val nVec = Tables(spark, sf, "embeddings").count()
+    // m=2 subspaces: every vector coded once per subspace
+    assert(d.agg(sum("n_vectors")).head().getLong(0) == 2 * nVec)
+    assert(d.where(col("mean_distortion") < 0 ||
+      col("max_distortion") < 0).count() == 0)
+    assert(d.where(col("mean_distortion") > col("max_distortion") + 0.001)
+      .count() == 0)
+    assert(d.select(countDistinct("subspace")).head().getLong(0) == 2)
+    d.unpersist()
+  }
 }

@@ -60,7 +60,8 @@ class NullInputSpec extends AnyFunSuite {
     // null doc dropped on one side, chunking skips nulls, clip
     // profile over a null vector
     "text_kneser_ney", "text_langid_eval", "quality_classifier_eval",
-    "corpus_chunks", "embed_quantile_clip")
+    "corpus_chunks", "embed_quantile_clip",
+    "corpus_length_histogram", "corpus_hapax_rate", "embed_pq_distortion")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
