@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -784,6 +784,234 @@ object Meridian {
        |  ${r4Sql("MAX(dist)")} AS max_distortion
        |FROM coded GROUP BY s, cid ORDER BY subspace, cid""".stripMargin
 
+  // --------------------------------------------------------------- #213
+  /** #213 SCD2 as-of dimension join — the canonical warehouse temporal
+    * join: each purchase event against the type-2 state dimension #95
+    * builds, picking the interval containing the purchase instant
+    * (user-keyed equi join, [from, to) containment as the residual —
+    * the #11 range-join class, never a pair explosion). #10 answers
+    * "last view BEFORE"; this answers "which STATE RUN contains" —
+    * intervals tile each user's timeline from their first event, so
+    * every purchase matches EXACTLY one row (pinned in the spec).
+    */
+  def joinScd2Asof(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Change.scd2Intervals(spark, dir)
+      .select(col("user_id").as("du"), col("state"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+    Tables.eventsUs(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .join(dim, col("user_id") === col("du") &&
+        col("effective_from") <= col("ts_us") &&
+        (col("effective_to").isNull || col("ts_us") < col("effective_to")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("state"),
+        col("effective_from"), col("is_current"))
+      .orderBy("event_id")
+  }
+
+  val joinScd2AsofSql: String =
+    s"""WITH dim AS (${Change.scd2Sql}),
+       |f AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT f.event_id, f.user_id, f.ts_us, d.state,
+       |  d.effective_from, d.is_current
+       |FROM f JOIN dim d ON d.user_id = f.user_id
+       |  AND d.effective_from <= f.ts_us
+       |  AND (d.effective_to IS NULL OR f.ts_us < d.effective_to)
+       |ORDER BY f.event_id""".stripMargin
+
+  // --------------------------------------------------------------- #214
+  /** #214 time-bounded funnel — #48's funnel with the product-analytics
+    * clock attached: first view → first click within 1 h of it →
+    * first purchase within 1 h of that click, per user; one summary
+    * row of stage populations and r4'd conversion rates. Three keyed
+    * aggs chained by user-keyed joins (each stage's anchor is a
+    * one-row-per-user table, so the joins stay entity-sized).
+    */
+  def eventsFunnelStrict(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts_us") > col("v_ts") &&
+        col("ts_us") <= col("v_ts") + hourUs)
+      .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts_us") > col("c_ts") &&
+        col("ts_us") <= col("c_ts") + hourUs)
+      .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+    v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_1h")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_1h")))
+      .select(col("n_view"), col("n_click_1h"), col("n_purchase_1h"),
+        when(col("n_view") > 0,
+          r4(col("n_click_1h").cast("double") / col("n_view")))
+          .as("click_rate"),
+        when(col("n_click_1h") > 0,
+          r4(col("n_purchase_1h").cast("double") / col("n_click_1h")))
+          .as("purchase_rate"))
+  }
+
+  val eventsFunnelStrictSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |v AS (
+       |  SELECT user_id, MIN(ts_us) AS v_ts FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (
+       |  SELECT e.user_id, MIN(e.ts_us) AS c_ts
+       |  FROM e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND e.ts_us > v.v_ts
+       |    AND e.ts_us <= v.v_ts + 3600000000
+       |  GROUP BY e.user_id),
+       |p AS (
+       |  SELECT e.user_id, MIN(e.ts_us) AS p_ts
+       |  FROM e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts_us > c.c_ts
+       |    AND e.ts_us <= c.c_ts + 3600000000
+       |  GROUP BY e.user_id),
+       |s AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_1h)
+       |SELECT n_view, n_click_1h, n_purchase_1h,
+       |  CASE WHEN n_view > 0 THEN
+       |    ${r4Sql("n_click_1h / CAST(n_view AS DOUBLE)")} END AS click_rate,
+       |  CASE WHEN n_click_1h > 0 THEN
+       |    ${r4Sql("n_purchase_1h / CAST(n_click_1h AS DOUBLE)")} END
+       |    AS purchase_rate
+       |FROM s""".stripMargin
+
+  // --------------------------------------------------------------- #215
+  /** #215 quality-signal correlation matrix: pairwise Pearson r
+    * between the three #176 ensemble signals (token count, distinct
+    * tokens, distinct bigrams), each an exact integer per doc — "are
+    * my filters measuring the same thing?" The #178 device three
+    * times over ONE global agg of int64 cross-products; highly
+    * correlated signals mean the ensemble is redundant.
+    */
+  def qualitySignalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .withColumn("toks", split(col("text"), " "))
+      .select(size(col("toks")).cast("long").as("x"),
+        size(array_distinct(col("toks"))).cast("long").as("y"),
+        size(array_distinct(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |  slice(toks, 2, size(toks) - 1),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin))).cast("long")
+          .as("z"))
+    def pearson(sab: Column, sa: Column, sb: Column, saa: Column,
+        sbb: Column, n: Column): Column =
+      r4((n * sab - sa * sb).cast("double") /
+        sqrt(when((n * saa - sa * sa) === 0L || (n * sbb - sb * sb) === 0L,
+          lit(null).cast("double"))
+          .otherwise((n * saa - sa * sa).cast("double") *
+                     (n * sbb - sb * sb).cast("double"))))
+    sig.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+      .select(col("n").as("n_docs"),
+        pearson(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"),
+          col("n")).as("r_len_div"),
+        pearson(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"),
+          col("n")).as("r_len_rep"),
+        pearson(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"),
+          col("n")).as("r_div_rep"))
+  }
+
+  val qualitySignalCorrSql: String = {
+    def p(ab: String, a: String, b: String, aa: String, bb: String) =
+      r4Sql(s"""(n * $ab - $a * $b) / sqrt(CASE
+        WHEN n * $aa - $a * $a = 0 OR n * $bb - $b * $b = 0 THEN NULL
+        ELSE CAST(n * $aa - $a * $a AS DOUBLE) *
+             CAST(n * $bb - $b * $b AS DOUBLE) END)""")
+    s"""WITH sig AS (
+       |  SELECT CAST(len(sp) AS BIGINT) AS x,
+       |    CAST(len(list_distinct(sp)) AS BIGINT) AS y,
+       |    CAST(len(list_distinct(list_transform(range(1, len(sp)),
+       |      i -> sp[i] || ' ' || sp[i + 1]))) AS BIGINT) AS z
+       |  FROM (SELECT string_split(text, ' ') AS sp FROM documents
+       |        WHERE text IS NOT NULL)),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(z) AS BIGINT) AS sz,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy,
+       |    CAST(SUM(z * z) AS BIGINT) AS szz,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * z) AS BIGINT) AS sxz,
+       |    CAST(SUM(y * z) AS BIGINT) AS syz
+       |  FROM sig)
+       |SELECT n AS n_docs,
+       |  ${p("sxy", "sx", "sy", "sxx", "syy")} AS r_len_div,
+       |  ${p("sxz", "sx", "sz", "sxx", "szz")} AS r_len_rep,
+       |  ${p("syz", "sy", "sz", "syy", "szz")} AS r_div_rep
+       |FROM st""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #216
+  /** #216 vocabulary coverage curve: what fraction of total token
+    * volume the top-k most frequent types cover, k ∈ {10, 100, 1000}
+    * — the compressibility/stop-list readout beside #80's Zipf curve
+    * (#80 reports the shape; this reports the actionable cumulative
+    * number). Exact integer cumsum over the (count desc, token)-ranked
+    * vocabulary; ONE r4'd division per k.
+    */
+  def corpusNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("token")))
+          .cast("long"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("nv", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum("c").over(Window.partitionBy()))
+    val ks = Seq(10L, 100L, 1000L).toDF("k")
+    ranked.join(broadcast(ks), col("r") === least(col("k"), col("nv")))
+      .select(col("k"), least(col("k"), col("nv")).as("n_types"),
+        col("cum").as("covered_tokens"), col("total").as("total_tokens"),
+        r4(col("cum").cast("double") / col("total")).as("coverage"))
+      .orderBy("k")
+  }
+
+  val corpusNgramCoverageSql: String =
+    s"""WITH counts AS (
+       |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY token),
+       |ranked AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT)
+       |      AS r,
+       |    CAST(SUM(c) OVER (ORDER BY c DESC, token
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS nv,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS total
+       |  FROM counts)
+       |SELECT k, least(k, nv) AS n_types, cum AS covered_tokens,
+       |  total AS total_tokens,
+       |  ${r4Sql("cum / CAST(total AS DOUBLE)")} AS coverage
+       |FROM ranked JOIN (VALUES (CAST(10 AS BIGINT)),
+       |  (CAST(100 AS BIGINT)), (CAST(1000 AS BIGINT))) t(k)
+       |  ON r = least(k, nv)
+       |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> (graphCloseness _),
     "text_kneser_ney" -> (textKneserNey _),
@@ -798,7 +1026,11 @@ object Meridian {
     "graph_degree_stats" -> (graphDegreeStats _),
     "corpus_length_histogram" -> (corpusLengthHistogram _),
     "corpus_hapax_rate" -> (corpusHapaxRate _),
-    "embed_pq_distortion" -> (embedPqDistortion _))
+    "embed_pq_distortion" -> (embedPqDistortion _),
+    "join_scd2_asof" -> (joinScd2Asof _),
+    "events_funnel_strict" -> (eventsFunnelStrict _),
+    "quality_signal_corr" -> (qualitySignalCorr _),
+    "corpus_ngram_coverage" -> (corpusNgramCoverage _))
 
   val oracles: Map[String, String] = Map(
     "graph_closeness" -> graphClosenessSql,
@@ -814,5 +1046,9 @@ object Meridian {
     "graph_degree_stats" -> graphDegreeStatsSql,
     "corpus_length_histogram" -> corpusLengthHistogramSql,
     "corpus_hapax_rate" -> corpusHapaxRateSql,
-    "embed_pq_distortion" -> embedPqDistortionSql)
+    "embed_pq_distortion" -> embedPqDistortionSql,
+    "join_scd2_asof" -> joinScd2AsofSql,
+    "events_funnel_strict" -> eventsFunnelStrictSql,
+    "quality_signal_corr" -> qualitySignalCorrSql,
+    "corpus_ngram_coverage" -> corpusNgramCoverageSql)
 }

@@ -95,7 +95,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_degree_stats",   // 1 stats row of null order stats
     "corpus_length_histogram", // buckets of no docs
     "corpus_hapax_rate",    // hapax sets of no sources
-    "embed_pq_distortion")  // codebook cells of an empty cloud
+    "embed_pq_distortion",  // codebook cells of an empty cloud
+    "join_scd2_asof",       // containment join over no intervals
+    "events_funnel_strict", // 1 stats row of zero stages
+    "quality_signal_corr",  // 1 stats row of null correlations
+    "corpus_ngram_coverage")   // coverage of an empty vocabulary
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -114,10 +118,15 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.head.isNullAt(rows.head.fieldIndex("tp")))
         assert(rows.head.isNullAt(rows.head.fieldIndex("f1_score")))
       } else if (name == "graph_assortativity" ||
-          name == "graph_degree_stats") {
-        // global agg over an empty graph: one row of null stats
+          name == "graph_degree_stats" || name == "quality_signal_corr") {
+        // global agg over an empty input: one row of null stats
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))
+      } else if (name == "events_funnel_strict") {
+        // global agg: one row of ZERO stage counts, null rates
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Long]("n_view") == 0L)
+        assert(rows.head.isNullAt(rows.head.fieldIndex("click_rate")))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

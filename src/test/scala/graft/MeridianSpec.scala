@@ -252,4 +252,50 @@ class MeridianSpec extends GraftSpec {
     assert(d.select(countDistinct("subspace")).head().getLong(0) == 2)
     d.unpersist()
   }
+
+  test("join_scd2_asof: intervals tile the timeline — every purchase " +
+      "matches exactly one state run containing it") {
+    val j = Meridian.joinScd2Asof(spark, sf).cache()
+    val nPurch = Tables.eventsUs(spark, sf)
+      .where(col("event_type") === "purchase").count()
+    assert(j.count() == nPurch, "a purchase matched 0 or 2+ intervals")
+    assert(j.select(countDistinct("event_id")).head().getLong(0) == nPurch)
+    assert(j.where(col("effective_from") > col("ts_us")).count() == 0)
+    j.unpersist()
+  }
+
+  test("events_funnel_strict: stage populations are monotone; rates " +
+      "in [0,1]") {
+    val r = Meridian.eventsFunnelStrict(spark, sf).head()
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click_1h"),
+      r.getAs[Long]("n_purchase_1h"))
+    assert(v >= c && c >= p && p >= 0)
+    if (v > 0) {
+      val cr = r.getAs[Double]("click_rate")
+      assert(cr >= 0 && cr <= 1)
+    }
+  }
+
+  test("quality_signal_corr: correlations bounded; diversity and length " +
+      "positively correlated on real text") {
+    val r = Meridian.qualitySignalCorr(spark, sf).head()
+    for (c <- Seq("r_len_div", "r_len_rep", "r_div_rep")) {
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0001 && v <= 1.0001, s"$c out of range: $v")
+    }
+    // longer docs have more distinct tokens — if this flips, the
+    // signal table is broken
+    assert(r.getAs[Double]("r_len_div") > 0)
+  }
+
+  test("corpus_ngram_coverage: coverage is monotone in k and bounded") {
+    val cov = Meridian.corpusNgramCoverage(spark, sf)
+      .orderBy("k").collect()
+    assert(cov.length == 3)
+    assert(cov.forall(r => r.getAs[Long]("covered_tokens") <=
+      r.getAs[Long]("total_tokens")))
+    val cs = cov.map(_.getAs[Double]("coverage"))
+    assert(cs.sliding(2).forall(p => p(0) <= p(1) + 0.0001))
+    assert(cov.forall(r => r.getAs[Long]("n_types") <= r.getAs[Long]("k")))
+  }
 }

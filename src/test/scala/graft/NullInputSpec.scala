@@ -61,7 +61,8 @@ class NullInputSpec extends AnyFunSuite {
     // profile over a null vector
     "text_kneser_ney", "text_langid_eval", "quality_classifier_eval",
     "corpus_chunks", "embed_quantile_clip",
-    "corpus_length_histogram", "corpus_hapax_rate", "embed_pq_distortion")
+    "corpus_length_histogram", "corpus_hapax_rate", "embed_pq_distortion",
+    "quality_signal_corr", "corpus_ngram_coverage")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
