@@ -965,7 +965,9 @@ object Meridian {
     * — the compressibility/stop-list readout beside #80's Zipf curve
     * (#80 reports the shape; this reports the actionable cumulative
     * number). Exact integer cumsum over the (count desc, token)-ranked
-    * vocabulary; ONE r4'd division per k.
+    * vocabulary; ONE r4'd division per k. The k-dim attach is a 3-row
+    * literal BNLJ (`r = least(k, nv)` references both sides) — the
+    * #111-sanctioned O(1)-dim exception, 3 rows at ANY scale.
     */
   def corpusNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
