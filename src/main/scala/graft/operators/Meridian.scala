@@ -1014,6 +1014,164 @@ object Meridian {
        |  ON r = least(k, nv)
        |ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------- #217
+  /** #217 boilerplate detection (the C4 "repeated spans within a
+    * source" filter): 8-token tumbling chunk hashes (#68's device),
+    * a chunk is BOILERPLATE when ≥ 5 distinct docs of the SAME source
+    * carry it (nav bars, footers, license headers — the source-local
+    * furniture near-dup passes ignore because the surrounding docs
+    * differ). Per-source report: chunk-type counts, affected docs,
+    * and the r4'd occurrence share boilerplate removal would delete.
+    *
+    * Scale: one explode to (source, ph, doc) — linear in token
+    * volume ÷ 8; doc counting rides ONE (source, ph) window Exchange;
+    * the rollup is |sources| rows.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val pt = 8
+    val p = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      // sequence(1, 0) DESCENDS in Spark — guard the <1-chunk case
+      .select(col("source"), col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $pt THEN
+           |  transform(sequence(1, size(toks) div $pt),
+           |    i -> md5(concat_ws(' ',
+           |      slice(toks, (i - 1) * $pt + 1, $pt))))
+           |ELSE array() END""".stripMargin)).as("ph"))
+    val perDoc = p.groupBy("source", "ph", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    val wPh = Window.partitionBy("source", "ph")
+    perDoc
+      .withColumn("n_docs", count(lit(1)).over(wPh))
+      .groupBy("source")
+      .agg(countDistinct("ph").as("n_chunk_types"),
+        countDistinct(when(col("n_docs") >= 5, col("ph")))
+          .as("n_boiler_types"),
+        countDistinct(when(col("n_docs") >= 5, col("doc_id")))
+          .as("n_docs_affected"),
+        sum(when(col("n_docs") >= 5, col("cnt")).otherwise(0L))
+          .as("boiler_occurrences"),
+        sum("cnt").as("total_occurrences"))
+      .withColumn("boiler_share",
+        r4(col("boiler_occurrences").cast("double") /
+          col("total_occurrences")))
+      .orderBy("source")
+  }
+
+  val textBoilerplateSql: String =
+    s"""WITH p AS (
+       |  SELECT source, doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text, ' ')) // 8 + 1),
+       |    i -> md5(array_to_string(
+       |      string_split(text, ' ')[(i - 1) * 8 + 1 : (i - 1) * 8 + 8],
+       |      ' ')))) AS ph
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT source, ph, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM p GROUP BY 1, 2, 3),
+       |f AS (
+       |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY source, ph) AS BIGINT)
+       |    AS n_docs
+       |  FROM per_doc)
+       |SELECT source,
+       |  CAST(COUNT(DISTINCT ph) AS BIGINT) AS n_chunk_types,
+       |  CAST(COUNT(DISTINCT CASE WHEN n_docs >= 5 THEN ph END) AS BIGINT)
+       |    AS n_boiler_types,
+       |  CAST(COUNT(DISTINCT CASE WHEN n_docs >= 5 THEN doc_id END)
+       |    AS BIGINT) AS n_docs_affected,
+       |  CAST(SUM(CASE WHEN n_docs >= 5 THEN cnt ELSE 0 END) AS BIGINT)
+       |    AS boiler_occurrences,
+       |  CAST(SUM(cnt) AS BIGINT) AS total_occurrences,
+       |  ${r4Sql("SUM(CASE WHEN n_docs >= 5 THEN cnt ELSE 0 END) / " +
+                  "CAST(SUM(cnt) AS DOUBLE)")} AS boiler_share
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- #218
+  /** #218 seasonal-baseline anomaly detection: each (type, hour)
+    * count against its (epoch-week-position, hour-of-day) cell mean —
+    * #82 flags "unusual for this user", #144 finds level SHIFTS; this
+    * flags "unusual for a Tuesday 3 pm". The 2× threshold compares in
+    * EXACT integers (c·n_cell > 2·sum_cell — divisionless, #154's
+    * cross-multiplication device) with a ≥4-observation support
+    * floor; the day-of-week index is pure epoch arithmetic
+    * ((hr div 24) mod 7 — calendar-free, #115's convention).
+    */
+  def tsAnomalySeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", expr("(hr div 24) % 7"))
+      .withColumn("hod", expr("hr % 24"))
+    val wCell = Window.partitionBy("event_type", "dow", "hod")
+    hourly
+      .withColumn("n_cell", count(lit(1)).over(wCell))
+      .withColumn("sum_cell", sum("c").over(wCell))
+      .where(col("n_cell") >= 4 &&
+        col("c") * col("n_cell") > lit(2L) * col("sum_cell"))
+      .select(col("event_type"), col("hr"), col("c"),
+        col("n_cell"), col("sum_cell"),
+        r4((col("c") * col("n_cell")).cast("double") / col("sum_cell"))
+          .as("ratio_to_mean"))
+      .orderBy("event_type", "hr")
+  }
+
+  val tsAnomalySeasonalSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT *, (hr // 24) % 7 AS dow, hr % 24 AS hod FROM hourly),
+       |w AS (
+       |  SELECT *,
+       |    CAST(COUNT(*) OVER cell AS BIGINT) AS n_cell,
+       |    CAST(SUM(c) OVER cell AS BIGINT) AS sum_cell
+       |  FROM cells
+       |  WINDOW cell AS (PARTITION BY event_type, dow, hod))
+       |SELECT event_type, hr, c, n_cell, sum_cell,
+       |  ${r4Sql("c * n_cell / CAST(sum_cell AS DOUBLE)")} AS ratio_to_mean
+       |FROM w
+       |WHERE n_cell >= 4 AND c * n_cell > 2 * sum_cell
+       |ORDER BY event_type, hr""".stripMargin
+
+  // --------------------------------------------------------------- #219
+  /** #219 repeat-purchase rate per part: of the customers who ever
+    * bought a part, what fraction bought it in ≥ 2 DISTINCT orders —
+    * the retail loyalty/consumable-vs-durable signal (and the
+    * business-level cousin of the co-purchase support floor). Two
+    * keyed aggs; the fact⋈fact join shuffles once on orderkey.
+    */
+  def ordersRepeatRate(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"), col("o_custkey"))
+      .agg(countDistinct("l_orderkey").as("n_orders"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("partkey"), col("n_customers"), col("n_repeat"),
+        r4(col("n_repeat").cast("double") / col("n_customers"))
+          .as("repeat_rate"))
+      .orderBy("partkey")
+  }
+
+  val ordersRepeatRateSql: String =
+    s"""WITH pc AS (
+       |  SELECT l_partkey AS partkey, o_custkey,
+       |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2)
+       |SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(COUNT(*) FILTER (WHERE n_orders >= 2) AS BIGINT) AS n_repeat,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE n_orders >= 2) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS repeat_rate
+       |FROM pc GROUP BY partkey ORDER BY partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> (graphCloseness _),
     "text_kneser_ney" -> (textKneserNey _),
@@ -1032,7 +1190,10 @@ object Meridian {
     "join_scd2_asof" -> (joinScd2Asof _),
     "events_funnel_strict" -> (eventsFunnelStrict _),
     "quality_signal_corr" -> (qualitySignalCorr _),
-    "corpus_ngram_coverage" -> (corpusNgramCoverage _))
+    "corpus_ngram_coverage" -> (corpusNgramCoverage _),
+    "text_boilerplate" -> (textBoilerplate _),
+    "ts_anomaly_seasonal" -> (tsAnomalySeasonal _),
+    "orders_repeat_rate" -> (ordersRepeatRate _))
 
   val oracles: Map[String, String] = Map(
     "graph_closeness" -> graphClosenessSql,
@@ -1052,5 +1213,8 @@ object Meridian {
     "join_scd2_asof" -> joinScd2AsofSql,
     "events_funnel_strict" -> eventsFunnelStrictSql,
     "quality_signal_corr" -> qualitySignalCorrSql,
-    "corpus_ngram_coverage" -> corpusNgramCoverageSql)
+    "corpus_ngram_coverage" -> corpusNgramCoverageSql,
+    "text_boilerplate" -> textBoilerplateSql,
+    "ts_anomaly_seasonal" -> tsAnomalySeasonalSql,
+    "orders_repeat_rate" -> ordersRepeatRateSql)
 }

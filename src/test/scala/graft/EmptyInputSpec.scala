@@ -99,7 +99,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "join_scd2_asof",       // containment join over no intervals
     "events_funnel_strict", // 1 stats row of zero stages
     "quality_signal_corr",  // 1 stats row of null correlations
-    "corpus_ngram_coverage")   // coverage of an empty vocabulary
+    "corpus_ngram_coverage",   // coverage of an empty vocabulary
+    "text_boilerplate",     // chunk furniture of no docs
+    "ts_anomaly_seasonal",  // cells of an empty log
+    "orders_repeat_rate")   // loyalty of no purchases
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -298,4 +298,55 @@ class MeridianSpec extends GraftSpec {
     assert(cs.sliding(2).forall(p => p(0) <= p(1) + 0.0001))
     assert(cov.forall(r => r.getAs[Long]("n_types") <= r.getAs[Long]("k")))
   }
+
+  test("text_boilerplate: planted source-local boilerplate is detected; " +
+      "clean sources report zero") {
+    val ss = spark
+    import ss.implicits._
+    // synth: source A has a shared 8-token footer in 6 of 8 docs;
+    // source B is all-distinct
+    val footer = (1 to 8).map(i => s"f$i").mkString(" ")
+    def doc(id: Long, src: String, body: String) = (id, src, body)
+    val docs = ((1L to 6L).map(i =>
+        doc(i, "A", s"${(1 to 16).map(j => s"a$i-$j").mkString(" ")} $footer")) ++
+      Seq(doc(7L, "A", (1 to 24).map(j => s"x7-$j").mkString(" ")),
+        doc(8L, "A", (1 to 24).map(j => s"x8-$j").mkString(" "))) ++
+      (9L to 12L).map(i =>
+        doc(i, "B", (1 to 24).map(j => s"b$i-$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Meridian.textBoilerplate(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("A").getAs[Long]("n_boiler_types") == 1L)
+    assert(r("A").getAs[Long]("n_docs_affected") == 6L)
+    assert(r("B").getAs[Long]("n_boiler_types") == 0L)
+    assert(r("B").getAs[Double]("boiler_share") == 0.0)
+  }
+
+  test("ts_anomaly_seasonal: every flagged hour really breaks 2x its " +
+      "cell mean; support floor holds") {
+    val a = Meridian.tsAnomalySeasonal(spark, sf).cache()
+    assert(a.where(col("n_cell") < 4).count() == 0)
+    assert(a.where(col("c") * col("n_cell") <= lit(2L) * col("sum_cell"))
+      .count() == 0)
+    assert(a.where(col("ratio_to_mean") <= 2.0).count() == 0)
+    a.unpersist()
+  }
+
+  test("orders_repeat_rate: rates bounded; customer counts match an " +
+      "independent distinct count") {
+    val r = Meridian.ordersRepeatRate(spark, sf).cache()
+    assert(r.where(col("repeat_rate") < 0 || col("repeat_rate") > 1)
+      .count() == 0)
+    assert(r.where(col("n_repeat") > col("n_customers")).count() == 0)
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("o_custkey")).distinct().count()
+    assert(r.agg(sum("n_customers")).head().getLong(0) == pairs)
+    r.unpersist()
+  }
 }

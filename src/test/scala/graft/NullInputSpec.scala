@@ -62,7 +62,7 @@ class NullInputSpec extends AnyFunSuite {
     "text_kneser_ney", "text_langid_eval", "quality_classifier_eval",
     "corpus_chunks", "embed_quantile_clip",
     "corpus_length_histogram", "corpus_hapax_rate", "embed_pq_distortion",
-    "quality_signal_corr", "corpus_ngram_coverage")
+    "quality_signal_corr", "corpus_ngram_coverage", "text_boilerplate")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
