@@ -31,6 +31,7 @@ object SparkEntry {
     operators.Curation.queries,
     operators.Horizon.queries,
     operators.Meridian.queries,
+    operators.Zenith.queries,
   )
 
   private def oracleModules = Seq(
@@ -54,6 +55,7 @@ object SparkEntry {
     operators.Curation.oracles,
     operators.Horizon.oracles,
     operators.Meridian.oracles,
+    operators.Zenith.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1090,9 +1090,10 @@ object Meridian {
   /** #218 seasonal-baseline anomaly detection: each (type, hour)
     * count against its (epoch-week-position, hour-of-day) cell mean —
     * #82 flags "unusual for this user", #144 finds level SHIFTS; this
-    * flags "unusual for a Tuesday 3 pm". The 2× threshold compares in
-    * EXACT integers (c·n_cell > 2·sum_cell — divisionless, #154's
-    * cross-multiplication device) with a ≥4-observation support
+    * flags "unusual for a Tuesday 3 pm". The ≥2× threshold compares in
+    * EXACT integers (c·n_cell ≥ 2·sum_cell — divisionless, #154's
+    * cross-multiplication device; inclusive, so a count at exactly
+    * twice its cell mean flags) with a ≥4-observation support
     * floor; the day-of-week index is pure epoch arithmetic
     * ((hr div 24) mod 7 — calendar-free, #115's convention).
     */
@@ -1108,7 +1109,7 @@ object Meridian {
       .withColumn("n_cell", count(lit(1)).over(wCell))
       .withColumn("sum_cell", sum("c").over(wCell))
       .where(col("n_cell") >= 4 &&
-        col("c") * col("n_cell") > lit(2L) * col("sum_cell"))
+        col("c") * col("n_cell") >= lit(2L) * col("sum_cell"))
       .select(col("event_type"), col("hr"), col("c"),
         col("n_cell"), col("sum_cell"),
         r4((col("c") * col("n_cell")).cast("double") / col("sum_cell"))
@@ -1133,7 +1134,7 @@ object Meridian {
        |SELECT event_type, hr, c, n_cell, sum_cell,
        |  ${r4Sql("c * n_cell / CAST(sum_cell AS DOUBLE)")} AS ratio_to_mean
        |FROM w
-       |WHERE n_cell >= 4 AND c * n_cell > 2 * sum_cell
+       |WHERE n_cell >= 4 AND c * n_cell >= 2 * sum_cell
        |ORDER BY event_type, hr""".stripMargin
 
   // --------------------------------------------------------------- #219

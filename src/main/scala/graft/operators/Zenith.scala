@@ -1,0 +1,790 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
+
+/** Round-11 widening (SURVEY.md §2 #220+): the catalog-analytics and
+  * curation-forensics shapes the inventory still lacked — growth
+  * accounting over the event log, supply-chain performance reads on the
+  * relational star, cross-source duplication forensics, the ANN probe
+  * dial scored as a recall/cost CURVE, and series decomposition.
+  *
+  * Reference grounding: the event-log operators extend the reference's
+  * event-sourced job state machine (reactor.py:119-145 — state is
+  * derivable from an append-only event history; growth accounting and
+  * inter-arrival profiles are the fleet-level reads of that same log).
+  * The relational reads are catalog discovery over the star schema
+  * (reactor.py:147-218 indexes outputs for exactly this kind of
+  * downstream analytics).
+  *
+  * Cross-engine exactness (the repo-wide contract): every aggregate is
+  * an exact int64/decimal count or sum; each emitted ratio is ONE r4'd
+  * IEEE op block over exact inputs; order statistics are selected by
+  * exact integer rank with unique-column tie-breaks, never interpolated.
+  *
+  * Scale: each operator is one or two keyed shuffles with map-side
+  * combine; dims ride size-gated broadcasts; whole-table windows appear
+  * only over structure-sized frames (bucket tables of ≤ tens of rows)
+  * and are commented at the site.
+  */
+object Zenith {
+
+  // --------------------------------------------------------------- #220
+  /** #220 weekly growth accounting over the event log: each (user,
+    * week) activity cell is classified `new` (first-ever week),
+    * `retained` (active the prior week) or `resurrected` (returning
+    * after a gap); `churned` counts users whose activity lapsed INTO
+    * this week (active week w-1, silent in w). The canonical
+    * startup-metrics identity n_active = n_new + n_retained +
+    * n_resurrected holds by construction, and churn is the lead-gap
+    * mirror of resurrection — both are spec-pinned.
+    *
+    * Scale: one distinct over (user, week) — a keyed shuffle with
+    * map-side combine — then ONE lag/lead window per user (users
+    * partition; weeks-per-user is bounded by the calendar). The weekly
+    * rollup is structure-sized (|weeks| rows).
+    */
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+      .distinct()
+    val wUser = Window.partitionBy("user_id").orderBy("week")
+    val lab = act
+      .withColumn("prev_wk", lag("week", 1).over(wUser))
+      .withColumn("next_wk", lead("week", 1).over(wUser))
+    val weekly = lab.groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_wk").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_wk") === col("week") - 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("prev_wk").isNotNull &&
+            col("prev_wk") < col("week") - 1, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churn lands on the FOLLOWING week: active in w, silent in w+1.
+    val churn = lab
+      .where(col("next_wk").isNull || col("next_wk") > col("week") + 1)
+      .groupBy((col("week") + 1).as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    weekly.join(churn, Seq("week"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .orderBy("week")
+  }
+
+  val eventsLifecycleSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+      |  FROM events),
+      |lab AS (
+      |  SELECT user_id, week,
+      |    LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_wk,
+      |    LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_wk
+      |  FROM act),
+      |weekly AS (
+      |  SELECT week,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(COUNT(*) FILTER (WHERE prev_wk IS NULL) AS BIGINT) AS n_new,
+      |    CAST(COUNT(*) FILTER (WHERE prev_wk = week - 1) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(COUNT(*) FILTER (WHERE prev_wk IS NOT NULL
+      |      AND prev_wk < week - 1) AS BIGINT) AS n_resurrected
+      |  FROM lab GROUP BY week),
+      |churn AS (
+      |  SELECT week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM lab WHERE next_wk IS NULL OR next_wk > week + 1
+      |  GROUP BY week + 1)
+      |SELECT w.week, n_active, n_new, n_retained, n_resurrected,
+      |  COALESCE(c.n_churned, 0) AS n_churned
+      |FROM weekly w LEFT JOIN churn c ON w.week = c.week
+      |ORDER BY w.week""".stripMargin
+
+  // --------------------------------------------------------------- #221
+  /** #221 per-supplier order→ship lead time: days between the order
+    * date and each line's ship date, rolled up to supplier-level
+    * fulfilment stats (n, min/max, exact-count slow lines > 90 days,
+    * ONE-division mean and slow-rate). The supply-chain performance
+    * read beside #119's backlog curve — "who is slow", not "how much
+    * is open".
+    *
+    * Scale: fact⋈fact equi-join shuffles once on orderkey (both sides
+    * pruned to 2-3 columns), then one keyed agg with map-side combine
+    * to |suppliers| rows.
+    */
+  def ordersSupplierLeadtime(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("suppkey"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days"))
+      .groupBy("suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        min("days").as("min_days"), max("days").as("max_days"),
+        sum("days").as("sum_days"),
+        sum(when(col("days") > 90, 1L).otherwise(0L)).as("n_slow"))
+      .select(col("suppkey"), col("n_lines"), col("min_days"),
+        col("max_days"), col("n_slow"),
+        r4(col("sum_days").cast("double") / col("n_lines")).as("avg_days"),
+        r4(col("n_slow").cast("double") / col("n_lines")).as("slow_rate"))
+      .orderBy("suppkey")
+  }
+
+  val ordersSupplierLeadtimeSql: String =
+    s"""WITH d AS (
+       |  SELECT l_suppkey AS suppkey,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |      CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  MIN(days) AS min_days, MAX(days) AS max_days,
+       |  CAST(COUNT(*) FILTER (WHERE days > 90) AS BIGINT) AS n_slow,
+       |  ${r4Sql("SUM(days) / CAST(COUNT(*) AS DOUBLE)")} AS avg_days,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE days > 90) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS slow_rate
+       |FROM d GROUP BY suppkey ORDER BY suppkey""".stripMargin
+
+  // --------------------------------------------------------------- #228
+  /** #228 supplier concentration per nation: the Herfindahl–Hirschman
+    * index of each nation's lineitem volume across its suppliers —
+    * HHI = Σ c_s² / (Σ c_s)², 1/n (perfectly spread) … 1 (single
+    * supplier). The procurement-risk complement of #133's Gini (which
+    * measures value inequality across customers).
+    *
+    * Exactness: per-supplier counts are exact int64; squares sum
+    * through DECIMAL(38,0) (int64 would overflow once a supplier holds
+    * ~3×10⁹ lines); the denominator is one IEEE multiply of the exact
+    * total, the ratio ONE r4'd division.
+    *
+    * Scale: lineitem touches only l_suppkey (pruned scan) → one keyed
+    * agg to |suppliers| rows; the supplier/nation dims ride the
+    * size-gated broadcast.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_suppkey"))
+    val s = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val perSupp = li
+      .join(Tables.maybeBroadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    perSupp.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("c").as("total_lines"),
+        sum(col("c").cast(DecimalType(19, 0)) *
+          col("c").cast(DecimalType(19, 0))).as("sum_sq"))
+      .join(Tables.maybeBroadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("total_lines"),
+        r4(col("sum_sq").cast("double") /
+          (col("total_lines").cast("double") *
+            col("total_lines").cast("double"))).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  val supplierHhiSql: String =
+    s"""WITH per_supp AS (
+       |  SELECT s_nationkey, s_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |per_nation AS (
+       |  SELECT s_nationkey,
+       |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       |    CAST(SUM(c) AS BIGINT) AS total_lines,
+       |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sum_sq
+       |  FROM per_supp GROUP BY 1)
+       |SELECT n_name, n_suppliers, total_lines,
+       |  ${r4Sql("sum_sq / (CAST(total_lines AS DOUBLE) * " +
+                  "CAST(total_lines AS DOUBLE))")} AS hhi
+       |FROM per_nation JOIN nation ON s_nationkey = n_nationkey
+       |ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------------- #229
+  /** #229 basket-size profile: orders grouped by line count, with each
+    * bucket's population share and mean distinct-part width — the
+    * order-shape distribution that sizes the co-purchase graph (#116's
+    * pair space grows with Σ n_items², so this table IS its cost
+    * model).
+    *
+    * Scale: one keyed agg per order, then a second agg to the
+    * structure-sized bucket table (|distinct n_items| rows ≈ tens);
+    * the share window runs over THAT table only, so the unpartitioned
+    * window is a few-row driver-local frame, never a data-sized one.
+    */
+  def ordersBasketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct("l_partkey").as("n_parts"))
+    val dist = per.groupBy("n_items")
+      .agg(count(lit(1)).as("n_orders"), sum("n_parts").as("sum_parts"))
+    dist
+      .withColumn("total", sum("n_orders").over(Window.partitionBy()))
+      .select(col("n_items"), col("n_orders"),
+        r4(col("n_orders").cast("double") / col("total")).as("order_share"),
+        r4(col("sum_parts").cast("double") / col("n_orders")).as("avg_parts"))
+      .orderBy("n_items")
+  }
+
+  val ordersBasketProfileSql: String =
+    s"""WITH per AS (
+       |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+       |  FROM lineitem GROUP BY 1),
+       |dist AS (
+       |  SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    CAST(SUM(n_parts) AS BIGINT) AS sum_parts
+       |  FROM per GROUP BY 1)
+       |SELECT n_items, n_orders,
+       |  ${r4Sql("n_orders / CAST(SUM(n_orders) OVER () AS DOUBLE)")}
+       |    AS order_share,
+       |  ${r4Sql("sum_parts / CAST(n_orders AS DOUBLE)")} AS avg_parts
+       |FROM dist ORDER BY n_items""".stripMargin
+
+  // --------------------------------------------------------------- #230
+  /** #230 inter-arrival profile per event type: microsecond gaps
+    * between consecutive events in the per-type (ts, id) total order —
+    * exact count/max, ONE-division mean, and the median selected by
+    * exact integer rank (the #181/#192 order-statistic device, never
+    * interpolated). The arrival-process read beside #183's dispersion
+    * flag: #183 says "is it Poisson", this says "at what rate, with
+    * what tail".
+    *
+    * Scale: one window per event type (types partition the log), one
+    * keyed agg, one rank selection over the gap table — all map-side
+    * combinable after the single event_type shuffle.
+    */
+  def eventsInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_us"))
+    val wSeq = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    val gaps = ev
+      .withColumn("prev", lag("ts_us", 1).over(wSeq))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (col("ts_us") - col("prev")).as("gap_us"))
+    val wRank = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    val med = gaps
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("r") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("gap_us").as("p50_gap_us"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sum_gap"),
+        max("gap_us").as("max_gap_us"))
+      .join(med, "event_type")
+      .select(col("event_type"), col("n_gaps"), col("p50_gap_us"),
+        col("max_gap_us"),
+        r4(col("sum_gap").cast("double") / col("n_gaps")).as("mean_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val eventsInterarrivalSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |    CAST(epoch_us(ts) AS BIGINT) AS ts_us
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, event_id, gap_us FROM (
+       |    SELECT event_type, event_id, ts_us - LAG(ts_us) OVER (
+       |      PARTITION BY event_type ORDER BY ts_us, event_id) AS gap_us
+       |    FROM ev)
+       |  WHERE gap_us IS NOT NULL),
+       |med AS (
+       |  SELECT event_type, gap_us AS p50_gap_us FROM (
+       |    SELECT event_type, gap_us,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY gap_us, event_id) AS r,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS n
+       |    FROM g)
+       |  WHERE r = (n + 1) // 2),
+       |s AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    CAST(SUM(gap_us) AS BIGINT) AS sum_gap,
+       |    MAX(gap_us) AS max_gap_us
+       |  FROM g GROUP BY 1)
+       |SELECT s.event_type, n_gaps, p50_gap_us, max_gap_us,
+       |  ${r4Sql("sum_gap / CAST(n_gaps AS DOUBLE)")} AS mean_gap_us
+       |FROM s JOIN med USING (event_type)
+       |ORDER BY s.event_type""".stripMargin
+
+  // --------------------------------------------------------------- #225
+  /** #225 corpus novelty curve: per document, the fraction of its
+    * 8-token chunk TYPES (#68's tumbling device) appearing for the
+    * first time in doc_id order — the "is new data buying new
+    * content" readout at passage granularity, the per-DOC complement
+    * of #196's vocabulary-level Heaps curve. A fully-duplicated doc
+    * scores 0; the corpus opener scores 1 by construction (both
+    * spec-pinned).
+    *
+    * Scale: the chunk table is linear in token volume ÷ 8; first
+    * occurrence is ONE min-over-chunk-hash window Exchange, then one
+    * keyed agg per doc. No pair joins anywhere.
+    */
+  def corpusNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val pt = 8
+    val chunks = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $pt THEN
+           |  transform(sequence(1, size(toks) div $pt),
+           |    i -> md5(concat_ws(' ',
+           |      slice(toks, (i - 1) * $pt + 1, $pt))))
+           |ELSE array() END""".stripMargin)).as("ph"))
+      .distinct()
+    val wPh = Window.partitionBy("ph")
+    chunks
+      .withColumn("first_doc", min("doc_id").over(wPh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_chunks"), col("n_novel"),
+        r4(col("n_novel").cast("double") / col("n_chunks")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val corpusNoveltySql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text, ' ')) // 8 + 1),
+       |    i -> md5(array_to_string(
+       |      string_split(text, ' ')[(i - 1) * 8 + 1 : (i - 1) * 8 + 8],
+       |      ' ')))) AS ph
+       |  FROM documents),
+       |p AS (SELECT DISTINCT doc_id, ph FROM raw),
+       |f AS (
+       |  SELECT doc_id, ph,
+       |    MIN(doc_id) OVER (PARTITION BY ph) AS first_doc
+       |  FROM p)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE doc_id = first_doc) AS BIGINT)
+       |    AS n_novel,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE doc_id = first_doc) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS novelty
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #226
+  /** #226 cross-source shared-passage matrix: for every source pair,
+    * how many 8-token chunk TYPES they share, with per-source type
+    * counts and the r4'd Jaccard — the "same crawl under two names?"
+    * forensic at PASSAGE granularity (#185 asks it of vocabularies,
+    * which drift slowly; shared passages are the smoking gun). The
+    * #189 audience-overlap device applied to content.
+    *
+    * Scale: the DISTINCT (source, chunk) projection bounds the
+    * per-chunk join fan-out at |sources| rows a side, so the
+    * ph-keyed self-join is ≤ |sources|² pairs per chunk type — never
+    * doc×doc. Output is |sources|² rows.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pt = 8
+    val sp = Tables.spread(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        s"""CASE WHEN size(toks) >= $pt THEN
+           |  transform(sequence(1, size(toks) div $pt),
+           |    i -> md5(concat_ws(' ',
+           |      slice(toks, (i - 1) * $pt + 1, $pt))))
+           |ELSE array() END""".stripMargin)).as("ph"))
+      .distinct()
+    val sizes = sp.groupBy("source").agg(count(lit(1)).as("n_types"))
+    val a = sp.select(col("source").as("source_a"), col("ph"))
+    val b = sp.select(col("source").as("source_b"), col("ph"))
+    a.join(b, Seq("ph")).where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(Tables.maybeBroadcast(
+        sizes.select(col("source").as("source_a"), col("n_types").as("na"))),
+        "source_a")
+      .join(Tables.maybeBroadcast(
+        sizes.select(col("source").as("source_b"), col("n_types").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("n_shared"),
+        r4(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared"))).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""WITH raw AS (
+       |  SELECT source, unnest(list_transform(
+       |    range(1, len(string_split(text, ' ')) // 8 + 1),
+       |    i -> md5(array_to_string(
+       |      string_split(text, ' ')[(i - 1) * 8 + 1 : (i - 1) * 8 + 8],
+       |      ' ')))) AS ph
+       |  FROM documents),
+       |sp AS (SELECT DISTINCT source, ph FROM raw),
+       |sizes AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+       |  FROM sp GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM sp a JOIN sp b ON a.ph = b.ph AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, sa.n_types AS na, sb.n_types AS nb,
+       |  n_shared,
+       |  ${r4Sql("n_shared / CAST(sa.n_types + sb.n_types - n_shared " +
+                  "AS DOUBLE)")} AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = source_a
+       |JOIN sizes sb ON sb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------- #227
+  /** #227 label-centroid similarity matrix: pairwise cosine between
+    * per-label embedding centroids — the semantic counterpart of
+    * #226's passage matrix ("do two slices MEAN the same thing") and
+    * the geometry readout behind #101/#55's cluster structure: labels
+    * whose centroids sit at cos ≈ 1 will thrash any label-partitioned
+    * index. Cosine is scale-invariant, so centroids are represented
+    * by per-dim SUMS (counts divide out) — the #190 drift device
+    * widened from within-label halves to between-label pairs.
+    *
+    * Exactness: per-dim sums via the sumDec contract; the three dot
+    * products fold over dim-sorted arrays (sequential, deterministic
+    * in both engines), then 3 IEEE ops r4'd once per pair.
+    *
+    * Scale: one explode → keyed decimal agg to |labels|×dims rows;
+    * the pair join and folds are structure-sized (|labels|²×dims).
+    */
+  def embedCentroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val sums = Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        col("col").cast("double").as("x"))
+      .groupBy("label", "dim")
+      .agg(sumDec(col("x"), 38, 18).as("s"))
+    val counts = Tables(spark, dir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val a = sums.select(col("label").as("label_a"), col("dim"),
+      col("s").as("sa"))
+    val b = sums.select(col("label").as("label_b"), col("dim"),
+      col("s").as("sb"))
+    a.join(b, Seq("dim")).where(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("dim"),
+        (col("sa") * col("sb")).as("pab"),
+        (col("sa") * col("sa")).as("paa"),
+        (col("sb") * col("sb")).as("pbb"))
+      .groupBy("label_a", "label_b")
+      .agg(array_sort(collect_list(struct(col("dim"), col("pab"),
+        col("paa"), col("pbb")))).as("terms"))
+      .select(col("label_a"), col("label_b"),
+        expr("aggregate(terms, cast(0.0 as double), (a, t) -> a + t.pab)")
+          .as("nab"),
+        expr("aggregate(terms, cast(0.0 as double), (a, t) -> a + t.paa)")
+          .as("naa"),
+        expr("aggregate(terms, cast(0.0 as double), (a, t) -> a + t.pbb)")
+          .as("nbb"))
+      .join(Tables.maybeBroadcast(
+        counts.select(col("label").as("label_a"), col("n").as("n_a"))),
+        "label_a")
+      .join(Tables.maybeBroadcast(
+        counts.select(col("label").as("label_b"), col("n").as("n_b"))),
+        "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        r4(col("nab") / sqrt(col("naa") * col("nbb"))).as("cos_centroid"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val embedCentroidSimSql: String =
+    s"""WITH ex AS (
+       |  SELECT label, j AS dim, embedding[j]::DOUBLE AS x
+       |  FROM (SELECT label, embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS j FROM embeddings)),
+       |sums AS (
+       |  SELECT label, dim, ${sumDecSql("x", 38, 18)} AS s
+       |  FROM ex GROUP BY 1, 2),
+       |paired AS (
+       |  SELECT a.label AS label_a, b.label AS label_b, a.dim,
+       |    a.s * b.s AS pab, a.s * a.s AS paa, b.s * b.s AS pbb
+       |  FROM sums a JOIN sums b
+       |    ON a.dim = b.dim AND a.label < b.label),
+       |folded AS (
+       |  SELECT label_a, label_b,
+       |    list_sum(list(pab ORDER BY dim)) AS nab,
+       |    list_sum(list(paa ORDER BY dim)) AS naa,
+       |    list_sum(list(pbb ORDER BY dim)) AS nbb
+       |  FROM paired GROUP BY 1, 2),
+       |counts AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings GROUP BY label)
+       |SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+       |  ${r4Sql("nab / sqrt(naa * nbb)")} AS cos_centroid
+       |FROM folded
+       |JOIN counts ca ON ca.label = label_a
+       |JOIN counts cb ON cb.label = label_b
+       |ORDER BY label_a, label_b""".stripMargin
+
+  // --------------------------------------------------------------- #228
+  /** #228 the ANN probe dial scored as a CURVE: per query, recall@3
+    * AND candidate cost of single-probe LSH (#33) vs 9-probe
+    * multi-probe (#88) against brute-force truth (#32) — #173 grades
+    * one index point; this grades the dial, showing what each probe
+    * buys (recall_multi ≥ recall_single by superset construction,
+    * spec-pinned) and what it costs (n_cand_multi ≥ n_cand_single).
+    * The table an operator reads before picking nprobe at 100 TB.
+    *
+    * Scale: every path is the registered operators' own bounded-
+    * broadcast-query contract; candidate counting joins on the bucket
+    * key (9 probe rows per query), and the recall joins key on the
+    * tiny (q_id, c_id) result sets.
+    */
+  def annProbeDial(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    val q = Similarity.evalQueries(spark, dir)
+    val truth = Similarity.annBruteforceFrom(v, q, k = 3)
+      .select("q_id", "c_id")
+    val single = Similarity.annLshFrom(v, q, k = 3).select("q_id", "c_id")
+    val multi = Similarity.annMultiprobeFrom(v, q, k = 3, bits = 8)
+      .select("q_id", "c_id")
+    val qb = q.withColumn("home", expr("md5_rhp_bucket(q_emb, 8)"))
+    val cb = v.select(col("vec_id").as("c_id"),
+      expr("md5_rhp_bucket(embedding, 8)").as("c_bucket"))
+    val candS = cb.join(broadcast(qb.select(col("q_id"), col("home"))),
+        col("home") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_cand_single"))
+    val probes = qb.select(col("q_id"), explode(expr(
+      """concat(array(home),
+        |  transform(sequence(0, 7), j -> home ^ shiftleft(1L, j)))"""
+        .stripMargin)).as("probe"))
+    val candM = cb.join(broadcast(probes),
+        col("probe") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_cand_multi"))
+    val nT = truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+    val ovS = truth.join(single, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap_single"))
+    val ovM = truth.join(multi, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap_multi"))
+    q.select("q_id")
+      .join(nT, Seq("q_id"), "left")
+      .join(candS, Seq("q_id"), "left")
+      .join(candM, Seq("q_id"), "left")
+      .join(ovS, Seq("q_id"), "left")
+      .join(ovM, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_truth", "n_cand_single", "n_cand_multi",
+        "n_overlap_single", "n_overlap_multi"))
+      .select(col("q_id"), col("n_truth"), col("n_cand_single"),
+        col("n_cand_multi"), col("n_overlap_single"), col("n_overlap_multi"),
+        r4(col("n_overlap_single").cast("double") / col("n_truth"))
+          .as("recall_single"),
+        r4(col("n_overlap_multi").cast("double") / col("n_truth"))
+          .as("recall_multi"))
+      .orderBy("q_id")
+  }
+
+  /** Oracle: the #173 mirror widened with the probe list and the two
+    * pre-rank candidate counts.
+    */
+  val annProbeDialSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+       |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+       |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+       |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+       |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding, norm, bucket
+       |      FROM v WHERE vec_id % 50 = 0),
+       |probes AS (
+       |  SELECT q_id, unnest([bucket] || list_transform(range(0, 8),
+       |    j -> xor(bucket, 1 << CAST(j AS INT)))) AS probe
+       |  FROM q),
+       |truth AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+       |    FROM (
+       |      SELECT qv.q_id, c.vec_id AS c_id,
+       |        list_sum(list_transform(range(1, len(qv.embedding) + 1),
+       |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |          / (qv.norm * c.norm) AS cosine_raw
+       |      FROM q qv JOIN v c ON qv.q_id <> c.vec_id))
+       |  WHERE rank <= 3),
+       |hits_s AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+       |    FROM (
+       |      SELECT qv.q_id, c.vec_id AS c_id,
+       |        list_sum(list_transform(range(1, len(qv.embedding) + 1),
+       |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |          / (qv.norm * c.norm) AS cosine_raw
+       |      FROM q qv JOIN v c
+       |        ON qv.bucket = c.bucket AND qv.q_id <> c.vec_id))
+       |  WHERE rank <= 3),
+       |hits_m AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+       |    FROM (
+       |      SELECT p.q_id, c.vec_id AS c_id,
+       |        list_sum(list_transform(range(1, len(qv.embedding) + 1),
+       |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |          / (qv.norm * c.norm) AS cosine_raw
+       |      FROM probes p
+       |      JOIN q qv ON qv.q_id = p.q_id
+       |      JOIN v c ON p.probe = c.bucket AND p.q_id <> c.vec_id))
+       |  WHERE rank <= 3),
+       |cand_s AS (
+       |  SELECT qv.q_id, CAST(COUNT(*) AS BIGINT) AS n_cand_single
+       |  FROM q qv JOIN v c
+       |    ON qv.bucket = c.bucket AND qv.q_id <> c.vec_id
+       |  GROUP BY 1),
+       |cand_m AS (
+       |  SELECT p.q_id, CAST(COUNT(*) AS BIGINT) AS n_cand_multi
+       |  FROM probes p JOIN v c
+       |    ON p.probe = c.bucket AND p.q_id <> c.vec_id
+       |  GROUP BY 1),
+       |nt AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+       |       FROM truth GROUP BY q_id),
+       |ov_s AS (
+       |  SELECT truth.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_single
+       |  FROM truth JOIN hits_s USING (q_id, c_id) GROUP BY truth.q_id),
+       |ov_m AS (
+       |  SELECT truth.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_multi
+       |  FROM truth JOIN hits_m USING (q_id, c_id) GROUP BY truth.q_id)
+       |SELECT q.q_id, COALESCE(nt.n_truth, 0) AS n_truth,
+       |  COALESCE(cand_s.n_cand_single, 0) AS n_cand_single,
+       |  COALESCE(cand_m.n_cand_multi, 0) AS n_cand_multi,
+       |  COALESCE(ov_s.n_overlap_single, 0) AS n_overlap_single,
+       |  COALESCE(ov_m.n_overlap_multi, 0) AS n_overlap_multi,
+       |  ${r4Sql("CAST(COALESCE(ov_s.n_overlap_single, 0) AS DOUBLE) " +
+                  "/ COALESCE(nt.n_truth, 0)")} AS recall_single,
+       |  ${r4Sql("CAST(COALESCE(ov_m.n_overlap_multi, 0) AS DOUBLE) " +
+                  "/ COALESCE(nt.n_truth, 0)")} AS recall_multi
+       |FROM q
+       |LEFT JOIN nt USING (q_id)
+       |LEFT JOIN cand_s USING (q_id)
+       |LEFT JOIN cand_m USING (q_id)
+       |LEFT JOIN ov_s USING (q_id)
+       |LEFT JOIN ov_m USING (q_id)
+       |ORDER BY q.q_id""".stripMargin
+
+  // --------------------------------------------------------------- #229
+  /** #229 additive series decomposition of the gap-filled hourly event
+    * series: y = trend + seasonal + residual, where trend is the
+    * centered 25-hour moving average and seasonal is the per-(dow,
+    * hod) cell mean of the DETRENDED series — the STL-lite readout
+    * that turns #218's anomaly flag and #203's backtest into a full
+    * "what is baseline, what is calendar, what is noise" table.
+    * Boundary rows (incomplete 25h window) are excluded so every
+    * trend is the same exact 25-term rational.
+    *
+    * Exactness: detrended values are held as exact integer numerators
+    * (25·c − Σwindow); the seasonal cell mean is ONE exact rational
+    * (Σ numerators / (25·n_cell)); trend/seasonal/residual are each
+    * one r4'd IEEE op block over those exact integers.
+    *
+    * Scale: the axis is span-sized per type (#178's gap-fill device);
+    * one window per type plus one cell window — both partition.
+    */
+  def tsDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val span = hourly.groupBy("event_type")
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+    val axis = span.select(col("event_type"),
+      explode(expr("sequence(h0, h1)")).as("hr"))
+    val filled = axis.join(hourly, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("c"))
+    val win = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-12, 12)
+    val cell = Window.partitionBy("event_type", "dow", "hod")
+    filled
+      .withColumn("sumw", sum("c").over(win))
+      .withColumn("wn", count(lit(1)).over(win))
+      .where(col("wn") === 25)
+      .withColumn("dow", expr("(hr div 24) % 7"))
+      .withColumn("hod", expr("hr % 24"))
+      .withColumn("dnum", lit(25L) * col("c") - col("sumw"))
+      .withColumn("cell_num", sum("dnum").over(cell))
+      .withColumn("cell_n", count(lit(1)).over(cell))
+      .withColumn("trend", r4(col("sumw") / lit(25.0)))
+      .withColumn("seasonal",
+        r4(col("cell_num") / (lit(25.0) * col("cell_n"))))
+      .select(col("event_type"), col("hr"), col("c"), col("trend"),
+        col("seasonal"),
+        r4(col("dnum") / lit(25.0) - col("seasonal")).as("resid"))
+      .orderBy("event_type", "hr")
+  }
+
+  val tsDecomposeSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |span AS (
+       |  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1
+       |  FROM hourly GROUP BY 1),
+       |axis AS (
+       |  SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM span),
+       |filled AS (
+       |  SELECT a.event_type, a.hr, COALESCE(h.c, 0) AS c
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |w AS (
+       |  SELECT *, CAST(SUM(c) OVER win AS BIGINT) AS sumw,
+       |    CAST(COUNT(*) OVER win AS BIGINT) AS wn
+       |  FROM filled
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY hr
+       |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |i AS (
+       |  SELECT event_type, hr, c, sumw,
+       |    (hr // 24) % 7 AS dow, hr % 24 AS hod,
+       |    25 * c - sumw AS dnum
+       |  FROM w WHERE wn = 25),
+       |s AS (
+       |  SELECT *,
+       |    CAST(SUM(dnum) OVER cell AS BIGINT) AS cell_num,
+       |    CAST(COUNT(*) OVER cell AS BIGINT) AS cell_n
+       |  FROM i
+       |  WINDOW cell AS (PARTITION BY event_type, dow, hod))
+       |SELECT event_type, hr, c,
+       |  ${r4Sql("sumw / 25.0")} AS trend,
+       |  ${r4Sql("cell_num / (25.0 * cell_n)")} AS seasonal,
+       |  ${r4Sql("dnum / 25.0 - " +
+                  "FLOOR((cell_num / (25.0 * cell_n)) * 10000.0 + 0.5) " +
+                  "/ 10000.0")} AS resid
+       |FROM s ORDER BY event_type, hr""".stripMargin
+
+  // ------------------------------------------------------- registration
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_lifecycle" -> (eventsLifecycle _),
+    "orders_supplier_leadtime" -> (ordersSupplierLeadtime _),
+    "supplier_hhi" -> (supplierHhi _),
+    "orders_basket_profile" -> (ordersBasketProfile _),
+    "events_interarrival" -> (eventsInterarrival _),
+    "corpus_novelty" -> (corpusNovelty _),
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
+    "embed_centroid_sim" -> (embedCentroidSim _),
+    "ann_probe_dial" -> (annProbeDial _),
+    "ts_decompose" -> (tsDecompose _))
+
+  val oracles: Map[String, String] = Map(
+    "events_lifecycle" -> eventsLifecycleSql,
+    "orders_supplier_leadtime" -> ordersSupplierLeadtimeSql,
+    "supplier_hhi" -> supplierHhiSql,
+    "orders_basket_profile" -> ordersBasketProfileSql,
+    "events_interarrival" -> eventsInterarrivalSql,
+    "corpus_novelty" -> corpusNoveltySql,
+    "dedup_source_matrix" -> dedupSourceMatrixSql,
+    "embed_centroid_sim" -> embedCentroidSimSql,
+    "ann_probe_dial" -> annProbeDialSql,
+    "ts_decompose" -> tsDecomposeSql)
+}

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Zenith
+
+/** Invariant specs for the round-11 additions (#220+). Value-level
+  * correctness is the DuckDB oracle's job (tools/check.py); these pin
+  * the accounting identities, bound contracts, and the probe-dial
+  * superset property that must be PROVED rather than eyeballed.
+  */
+class ZenithSpec extends GraftSpec {
+
+  test("events_lifecycle: activity partitions into new/retained/" +
+      "resurrected and churn balances the prior week's actives") {
+    val l = Zenith.eventsLifecycle(spark, sf).cache()
+    assert(l.count() > 0)
+    assert(l.where(col("n_active") =!=
+      col("n_new") + col("n_retained") + col("n_resurrected")).count() == 0)
+    // active(w-1) users either stay (retained in w) or lapse (churned
+    // into w): n_churned(w) + n_retained(w) == n_active(w-1) wherever
+    // week w-1 exists
+    val prev = l.select((col("week") + 1).as("week"),
+      col("n_active").as("prev_active"))
+    assert(l.join(prev, "week")
+      .where(col("n_churned") + col("n_retained") =!= col("prev_active"))
+      .count() == 0)
+    // week 1 of the log is all-new
+    val first = l.orderBy("week").limit(1).head()
+    assert(first.getAs[Long]("n_new") == first.getAs[Long]("n_active"))
+    l.unpersist()
+  }
+
+  test("orders_supplier_leadtime: days are sane and rates bounded") {
+    val s = Zenith.ordersSupplierLeadtime(spark, sf).cache()
+    assert(s.count() > 0)
+    // the synthetic generator ships a few lines BEFORE the order date,
+    // so min_days may be negative — assert ordering, not positivity
+    assert(s.where(col("min_days") > col("max_days")).count() == 0)
+    // mean sits inside [min, max] (r4 slack)
+    assert(s.where(col("avg_days") < col("min_days") - 0.001 ||
+      col("avg_days") > col("max_days") + 0.001).count() == 0)
+    assert(s.where(col("n_slow") > col("n_lines")).count() == 0)
+    assert(s.where(col("slow_rate") < 0 || col("slow_rate") > 1)
+      .count() == 0)
+    s.unpersist()
+  }
+
+  test("supplier_hhi: concentration bounded by 1/n and 1") {
+    val h = Zenith.supplierHhi(spark, sf).cache()
+    assert(h.count() > 0)
+    assert(h.where(col("hhi") >
+      lit(1.0) + 0.001).count() == 0)
+    assert(h.where(col("hhi") <
+      lit(1.0) / col("n_suppliers") - 0.001).count() == 0)
+    h.unpersist()
+  }
+
+  test("orders_basket_profile: shares form a distribution over all orders") {
+    val b = Zenith.ordersBasketProfile(spark, sf).cache()
+    val nOrders = Tables(spark, sf, "lineitem")
+      .select("l_orderkey").distinct().count()
+    assert(b.agg(sum("n_orders")).head().getLong(0) == nOrders)
+    val shareSum = b.agg(sum("order_share")).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 0.01, s"share sum $shareSum")
+    // an order has at least as many items as distinct parts
+    assert(b.where(col("avg_parts") > col("n_items") + 0.001).count() == 0)
+    b.unpersist()
+  }
+
+  test("events_interarrival: order statistics are consistent and gap " +
+      "counts match the log") {
+    val g = Zenith.eventsInterarrival(spark, sf).cache()
+    assert(g.count() > 0)
+    assert(g.where(col("p50_gap_us") > col("max_gap_us")).count() == 0)
+    assert(g.where(col("mean_gap_us") > col("max_gap_us") + 0.001)
+      .count() == 0)
+    // n_gaps = per-type event count - 1 (every type here has >= 2 events)
+    val n = Tables.eventsUs(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+    assert(g.join(n, "event_type")
+      .where(col("n_gaps") =!= col("n_events") - 1).count() == 0)
+    g.unpersist()
+  }
+
+  test("corpus_novelty: the corpus opener is fully novel, fractions are " +
+      "bounded, and novel chunks partition the chunk-type space") {
+    val nv = Zenith.corpusNovelty(spark, sf).cache()
+    assert(nv.count() > 0)
+    assert(nv.where(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    assert(nv.where(col("n_novel") > col("n_chunks")).count() == 0)
+    val first = nv.orderBy("doc_id").limit(1).head()
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_chunks"),
+      "the first doc in doc_id order must be 100% novel")
+    // every chunk type is novel in exactly one doc: sum(n_novel) equals
+    // the number of distinct chunk types in the corpus
+    val totalNovel = nv.agg(sum("n_novel")).head().getLong(0)
+    val types = Tables(spark, sf, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 8 THEN
+          |  transform(sequence(1, size(toks) div 8),
+          |    i -> md5(concat_ws(' ', slice(toks, (i - 1) * 8 + 1, 8))))
+          |ELSE array() END""".stripMargin)).as("ph"))
+      .select("ph").distinct().count()
+    assert(totalNovel == types, s"$totalNovel novel vs $types types")
+    nv.unpersist()
+  }
+
+  test("dedup_source_matrix: overlap bounded by the smaller side and " +
+      "pairs are canonically ordered") {
+    val m = Zenith.dedupSourceMatrix(spark, sf).cache()
+    assert(m.count() > 0)
+    assert(m.where(col("source_a") >= col("source_b")).count() == 0)
+    assert(m.where(col("n_shared") > least(col("na"), col("nb")))
+      .count() == 0)
+    assert(m.where(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    m.unpersist()
+  }
+
+  test("embed_centroid_sim: one row per label pair, cosine in [-1, 1]") {
+    val c = Zenith.embedCentroidSim(spark, sf).cache()
+    val nLabels = Tables(spark, sf, "embeddings")
+      .select("label").distinct().count()
+    assert(c.count() == nLabels * (nLabels - 1) / 2)
+    assert(c.where(col("cos_centroid") < -1.001 ||
+      col("cos_centroid") > 1.001).count() == 0)
+    c.unpersist()
+  }
+
+  test("ann_probe_dial: multi-probe dominates single-probe in both " +
+      "recall and cost, and overlaps never exceed truth") {
+    val d = Zenith.annProbeDial(spark, sf).cache()
+    assert(d.count() > 0)
+    assert(d.where(col("n_cand_multi") < col("n_cand_single")).count() == 0,
+      "the multi-probe candidate set must contain the single-probe set")
+    assert(d.where(col("recall_multi") < col("recall_single") - 0.0001)
+      .count() == 0, "more probes can never lose recall")
+    assert(d.where(col("n_overlap_single") > col("n_truth") ||
+      col("n_overlap_multi") > col("n_truth")).count() == 0)
+    d.unpersist()
+  }
+
+  test("ts_decompose: components reconstruct the series and residuals " +
+      "average to ~0 within each seasonal cell") {
+    val t = Zenith.tsDecompose(spark, sf).cache()
+    assert(t.count() > 0)
+    // y = trend + seasonal + resid up to the three r4 roundings
+    assert(t.where(abs(col("c") - col("trend") - col("seasonal") -
+      col("resid")) > 0.001).count() == 0)
+    // the seasonal mean absorbs the cell's detrended level: per-cell
+    // residual means vanish up to r4 rounding
+    val cells = t
+      .withColumn("dow", expr("(hr div 24) % 7"))
+      .withColumn("hod", expr("hr % 24"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(avg("resid").as("m"))
+    assert(cells.where(abs(col("m")) > 0.001).count() == 0)
+    t.unpersist()
+  }
+}
