@@ -256,9 +256,17 @@ object Zenith {
     * flag: #183 says "is it Poisson", this says "at what rate, with
     * what tail".
     *
-    * Scale: one window per event type (types partition the log), one
-    * keyed agg, one rank selection over the gap table — all map-side
-    * combinable after the single event_type shuffle.
+    * Scale: one window per event type, one keyed agg, one rank
+    * selection over the gap table. The window partitions by
+    * event_type ALONE — a fixed handful of keys (the reference's job
+    * event taxonomy, reactor.py:28-49, is likewise a small constant) —
+    * so per-type work serializes onto one task each; that ceiling is
+    * measured (10× data → 5.2× wall, PLANS.md round-11 table). The
+    * exact median needs the per-type total order, so the scale
+    * mitigation when types × volume outgrow a task is the standard
+    * low-cardinality-window split: sub-bucket each type by time
+    * range, compute gaps within buckets, stitch the single boundary
+    * gap per bucket pair.
     */
   def eventsInterarrival(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsUs(spark, dir)
