@@ -465,13 +465,17 @@ object Zenith {
     * the pair join and folds are structure-sized (|labels|²×dims).
     */
   def embedCentroidSim(spark: SparkSession, dir: String): DataFrame = {
-    val sums = Tables(spark, dir, "embeddings")
+    // null-embedding rows (upstream extraction failures) must not
+    // inflate n_* while contributing nothing to the sums
+    val vecs = Tables(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+    val sums = vecs
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").as("dim"),
         col("col").cast("double").as("x"))
       .groupBy("label", "dim")
       .agg(sumDec(col("x"), 38, 18).as("s"))
-    val counts = Tables(spark, dir, "embeddings")
+    val counts = vecs
       .groupBy("label").agg(count(lit(1)).as("n"))
     val a = sums.select(col("label").as("label_a"), col("dim"),
       col("s").as("sa"))
@@ -507,7 +511,8 @@ object Zenith {
     s"""WITH ex AS (
        |  SELECT label, j AS dim, embedding[j]::DOUBLE AS x
        |  FROM (SELECT label, embedding,
-       |    unnest(range(1, len(embedding) + 1)) AS j FROM embeddings)),
+       |    unnest(range(1, len(embedding) + 1)) AS j FROM embeddings
+       |    WHERE embedding IS NOT NULL)),
        |sums AS (
        |  SELECT label, dim, ${sumDecSql("x", 38, 18)} AS s
        |  FROM ex GROUP BY 1, 2),
@@ -524,7 +529,7 @@ object Zenith {
        |  FROM paired GROUP BY 1, 2),
        |counts AS (
        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM embeddings GROUP BY label)
+       |  FROM embeddings WHERE embedding IS NOT NULL GROUP BY label)
        |SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
        |  ${r4Sql("nab / sqrt(naa * nbb)")} AS cos_centroid
        |FROM folded

@@ -102,7 +102,18 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_ngram_coverage",   // coverage of an empty vocabulary
     "text_boilerplate",     // chunk furniture of no docs
     "ts_anomaly_seasonal",  // cells of an empty log
-    "orders_repeat_rate")   // loyalty of no purchases
+    "orders_repeat_rate",   // loyalty of no purchases
+    // round-11 additions (#220-229)
+    "events_lifecycle",     // growth accounting of an empty log
+    "orders_supplier_leadtime", // lead times of no lines
+    "supplier_hhi",         // concentration of no volume
+    "orders_basket_profile",    // share window over no buckets
+    "events_interarrival",  // gaps of an empty log
+    "corpus_novelty",       // chunk types of no docs
+    "dedup_source_matrix",  // passage overlap of no sources
+    "embed_centroid_sim",   // centroids of an empty cloud
+    "ann_probe_dial",       // dial curve with no queries
+    "ts_decompose")         // decomposition over an empty axis
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

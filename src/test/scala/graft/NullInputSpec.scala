@@ -62,7 +62,13 @@ class NullInputSpec extends AnyFunSuite {
     "text_kneser_ney", "text_langid_eval", "quality_classifier_eval",
     "corpus_chunks", "embed_quantile_clip",
     "corpus_length_histogram", "corpus_hapax_rate", "embed_pq_distortion",
-    "quality_signal_corr", "corpus_ngram_coverage", "text_boilerplate")
+    "quality_signal_corr", "corpus_ngram_coverage", "text_boilerplate",
+    // round-11 additions: chunk devices skip null text; centroid
+    // sums/counts both exclude the null vector (guard in the
+    // operator); the probe dial's bucket/cosine exprs see a null
+    // query embedding when the null vec_id lands on the eval stride
+    "corpus_novelty", "dedup_source_matrix", "embed_centroid_sim",
+    "ann_probe_dial")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
