@@ -776,6 +776,249 @@ object Zenith {
                   "/ 10000.0")} AS resid
        |FROM s ORDER BY event_type, hr""".stripMargin
 
+  // --------------------------------------------------------------- #230
+  /** #230 per-source duplication profile: doc counts vs distinct
+    * exact (#26) and normalized (#27) content hashes, with the two
+    * r4'd duplicate rates — the "which source is rotting" QC rollup
+    * that tells an operator where dedup budget goes BEFORE running
+    * the pair-finding passes (the source-level marginal the global
+    * #157 cluster stats can't show).
+    *
+    * Scale: one map-side hash projection, one keyed agg with two
+    * distinct counts — the #25 shape, |sources| output rows.
+    */
+  def corpusDupProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .select(col("source"), md5(col("text")).as("eh"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", " "), " +", " "))).as("nh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("eh").as("n_exact"),
+        countDistinct("nh").as("n_norm"))
+      .select(col("source"), col("n_docs"), col("n_exact"), col("n_norm"),
+        r4((col("n_docs") - col("n_exact")).cast("double") / col("n_docs"))
+          .as("exact_dup_rate"),
+        r4((col("n_docs") - col("n_norm")).cast("double") / col("n_docs"))
+          .as("norm_dup_rate"))
+      .orderBy("source")
+
+  val corpusDupProfileSql: String =
+    s"""WITH d AS (
+       |  SELECT source, md5(text) AS eh,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT eh) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(DISTINCT nh) AS BIGINT) AS n_norm,
+       |  ${r4Sql("(COUNT(*) - COUNT(DISTINCT eh)) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS exact_dup_rate,
+       |  ${r4Sql("(COUNT(*) - COUNT(DISTINCT nh)) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS norm_dup_rate
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- #231
+  /** #231 discount→quantity lift: mean line quantity per exact
+    * discount point, scored against the zero-discount baseline as ONE
+    * r4'd division of exact cross-products (sum_qty·n₀ / n·sum_qty₀)
+    * — the demand-response read of the pricing dials #7/#75 only
+    * aggregate. The discount percent is recovered from the stored
+    * double with the r4 floor device (0.06 × 100 truncates to 5 under
+    * a bare CAST — the same IEEE hazard r4 exists for).
+    *
+    * Scale: one 2-column scan, one keyed agg to ≤ |discount points|
+    * rows, baseline attached by a one-row broadcast.
+    */
+  def ordersDiscountLift(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "lineitem")
+      .select(floor(col("l_discount") * 100 + lit(0.5)).cast("long")
+          .as("disc_pct"),
+        col("l_quantity"))
+      .groupBy("disc_pct")
+      .agg(count(lit(1)).as("n_lines"),
+        sumDec(col("l_quantity"), 38, 2).as("sum_qty"))
+    val base = per.where(col("disc_pct") === 0L)
+      .select(col("n_lines").as("n0"), col("sum_qty").as("s0"))
+    per.crossJoin(broadcast(base))
+      .select(col("disc_pct"), col("n_lines"),
+        r4(col("sum_qty") / col("n_lines")).as("avg_qty"),
+        r4((col("sum_qty") * col("n0")) / (col("n_lines") * col("s0")))
+          .as("qty_lift"))
+      .orderBy("disc_pct")
+  }
+
+  val ordersDiscountLiftSql: String =
+    s"""WITH per AS (
+       |  SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    ${sumDecSql("l_quantity", 38, 2)} AS sum_qty
+       |  FROM lineitem GROUP BY 1),
+       |base AS (
+       |  SELECT n_lines AS n0, sum_qty AS s0 FROM per WHERE disc_pct = 0)
+       |SELECT disc_pct, n_lines,
+       |  ${r4Sql("sum_qty / n_lines")} AS avg_qty,
+       |  ${r4Sql("(sum_qty * n0) / (n_lines * s0)")} AS qty_lift
+       |FROM per CROSS JOIN base ORDER BY disc_pct""".stripMargin
+
+  // --------------------------------------------------------------- #232
+  /** #232 per-dimension embedding moments: n/mean/variance/std plus
+    * exact min/max per coordinate — the distribution table that
+    * complements #181's order statistics (rank-based) with the moment
+    * view the whitening/standardization step of any quantizer or
+    * PCA pipeline consumes. Variance via the cross-product identity
+    * (n·Σx² − (Σx)²)/n² over sumDec-exact sums, the #178 device.
+    *
+    * Scale: one explode → keyed decimal agg with map-side combine to
+    * |dims| rows; everything after is structure-sized.
+    */
+  def embedDimMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("dim"), col("col").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sumDec(col("x"), 38, 18).as("sx"),
+        sumDec(col("x") * col("x"), 38, 18).as("sxx"),
+        min("x").as("mn"), max("x").as("mx"))
+      .select(col("dim"), col("n"),
+        r4(col("sx") / col("n")).as("mean_x"),
+        r4((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n").cast("double") * col("n"))).as("var_x"),
+        r4(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n").cast("double") * col("n")))).as("std_x"),
+        r4(col("mn")).as("min_x"), r4(col("mx")).as("max_x"))
+      .orderBy("dim")
+
+  val embedDimMomentsSql: String =
+    s"""WITH ex AS (
+       |  SELECT j - 1 AS dim, embedding[j]::DOUBLE AS x
+       |  FROM (SELECT embedding,
+       |    unnest(range(1, len(embedding) + 1)) AS j FROM embeddings
+       |    WHERE embedding IS NOT NULL)),
+       |m AS (
+       |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sumDecSql("x", 38, 18)} AS sx,
+       |    ${sumDecSql("x * x", 38, 18)} AS sxx,
+       |    MIN(x) AS mn, MAX(x) AS mx
+       |  FROM ex GROUP BY dim)
+       |SELECT dim, n,
+       |  ${r4Sql("sx / n")} AS mean_x,
+       |  ${r4Sql("(n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)")}
+       |    AS var_x,
+       |  ${r4Sql("sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n))")}
+       |    AS std_x,
+       |  ${r4Sql("mn")} AS min_x, ${r4Sql("mx")} AS max_x
+       |FROM m ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------- #233
+  /** #233 HITS hub/authority scoring on the bipartite customer→part
+    * purchase graph, two exact half-iterations from h₀ = 1: a₁(p) =
+    * buyer count, h₁(u) = Σ a₁ over u's parts, a₂(p) = Σ h₁ over p's
+    * buyers — "parts bought by heavy multi-part buyers" rather than
+    * raw popularity. On this bipartite form hubs and authorities stay
+    * distinct (on the UNDIRECTED co-purchase graph they'd collapse by
+    * symmetry, which is why the graph family's PageRank (#99) is the
+    * ranking there). Unnormalized scores are exact path-count
+    * integers; only the final share divides (ONE r4).
+    *
+    * Scale: the edge list is DISTINCT (cust, part) — data-sized; each
+    * half-iteration is one equi-join + keyed agg on a bipartite key
+    * (the #99 shuffle shape). The global normalizer is a one-row
+    * broadcast, the top-20 a TakeOrdered — no full sort.
+    */
+  def graphHits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .distinct()
+    val a1 = e.groupBy("p").agg(count(lit(1)).as("n_buyers"))
+    val h1 = e.join(a1, "p").groupBy("u").agg(sum("n_buyers").as("h1"))
+    val a2 = e.join(h1, "u").groupBy("p")
+      .agg(sum("h1").as("authority"))
+    val tot = a2.agg(
+      sum(col("authority").cast(DecimalType(38, 0))).cast("double")
+        .as("tot"))
+    a2.join(a1, "p").crossJoin(broadcast(tot))
+      .select(col("p").as("partkey"), col("n_buyers"), col("authority"),
+        r4(col("authority").cast("double") / col("tot"))
+          .as("authority_share"))
+      .orderBy(desc("authority"), col("partkey"))
+      .limit(20)
+  }
+
+  val graphHitsSql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS u, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |a1 AS (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_buyers
+       |  FROM e GROUP BY p),
+       |h1 AS (
+       |  SELECT e.u, CAST(SUM(a1.n_buyers) AS BIGINT) AS h1
+       |  FROM e JOIN a1 USING (p) GROUP BY e.u),
+       |a2 AS (
+       |  SELECT e.p, CAST(SUM(h1.h1) AS BIGINT) AS authority
+       |  FROM e JOIN h1 USING (u) GROUP BY e.p),
+       |tot AS (SELECT CAST(SUM(authority) AS DOUBLE) AS tot FROM a2)
+       |SELECT a2.p AS partkey, a1.n_buyers, a2.authority,
+       |  ${r4Sql("authority / tot")} AS authority_share
+       |FROM a2 JOIN a1 USING (p) CROSS JOIN tot
+       |ORDER BY a2.authority DESC, partkey LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- #234
+  /** #234 classifier calibration curve: #166's hashed quality scores
+    * cut into 10 deterministic deciles (ntile on the (sum_w, doc_id)
+    * total order — #161's bucket device), each scored by #81's
+    * cascade-survival rate — the reliability diagram behind #202's
+    * single-point P/R/F1: a well-calibrated filter's keep_rate should
+    * rise monotonically with the score decile.
+    *
+    * Scale: the per-doc score and gold tables are each one pass; the
+    * global ntile is a single total-order sort of the skinny
+    * (doc_id, sum_w, keep) projection — the documented #161 trade
+    * (at extreme scale, swap in a sampled-quantile cut).
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val pred = Curation.textQualityClassifier(spark, dir)
+      .select(col("doc_id"), col("sum_w"))
+    val gold = Quality.cascadeFate(spark, dir)
+      .select(col("doc_id"), (col("ff") === 4L).as("keep"))
+    pred.join(gold, "doc_id")
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy("sum_w", "doc_id")).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        min("sum_w").as("min_w"), max("sum_w").as("max_w"))
+      .select(col("decile"), col("n"), col("n_keep"), col("min_w"),
+        col("max_w"),
+        r4(col("n_keep").cast("double") / col("n")).as("keep_rate"))
+      .orderBy("decile")
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH p0 AS (${Curation.textQualityClassifierSql}),
+       |${Quality.cascadeFateCtes},
+       |qc_j AS (
+       |  SELECT p0.doc_id, p0.sum_w, (f.ff = 4) AS keep
+       |  FROM p0 JOIN f ON p0.doc_id = f.doc_id),
+       |qc_dec AS (
+       |  SELECT *, CAST(NTILE(10) OVER (ORDER BY sum_w, doc_id)
+       |    AS BIGINT) AS decile
+       |  FROM qc_j)
+       |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_keep,
+       |  MIN(sum_w) AS min_w, MAX(sum_w) AS max_w,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE keep) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS keep_rate
+       |FROM qc_dec GROUP BY decile ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -787,7 +1030,12 @@ object Zenith {
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "embed_centroid_sim" -> (embedCentroidSim _),
     "ann_probe_dial" -> (annProbeDial _),
-    "ts_decompose" -> (tsDecompose _))
+    "ts_decompose" -> (tsDecompose _),
+    "corpus_dup_profile" -> (corpusDupProfile _),
+    "orders_discount_lift" -> (ordersDiscountLift _),
+    "embed_dim_moments" -> (embedDimMoments _),
+    "graph_hits" -> (graphHits _),
+    "quality_calibration" -> (qualityCalibration _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -799,5 +1047,10 @@ object Zenith {
     "dedup_source_matrix" -> dedupSourceMatrixSql,
     "embed_centroid_sim" -> embedCentroidSimSql,
     "ann_probe_dial" -> annProbeDialSql,
-    "ts_decompose" -> tsDecomposeSql)
+    "ts_decompose" -> tsDecomposeSql,
+    "corpus_dup_profile" -> corpusDupProfileSql,
+    "orders_discount_lift" -> ordersDiscountLiftSql,
+    "embed_dim_moments" -> embedDimMomentsSql,
+    "graph_hits" -> graphHitsSql,
+    "quality_calibration" -> qualityCalibrationSql)
 }

@@ -113,7 +113,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_source_matrix",  // passage overlap of no sources
     "embed_centroid_sim",   // centroids of an empty cloud
     "ann_probe_dial",       // dial curve with no queries
-    "ts_decompose")         // decomposition over an empty axis
+    "ts_decompose",         // decomposition over an empty axis
+    "corpus_dup_profile",   // dup rates of no docs
+    "orders_discount_lift", // empty baseline cross join
+    "embed_dim_moments",    // moments of an empty cloud
+    "graph_hits",           // iterations over an empty edge list
+    "quality_calibration")  // deciles of no scores
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

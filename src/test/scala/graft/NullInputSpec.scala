@@ -68,7 +68,10 @@ class NullInputSpec extends AnyFunSuite {
     // operator); the probe dial's bucket/cosine exprs see a null
     // query embedding when the null vec_id lands on the eval stride
     "corpus_novelty", "dedup_source_matrix", "embed_centroid_sim",
-    "ann_probe_dial")
+    "ann_probe_dial",
+    // batch 2: hash profile skips null text (guard), moments skip the
+    // null vector, calibration joins the null doc out on both sides
+    "corpus_dup_profile", "embed_dim_moments", "quality_calibration")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

@@ -140,6 +140,68 @@ class ZenithSpec extends GraftSpec {
     d.unpersist()
   }
 
+  test("corpus_dup_profile: distinct counts nest (norm merges at least " +
+      "what exact merges) and rates are bounded") {
+    val p = Zenith.corpusDupProfile(spark, sf).cache()
+    assert(p.count() > 0)
+    assert(p.where(col("n_exact") > col("n_docs")).count() == 0)
+    assert(p.where(col("n_norm") > col("n_exact")).count() == 0)
+    assert(p.where(col("exact_dup_rate") < 0 || col("exact_dup_rate") > 1 ||
+      col("norm_dup_rate") < 0 || col("norm_dup_rate") > 1).count() == 0)
+    assert(p.where(col("norm_dup_rate") < col("exact_dup_rate") - 0.0001)
+      .count() == 0, "normalization can only merge more")
+    p.unpersist()
+  }
+
+  test("orders_discount_lift: the zero-discount bucket is its own " +
+      "baseline and buckets cover every line") {
+    val l = Zenith.ordersDiscountLift(spark, sf).cache()
+    val zero = l.where(col("disc_pct") === 0)
+    assert(zero.count() == 1)
+    assert(math.abs(zero.head().getAs[Double]("qty_lift") - 1.0) < 0.0001)
+    val nLines = Tables(spark, sf, "lineitem").count()
+    assert(l.agg(sum("n_lines")).head().getLong(0) == nLines)
+    l.unpersist()
+  }
+
+  test("embed_dim_moments: moments are consistent per dimension") {
+    val m = Zenith.embedDimMoments(spark, sf).cache()
+    val nVecs = Tables(spark, sf, "embeddings")
+      .where(col("embedding").isNotNull).count()
+    assert(m.where(col("n") =!= nVecs).count() == 0)
+    assert(m.where(col("var_x") < -0.0001).count() == 0)
+    assert(m.where(col("mean_x") < col("min_x") - 0.001 ||
+      col("mean_x") > col("max_x") + 0.001).count() == 0)
+    m.unpersist()
+  }
+
+  test("graph_hits: top-20 by authority, and authority dominates the " +
+      "squared buyer count (h1(u) >= a1(p) for every buyer of p)") {
+    val h = Zenith.graphHits(spark, sf).cache()
+    assert(h.count() == 20)
+    assert(h.where(col("authority") <
+      col("n_buyers") * col("n_buyers")).count() == 0)
+    val rows = h.select("authority").collect().map(_.getLong(0)).toSeq
+    assert(rows == rows.sorted.reverse, "not sorted by authority desc")
+    h.unpersist()
+  }
+
+  test("quality_calibration: ten near-equal deciles covering every " +
+      "scored doc, rates bounded") {
+    val c = Zenith.qualityCalibration(spark, sf).cache()
+    assert(c.count() == 10)
+    assert(c.where(col("keep_rate") < 0 || col("keep_rate") > 1)
+      .count() == 0)
+    val sizes = c.select("n").collect().map(_.getLong(0))
+    assert(sizes.max - sizes.min <= 1, "ntile deciles must differ by <= 1")
+    // decile score ranges are disjoint and ordered
+    val byDecile = c.orderBy("decile").collect()
+    byDecile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_w") <= b.getAs[Long]("min_w"))
+    }
+    c.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
