@@ -468,7 +468,8 @@ object Horizon {
     * md5-PORTABLE 16-coordinate minhash signature over distinct word
     * trigrams (reproducible in DuckDB, unlike #28's native xxhash64).
     */
-  private def portableSig(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def portableSig(spark: SparkSession,
+      dir: String): DataFrame = {
     val sh = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
@@ -501,10 +502,11 @@ object Horizon {
       .distinct()
   }
 
-  /** Oracle building block shared by #179/#188: CTEs `sh`, `sig`,
-    * `banded`, `pairs` mirroring [[portableSig]]/[[portableCandidates]].
+  /** Oracle building block for the 16-coord md5-portable signature:
+    * CTEs `sh`, `sig` mirroring [[portableSig]] — shared by #179/#188
+    * here and the banding sweep in Zenith.
     */
-  private val portableCandidatesSqlCtes: String =
+  private[operators] val portableSigSqlCtes: String =
     """sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
@@ -514,7 +516,13 @@ object Horizon {
       |  SELECT doc_id, sh, list_transform(range(0, 16),
       |    k -> list_aggregate(list_transform(sh,
       |      g -> md5(CAST(k AS VARCHAR) || ':' || g)), 'min')) AS sig
-      |  FROM sh),
+      |  FROM sh)""".stripMargin
+
+  /** Oracle building block shared by #179/#188: [[portableSigSqlCtes]]
+    * plus the 4×4 `banded`/`pairs` CTEs of [[portableCandidates]].
+    */
+  private val portableCandidatesSqlCtes: String =
+    s"""$portableSigSqlCtes,
       |banded AS (
       |  SELECT doc_id, b.band,
       |    md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], ','))

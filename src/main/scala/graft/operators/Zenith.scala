@@ -1019,6 +1019,217 @@ object Zenith {
                   "CAST(COUNT(*) AS DOUBLE)")} AS keep_rate
        |FROM qc_dec GROUP BY decile ORDER BY decile""".stripMargin
 
+  // --------------------------------------------------------------- #235
+  /** #235 MinHash banding sweep: the SAME 16-coordinate md5-portable
+    * signature (#179's device) banded three ways — 2×8, 4×4, 8×2 —
+    * with candidate volume, verified pairs (exact trigram Jaccard
+    * ≥ 0.5, compared in exact integers 2·inter ≥ uni) and r4'd
+    * precision per configuration. #188 sweeps the VERIFY threshold
+    * over fixed banding; this sweeps the BANDING over a fixed
+    * threshold — together they map both axes of the LSH S-curve
+    * before anyone commits an index shape at 100 TB (more rows/band →
+    * fewer, higher-precision candidates; more bands → higher recall,
+    * more verify work).
+    *
+    * Scale: three band-bucket equi-joins over the one shared
+    * signature table — the #28 candidate shape; verify attaches ride
+    * the size-gated broadcast. Output is 3 rows.
+    */
+  def dedupBandingSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Horizon.portableSig(spark, dir)
+    val side = sig.select(col("doc_id"), col("sh"))
+    def config(bands: Int): DataFrame = {
+      val rows = 16 / bands
+      val banded = sig.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  b -> named_struct('band', b,
+           |    'bsig', md5(concat_ws(',', slice(sig, b * $rows + 1,
+           |      $rows)))))""".stripMargin)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"),
+          col("bb.bsig").as("bsig"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .join(Tables.maybeBroadcast(side.toDF("id_a", "sh_a")), "id_a")
+        .join(Tables.maybeBroadcast(side.toDF("id_b", "sh_b")), "id_b")
+        .withColumn("inter",
+          expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+        .withColumn("uni", (expr("size(sh_a)") + expr("size(sh_b)"))
+          .cast("long") - col("inter"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(lit(2L) * col("inter") >= col("uni"), 1L).otherwise(0L))
+            .as("n_verified"))
+        .select(lit(bands.toLong).as("n_bands"),
+          lit(rows.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") > 0L,
+            r4(col("n_verified").cast("double") / col("n_candidates")))
+            .as("precision_at_05"))
+    }
+    config(2).unionAll(config(4)).unionAll(config(8)).orderBy("n_bands")
+  }
+
+  /** Oracle: the #179 sh/sig CTEs plus one banded/pairs/stat block per
+    * configuration, unioned.
+    */
+  val dedupBandingSweepSql: String = {
+    def block(bands: Int): String = {
+      val rows = 16 / bands
+      s"""banded$bands AS (
+         |  SELECT doc_id, b.band,
+         |    md5(array_to_string(
+         |      sig[b.band * $rows + 1 : b.band * $rows + $rows], ','))
+         |      AS bsig
+         |  FROM sig CROSS JOIN
+         |    (SELECT unnest(range(0, $bands)) AS band) b),
+         |pairs$bands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded$bands a JOIN banded$bands b
+         |    ON a.band = b.band AND a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id),
+         |stat$bands AS (
+         |  SELECT CAST($bands AS BIGINT) AS n_bands,
+         |    CAST($rows AS BIGINT) AS rows_per_band,
+         |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(COUNT(*) FILTER (WHERE 2 * len(list_intersect(sa.sh,
+         |      sb.sh)) >= len(sa.sh) + len(sb.sh)
+         |      - len(list_intersect(sa.sh, sb.sh))) AS BIGINT) AS n_verified
+         |  FROM pairs$bands
+         |  JOIN sig sa ON sa.doc_id = id_a
+         |  JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
+    }
+    s"""WITH ${Horizon.portableSigSqlCtes},
+       |${block(2)},
+       |${block(4)},
+       |${block(8)}
+       |SELECT n_bands, rows_per_band, n_candidates, n_verified,
+       |  CASE WHEN n_candidates > 0 THEN
+       |    ${r4Sql("n_verified / CAST(n_candidates AS DOUBLE)")} END
+       |    AS precision_at_05
+       |FROM (SELECT * FROM stat2 UNION ALL SELECT * FROM stat4
+       |      UNION ALL SELECT * FROM stat8)
+       |ORDER BY n_bands""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #236
+  /** #236 kNN label-consistency: over #71's LSH-bucketed kNN graph,
+    * the per-label rate at which a vector's nearest bucket-mates share
+    * its label — the label-noise / cluster-coherence QC an embedding
+    * pipeline reads before trusting labels for #171's hard-negative
+    * mining or #190's drift monitor (a label whose neighbors disagree
+    * is mislabeled or its region is genuinely mixed).
+    *
+    * Scale: the kNN edge list is the registered #71 flow (bucketed
+    * self-join, never all-pairs); the two label attaches ride the
+    * size-gated broadcast; one keyed agg to |labels| rows, ONE r4'd
+    * division each.
+    */
+  def embedLabelConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.annKnnGraph(spark, dir, bits = 6, k = 3)
+      .select("vec_id", "nbr_id")
+    val lab = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    g.join(Tables.maybeBroadcast(lab), "vec_id")
+      .join(Tables.maybeBroadcast(lab.toDF("nbr_id", "nbr_label")),
+        "nbr_id")
+      .groupBy("label")
+      .agg(countDistinct("vec_id").as("n_vectors"),
+        count(lit(1)).as("n_edges"),
+        sum(when(col("label") === col("nbr_label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("label"), col("n_vectors"), col("n_edges"),
+        col("n_same"),
+        r4(col("n_same").cast("double") / col("n_edges"))
+          .as("consistency"))
+      .orderBy("label")
+  }
+
+  val embedLabelConsistencySql: String =
+    s"""WITH g AS (${Similarity.annKnnGraphSql}),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT a.label, CAST(COUNT(DISTINCT g.vec_id) AS BIGINT)
+       |    AS n_vectors,
+       |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |  CAST(COUNT(*) FILTER (WHERE a.label = b.label) AS BIGINT)
+       |    AS n_same,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE a.label = b.label) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS consistency
+       |FROM g
+       |JOIN lab a ON a.vec_id = g.vec_id
+       |JOIN lab b ON b.vec_id = g.nbr_id
+       |GROUP BY a.label ORDER BY a.label""".stripMargin
+
+  // --------------------------------------------------------------- #237
+  /** #237 packing-efficiency audit of #66's concat-then-chunk layout:
+    * per source stream — chunk count, fill rate (tokens over chunk
+    * capacity, ONE r4'd division) and the share of documents crossing
+    * a 2048-token chunk boundary (attention-contamination surface
+    * under causal masking without doc-boundary resets). The eval row
+    * the packing operator itself never had: #66 ASSIGNS chunks, this
+    * grades the assignment.
+    *
+    * Scale: the same single cumulative-sum window as #66, then one
+    * keyed agg to |sources| rows.
+    */
+  def corpusPackEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val chunkTokens = 2048
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      // size(split(null)) is -1 in Spark — a null doc must not shrink
+      // the cumulative stream
+      .where(col("text").isNotNull)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk",
+        floor((col("cum") - col("n_tokens")) / chunkTokens))
+      .withColumn("end_chunk", floor((col("cum") - 1) / chunkTokens))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("end_chunk") + 1L).as("n_chunks"),
+        sum(when(col("end_chunk") > col("chunk"), 1L).otherwise(0L))
+          .as("n_crossing"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_chunks"), col("n_crossing"),
+        r4(col("total_tokens").cast("double") /
+          (col("n_chunks").cast("double") * chunkTokens)).as("fill_rate"),
+        r4(col("n_crossing").cast("double") / col("n_docs"))
+          .as("crossing_rate"))
+      .orderBy("source")
+  }
+
+  val corpusPackEfficiencySql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING)),
+       |k AS (
+       |  SELECT source, n_tokens,
+       |    CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk,
+       |    CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS end_chunk
+       |  FROM c)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  MAX(end_chunk) + 1 AS n_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE end_chunk > chunk) AS BIGINT)
+       |    AS n_crossing,
+       |  ${r4Sql("SUM(n_tokens) / (CAST(MAX(end_chunk) + 1 AS DOUBLE) " +
+                  "* 2048)")} AS fill_rate,
+       |  ${r4Sql("COUNT(*) FILTER (WHERE end_chunk > chunk) / " +
+                  "CAST(COUNT(*) AS DOUBLE)")} AS crossing_rate
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -1035,7 +1246,10 @@ object Zenith {
     "orders_discount_lift" -> (ordersDiscountLift _),
     "embed_dim_moments" -> (embedDimMoments _),
     "graph_hits" -> (graphHits _),
-    "quality_calibration" -> (qualityCalibration _))
+    "quality_calibration" -> (qualityCalibration _),
+    "dedup_banding_sweep" -> (dedupBandingSweep _),
+    "embed_label_consistency" -> (embedLabelConsistency _),
+    "corpus_pack_efficiency" -> (corpusPackEfficiency _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -1052,5 +1266,8 @@ object Zenith {
     "orders_discount_lift" -> ordersDiscountLiftSql,
     "embed_dim_moments" -> embedDimMomentsSql,
     "graph_hits" -> graphHitsSql,
-    "quality_calibration" -> qualityCalibrationSql)
+    "quality_calibration" -> qualityCalibrationSql,
+    "dedup_banding_sweep" -> dedupBandingSweepSql,
+    "embed_label_consistency" -> embedLabelConsistencySql,
+    "corpus_pack_efficiency" -> corpusPackEfficiencySql)
 }

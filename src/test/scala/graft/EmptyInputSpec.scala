@@ -118,7 +118,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "orders_discount_lift", // empty baseline cross join
     "embed_dim_moments",    // moments of an empty cloud
     "graph_hits",           // iterations over an empty edge list
-    "quality_calibration")  // deciles of no scores
+    "quality_calibration",  // deciles of no scores
+    "dedup_banding_sweep",  // 3 zero-candidate config rows
+    "embed_label_consistency", // kNN graph of an empty cloud
+    "corpus_pack_efficiency")  // packing no docs
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -146,6 +149,13 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.length == 1)
         assert(rows.head.getAs[Long]("n_view") == 0L)
         assert(rows.head.isNullAt(rows.head.fieldIndex("click_rate")))
+      } else if (name == "dedup_banding_sweep") {
+        // one global-agg row per banding config: zero candidates, null
+        // precision — no 0/0
+        assert(rows.length == 3)
+        assert(rows.forall(_.getAs[Long]("n_candidates") == 0L))
+        assert(rows.forall(_.isNullAt(
+          rows.head.fieldIndex("precision_at_05"))))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

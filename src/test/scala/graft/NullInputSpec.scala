@@ -71,7 +71,11 @@ class NullInputSpec extends AnyFunSuite {
     "ann_probe_dial",
     // batch 2: hash profile skips null text (guard), moments skip the
     // null vector, calibration joins the null doc out on both sides
-    "corpus_dup_profile", "embed_dim_moments", "quality_calibration")
+    "corpus_dup_profile", "embed_dim_moments", "quality_calibration",
+    // batch 3: the >= 3-token shingle filter drops null text, the
+    // kNN bucket exprs see the null vector, packing guards null text
+    "dedup_banding_sweep", "embed_label_consistency",
+    "corpus_pack_efficiency")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

@@ -202,6 +202,47 @@ class ZenithSpec extends GraftSpec {
     c.unpersist()
   }
 
+  test("dedup_banding_sweep: candidate and verified sets nest as bands " +
+      "loosen (2x8 subset of 4x4 subset of 8x2)") {
+    val s = Zenith.dedupBandingSweep(spark, sf).orderBy("n_bands")
+      .collect()
+    assert(s.length == 3)
+    assert(s.map(_.getAs[Long]("n_bands")).toSeq == Seq(2L, 4L, 8L))
+    // a full-signature match implies every half matches: candidates
+    // (and therefore verified pairs) are monotone in the band count
+    val cand = s.map(_.getAs[Long]("n_candidates"))
+    val ver = s.map(_.getAs[Long]("n_verified"))
+    assert(cand(0) <= cand(1) && cand(1) <= cand(2), cand.toSeq.toString)
+    assert(ver(0) <= ver(1) && ver(1) <= ver(2), ver.toSeq.toString)
+    assert(s.forall(r => r.getAs[Long]("n_verified") <=
+      r.getAs[Long]("n_candidates")))
+  }
+
+  test("embed_label_consistency: bounded rates and at most k edges per " +
+      "vector") {
+    val c = Zenith.embedLabelConsistency(spark, sf).cache()
+    assert(c.count() > 0)
+    assert(c.where(col("consistency") < 0 || col("consistency") > 1)
+      .count() == 0)
+    assert(c.where(col("n_same") > col("n_edges")).count() == 0)
+    assert(c.where(col("n_edges") > lit(3L) * col("n_vectors"))
+      .count() == 0, "the kNN graph emits at most k = 3 edges per vector")
+    c.unpersist()
+  }
+
+  test("corpus_pack_efficiency: fill and crossing rates bounded, " +
+      "capacity covers the stream") {
+    val p = Zenith.corpusPackEfficiency(spark, sf).cache()
+    assert(p.count() > 0)
+    assert(p.where(col("fill_rate") <= 0 || col("fill_rate") > 1.0001)
+      .count() == 0)
+    assert(p.where(col("crossing_rate") < 0 || col("crossing_rate") > 1)
+      .count() == 0)
+    assert(p.where(col("total_tokens") > col("n_chunks") * 2048L)
+      .count() == 0)
+    p.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
