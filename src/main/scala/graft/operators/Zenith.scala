@@ -1036,7 +1036,13 @@ object Zenith {
     * the size-gated broadcast. Output is 3 rows.
     */
   def dedupBandingSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Horizon.portableSig(spark, dir)
+    // the 16×-md5 signature is a real per-row compute referenced by
+    // three banding configs plus six verify attaches — the
+    // mm_phash_dedup persist profile (bounded: |docs| rows of 16
+    // hashes + shingle sets), measured 2.4× at sf0.1 and 4.0× at the
+    // 10× replica (PLANS.md)
+    val sig = Tables.persistSlot("dedup_banding_sweep.sig",
+      Horizon.portableSig(spark, dir))
     val side = sig.select(col("doc_id"), col("sh"))
     def config(bands: Int): DataFrame = {
       val rows = 16 / bands
