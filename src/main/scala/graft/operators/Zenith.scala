@@ -1236,6 +1236,185 @@ object Zenith {
                   "CAST(COUNT(*) AS DOUBLE)")} AS crossing_rate
        |FROM k GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #238
+  /** #238 CDC MERGE application: apply a change batch (deletes,
+    * updates, inserts) to the orders snapshot and audit the result —
+    * the warehouse MERGE INTO re-expressed Spark-first as anti-join
+    * (deletes) + left join with coalesce (updates) + union (inserts);
+    * the change batch is synthesized deterministically from the
+    * snapshot itself (delete keys ≡ 0 mod 11; update keys ≡ 0 mod 7
+    * get price + 100; insert keys ≡ 0 mod 13 re-land under offset
+    * ids) so the oracle reproduces it. Output: per-status row counts,
+    * decimal-exact totals, and the applied-action audit counts the
+    * #96 state-diff would read back.
+    *
+    * Scale: every step is an equi-join on the snapshot key — the
+    * delete/update sides are change-batch-sized (broadcast when
+    * small, shuffle when not; planner's call via stats), the union is
+    * append-only. This is exactly the shape Delta/Iceberg MERGE
+    * compiles to, minus the transaction log.
+    */
+  def cdcMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val deletes = base.where(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"))
+    val updates = base
+      .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(100.0)).as("new_price"))
+    val inserts = base.where(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + lit(3000000000L)).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"),
+        lit(false).as("is_update"), lit(true).as("is_insert"))
+    val survivors = base
+      .join(deletes, Seq("o_orderkey"), "left_anti")
+      .join(updates, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"),
+        col("new_price").isNotNull.as("is_update"),
+        lit(false).as("is_insert"))
+    survivors.unionByName(inserts)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sumDec(col("price"), 38, 2).as("total_price"),
+        sum(when(col("is_update"), 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("is_insert"), 1L).otherwise(0L)).as("n_inserted"))
+      .orderBy("o_orderstatus")
+  }
+
+  val cdcMergeApplySql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |survivors AS (
+       |  SELECT b.o_orderkey, b.o_orderstatus,
+       |    CASE WHEN b.o_orderkey % 7 = 0 THEN b.o_totalprice + 100.0
+       |         ELSE b.o_totalprice END AS price,
+       |    (b.o_orderkey % 7 = 0) AS is_update,
+       |    FALSE AS is_insert
+       |  FROM base b WHERE b.o_orderkey % 11 <> 0),
+       |inserts AS (
+       |  SELECT o_orderkey + 3000000000 AS o_orderkey, o_orderstatus,
+       |    o_totalprice AS price, FALSE AS is_update, TRUE AS is_insert
+       |  FROM base WHERE o_orderkey % 13 = 0),
+       |merged AS (
+       |  SELECT * FROM survivors UNION ALL SELECT * FROM inserts)
+       |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${sumDecSql("price", 38, 2)} AS total_price,
+       |  CAST(COUNT(*) FILTER (WHERE is_update) AS BIGINT) AS n_updated,
+       |  CAST(COUNT(*) FILTER (WHERE is_insert) AS BIGINT) AS n_inserted
+       |FROM merged GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  // --------------------------------------------------------------- #239
+  /** #239 IVF cell-occupancy balance audit over #101's learned
+    * partition: per-cell population, the exact-integer balance ratio
+    * n·k / N (1 = perfectly even; ONE r4'd division), and the cell's
+    * max quantization distance — the probe-cost-variance readout an
+    * operator checks before trusting #55/#167's nprobe math (a 10×
+    * hot cell makes every probe of it 10× the work; the fix is more
+    * k-means iterations or a k bump, and THIS table says which).
+    *
+    * Scale: one pass over the registered #101 assignment flow (argmin
+    * against a broadcast k-row centroid table), one keyed agg to k
+    * rows; the share window runs over those k rows only.
+    */
+  def annIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val asg = Similarity.kmeansLloyd(spark, dir)
+    asg.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), max("dist2").as("max_dist2"))
+      .withColumn("total", sum("n_vecs").over(Window.partitionBy()))
+      .select(col("cluster_id"), col("n_vecs"),
+        r4((col("n_vecs") * lit(k.toLong)).cast("double") / col("total"))
+          .as("balance_ratio"),
+        col("max_dist2"))
+      .orderBy("cluster_id")
+  }
+
+  val annIvfBalanceSql: String =
+    s"""WITH km AS (${Similarity.kmeansLloydSql})
+       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  ${r4Sql("(COUNT(*) * 8) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)")}
+       |    AS balance_ratio,
+       |  MAX(dist2) AS max_dist2
+       |FROM km GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  // --------------------------------------------------------------- #240
+  /** #240 achieved-vs-target mix shares under integer-epoch
+    * quantization: #168 emits fractional upsample factors, but a data
+    * loader repeats each source an INTEGER number of epochs — this
+    * reports, per source, the rounded epoch count (≥ 1, the r4 floor
+    * device on the exact ratio), the achieved token share, the target
+    * temperature share, and the r4'd deviation. The "did rounding
+    * wreck my mixture" check that closes #168's loop (small sources
+    * with upsample ≈ 0.4 round to a full epoch and overshoot —
+    * visible here, invisible in #168).
+    *
+    * Scale: the per-source table is structure-sized; both global
+    * reductions are one-row broadcasts / |sources|-row windows.
+    */
+  def mixAchievedShares(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir, "documents")
+      // size(split(null)) is -1 in Spark — a null doc must not shrink
+      // the source's token mass
+      .where(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .withColumn("isq",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum("isq").as("sum_isq"),
+      sum("n_tokens").as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("epochs", greatest(lit(1L),
+        floor((col("isq").cast("double") * col("tot_tokens").cast("double"))
+          / (col("sum_isq").cast("double") * col("n_tokens").cast("double"))
+          + lit(0.5)).cast("long")))
+      .withColumn("achieved_tokens",
+        col("n_tokens").cast("double") * col("epochs"))
+      .withColumn("sum_achieved",
+        sum("achieved_tokens").over(Window.partitionBy()))
+      .select(col("source"), col("n_tokens"), col("epochs"),
+        r4(col("isq").cast("double") / col("sum_isq")).as("target_share"),
+        r4(col("achieved_tokens") / col("sum_achieved"))
+          .as("achieved_share"))
+      .withColumn("deviation",
+        r4(col("achieved_share") - col("target_share")))
+      .orderBy("source")
+  }
+
+  val mixAchievedSharesSql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |m AS (
+       |  SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+       |    AS isq
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(SUM(isq) AS BIGINT) AS sum_isq,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM m),
+       |e AS (
+       |  SELECT source, n_tokens, isq, sum_isq,
+       |    greatest(1, CAST(FLOOR((CAST(isq AS DOUBLE)
+       |      * CAST(tot_tokens AS DOUBLE))
+       |      / (CAST(sum_isq AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+       |      + 0.5) AS BIGINT)) AS epochs
+       |  FROM m CROSS JOIN tot),
+       |a AS (
+       |  SELECT *, CAST(n_tokens AS DOUBLE) * epochs AS achieved_tokens,
+       |    SUM(CAST(n_tokens AS DOUBLE) * epochs) OVER () AS sum_achieved
+       |  FROM e),
+       |s AS (
+       |  SELECT source, n_tokens, epochs,
+       |    ${r4Sql("CAST(isq AS DOUBLE) / sum_isq")} AS target_share,
+       |    ${r4Sql("achieved_tokens / sum_achieved")} AS achieved_share
+       |  FROM a)
+       |SELECT source, n_tokens, epochs, target_share, achieved_share,
+       |  ${r4Sql("achieved_share - target_share")} AS deviation
+       |FROM s ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -1255,7 +1434,10 @@ object Zenith {
     "quality_calibration" -> (qualityCalibration _),
     "dedup_banding_sweep" -> (dedupBandingSweep _),
     "embed_label_consistency" -> (embedLabelConsistency _),
-    "corpus_pack_efficiency" -> (corpusPackEfficiency _))
+    "corpus_pack_efficiency" -> (corpusPackEfficiency _),
+    "cdc_merge_apply" -> (cdcMergeApply _),
+    "ann_ivf_balance" -> (annIvfBalance _),
+    "mix_achieved_shares" -> (mixAchievedShares _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -1275,5 +1457,8 @@ object Zenith {
     "quality_calibration" -> qualityCalibrationSql,
     "dedup_banding_sweep" -> dedupBandingSweepSql,
     "embed_label_consistency" -> embedLabelConsistencySql,
-    "corpus_pack_efficiency" -> corpusPackEfficiencySql)
+    "corpus_pack_efficiency" -> corpusPackEfficiencySql,
+    "cdc_merge_apply" -> cdcMergeApplySql,
+    "ann_ivf_balance" -> annIvfBalanceSql,
+    "mix_achieved_shares" -> mixAchievedSharesSql)
 }

@@ -121,7 +121,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "quality_calibration",  // deciles of no scores
     "dedup_banding_sweep",  // 3 zero-candidate config rows
     "embed_label_consistency", // kNN graph of an empty cloud
-    "corpus_pack_efficiency")  // packing no docs
+    "corpus_pack_efficiency",  // packing no docs
+    "cdc_merge_apply",      // merge of an empty snapshot + empty batch
+    "ann_ivf_balance",      // occupancy of no cells
+    "mix_achieved_shares")  // epoch plan over no sources
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

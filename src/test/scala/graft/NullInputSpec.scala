@@ -75,7 +75,9 @@ class NullInputSpec extends AnyFunSuite {
     // batch 3: the >= 3-token shingle filter drops null text, the
     // kNN bucket exprs see the null vector, packing guards null text
     "dedup_banding_sweep", "embed_label_consistency",
-    "corpus_pack_efficiency")
+    "corpus_pack_efficiency",
+    // batch 4: token-mass guard drops null text
+    "mix_achieved_shares")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

@@ -243,6 +243,46 @@ class ZenithSpec extends GraftSpec {
     p.unpersist()
   }
 
+  test("cdc_merge_apply: merged row count and action counts match the " +
+      "synthesized change batch exactly") {
+    val m = Zenith.cdcMergeApply(spark, sf).cache()
+    val keys = Tables(spark, sf, "orders").select("o_orderkey").cache()
+    val nBase = keys.count()
+    val nDel = keys.where(col("o_orderkey") % 11 === 0).count()
+    val nUpd = keys.where(col("o_orderkey") % 7 === 0 &&
+      col("o_orderkey") % 11 =!= 0).count()
+    val nIns = keys.where(col("o_orderkey") % 13 === 0).count()
+    assert(m.agg(sum("n_rows")).head().getLong(0) == nBase - nDel + nIns)
+    assert(m.agg(sum("n_updated")).head().getLong(0) == nUpd)
+    assert(m.agg(sum("n_inserted")).head().getLong(0) == nIns)
+    keys.unpersist(); m.unpersist()
+  }
+
+  test("ann_ivf_balance: cells partition the cloud and balance ratios " +
+      "average to 1") {
+    val b = Zenith.annIvfBalance(spark, sf).cache()
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    assert(b.agg(sum("n_vecs")).head().getLong(0) == nVecs)
+    assert(b.where(col("balance_ratio") <= 0).count() == 0)
+    val ratioSum = b.agg(sum("balance_ratio")).head().getDouble(0)
+    assert(math.abs(ratioSum - 8.0) < 0.01, s"ratio sum $ratioSum")
+    b.unpersist()
+  }
+
+  test("mix_achieved_shares: epochs are positive integers, the largest " +
+      "source never upsamples, and both share columns are distributions") {
+    val s = Zenith.mixAchievedShares(spark, sf).cache()
+    assert(s.count() > 0)
+    assert(s.where(col("epochs") < 1).count() == 0)
+    val top = s.orderBy(desc("n_tokens")).limit(1).head()
+    assert(top.getAs[Long]("epochs") == 1L,
+      "the max-token source has upsample <= 1, so it rounds to one epoch")
+    val t = s.agg(sum("target_share")).head().getDouble(0)
+    val a = s.agg(sum("achieved_share")).head().getDouble(0)
+    assert(math.abs(t - 1.0) < 0.01 && math.abs(a - 1.0) < 0.01)
+    s.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
