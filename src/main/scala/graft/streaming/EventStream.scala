@@ -25,6 +25,33 @@ object EventStream {
   final case class Ev(event_id: Long, user_id: Long, event_type: String,
       ts_us: Long, value: Double)
 
+  /** CDC change record — the stream form of #238's synthesized change
+    * batch. (key, seq) is unique by construction; redelivery repeats
+    * the SAME record, never a conflicting one.
+    */
+  final case class Chg(seq: Long, key: Long, op: String, status: String,
+      price: Double)
+
+  /** Merge-on-read over an append-only CDC log: collapse exact
+    * redeliveries (distinct on the full record — at-least-once
+    * delivery becomes exactly-once state), keep the latest seq per
+    * key, drop keys whose latest op is a delete. The streaming MERGE
+    * pattern without a table format: foreachBatch APPENDS raw change
+    * records (no read-modify-write race, idempotent under replay) and
+    * every reader applies this view. Scale: one distinct + one
+    * key-partitioned window over the log — compaction (rewriting the
+    * log to its merged state) is this same expression scheduled
+    * offline.
+    */
+  def cdcState(log: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(desc("seq"))
+    log.distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") =!= "delete")
+      .drop("rn")
+  }
+
   /** Stream-static enrichment: each micro-batch left-joins the static
     * dimension (broadcast — re-planned per batch, so a dim refresh is
     * picked up on the next trigger). No watermark and no state: the

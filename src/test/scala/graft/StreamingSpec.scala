@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
-import graft.streaming.EventStream.{Doc, Ev, Session}
+import graft.streaming.EventStream.{Chg, Doc, Ev, Session}
 
 /** SURVEY.md §2 #40: streaming/batch equivalence. The same event set fed
   * through the Structured Streaming operators must produce exactly the
@@ -504,5 +504,67 @@ class StreamingSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed.nonEmpty, "degenerate: no heavy hitters at this k")
     assert(streamed == batchRef)
+  }
+
+  test("streaming CDC merge-on-read == batch cdc_merge_apply, " +
+      "idempotent under redelivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the same change batch #238 synthesizes, as a stream of change
+    // records: base upserts (seq 0), price updates for keys % 7 (seq
+    // 1), deletes for keys % 11 (seq 2 — beating the update, exactly
+    // #238's delete-wins), offset-key inserts for keys % 13 (seq 0)
+    val base = Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val chgs: Seq[Chg] =
+      base.map { case (k, s, p) => Chg(0L, k, "upsert", s, p) } ++
+      base.collect { case (k, s, p) if k % 7 == 0 =>
+        Chg(1L, k, "upsert", s, p + 100.0) } ++
+      base.collect { case (k, s, p) if k % 11 == 0 =>
+        Chg(2L, k, "delete", s, p) } ++
+      base.collect { case (k, s, p) if k % 13 == 0 =>
+        Chg(0L, k + 3000000000L, "upsert", s, p) }
+    val logDir = java.nio.file.Files
+      .createTempDirectory("graft_cdc_log").toString
+    val stream = MemoryStream[Chg]
+    // append-only foreachBatch: no read-modify-write, so replays can
+    // only add duplicate rows — which merge-on-read collapses
+    val q = stream.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Chg], _: Long) =>
+        b.write.mode("append").parquet(logDir); ()
+      }
+      .start()
+    def mergedNow() = {
+      import graft.Exprs.sumDec
+      EventStream.cdcState(spark.read.parquet(logDir))
+        .groupBy(col("status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sumDec(col("price"), 38, 2).as("total_price"),
+          sum(when(col("seq") === 1L, 1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("key") >= 3000000000L, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    // three uneven micro-batches, out of causal order across keys
+    val (b1, rest) = chgs.splitAt(chgs.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b2, b1, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    val beforeReplay = mergedNow()
+    // at-least-once delivery: an entire micro-batch arrives AGAIN
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val afterReplay = mergedNow()
+    assert(afterReplay == beforeReplay,
+      "redelivered change records must not change merged state")
+    val batchRef = operators.Zenith.cdcMergeApply(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(afterReplay == batchRef)
   }
 }
