@@ -1415,6 +1415,57 @@ object Zenith {
        |  ${r4Sql("achieved_share - target_share")} AS deviation
        |FROM s ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #241
+  /** #241 decontamination method-agreement report: the union of docs
+    * flagged by exact 5-gram overlap (#65) and fuzzy bigram-Jaccard
+    * ≥ 0.8 (#156), with a verdict column — `both` (verbatim overlap
+    * long enough for both), `exact_only` (short verbatim excerpts the
+    * Jaccard threshold forgives), `fuzzy_only` (paraphrases the exact
+    * join misses). The consistency eval that tells an operator which
+    * decontamination pass to trust where — running one method and
+    * assuming it subsumes the other is the classic leakage mistake.
+    *
+    * Scale: both inputs are the registered operators' own flows
+    * (benchmark-side broadcast, LSH-banded candidates); the agreement
+    * join keys on the tiny flagged-doc sets.
+    */
+  def decontaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = Corpus.decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    val fuzzy = Advanced.decontaminateMinhash(spark, dir)
+      .select(col("corpus_id").as("doc_id")).distinct()
+      .withColumn("fuzzy_hit", lit(true))
+    exact.join(fuzzy, Seq("doc_id"), "full")
+      .na.fill(false, Seq("exact_hit", "fuzzy_hit"))
+      .select(col("doc_id"), col("exact_hit"), col("fuzzy_hit"),
+        when(col("exact_hit") && col("fuzzy_hit"), "both")
+          .when(col("exact_hit"), "exact_only")
+          .otherwise("fuzzy_only").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** NOTE: the embedded #65/#156 oracles contain lines that BEGIN with
+    * the SQL `||` concat operator, which an outer stripMargin would
+    * mangle (it eats the first pipe) — so the template is assembled
+    * from pre-stripped pieces instead of one interpolated margin
+    * string. (This is the stripMargin hazard SURVEY §8 round-10 hit.)
+    */
+  val decontaminationReportSql: String =
+    s"WITH e0 AS (${Corpus.decontaminateSql}),\n" +
+      s"f0 AS (${Advanced.decontaminateMinhashSql}),\n" +
+      """e AS (SELECT doc_id, TRUE AS exact_hit FROM e0),
+        |f AS (SELECT DISTINCT corpus_id AS doc_id, TRUE AS fuzzy_hit
+        |      FROM f0)
+        |SELECT COALESCE(e.doc_id, f.doc_id) AS doc_id,
+        |  COALESCE(exact_hit, FALSE) AS exact_hit,
+        |  COALESCE(fuzzy_hit, FALSE) AS fuzzy_hit,
+        |  CASE WHEN COALESCE(exact_hit, FALSE)
+        |         AND COALESCE(fuzzy_hit, FALSE) THEN 'both'
+        |       WHEN COALESCE(exact_hit, FALSE) THEN 'exact_only'
+        |       ELSE 'fuzzy_only' END AS verdict
+        |FROM e FULL OUTER JOIN f ON e.doc_id = f.doc_id
+        |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -1437,7 +1488,8 @@ object Zenith {
     "corpus_pack_efficiency" -> (corpusPackEfficiency _),
     "cdc_merge_apply" -> (cdcMergeApply _),
     "ann_ivf_balance" -> (annIvfBalance _),
-    "mix_achieved_shares" -> (mixAchievedShares _))
+    "mix_achieved_shares" -> (mixAchievedShares _),
+    "decontamination_report" -> (decontaminationReport _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -1460,5 +1512,6 @@ object Zenith {
     "corpus_pack_efficiency" -> corpusPackEfficiencySql,
     "cdc_merge_apply" -> cdcMergeApplySql,
     "ann_ivf_balance" -> annIvfBalanceSql,
-    "mix_achieved_shares" -> mixAchievedSharesSql)
+    "mix_achieved_shares" -> mixAchievedSharesSql,
+    "decontamination_report" -> decontaminationReportSql)
 }

@@ -124,7 +124,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_pack_efficiency",  // packing no docs
     "cdc_merge_apply",      // merge of an empty snapshot + empty batch
     "ann_ivf_balance",      // occupancy of no cells
-    "mix_achieved_shares")  // epoch plan over no sources
+    "mix_achieved_shares",  // epoch plan over no sources
+    "decontamination_report") // agreement of two empty flag sets
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -77,7 +77,9 @@ class NullInputSpec extends AnyFunSuite {
     "dedup_banding_sweep", "embed_label_consistency",
     "corpus_pack_efficiency",
     // batch 4: token-mass guard drops null text
-    "mix_achieved_shares")
+    "mix_achieved_shares",
+    // batch 5: both flag flows tokenize null text away
+    "decontamination_report")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

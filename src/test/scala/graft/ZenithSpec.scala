@@ -283,6 +283,22 @@ class ZenithSpec extends GraftSpec {
     s.unpersist()
   }
 
+  test("decontamination_report: covers both methods' flags, verdicts " +
+      "partition, no unflagged rows") {
+    val r = Zenith.decontaminationReport(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.where(!col("exact_hit") && !col("fuzzy_hit")).count() == 0)
+    val nExact = operators.Corpus.decontaminate(spark, sf).count()
+    assert(r.where(col("exact_hit")).count() == nExact)
+    assert(r.where(col("verdict") === "both" &&
+      !(col("exact_hit") && col("fuzzy_hit"))).count() == 0)
+    assert(r.where(col("verdict") === "exact_only" && col("fuzzy_hit"))
+      .count() == 0)
+    assert(r.where(col("verdict") === "fuzzy_only" && col("exact_hit"))
+      .count() == 0)
+    r.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
