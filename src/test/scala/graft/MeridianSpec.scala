@@ -324,13 +324,16 @@ class MeridianSpec extends GraftSpec {
     assert(r("B").getAs[Double]("boiler_share") == 0.0)
   }
 
-  test("ts_anomaly_seasonal: every flagged hour really breaks 2x its " +
-      "cell mean; support floor holds") {
+  test("ts_anomaly_seasonal: every flagged hour reaches 2x its " +
+      "cell mean (inclusive); support floor holds") {
     val a = Meridian.tsAnomalySeasonal(spark, sf).cache()
     assert(a.where(col("n_cell") < 4).count() == 0)
-    assert(a.where(col("c") * col("n_cell") <= lit(2L) * col("sum_cell"))
+    // the threshold is INCLUSIVE (c·n >= 2·Σ) so the exact-2x boundary
+    // case flags — matching the operator (it was empty at sf0.001
+    // under the strict form, where the max ratio is exactly 2.0)
+    assert(a.where(col("c") * col("n_cell") < lit(2L) * col("sum_cell"))
       .count() == 0)
-    assert(a.where(col("ratio_to_mean") <= 2.0).count() == 0)
+    assert(a.where(col("ratio_to_mean") < 2.0).count() == 0)
     a.unpersist()
   }
 
