@@ -1466,6 +1466,154 @@ object Zenith {
         |FROM e FULL OUTER JOIN f ON e.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #242
+  /** #242 per-node local clustering coefficient over the
+    * support-floored co-purchase graph: cc(v) = 2·T(v) / (deg(v)·
+    * (deg(v)−1)) for deg ≥ 2, zero-triangle nodes included — the
+    * per-node "is my neighborhood a clique" signal behind #100's one
+    * global transitivity number (ego-density ranking, the
+    * fraud/community feature). Triangle enumeration reuses #100's
+    * (deg, id)-oriented forward device — each triangle materializes
+    * once, then explodes to its three corners for the per-node count.
+    *
+    * Scale: identical join shape to #100 (hub nodes never enumerate
+    * their own neighbor pairs; per-key wedge width O(√|E|)); the
+    * explode adds 3 rows per triangle — structure-sized.
+    */
+  def graphLocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undirected(spark, dir)
+    val deg = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("src").as("pa"), col("deg").as("dega"))
+    val db = deg.select(col("src").as("pb"), col("deg").as("degb"))
+    val o = und.join(da, "pa").join(db, "pb")
+      .select(
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("pa") < col("pb")),
+          col("pa")).otherwise(col("pb")).as("src"),
+        when(col("dega") < col("degb") ||
+          (col("dega") === col("degb") && col("pa") < col("pb")),
+          col("pb")).otherwise(col("pa")).as("dst"))
+    val e1 = o.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = o.select(col("src").as("v2"), col("dst").as("w"))
+    val e3 = o.select(col("src").as("u3"), col("dst").as("w3"))
+    val triNodes = e1.join(e2, col("v") === col("v2"))
+      .join(e3, col("u") === col("u3") && col("w") === col("w3"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.where(col("deg") >= 2)
+      .join(triNodes, col("src") === col("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("src").as("node"), col("deg"), col("n_tri"),
+        r4((lit(2.0) * col("n_tri")) /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("local_cc"))
+      .orderBy("node")
+  }
+
+  val graphLocalClusteringSql: String =
+    s"""WITH ${Graph.edgeSql},
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |o AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN pa ELSE pb END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND pa < pb)
+       |      THEN pb ELSE pa END AS dst
+       |  FROM und JOIN deg da ON und.pa = da.src
+       |  JOIN deg db ON und.pb = db.src),
+       |trin AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT unnest([e1.src, e1.dst, e2.dst]) AS node
+       |    FROM o e1 JOIN o e2 ON e1.dst = e2.src
+       |    JOIN o e3 ON e1.src = e3.src AND e2.dst = e3.dst)
+       |  GROUP BY node)
+       |SELECT deg.src AS node, CAST(deg.deg AS BIGINT) AS deg,
+       |  COALESCE(n_tri, 0) AS n_tri,
+       |  ${r4Sql("2.0 * COALESCE(n_tri, 0) / " +
+                  "CAST(deg.deg * (deg.deg - 1) AS DOUBLE)")} AS local_cc
+       |FROM deg LEFT JOIN trin ON deg.src = trin.node
+       |WHERE deg.deg >= 2 ORDER BY node""".stripMargin
+
+  // --------------------------------------------------------------- #243
+  /** #243 reorder-interval profile per part: for every (part,
+    * customer) purchase sequence, the day gaps between consecutive
+    * orders, rolled up per part — exact-rank median (the #181/#224
+    * order-statistic device), max, ONE-division mean. The consumable
+    * CADENCE beside #219's repeat RATE: #219 says how many buyers
+    * come back, this says how often — the replenishment-forecast
+    * input.
+    *
+    * Scale: one distinct over (part, cust, order, date), one lag
+    * window keyed by the high-cardinality (part, cust) pair, one
+    * rank selection + keyed agg per part. No low-cardinality window
+    * ceiling here — the partition key space is the fact table's.
+    */
+  def ordersReorderInterval(spark: SparkSession, dir: String): DataFrame = {
+    val po = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"))
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("odate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("partkey"),
+        col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
+        col("odate"))
+      .distinct()
+    val wSeq = Window.partitionBy("partkey", "custkey")
+      .orderBy("odate", "okey")
+    val gaps = po
+      .withColumn("prev", lag("odate", 1).over(wSeq))
+      .where(col("prev").isNotNull)
+      .select(col("partkey"), col("custkey"), col("okey"),
+        datediff(col("odate"), col("prev")).cast("long").as("gap_days"))
+    val wRank = Window.partitionBy("partkey")
+      .orderBy("gap_days", "custkey", "okey")
+    val med = gaps
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("partkey")))
+      .where(col("r") === expr("(n + 1) div 2"))
+      .select(col("partkey"), col("gap_days").as("p50_days"))
+    gaps.groupBy("partkey")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_days").as("sum_gap"),
+        max("gap_days").as("max_days"))
+      .join(med, "partkey")
+      .select(col("partkey"), col("n_gaps"), col("p50_days"),
+        col("max_days"),
+        r4(col("sum_gap").cast("double") / col("n_gaps")).as("mean_days"))
+      .orderBy("partkey")
+  }
+
+  val ordersReorderIntervalSql: String =
+    s"""WITH po AS (
+       |  SELECT DISTINCT l_partkey AS partkey, o_custkey AS custkey,
+       |    o_orderkey AS okey, CAST(o_orderdate AS DATE) AS odate
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |g AS (
+       |  SELECT partkey, custkey, okey, gap_days FROM (
+       |    SELECT partkey, custkey, okey,
+       |      CAST(odate - LAG(odate) OVER (PARTITION BY partkey, custkey
+       |        ORDER BY odate, okey) AS BIGINT) AS gap_days
+       |    FROM po)
+       |  WHERE gap_days IS NOT NULL),
+       |med AS (
+       |  SELECT partkey, gap_days AS p50_days FROM (
+       |    SELECT partkey, gap_days,
+       |      ROW_NUMBER() OVER (PARTITION BY partkey
+       |        ORDER BY gap_days, custkey, okey) AS r,
+       |      COUNT(*) OVER (PARTITION BY partkey) AS n
+       |    FROM g)
+       |  WHERE r = (n + 1) // 2),
+       |s AS (
+       |  SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    CAST(SUM(gap_days) AS BIGINT) AS sum_gap,
+       |    MAX(gap_days) AS max_days
+       |  FROM g GROUP BY 1)
+       |SELECT s.partkey, n_gaps, p50_days, max_days,
+       |  ${r4Sql("sum_gap / CAST(n_gaps AS DOUBLE)")} AS mean_days
+       |FROM s JOIN med USING (partkey)
+       |ORDER BY s.partkey""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -1489,7 +1637,9 @@ object Zenith {
     "cdc_merge_apply" -> (cdcMergeApply _),
     "ann_ivf_balance" -> (annIvfBalance _),
     "mix_achieved_shares" -> (mixAchievedShares _),
-    "decontamination_report" -> (decontaminationReport _))
+    "decontamination_report" -> (decontaminationReport _),
+    "graph_local_clustering" -> (graphLocalClustering _),
+    "orders_reorder_interval" -> (ordersReorderInterval _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -1513,5 +1663,7 @@ object Zenith {
     "cdc_merge_apply" -> cdcMergeApplySql,
     "ann_ivf_balance" -> annIvfBalanceSql,
     "mix_achieved_shares" -> mixAchievedSharesSql,
-    "decontamination_report" -> decontaminationReportSql)
+    "decontamination_report" -> decontaminationReportSql,
+    "graph_local_clustering" -> graphLocalClusteringSql,
+    "orders_reorder_interval" -> ordersReorderIntervalSql)
 }

@@ -125,7 +125,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "cdc_merge_apply",      // merge of an empty snapshot + empty batch
     "ann_ivf_balance",      // occupancy of no cells
     "mix_achieved_shares",  // epoch plan over no sources
-    "decontamination_report") // agreement of two empty flag sets
+    "decontamination_report", // agreement of two empty flag sets
+    "graph_local_clustering", // triangles of an empty graph
+    "orders_reorder_interval") // gaps of no purchases
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -299,6 +299,32 @@ class ZenithSpec extends GraftSpec {
     r.unpersist()
   }
 
+  test("graph_local_clustering: coefficients bounded, per-node triangle " +
+      "counts sum to three times the global census") {
+    val c = Zenith.graphLocalClustering(spark, sf).cache()
+    assert(c.count() > 0)
+    assert(c.where(col("local_cc") < 0 || col("local_cc") > 1.0001)
+      .count() == 0)
+    assert(c.where(col("deg") < 2).count() == 0)
+    val triSum = c.agg(sum("n_tri")).head().getLong(0)
+    val global = operators.Graph.graphTriangles(spark, sf)
+      .head().getAs[Long]("n_triangles")
+    assert(triSum == 3 * global,
+      s"per-node triangle corners $triSum != 3 x $global")
+    c.unpersist()
+  }
+
+  test("orders_reorder_interval: order statistics consistent, gaps " +
+      "non-negative") {
+    val r = Zenith.ordersReorderInterval(spark, sf).cache()
+    assert(r.count() > 0)
+    assert(r.where(col("p50_days") < 0).count() == 0)
+    assert(r.where(col("p50_days") > col("max_days")).count() == 0)
+    assert(r.where(col("mean_days") > col("max_days") + 0.001)
+      .count() == 0)
+    r.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
