@@ -1614,6 +1614,150 @@ object Zenith {
        |FROM s JOIN med USING (partkey)
        |ORDER BY s.partkey""".stripMargin
 
+  // --------------------------------------------------------------- #244
+  /** #244 rolling regression slope: per customer nation, the
+    * revenue-vs-time OLS slope over a trailing 6-month window of the
+    * monthly revenue series — the "is this market accelerating"
+    * per-entity trend feature (#142 fits ONE global line; this is the
+    * windowed, per-entity form feature pipelines actually consume).
+    *
+    * Exactness: monthly revenue stays DECIMAL(38,2) (never a double
+    * sum); window Σy/Σxy/Σx/Σx² are decimal/integer sums inside the
+    * ordered frame (associative — frame evaluation order can't flip
+    * bits); the slope is ONE r4'd IEEE division of two exact
+    * cross-products. Only complete 6-row windows emit.
+    *
+    * Scale: one fact join + keyed monthly agg, then one
+    * nation-partitioned window over the structure-sized
+    * (|nations| × months) series.
+    */
+  def windowRollingSlope(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("mo"))
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val monthly = o
+      .join(Tables.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(38, 2))).as("rev"))
+    val win = Window.partitionBy("nk").orderBy("mo").rowsBetween(-5, 0)
+    monthly
+      .withColumn("wn", count(lit(1)).over(win))
+      .withColumn("sx", sum("mo").over(win))
+      .withColumn("sxx", sum(col("mo") * col("mo")).over(win))
+      .withColumn("sy", sum("rev").over(win))
+      .withColumn("sxy", sum(col("rev") * col("mo")).over(win))
+      .where(col("wn") === 6)
+      .join(Tables.maybeBroadcast(n), col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("mo"),
+        r4((lit(6.0) * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (lit(6.0) * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .as("slope"),
+        r4(col("sy").cast("double") / lit(6.0)).as("avg_rev"))
+      .orderBy("n_name", "mo")
+  }
+
+  val windowRollingSlopeSql: String =
+    s"""WITH monthly AS (
+       |  SELECT c_nationkey AS nk,
+       |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mo,
+       |    SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |w AS (
+       |  SELECT nk, mo,
+       |    COUNT(*) OVER win AS wn,
+       |    CAST(SUM(mo) OVER win AS BIGINT) AS sx,
+       |    CAST(SUM(mo * mo) OVER win AS BIGINT) AS sxx,
+       |    SUM(rev) OVER win AS sy,
+       |    SUM(rev * mo) OVER win AS sxy
+       |  FROM monthly
+       |  WINDOW win AS (PARTITION BY nk ORDER BY mo
+       |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+       |SELECT n_name, mo,
+       |  ${r4Sql("(6.0 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * " +
+                  "CAST(sy AS DOUBLE)) / (6.0 * CAST(sxx AS DOUBLE) - " +
+                  "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")} AS slope,
+       |  ${r4Sql("CAST(sy AS DOUBLE) / 6.0")} AS avg_rev
+       |FROM w JOIN nation ON nk = n_nationkey
+       |WHERE wn = 6 ORDER BY n_name, mo""".stripMargin
+
+  // --------------------------------------------------------------- #245
+  /** #245 weighted median: per return flag, the quantity-weighted
+    * median extended price (the "median dollar's unit price"), next
+    * to the plain exact-rank median for contrast — the weighted order
+    * statistic that completes the #181/#192/#224 family (a price
+    * median that weights a 50-unit line like a 1-unit line misprices
+    * the tail). Lower-median convention: the first row in the (price,
+    * id) total order whose cumulative weight covers half the total,
+    * selected by the EXACT integer compare 2·cumw ≥ totw.
+    *
+    * Scale: one flag-partitioned window for the cumulative weight,
+    * one keyed agg — quantities are integral, so every weight compare
+    * is exact int64.
+    */
+  def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val wOrd = Window.partitionBy("flag")
+      .orderBy("price", "l_orderkey", "l_linenumber")
+    val c = li
+      .withColumn("cumw", sum("w").over(wOrd))
+      .withColumn("totw", sum("w").over(Window.partitionBy("flag")))
+      .withColumn("r", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+    val wmed = c.where(lit(2L) * col("cumw") >= col("totw"))
+      .groupBy("flag").agg(min("price").as("wmedian_price"))
+    val med = c.where(col("r") === expr("(n + 1) div 2"))
+      .select(col("flag"), col("price").as("median_price"))
+    c.groupBy("flag")
+      .agg(count(lit(1)).as("n_lines"), sum("w").as("tot_qty"))
+      .join(med, "flag").join(wmed, "flag")
+      .select(col("flag"), col("n_lines"), col("tot_qty"),
+        r4(col("median_price")).as("median_price"),
+        r4(col("wmedian_price")).as("wmedian_price"))
+      .orderBy("flag")
+  }
+
+  val aggWeightedMedianSql: String =
+    s"""WITH li AS (
+       |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+       |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+       |  FROM lineitem),
+       |c AS (
+       |  SELECT *,
+       |    CAST(SUM(w) OVER ord AS BIGINT) AS cumw,
+       |    CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS totw,
+       |    ROW_NUMBER() OVER ord AS r,
+       |    COUNT(*) OVER (PARTITION BY flag) AS n
+       |  FROM li
+       |  WINDOW ord AS (PARTITION BY flag
+       |    ORDER BY price, l_orderkey, l_linenumber
+       |    ROWS UNBOUNDED PRECEDING)),
+       |wmed AS (
+       |  SELECT flag, MIN(price) AS wmedian_price
+       |  FROM c WHERE 2 * cumw >= totw GROUP BY flag),
+       |med AS (
+       |  SELECT flag, price AS median_price
+       |  FROM c WHERE r = (n + 1) // 2),
+       |s AS (
+       |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |    CAST(SUM(w) AS BIGINT) AS tot_qty
+       |  FROM c GROUP BY flag)
+       |SELECT s.flag, n_lines, tot_qty,
+       |  ${r4Sql("median_price")} AS median_price,
+       |  ${r4Sql("wmedian_price")} AS wmedian_price
+       |FROM s JOIN med USING (flag) JOIN wmed USING (flag)
+       |ORDER BY s.flag""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -1639,7 +1783,9 @@ object Zenith {
     "mix_achieved_shares" -> (mixAchievedShares _),
     "decontamination_report" -> (decontaminationReport _),
     "graph_local_clustering" -> (graphLocalClustering _),
-    "orders_reorder_interval" -> (ordersReorderInterval _))
+    "orders_reorder_interval" -> (ordersReorderInterval _),
+    "window_rolling_slope" -> (windowRollingSlope _),
+    "agg_weighted_median" -> (aggWeightedMedian _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -1665,5 +1811,7 @@ object Zenith {
     "mix_achieved_shares" -> mixAchievedSharesSql,
     "decontamination_report" -> decontaminationReportSql,
     "graph_local_clustering" -> graphLocalClusteringSql,
-    "orders_reorder_interval" -> ordersReorderIntervalSql)
+    "orders_reorder_interval" -> ordersReorderIntervalSql,
+    "window_rolling_slope" -> windowRollingSlopeSql,
+    "agg_weighted_median" -> aggWeightedMedianSql)
 }

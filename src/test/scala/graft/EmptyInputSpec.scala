@@ -127,7 +127,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "mix_achieved_shares",  // epoch plan over no sources
     "decontamination_report", // agreement of two empty flag sets
     "graph_local_clustering", // triangles of an empty graph
-    "orders_reorder_interval") // gaps of no purchases
+    "orders_reorder_interval", // gaps of no purchases
+    "window_rolling_slope", // frames over no months
+    "agg_weighted_median")  // weighted rank of no lines
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -325,6 +325,61 @@ class ZenithSpec extends GraftSpec {
     r.unpersist()
   }
 
+  test("window_rolling_slope: full windows only; slope recomputes from " +
+      "an independent per-window collect on one spot-checked nation") {
+    val s = Zenith.windowRollingSlope(spark, sf).cache()
+    assert(s.count() > 0)
+    // every (nation, mo) appears at most once and months advance
+    val dup = s.groupBy("n_name", "mo").count().where(col("count") > 1)
+    assert(dup.count() == 0)
+    // spot-check: recompute one window's slope brute-force
+    val one = s.limit(1).head()
+    val nat = one.getAs[String]("n_name")
+    val mo = one.getAs[Int]("mo")
+    val monthly = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === nat)
+      .groupBy(expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+        .as("mo"))
+      .agg(sum(col("o_totalprice").cast("decimal(38,2)"))
+        .cast("double").as("rev"))
+      .where(col("mo") <= mo).orderBy(desc("mo")).limit(6)
+      .collect().map(r => (r.getAs[Int]("mo").toDouble,
+        r.getAs[Double]("rev")))
+    assert(monthly.length == 6)
+    val n = 6.0
+    val sx = monthly.map(_._1).sum; val sy = monthly.map(_._2).sum
+    val sxy = monthly.map(t => t._1 * t._2).sum
+    val sxx = monthly.map(t => t._1 * t._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(one.getAs[Double]("slope") - slope) < 0.01,
+      s"engine ${one.getAs[Double]("slope")} vs recomputed $slope")
+    s.unpersist()
+  }
+
+  test("agg_weighted_median: the weighted median covers half the " +
+      "quantity mass on each side") {
+    val m = Zenith.aggWeightedMedian(spark, sf).cache()
+    assert(m.count() > 0)
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"))
+    for (row <- m.collect()) {
+      val flag = row.getAs[String]("flag")
+      val wm = row.getAs[Double]("wmedian_price")
+      val below = li.where(col("flag") === flag &&
+        col("price") < wm - 0.0001).agg(sum("w")).head().getLong(0)
+      val tot = row.getAs[Long]("tot_qty")
+      assert(2 * below < tot + 1,
+        s"$flag: strictly-below mass $below exceeds half of $tot")
+    }
+    m.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
