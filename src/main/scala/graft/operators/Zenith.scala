@@ -1699,7 +1699,13 @@ object Zenith {
     *
     * Scale: one flag-partitioned window for the cumulative weight,
     * one keyed agg — quantities are integral, so every weight compare
-    * is exact int64.
+    * is exact int64. The window partitions by the 3-value flag, so
+    * per-flag sorting serializes (the #224 low-cardinality ceiling —
+    * measured 4.2× wall at the 10× probe, sub-linear but
+    * sort-bound); the production form at true scale is the classic
+    * two-pass: parallel per-price-bucket weight histogram, locate the
+    * covering bucket from the tiny cumulative table, then sort ONLY
+    * that bucket — same exact answer, data-parallel sort.
     */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
