@@ -1697,15 +1697,17 @@ object Zenith {
     * id) total order whose cumulative weight covers half the total,
     * selected by the EXACT integer compare 2·cumw ≥ totw.
     *
-    * Scale: one flag-partitioned window for the cumulative weight,
-    * one keyed agg — quantities are integral, so every weight compare
-    * is exact int64. The window partitions by the 3-value flag, so
-    * per-flag sorting serializes (the #224 low-cardinality ceiling —
-    * measured 4.2× wall at the 10× probe, sub-linear but
-    * sort-bound); the production form at true scale is the classic
-    * two-pass: parallel per-price-bucket weight histogram, locate the
-    * covering bucket from the tiny cumulative table, then sort ONLY
-    * that bucket — same exact answer, data-parallel sort.
+    * Scale — the TWO-PASS bucket-histogram algorithm (a naive
+    * flag-partitioned cumulative window serializes each flag's full
+    * sort onto one task, the #224 low-cardinality ceiling; measured
+    * 4.2 s at sf0.1 before this form): pass 1 is a parallel keyed agg
+    * to a per-(flag, integer-dollar bucket) weight/count histogram —
+    * BOUNDED by the price domain, not the data volume — whose tiny
+    * cumulative table locates each median's covering bucket exactly
+    * (integer compares); pass 2 sorts ONLY the covering bucket's rows
+    * (a per-flag sliver), offset by the exact prefix mass. Same exact
+    * answer, data-parallel everywhere; quantities are integral, so
+    * every weight compare is exact int64.
     */
   def aggWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
@@ -1713,21 +1715,51 @@ object Zenith {
         col("l_extendedprice").as("price"),
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
-    val wOrd = Window.partitionBy("flag")
+      .withColumn("bkt", floor(col("price")).cast("long"))
+    // pass 1: bounded per-bucket histogram + exact cumulative table
+    val hist = li.groupBy("flag", "bkt")
+      .agg(sum("w").as("bw"), count(lit(1)).as("bc"))
+    val wB = Window.partitionBy("flag").orderBy("bkt")
+    val tot = li.groupBy("flag")
+      .agg(sum("w").as("totw"), count(lit(1)).as("n_lines"))
+    val cum = hist
+      .withColumn("cumw", sum("bw").over(wB))
+      .withColumn("cumc", sum("bc").over(wB))
+      .join(Tables.maybeBroadcast(tot), "flag")
+    val coverW = cum.where(lit(2L) * col("cumw") >= col("totw"))
+      .groupBy("flag").agg(min("bkt").as("bw_star"))
+    val coverC = cum.where(col("cumc") >= expr("(n_lines + 1) div 2"))
+      .groupBy("flag").agg(min("bkt").as("bc_star"))
+    val prefW = cum.join(Tables.maybeBroadcast(coverW), "flag")
+      .where(col("bkt") < col("bw_star"))
+      .groupBy("flag").agg(sum("bw").as("wbefore"))
+    val prefC = cum.join(Tables.maybeBroadcast(coverC), "flag")
+      .where(col("bkt") < col("bc_star"))
+      .groupBy("flag").agg(sum("bc").as("cbefore"))
+    // pass 2: resolve inside the single covering bucket per flag
+    val ordIn = Window.partitionBy("flag")
       .orderBy("price", "l_orderkey", "l_linenumber")
-    val c = li
-      .withColumn("cumw", sum("w").over(wOrd))
-      .withColumn("totw", sum("w").over(Window.partitionBy("flag")))
-      .withColumn("r", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-    val wmed = c.where(lit(2L) * col("cumw") >= col("totw"))
+    val wmed = li.join(Tables.maybeBroadcast(coverW), "flag")
+      .where(col("bkt") === col("bw_star"))
+      .join(Tables.maybeBroadcast(prefW), Seq("flag"), "left")
+      .na.fill(0L, Seq("wbefore"))
+      .join(Tables.maybeBroadcast(tot.select(col("flag"), col("totw"))),
+        "flag")
+      .withColumn("cin", sum("w").over(ordIn))
+      .where(lit(2L) * (col("wbefore") + col("cin")) >= col("totw"))
       .groupBy("flag").agg(min("price").as("wmedian_price"))
-    val med = c.where(col("r") === expr("(n + 1) div 2"))
+    val med = li.join(Tables.maybeBroadcast(coverC), "flag")
+      .where(col("bkt") === col("bc_star"))
+      .join(Tables.maybeBroadcast(prefC), Seq("flag"), "left")
+      .na.fill(0L, Seq("cbefore"))
+      .join(Tables.maybeBroadcast(tot.select(col("flag"), col("n_lines"))),
+        "flag")
+      .withColumn("rn", row_number().over(ordIn))
+      .where(col("rn") === expr("(n_lines + 1) div 2 - cbefore"))
       .select(col("flag"), col("price").as("median_price"))
-    c.groupBy("flag")
-      .agg(count(lit(1)).as("n_lines"), sum("w").as("tot_qty"))
+    tot
       .join(med, "flag").join(wmed, "flag")
-      .select(col("flag"), col("n_lines"), col("tot_qty"),
+      .select(col("flag"), col("n_lines"), col("totw").as("tot_qty"),
         r4(col("median_price")).as("median_price"),
         r4(col("wmedian_price")).as("wmedian_price"))
       .orderBy("flag")
