@@ -94,6 +94,27 @@ object Tables {
     else df
   }
 
+  /** Accurate-size broadcast gate for DERIVED attach tables whose
+    * payload is projected text or built-up arrays. Catalyst's
+    * `sizeInBytes` propagates through projections using DEFAULT field
+    * widths — 20 bytes per string, ONE element per array — so a
+    * shingle-set / signature / full-text attach side is underestimated
+    * 100-1000×, and [[maybeBroadcast]]'s static gate stays open on a
+    * table that is really gigabytes: measured at the 100× replica,
+    * where dedup_banding_sweep's signature attach OOM'd the driver
+    * building a "26 MB" broadcast that actually held ~4 GB of shingle
+    * arrays. This gate closes that blind spot by MEASURING: persist
+    * the side into a bounded [[persistSlot]], materialize it (callers
+    * reuse the cache, so the pass is the operator's own compute, not
+    * overhead), and gate on the InMemoryRelation's
+    * post-materialization byte count — the actual size.
+    */
+  def measuredBroadcast(slot: String, df: DataFrame): DataFrame = {
+    val cached = persistSlot(slot, df)
+    cached.count() // materialize: stats become the real cached bytes
+    maybeBroadcast(cached)
+  }
+
   /** `events` with ts canonicalized to epoch MICROSECONDS (`ts_us`).
     * The testdata generator has emitted the column two ways across
     * rounds — TIMESTAMP(NANOS) (read as a nanos long under the

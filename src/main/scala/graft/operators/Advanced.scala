@@ -284,9 +284,14 @@ object Advanced {
       numHashes: Int = 16, bandRows: Int = 2): DataFrame = {
     graft.functions.Hashes.register(spark)
     val docs = Tables.spread(spark, dir, "documents")
-    val g = docs
+    // persisted + materialized: grams run once across candidates and
+    // both attaches, and the attach gates read ACTUAL cached bytes
+    // (default-width stats under-count gram arrays ~100× — the
+    // measured-attach-gate fix, PLANS.md round-11)
+    val g = Tables.persistSlot("decontaminate_minhash.grams", docs
       .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
-      .select("doc_id", "grams")
+      .select("doc_id", "grams"))
+    g.count()
     val src = docs.select("doc_id", "source")
     val pairs = Dedup.lshCandidates(g, "grams", numHashes, bandRows)
       .join(src.select(col("doc_id").as("id_a"),

@@ -229,9 +229,17 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String, numHashes: Int,
       bandRows: Int): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val g = Tables.spread(spark, dir, "documents")
-      .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
-      .select("doc_id", "grams")
+    // persisted + MATERIALIZED (count) so (a) the gram compute runs
+    // once across candidates + both attaches and (b) the attach gates
+    // below read the ACTUAL cached bytes — Catalyst's default-width
+    // stats under-count gram arrays ~100×, which at the 100× replica
+    // turned the static gate into a driver-OOM broadcast
+    // (PLANS.md round-11 "measured attach gate")
+    val g = Tables.persistSlot("dedup_ngram_jaccard.grams",
+      Tables.spread(spark, dir, "documents")
+        .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
+        .select("doc_id", "grams"))
+    g.count()
     val pairs = lshCandidates(g, "grams", numHashes, bandRows)
     // The gram table grows with the corpus, so the attach-side hint is
     // size-gated (Tables.maybeBroadcast): broadcast-hash at bench scale,
@@ -437,7 +445,12 @@ object Dedup {
         col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val g = docs.select(col("doc_id"), col("grams"))
+    // persisted + materialized so the size gates below read ACTUAL
+    // cached bytes (default-width stats under-count gram arrays ~100×
+    // — the measured-attach-gate fix, PLANS.md round-11)
+    val g = Tables.persistSlot("dedup_containment.grams",
+      docs.select(col("doc_id"), col("grams")))
+    g.count()
     // size-gated like #30: the gram table is corpus-sized
     cand
       .join(Tables.maybeBroadcast(g.select(col("doc_id").as("id_a"),
@@ -507,9 +520,17 @@ object Dedup {
   def dedupLevenshtein(spark: SparkSession, dir: String, numHashes: Int,
       bandRows: Int, threshold: Double): DataFrame = {
     graft.functions.Hashes.register(spark)
-    val d = Tables.spread(spark, dir, "documents")
-      .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
-      .select("doc_id", "text", "grams")
+    // persisted + materialized: the gram compute is shared between
+    // candidates and attaches, and the text-attach gates below read
+    // ACTUAL cached bytes — default-width stats count a full document
+    // as 20 bytes, so the static gate would broadcast the whole corpus
+    // text at any scale (the measured-attach-gate fix, PLANS.md
+    // round-11)
+    val d = Tables.persistSlot("dedup_levenshtein.docs",
+      Tables.spread(spark, dir, "documents")
+        .withColumn("grams", expr("ngram_hashes(split(text, ' '), 2)"))
+        .select("doc_id", "text", "grams"))
+    d.count()
     val pairs = lshCandidates(d.select("doc_id", "grams"), "grams",
       numHashes, bandRows)
     val t = d.select(col("doc_id"), col("text"))

@@ -535,8 +535,23 @@ object Horizon {
       |    ON a.band = b.band AND a.bsig = b.bsig
       |    AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** [[portableSig]] persisted and MATERIALIZED so the attach gates
+    * read actual cached bytes — default-width stats under-count the
+    * shingle/signature arrays ~100×, which at the 100× replica turned
+    * the static gate into a driver-OOM broadcast (the
+    * measured-attach-gate fix, PLANS.md round-11). The cache is
+    * shared by #179/#188 (and the banding sweep, whose identical plan
+    * dedupes in the CacheManager).
+    */
+  private def portableSigCached(spark: SparkSession,
+      dir: String): DataFrame = {
+    val s = Tables.persistSlot("portable_sig", portableSig(spark, dir))
+    s.count()
+    s
+  }
+
   def dedupMinhashEst(spark: SparkSession, dir: String): DataFrame = {
-    val sig = portableSig(spark, dir)
+    val sig = portableSigCached(spark, dir)
     val pairs = portableCandidates(sig)
     val side = sig.select(col("doc_id"), col("sh"), col("sig"))
     pairs
@@ -1187,7 +1202,7 @@ object Horizon {
     * explode of the SCORED pair table (structure-sized).
     */
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sig = portableSig(spark, dir)
+    val sig = portableSigCached(spark, dir)
     val pairs = portableCandidates(sig)
     val side = sig.select(col("doc_id"), col("sh"))
     val scored = pairs

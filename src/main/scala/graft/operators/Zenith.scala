@@ -1040,9 +1040,16 @@ object Zenith {
     // three banding configs plus six verify attaches — the
     // mm_phash_dedup persist profile (bounded: |docs| rows of 16
     // hashes + shingle sets), measured 2.4× at sf0.1 and 4.0× at the
-    // 10× replica (PLANS.md)
+    // 10× replica (PLANS.md). The count() MATERIALIZES the cache
+    // before join planning so the attach gates below read the ACTUAL
+    // cached bytes, not Catalyst's default-width estimate — the 100×
+    // probe showed the static estimate under-counting this table
+    // ~150× (a "26 MB" broadcast of ~4 GB of shingle arrays → driver
+    // OOM). The pass is the operator's own compute, reused by every
+    // config.
     val sig = Tables.persistSlot("dedup_banding_sweep.sig",
       Horizon.portableSig(spark, dir))
+    sig.count()
     val side = sig.select(col("doc_id"), col("sh"))
     def config(bands: Int): DataFrame = {
       val rows = 16 / bands
@@ -1796,6 +1803,142 @@ object Zenith {
        |FROM s JOIN med USING (flag) JOIN wmed USING (flag)
        |ORDER BY s.flag""".stripMargin
 
+  // --------------------------------------------------------------- #246
+  /** #246 corpus length drift: per source, the early-vs-late-half
+    * token-length profile (halves by doc_id rank — the #190 ingestion
+    * -order proxy): mean doc length per half from exact integer sums,
+    * and the r4'd late/early ratio — "is the crawl degrading" at the
+    * SOURCE level, the cheapest canary before #137's χ² content
+    * drift or #190's embedding drift fire.
+    *
+    * Scale: one rank window per source + one keyed agg — |sources|×2
+    * intermediate rows.
+    */
+  def corpusLengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy("source")
+    val halves = Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("r", row_number().over(bySrc.orderBy("doc_id")))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .where(col("n") >= 2)
+      .withColumn("late", col("r") * 2 > col("n"))
+    halves.groupBy("source")
+      .agg(sum(when(!col("late"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(!col("late"), col("n_tokens")).otherwise(0L))
+          .as("tok_early"),
+        sum(when(col("late"), col("n_tokens")).otherwise(0L))
+          .as("tok_late"))
+      .select(col("source"), col("n_early"), col("n_late"),
+        r4(col("tok_early").cast("double") / col("n_early"))
+          .as("mean_len_early"),
+        r4(col("tok_late").cast("double") / col("n_late"))
+          .as("mean_len_late"),
+        // exact cross-products, ONE division: (tokL·nE)/(nL·tokE)
+        r4((col("tok_late").cast("double") * col("n_early")) /
+          (col("n_late").cast("double") * col("tok_early")))
+          .as("len_ratio"))
+      .orderBy("source")
+  }
+
+  val corpusLengthDriftSql: String =
+    s"""WITH ranked AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (
+       |  SELECT source, n_tokens, (r * 2 > n) AS late
+       |  FROM ranked WHERE n >= 2)
+       |SELECT source,
+       |  CAST(COUNT(*) FILTER (WHERE NOT late) AS BIGINT) AS n_early,
+       |  CAST(COUNT(*) FILTER (WHERE late) AS BIGINT) AS n_late,
+       |  ${r4Sql("SUM(CASE WHEN NOT late THEN n_tokens ELSE 0 END) / " +
+                  "CAST(COUNT(*) FILTER (WHERE NOT late) AS DOUBLE)")}
+       |    AS mean_len_early,
+       |  ${r4Sql("SUM(CASE WHEN late THEN n_tokens ELSE 0 END) / " +
+                  "CAST(COUNT(*) FILTER (WHERE late) AS DOUBLE)")}
+       |    AS mean_len_late,
+       |  ${r4Sql("(CAST(SUM(CASE WHEN late THEN n_tokens ELSE 0 END) " +
+                  "AS DOUBLE) * COUNT(*) FILTER (WHERE NOT late)) / " +
+                  "(CAST(COUNT(*) FILTER (WHERE late) AS DOUBLE) * " +
+                  "SUM(CASE WHEN NOT late THEN n_tokens ELSE 0 END))")}
+       |    AS len_ratio
+       |FROM h GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- #247
+  /** #247 order-revenue seasonal index: per calendar month (1-12),
+    * revenue share against the uniform 1/12 baseline as ONE division
+    * of exact decimal cross-products (12·rev_m / Σrev) — the
+    * classical seasonal index on the DOLLAR axis (#115's seasonality
+    * matrix counts events; a revenue planner weights by value).
+    *
+    * Scale: one 2-column scan → 12-row keyed agg; the total is a
+    * window over those 12 rows.
+    */
+  def ordersSeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .groupBy(month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(38, 2))).as("rev"))
+      .withColumn("tot", sum("rev").over(Window.partitionBy()))
+      .select(col("mon"), col("n_orders"),
+        r4(col("rev").cast("double")).as("revenue"),
+        r4(lit(12.0) * col("rev").cast("double") /
+          col("tot").cast("double")).as("seasonal_index"))
+      .orderBy("mon")
+  }
+
+  val ordersSeasonalIndexSql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+       |  FROM orders GROUP BY 1)
+       |SELECT mon, n_orders,
+       |  ${r4Sql("CAST(rev AS DOUBLE)")} AS revenue,
+       |  ${r4Sql("12.0 * CAST(rev AS DOUBLE) / " +
+                  "CAST(SUM(rev) OVER () AS DOUBLE)")} AS seasonal_index
+       |FROM m ORDER BY mon""".stripMargin
+
+  // --------------------------------------------------------------- #248
+  /** #248 average neighbor degree per node over the support-floored
+    * co-purchase graph — the LOCAL view of #208's one global
+    * assortativity r: a node whose neighbors' mean degree far exceeds
+    * its own sits on the periphery of a hub (the "who do you hang out
+    * with" structural feature). Exact integer degree sums, ONE r4'd
+    * division per node.
+    *
+    * Scale: degrees are a keyed agg over the structure-sized edge
+    * list; the neighbor attach is one equi-join on the node key.
+    */
+  def graphAvgNeighborDegree(spark: SparkSession, dir: String): DataFrame = {
+    val und = Graph.undirected(spark, dir)
+    val e = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    e.join(Tables.maybeBroadcast(
+        deg.select(col("src").as("dst"), col("deg").as("nbr_deg"))), "dst")
+      .groupBy("src")
+      .agg(count(lit(1)).as("deg"), sum("nbr_deg").as("sum_nbr_deg"))
+      .select(col("src").as("node"), col("deg"),
+        r4(col("sum_nbr_deg").cast("double") / col("deg"))
+          .as("avg_nbr_deg"))
+      .orderBy("node")
+  }
+
+  val graphAvgNeighborDegreeSql: String =
+    s"""WITH ${Graph.edgeSql},
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY src)
+       |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+       |  ${r4Sql("SUM(d2.deg) / CAST(COUNT(*) AS DOUBLE)")}
+       |    AS avg_nbr_deg
+       |FROM e JOIN deg d2 ON e.dst = d2.src
+       |GROUP BY e.src ORDER BY node""".stripMargin
+
   // ------------------------------------------------------- registration
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_lifecycle" -> (eventsLifecycle _),
@@ -1823,7 +1966,10 @@ object Zenith {
     "graph_local_clustering" -> (graphLocalClustering _),
     "orders_reorder_interval" -> (ordersReorderInterval _),
     "window_rolling_slope" -> (windowRollingSlope _),
-    "agg_weighted_median" -> (aggWeightedMedian _))
+    "agg_weighted_median" -> (aggWeightedMedian _),
+    "corpus_length_drift" -> (corpusLengthDrift _),
+    "orders_seasonal_index" -> (ordersSeasonalIndex _),
+    "graph_avg_neighbor_degree" -> (graphAvgNeighborDegree _))
 
   val oracles: Map[String, String] = Map(
     "events_lifecycle" -> eventsLifecycleSql,
@@ -1851,5 +1997,8 @@ object Zenith {
     "graph_local_clustering" -> graphLocalClusteringSql,
     "orders_reorder_interval" -> ordersReorderIntervalSql,
     "window_rolling_slope" -> windowRollingSlopeSql,
-    "agg_weighted_median" -> aggWeightedMedianSql)
+    "agg_weighted_median" -> aggWeightedMedianSql,
+    "corpus_length_drift" -> corpusLengthDriftSql,
+    "orders_seasonal_index" -> ordersSeasonalIndexSql,
+    "graph_avg_neighbor_degree" -> graphAvgNeighborDegreeSql)
 }

@@ -129,7 +129,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_local_clustering", // triangles of an empty graph
     "orders_reorder_interval", // gaps of no purchases
     "window_rolling_slope", // frames over no months
-    "agg_weighted_median")  // weighted rank of no lines
+    "agg_weighted_median",  // weighted rank of no lines
+    "corpus_length_drift",  // halves of no docs
+    "orders_seasonal_index",// months of no orders
+    "graph_avg_neighbor_degree") // neighbors in an empty graph
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -79,7 +79,9 @@ class NullInputSpec extends AnyFunSuite {
     // batch 4: token-mass guard drops null text
     "mix_achieved_shares",
     // batch 5: both flag flows tokenize null text away
-    "decontamination_report")
+    "decontamination_report",
+    // batch 8: the length-drift halves guard null text
+    "corpus_length_drift")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

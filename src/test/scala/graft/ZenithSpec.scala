@@ -380,6 +380,39 @@ class ZenithSpec extends GraftSpec {
     m.unpersist()
   }
 
+  test("corpus_length_drift: halves partition each source and the ratio " +
+      "recomputes from the means") {
+    val d = Zenith.corpusLengthDrift(spark, sf).cache()
+    assert(d.count() > 0)
+    val nDocs = Tables(spark, sf, "documents")
+      .where(col("text").isNotNull).count()
+    assert(d.agg(sum(col("n_early") + col("n_late"))).head().getLong(0)
+      == nDocs)
+    // ratio ~= mean_late / mean_early within r4 rounding
+    assert(d.where(abs(col("len_ratio") -
+      col("mean_len_late") / col("mean_len_early")) > 0.01).count() == 0)
+    d.unpersist()
+  }
+
+  test("orders_seasonal_index: twelve months, indices average to 1") {
+    val s = Zenith.ordersSeasonalIndex(spark, sf).cache()
+    assert(s.count() == 12)
+    val mean = s.agg(avg("seasonal_index")).head().getDouble(0)
+    assert(math.abs(mean - 1.0) < 0.01, s"index mean $mean")
+    s.unpersist()
+  }
+
+  test("graph_avg_neighbor_degree: bounded by the graph's extreme " +
+      "degrees") {
+    val a = Zenith.graphAvgNeighborDegree(spark, sf).cache()
+    assert(a.count() > 0)
+    val degs = a.agg(min("deg"), max("deg")).head()
+    val (dmin, dmax) = (degs.getLong(0), degs.getLong(1))
+    assert(a.where(col("avg_nbr_deg") < dmin - 0.001 ||
+      col("avg_nbr_deg") > dmax + 0.001).count() == 0)
+    a.unpersist()
+  }
+
   test("ts_decompose: components reconstruct the series and residuals " +
       "average to ~0 within each seasonal cell") {
     val t = Zenith.tsDecompose(spark, sf).cache()
