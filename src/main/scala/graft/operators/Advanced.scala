@@ -265,7 +265,7 @@ object Advanced {
        |    FLOOR((list_sum(list_transform(range(1, len(q.embedding) + 1),
        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
        |      / (q.norm * c.norm)) * 10000.0 + 0.5) / 10000.0 AS cosine
-       |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000 AND q.vec_id <> c.vec_id)
        |SELECT q_id, c_id, cosine FROM scored
        |WHERE cosine >= $threshold ORDER BY q_id, c_id""".stripMargin
 

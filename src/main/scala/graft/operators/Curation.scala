@@ -359,7 +359,7 @@ object Curation {
       |    AS centroid
       |  FROM dims GROUP BY label),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
-      |      FROM v WHERE vec_id % 50 = 0),
+      |      FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
       |probe AS (
       |  SELECT q_id, label FROM (
       |    SELECT q_id, label,
@@ -649,7 +649,7 @@ object Curation {
   def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
-    val q = v.where(col("vec_id") % 50 === 0)
+    val q = v.where(col("vec_id") % 50 === 0 && col("vec_id") < 1000000L)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("label").as("q_label"))
     val c = v.select(col("vec_id").as("c_id"),
@@ -678,7 +678,7 @@ object Curation {
       |    list_sum(list_transform(range(1, len(q.embedding) + 1),
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       |      / (q.norm * c.norm) AS cosine_raw
-      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.label <> c.label),
+      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000 AND q.label <> c.label),
       |ranked AS (
       |  SELECT q_id, c_id, neg_label, cosine_raw, ROW_NUMBER() OVER (
       |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
@@ -780,7 +780,7 @@ object Curation {
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
       |  FROM embeddings),
-      |q AS (SELECT vec_id AS q_id FROM v WHERE vec_id % 50 = 0),
+      |q AS (SELECT vec_id AS q_id FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
       |truth AS (
       |  SELECT q_id, c_id FROM (
       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
@@ -791,7 +791,7 @@ object Curation {
       |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       |          / (qv.norm * c.norm) AS cosine_raw
       |      FROM v qv JOIN v c
-      |        ON qv.vec_id % 50 = 0 AND qv.vec_id <> c.vec_id))
+      |        ON qv.vec_id % 50 = 0 AND qv.vec_id < 1000000 AND qv.vec_id <> c.vec_id))
       |  WHERE rank <= 3),
       |hits AS (
       |  SELECT q_id, c_id FROM (
@@ -803,7 +803,7 @@ object Curation {
       |          i -> qv.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       |          / (qv.norm * c.norm) AS cosine_raw
       |      FROM v qv JOIN v c
-      |        ON qv.vec_id % 50 = 0 AND qv.vec_id <> c.vec_id
+      |        ON qv.vec_id % 50 = 0 AND qv.vec_id < 1000000 AND qv.vec_id <> c.vec_id
       |        AND qv.bucket = c.bucket))
       |  WHERE rank <= 3),
       |nt AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth

@@ -1069,7 +1069,7 @@ object Horizon {
     val emb = Tables(spark, dir, "embeddings")
     annMmrFrom(
       emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")),
-      emb.where(col("vec_id") % 50 === 0)
+      emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 1000000L)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
   }
 
@@ -1142,7 +1142,7 @@ object Horizon {
        |        ORDER BY ${dot("q.embedding", "c.embedding")}
        |          / (q.norm * c.norm) DESC, c.vec_id) AS prank
        |    FROM v q JOIN v c
-       |      ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+       |      ON q.vec_id % 50 = 0 AND q.vec_id < 1000000 AND q.vec_id <> c.vec_id)
        |  WHERE prank <= 10),
        |s1 AS (
        |  SELECT q_id, c_id AS s1_id, c_emb AS s1_emb, c_norm AS s1_norm,

@@ -34,7 +34,13 @@ object Similarity {
     */
   def evalQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(spark, dir, "embeddings")
-      .where(col("vec_id") % 50 === 0)
+      // the EVAL HORIZON (ids < 10^6) makes even the registered,
+      // corpus-seeded form scale-bounded: replicas / late ingests land
+      // above the horizon, so the query set stops growing with the
+      // corpus (measured necessity: at the 100× replica an unbounded
+      // stride-50 set made every ANN eval O(corpus²/50)); sf ≤ 0.1
+      // eval ids sit far below it, so oracle results are unchanged
+      .where(col("vec_id") % 50 === 0 && col("vec_id") < 1000000L)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** #32 exact cosine top-k neighbors. Query side broadcast; ranking
@@ -77,7 +83,7 @@ object Similarity {
       |    list_sum(list_transform(range(1, len(q.embedding) + 1),
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       |      / (q.norm * c.norm) AS cosine_raw
-      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000 AND q.vec_id <> c.vec_id),
       |ranked AS (
       |  SELECT q_id, c_id, cosine_raw, ROW_NUMBER() OVER (
       |    PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
@@ -174,7 +180,7 @@ object Similarity {
       |  SELECT vec_id, embedding, norm,
       |    unnest([bucket] || list_transform(range(0, 8),
       |      j -> xor(bucket, 1 << CAST(j AS INT)))) AS probe
-      |  FROM v WHERE vec_id % 50 = 0),
+      |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
       |scored AS (
       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
       |    list_sum(list_transform(range(1, len(q.embedding) + 1),
@@ -292,7 +298,10 @@ object Similarity {
       .withColumn("n2",
         expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"))
       .select("vec_id", "embedding", "qv", "n2")
-    val q = quantized.where(col("vec_id") % 50 === 0)
+    // same eval horizon as evalQueries: the query set is fixed-size
+    // at any corpus scale
+    val q = quantized
+      .where(col("vec_id") % 50 === 0 && col("vec_id") < 1000000L)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("qv").as("q_qv"), col("n2").as("q_n2"))
     val w = Window.partitionBy("q_id").orderBy(desc("qcos_raw"), col("vec_id"))
@@ -336,7 +345,7 @@ object Similarity {
       |      q.embedding[CAST(i AS INT)]::DOUBLE
       |        * c.embedding[CAST(i AS INT)]::DOUBLE))
       |      / (q.norm * c.norm) AS cos_raw
-      |  FROM qn q JOIN qn c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+      |  FROM qn q JOIN qn c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000 AND q.vec_id <> c.vec_id),
       |ranked AS (
       |  SELECT q_id, c_id, qcos_raw, cos_raw, ROW_NUMBER() OVER (
       |    PARTITION BY q_id ORDER BY qcos_raw DESC, c_id) AS rank
@@ -516,7 +525,7 @@ object Similarity {
       |    list_sum(list_transform(range(1, len(q.embedding) + 1),
       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
       |      / (q.norm * c.norm) AS cosine_raw
-      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+      |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000 AND q.vec_id <> c.vec_id
       |    AND q.bucket = c.bucket),
       |ranked AS (
       |  SELECT q_id, c_id, cosine_raw, ROW_NUMBER() OVER (
@@ -603,7 +612,7 @@ object Similarity {
       |    AS centroid
       |  FROM dims GROUP BY label),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
-      |      FROM v WHERE vec_id % 50 = 0),
+      |      FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
       |probe AS (
       |  SELECT q_id, q_emb, q_norm, label,
       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label)
@@ -874,7 +883,7 @@ object Similarity {
     s"""WITH $pqCtes,
       |codes AS (SELECT vec_id, s, cid FROM coded),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
-      |      FROM v WHERE vec_id % 50 = 0),
+      |      FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
       |qparts AS (
       |  SELECT q_id, s,
       |    list_transform(q_emb[(s * 32 + 1):(s * 32 + 32)],

@@ -611,7 +611,7 @@ object Zenith {
        |      x -> x::DOUBLE * x::DOUBLE))) AS norm
        |  FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding, norm, bucket
-       |      FROM v WHERE vec_id % 50 = 0),
+       |      FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
        |probes AS (
        |  SELECT q_id, unnest([bucket] || list_transform(range(0, 8),
        |    j -> xor(bucket, 1 << CAST(j AS INT)))) AS probe
