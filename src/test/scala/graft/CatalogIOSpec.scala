@@ -54,4 +54,27 @@ class CatalogIOSpec extends GraftSpec {
     assert(rows.count(_.getAs[String]("_corrupt") == null) == 2)
     assert(rows.count(_.getAs[String]("_corrupt") != null) == 1)
   }
+
+  test("schema evolution: mergeSchema unions snapshot generations, old " +
+      "rows null-fill added columns") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (doc_id, path); generation 2 adds a checksum column
+    // — the additive-evolution pattern a long-lived catalog accumulates
+    Seq((1L, "a/x"), (2L, "a/y")).toDF("doc_id", "path")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "b/z", "c0ffee")).toDF("doc_id", "path", "checksum")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "path", "checksum"))
+    assert(merged.count() == 3)
+    assert(merged.where(col("checksum").isNull).count() == 2)
+    assert(merged.where(col("checksum") === "c0ffee")
+      .select("doc_id").head().getLong(0) == 3L)
+    // and WITHOUT the option the reader keeps one generation's schema —
+    // the default stays cheap (no footer union scan)
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() == 3)
+  }
 }
