@@ -32,6 +32,7 @@ object SparkEntry {
     operators.Horizon.queries,
     operators.Meridian.queries,
     operators.Zenith.queries,
+    operators.Pinnacle.queries,
   )
 
   private def oracleModules = Seq(
@@ -56,6 +57,7 @@ object SparkEntry {
     operators.Horizon.oracles,
     operators.Meridian.oracles,
     operators.Zenith.oracles,
+    operators.Pinnacle.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
