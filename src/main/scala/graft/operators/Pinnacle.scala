@@ -681,6 +681,142 @@ object Pinnacle {
        |  ${r4Sql("CAST(n_t AS DOUBLE) / n_hours")} AS cusum_at_cp
        |FROM picked WHERE rk = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #258
+  /** #258 Markov entropy rate over the user-journey transition graph:
+    * per source state, the integer-bits branch entropy of its outgoing
+    * transition distribution (#103 estimates the probabilities; this
+    * scores their UNCERTAINTY — a state with H≈0 is a deterministic
+    * funnel step, high H a true branch point), plus the `__rate` row:
+    * the stationary-weighted chain entropy rate Σᵢ (nᵢ/N)·Hᵢ, which
+    * under the empirical occupancy IS Σ numᵢ / N.
+    *
+    * Exactness: #131/#197's integer-bits device (bits(c) =
+    * ⌊log₂ c⌋ = len(bin(c))−1) keeps every entropy numerator an int64
+    * — numᵢ = Σⱼ nᵢⱼ·(bits(nᵢ) − bits(nᵢⱼ)) — with ONE r4'd division
+    * per emitted row; no libm log whose last bit could differ across
+    * engines.
+    *
+    * Scale: the transition derivation is #103's one user-keyed window;
+    * everything after is |states|²-bounded.
+    */
+  def eventsEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val bits: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => (length(bin(c)) - 1).cast("long")
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val trans = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(ord))
+      .where(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val perSrc = trans.groupBy("src").agg(
+        count(lit(1)).as("n_out"),
+        sum("n").as("n_trans"),
+        sum(col("n") * bits(col("n"))).as("sum_nbits"))
+      .withColumn("num",
+        col("n_trans") * bits(col("n_trans")) - col("sum_nbits"))
+    val rate = perSrc.agg(
+        sum("n_out").as("n_out"), sum("n_trans").as("n_trans"),
+        sum("num").as("num"))
+      .select(lit("__rate").as("src"), col("n_out"), col("n_trans"),
+        col("num"))
+    perSrc.select(col("src"), col("n_out"), col("n_trans"), col("num"))
+      .unionByName(rate)
+      .select(col("src"), col("n_out"), col("n_trans"),
+        r4(col("num").cast("double") / col("n_trans")).as("ent_bits"))
+      .orderBy("src")
+  }
+
+  val eventsEntropyRateSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+       |  FROM events),
+       |t AS (
+       |  SELECT event_type AS src, LEAD(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY ts_us, event_id) AS dst
+       |  FROM e),
+       |c AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+       |p AS (
+       |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_out,
+       |    CAST(SUM(n) AS BIGINT) AS n_trans,
+       |    CAST(SUM(n * (length(bin(n)) - 1)) AS BIGINT) AS sum_nbits
+       |  FROM c GROUP BY src),
+       |rows_ AS (
+       |  SELECT src, n_out, n_trans,
+       |    n_trans * (length(bin(n_trans)) - 1) - sum_nbits AS num
+       |  FROM p
+       |  UNION ALL
+       |  SELECT '__rate', CAST(SUM(n_out) AS BIGINT),
+       |    CAST(SUM(n_trans) AS BIGINT),
+       |    CAST(SUM(n_trans * (length(bin(n_trans)) - 1) - sum_nbits)
+       |      AS BIGINT)
+       |  FROM p)
+       |SELECT src, n_out, n_trans,
+       |  ${r4Sql("CAST(num AS DOUBLE) / n_trans")} AS ent_bits
+       |FROM rows_ ORDER BY src""".stripMargin
+
+  // --------------------------------------------------------------- #259
+  /** #259 session concurrency curve: for every clock hour, how many of
+    * #20's gap-sessions were live during it (and how many distinct
+    * users) — the load profile that sizes a serving fleet, read
+    * directly from the session intervals. #134 merges intervals; this
+    * counts their overlap against the calendar.
+    *
+    * Scale: sessions derive from #20's one user-keyed window; each
+    * session explodes to its spanned hours — fan-out bounded by
+    * session duration (gap-capped), never by corpus size — then ONE
+    * hour-keyed agg to a calendar-bounded curve. No interval
+    * self-join, no global ordered sweep.
+    */
+  def sessionsConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("is_new",
+        when(lag(col("ts_us"), 1).over(ord).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(ord) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(expr("min(ts_us) div 3600000000").as("h0"),
+        expr("max(ts_us) div 3600000000").as("h1"))
+    sess
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("hour")
+  }
+
+  val sessionsConcurrencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+      |      OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+      |      AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+      |    ts_us
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, session_id,
+      |    CAST(MIN(ts_us) // 3600000000 AS BIGINT) AS h0,
+      |    CAST(MAX(ts_us) // 3600000000 AS BIGINT) AS h1
+      |  FROM sess GROUP BY user_id, session_id),
+      |hrs AS (
+      |  SELECT user_id, unnest(generate_series(h0, h1)) AS hour FROM iv)
+      |SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM hrs GROUP BY hour ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_parts_supplier" -> (q16PartsSupplier _),
@@ -690,7 +826,9 @@ object Pinnacle {
     "agg_sketch_union" -> (aggSketchUnion _),
     "events_burstiness" -> (eventsBurstiness _),
     "quality_rule_overlap" -> (qualityRuleOverlap _),
-    "ts_cusum" -> (tsCusum _))
+    "ts_cusum" -> (tsCusum _),
+    "events_entropy_rate" -> (eventsEntropyRate _),
+    "sessions_concurrency" -> (sessionsConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q11_important_stock" -> q11ImportantStockSql,
@@ -701,5 +839,7 @@ object Pinnacle {
     "agg_sketch_union" -> aggSketchUnionSql,
     "events_burstiness" -> eventsBurstinessSql,
     "quality_rule_overlap" -> qualityRuleOverlapSql,
-    "ts_cusum" -> tsCusumSql)
+    "ts_cusum" -> tsCusumSql,
+    "events_entropy_rate" -> eventsEntropyRateSql,
+    "sessions_concurrency" -> sessionsConcurrencySql)
 }

@@ -159,4 +159,33 @@ class PinnacleSpec extends GraftSpec {
         col("cp_hour") > col("h_max")).count() == 0)
     c.unpersist()
   }
+
+  test("events_entropy_rate: integer-bits entropy bounded, rate row " +
+      "reconciles with per-state totals") {
+    val e = operators.Pinnacle.eventsEntropyRate(spark, sf).cache()
+    assert(e.count() > 1)
+    assert(e.where(col("ent_bits") < -0.0001).count() == 0)
+    // H_bits <= bits(n_trans) (the device's hard ceiling)
+    assert(e.where(col("ent_bits") >
+      (length(bin(col("n_trans"))) - 1).cast("double") + 0.0001)
+      .count() == 0)
+    val rate = e.where(col("src") === "__rate").head()
+    val per = e.where(col("src") =!= "__rate")
+      .agg(sum("n_trans")).head().getLong(0)
+    assert(rate.getAs[Long]("n_trans") == per)
+    e.unpersist()
+  }
+
+  test("sessions_concurrency: every session covered at least once, " +
+      "users bounded by sessions") {
+    val c = operators.Pinnacle.sessionsConcurrency(spark, sf).cache()
+    assert(c.count() > 0)
+    assert(c.where(col("n_users") > col("n_sessions") ||
+      col("n_sessions") < 1).count() == 0)
+    // total session-hours >= total sessions (each spans >= 1 hour)
+    val nSessions = operators.Temporal.sessionize(spark, sf).count()
+    val sessHours = c.agg(sum("n_sessions")).head().getLong(0)
+    assert(sessHours >= nSessions)
+    c.unpersist()
+  }
 }
