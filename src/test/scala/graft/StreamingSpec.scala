@@ -567,4 +567,51 @@ class StreamingSpec extends GraftSpec {
         r.getLong(3), r.getLong(4))).toSet
     assert(afterReplay == batchRef)
   }
+
+  test("streaming KMV distinct sketch: per-batch k-min partials merged " +
+      "on read == batch union_direct sketch (#254's lattice, streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val k = 64
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_part").toString
+    val stream = MemoryStream[Ev]
+    // Each micro-batch appends ITS OWN k-min set of distinct-user
+    // hashes (bounded state: <= k rows per batch). Merge-on-read takes
+    // the k smallest of the union — the same lattice property
+    // #254 proves batch-side: k-min(A ∪ B) = k-min(k-min(A) ∪ k-min(B)).
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("user_id")).distinct()
+          .withColumn("hv",
+            conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+              .cast("long"))
+          .select("hv").distinct().orderBy("hv").limit(k)
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    // uneven batches, delivered out of time order; one batch REPLAYED —
+    // k-min union is idempotent, so redelivery cannot move the sketch
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = spark.read.parquet(partDir)
+      .select("hv").distinct().orderBy("hv").limit(k)
+      .agg(count(lit(1)).as("sketch_size"), max("hv").as("kth_hv"))
+      .head()
+    val direct = operators.Pinnacle.aggSketchUnion(spark, sf)
+      .where(col("scope") === "union_direct")
+      .head()
+    assert(merged.getAs[Long]("sketch_size") ==
+      direct.getAs[Long]("sketch_size"))
+    if (merged.getAs[Long]("sketch_size") == k)
+      assert(merged.getAs[Long]("kth_hv") == direct.getAs[Long]("kth_hv"))
+  }
 }
