@@ -132,7 +132,19 @@ class EmptyInputSpec extends AnyFunSuite {
     "agg_weighted_median",  // weighted rank of no lines
     "corpus_length_drift",  // halves of no docs
     "orders_seasonal_index",// months of no orders
-    "graph_avg_neighbor_degree") // neighbors in an empty graph
+    "graph_avg_neighbor_degree", // neighbors in an empty graph
+    // round-12 additions (#249-259)
+    "q11_important_stock",  // threshold against a null 1-row total
+    "q16_parts_supplier",   // distinct pairs of no lines
+    "join_asof_tolerance",  // tolerance window over no events
+    "ann_filtered",         // label partitions of an empty corpus
+    "ann_rerank",           // shortlist of an empty corpus (null maxabs)
+    "agg_sketch_union",     // 2 empty-sketch union rows (size 0)
+    "events_burstiness",    // gaps of an empty log
+    "quality_rule_overlap", // 6 pair rows of null counts
+    "ts_cusum",             // cusum over an empty axis
+    "events_entropy_rate",  // 1 __rate row of null totals
+    "sessions_concurrency") // hours of no sessions
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -167,6 +179,19 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.forall(_.getAs[Long]("n_candidates") == 0L))
         assert(rows.forall(_.isNullAt(
           rows.head.fieldIndex("precision_at_05"))))
+      } else if (name == "agg_sketch_union") {
+        // the two union rows always exist; empty input = empty sketches
+        assert(rows.length == 2)
+        assert(rows.forall(_.getAs[Long]("sketch_size") == 0L))
+      } else if (name == "quality_rule_overlap") {
+        // the 6-pair rule dim survives with null counts — no 0/0
+        assert(rows.length == 6)
+        assert(rows.forall(_.isNullAt(rows.head.fieldIndex("jaccard"))))
+      } else if (name == "events_entropy_rate") {
+        // the global __rate row survives with null totals
+        assert(rows.length == 1)
+        assert(rows.head.getAs[String]("src") == "__rate")
+        assert(rows.head.isNullAt(rows.head.fieldIndex("ent_bits")))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

@@ -81,7 +81,11 @@ class NullInputSpec extends AnyFunSuite {
     // batch 5: both flag flows tokenize null text away
     "decontamination_report",
     // batch 8: the length-drift halves guard null text
-    "corpus_length_drift")
+    "corpus_length_drift",
+    // round-12: rule flags evaluate null text to 0 (no fabricated
+    // fires); the label-scoped join and SQ8 quantization both see the
+    // null embedding (null cosine ranks last, never crashes)
+    "quality_rule_overlap", "ann_filtered", "ann_rerank")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
