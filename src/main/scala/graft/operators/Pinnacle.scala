@@ -817,6 +817,96 @@ object Pinnacle {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM hrs GROUP BY hour ORDER BY hour""".stripMargin
 
+  // --------------------------------------------------------------- #260
+  /** #260 PQ codebook utilization audit: per subspace, how many of the
+    * 16 codewords carry population, the top codeword's share, and the
+    * integer-bits entropy of the code distribution — dead codewords
+    * and a collapsed (low-entropy) code histogram are the two PQ
+    * failure smells (#212 audits per-VECTOR distortion; this audits
+    * the CODEBOOK's health — the `ann_ivf_balance` read for the PQ
+    * family). Reuses #107's shared model verbatim, so the audit grades
+    * exactly the codebooks the index serves.
+    *
+    * Scale: `coded` is the one corpus-sized table; everything here is
+    * one (s, cid) keyed agg to m·ksub rows then m output rows.
+    */
+  def embedPqUsage(spark: SparkSession, dir: String): DataFrame = {
+    val bits: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => (length(bin(c)) - 1).cast("long")
+    val (_, coded) = Similarity.pqModel(spark, dir, m = 2, ksub = 16)
+    val perCode = coded.groupBy("s", "cid").agg(count(lit(1)).as("nc"))
+    perCode.groupBy("s").agg(
+        count(lit(1)).as("n_used"),
+        sum("nc").as("n_vecs"),
+        max("nc").as("top_code_n"),
+        sum(col("nc") * bits(col("nc"))).as("sum_nbits"))
+      .select(col("s"), col("n_vecs"), col("n_used"),
+        r4(col("n_used").cast("double") / 16).as("utilization"),
+        r4(col("top_code_n").cast("double") / col("n_vecs"))
+          .as("top_code_share"),
+        r4((col("n_vecs") * bits(col("n_vecs")) - col("sum_nbits"))
+          .cast("double") / col("n_vecs")).as("code_ent_bits"))
+      .orderBy("s")
+  }
+
+  val embedPqUsageSql: String =
+    s"""WITH ${Similarity.pqCtes},
+       |per_code AS (
+       |  SELECT s, cid, CAST(COUNT(*) AS BIGINT) AS nc
+       |  FROM coded GROUP BY s, cid),
+       |per_sub AS (
+       |  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_used,
+       |    CAST(SUM(nc) AS BIGINT) AS n_vecs,
+       |    CAST(MAX(nc) AS BIGINT) AS top_code_n,
+       |    CAST(SUM(nc * (length(bin(nc)) - 1)) AS BIGINT) AS sum_nbits
+       |  FROM per_code GROUP BY s)
+       |SELECT CAST(s AS INT) AS s, n_vecs, n_used,
+       |  ${r4Sql("CAST(n_used AS DOUBLE) / 16")} AS utilization,
+       |  ${r4Sql("CAST(top_code_n AS DOUBLE) / n_vecs")} AS top_code_share,
+       |  ${r4Sql("(n_vecs * (length(bin(n_vecs)) - 1) - sum_nbits)" +
+                  " / CAST(n_vecs AS DOUBLE)")} AS code_ent_bits
+       |FROM per_sub ORDER BY s""".stripMargin
+
+  // --------------------------------------------------------------- #261
+  /** #261 A/B sample-ratio-mismatch check (the assignment-integrity
+    * gate that must pass BEFORE #112's lift is believable): users
+    * hash-assigned to two arms (same pmod device as #112), arm counts
+    * compared against the expected 50/50 under a z-test — z² =
+    * (n_a−n_b)²/n stays an exact integer ratio, and the flag fires on
+    * the decimal-exact comparison (n_a−n_b)² > 9·n, i.e. |z| > 3.
+    * An SRM means the assignment (or logging) pipeline is biased and
+    * every downstream metric is suspect.
+    *
+    * Scale: one distinct on (user) then a 1-row global agg.
+    */
+  def eventsAbSrm(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    arms.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b")).as("n_users"),
+        r4(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b"))).as("z2"),
+        ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+          (col("n_a") + col("n_b")) * 9).as("srm_flag"))
+  }
+
+  val eventsAbSrmSql: String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events),
+       |a AS (
+       |  SELECT CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+       |    CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b
+       |  FROM u)
+       |SELECT n_a, n_b, n_a + n_b AS n_users,
+       |  ${r4Sql("CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)")}
+       |    AS z2,
+       |  (n_a - n_b) * (n_a - n_b) > (n_a + n_b) * 9 AS srm_flag
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_parts_supplier" -> (q16PartsSupplier _),
@@ -828,7 +918,9 @@ object Pinnacle {
     "quality_rule_overlap" -> (qualityRuleOverlap _),
     "ts_cusum" -> (tsCusum _),
     "events_entropy_rate" -> (eventsEntropyRate _),
-    "sessions_concurrency" -> (sessionsConcurrency _))
+    "sessions_concurrency" -> (sessionsConcurrency _),
+    "embed_pq_usage" -> (embedPqUsage _),
+    "events_ab_srm" -> (eventsAbSrm _))
 
   val oracles: Map[String, String] = Map(
     "q11_important_stock" -> q11ImportantStockSql,
@@ -841,5 +933,7 @@ object Pinnacle {
     "quality_rule_overlap" -> qualityRuleOverlapSql,
     "ts_cusum" -> tsCusumSql,
     "events_entropy_rate" -> eventsEntropyRateSql,
-    "sessions_concurrency" -> sessionsConcurrencySql)
+    "sessions_concurrency" -> sessionsConcurrencySql,
+    "embed_pq_usage" -> embedPqUsageSql,
+    "events_ab_srm" -> eventsAbSrmSql)
 }

@@ -188,4 +188,33 @@ class PinnacleSpec extends GraftSpec {
     assert(sessHours >= nSessions)
     c.unpersist()
   }
+
+  test("embed_pq_usage: per-subspace accounting against the corpus, " +
+      "utilization and entropy bounded") {
+    val u = operators.Pinnacle.embedPqUsage(spark, sf).cache()
+    assert(u.count() == 2) // m = 2 subspaces
+    val nVecs = Tables(spark, sf, "embeddings").count()
+    assert(u.where(col("n_vecs") =!= nVecs).count() == 0)
+    assert(u.where(col("n_used") < 1 || col("n_used") > 16).count() == 0)
+    assert(u.where(col("utilization") <= 0 ||
+      col("utilization") > 1).count() == 0)
+    assert(u.where(col("top_code_share") <= 0 ||
+      col("top_code_share") > 1).count() == 0)
+    // 16 codewords => at most 4 bits of code entropy
+    assert(u.where(col("code_ent_bits") < -0.0001 ||
+      col("code_ent_bits") > 4.0001).count() == 0)
+    u.unpersist()
+  }
+
+  test("events_ab_srm: arm counts reconcile and the flag matches the " +
+      "exact integer comparison") {
+    val r = operators.Pinnacle.eventsAbSrm(spark, sf).head()
+    val nUsers = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na + nb == nUsers && r.getAs[Long]("n_users") == nUsers)
+    assert(r.getAs[Boolean]("srm_flag") ==
+      ((na - nb) * (na - nb) > 9 * (na + nb)))
+    assert(r.getAs[Double]("z2") >= 0.0)
+  }
 }
