@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Meridian.queries,
     operators.Zenith.queries,
     operators.Pinnacle.queries,
+    operators.Summit.queries,
   )
 
   private def oracleModules = Seq(
@@ -58,6 +59,7 @@ object SparkEntry {
     operators.Meridian.oracles,
     operators.Zenith.oracles,
     operators.Pinnacle.oracles,
+    operators.Summit.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

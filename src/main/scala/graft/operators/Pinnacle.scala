@@ -509,8 +509,14 @@ object Pinnacle {
     * table is unpivoted from that single row — no self-join over
     * docs, no per-rule scans.
     */
-  def qualityRuleOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(spark, dir, "documents")
+  /** Per-doc independent verdicts of the four #81 gates (one row per
+    * document, columns f0..f3 ∈ {0,1}) — the shared input of #256's
+    * overlap matrix and #265's chance-corrected kappa (Summit). One
+    * map-side pass; no shuffle.
+    */
+  private[operators] def ruleFlags(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.spread(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_bigrams", greatest(col("n_tokens") - 1, lit(0L)))
@@ -535,6 +541,9 @@ object Pinnacle {
         when(col("mean_tok_len") < 2.0 || col("mean_tok_len") > 12.0, 1L)
           .otherwise(0L).as("f2"),
         when(col("digit_frac") >= 0.2, 1L).otherwise(0L).as("f3"))
+
+  def qualityRuleOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = ruleFlags(spark, dir)
     val s = d.agg(
       sum("f0").as("n0"), sum("f1").as("n1"),
       sum("f2").as("n2"), sum("f3").as("n3"),
@@ -560,8 +569,12 @@ object Pinnacle {
       .orderBy("rule_a", "rule_b")
   }
 
-  val qualityRuleOverlapSql: String =
-    s"""WITH d AS (
+  /** Shared oracle CTE text (`d`, `fl`): per-doc independent gate
+    * verdicts — mirrors [[ruleFlags]]. Spliced into #256's and #265's
+    * (Summit) oracle SQL so the flag definitions can't drift apart.
+    */
+  private[operators] val ruleFlagsCtesSql: String =
+    s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        |    len(string_split(text, ' ')) - 1 AS n_bigrams,
@@ -583,7 +596,10 @@ object Pinnacle {
        |    CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0
        |      THEN 1 ELSE 0 END AS f2,
        |    CASE WHEN digit_frac >= 0.2 THEN 1 ELSE 0 END AS f3
-       |  FROM d),
+       |  FROM d)""".stripMargin
+
+  val qualityRuleOverlapSql: String =
+    s"""WITH $ruleFlagsCtesSql,
        |s AS (
        |  SELECT CAST(SUM(f0) AS BIGINT) AS n0, CAST(SUM(f1) AS BIGINT) AS n1,
        |    CAST(SUM(f2) AS BIGINT) AS n2, CAST(SUM(f3) AS BIGINT) AS n3,

@@ -1,0 +1,796 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Round-13 widening (SURVEY.md §2 #262+): the cluster-operations
+  * pre-flight family (join-key skew audit — the measurement that
+  * decides when #83/#46's salting is worth its shuffle), funnel
+  * conversion latency (the time axis #48's funnel lacks), discrete
+  * repeat-purchase hazard, chance-corrected rater agreement over the
+  * #81 quality gates (Cohen's κ beside #256's Jaccard), graph-based
+  * ANN search (the HNSW-family baseline: greedy best-first beam over
+  * the #71 kNN graph), multimodal shot-boundary detection (consecutive
+  * frame-phash hamming), Bollinger-band breakout detection in exact
+  * integer band space, and the brand-switching transition matrix.
+  *
+  * Reference grounding: the reference indexes pipeline outputs so
+  * downstream jobs can run exactly this class of QC / analytics
+  * sweeps over them (reactor.py:147-218 routes every archived
+  * product into the queryable catalog); the skew audit and agreement
+  * stats are the operational reads a 1000-executor deployment runs
+  * before trusting a join layout or a filter cascade.
+  *
+  * Cross-engine exactness (the repo-wide contract): counts and sums
+  * are exact int64/DECIMAL(38,0); thresholds compare in integer or
+  * decimal space (never on a derived float); each emitted ratio is
+  * ONE r4'd IEEE division over exact inputs; order statistics use
+  * total-order ranking keys or the bounded-domain histogram device.
+  */
+object Summit {
+
+  // --------------------------------------------------------------- #262
+  /** #262 join-key skew pre-flight audit: the measurement a cluster
+    * operator runs BEFORE deciding whether a join/agg key needs
+    * salting (#83/#46) or AQE skew handling. Emits the top-5 heaviest
+    * keys, each row carrying the global distribution stats: key count,
+    * row count, max/mean/p99 rows-per-key, and the derived salt factor
+    * `ceil(max_rows / mean_rows)` (the fan-out that levels the
+    * heaviest key to the mean) with its power-of-two bit width via the
+    * `length(bin(n))` integer-bits device (#131/#197 — no libm log).
+    *
+    * Exactness: mean and share are ONE r4'd division each over exact
+    * int64 counts; p99 is an exact order statistic — smallest
+    * rows-per-key value whose cumulative key count reaches
+    * ⌈0.99·n_keys⌉, compared as `cum·100 ≥ n_keys·99` in integer
+    * space; salt is exact integer ceiling division.
+    *
+    * Scale: ONE keyed count agg (map-side combine) to the |keys|-sized
+    * table; the p99 comes from a HISTOGRAM of rows-per-key VALUES
+    * (bounded by max_rows, not |keys| — the #245 bounded-domain
+    * device), so the only global window runs over the value domain;
+    * top-5 is a TakeOrdered, never a full sort. 100 TB: |keys| rows
+    * shuffle once; everything after is domain-sized.
+    */
+  def auditKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    // the per-key count table feeds THREE consumers (global stats, the
+    // value-domain histogram, the top-5) — slot-persist it so lineitem
+    // scans once, not three times
+    val perKey = Tables.persistSlot("summit.keySkew.perKey",
+      Tables(spark, dir, "lineitem")
+        .groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("key_rows")))
+    val stats = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum("key_rows").as("n_rows"),
+      max("key_rows").as("max_rows"))
+    // histogram over the rows-per-key VALUE domain (≤ max_rows cells)
+    val hist = perKey.groupBy("key_rows").agg(count(lit(1)).as("n_at"))
+    val wc = Window.orderBy("key_rows") // domain-sized, documented
+    val p99 = hist.withColumn("cum", sum("n_at").over(wc))
+      .crossJoin(broadcast(stats.select(col("n_keys").as("nk"))))
+      .where(col("cum") * 100 >= col("nk") * 99)
+      .agg(min("key_rows").as("p99_rows"))
+    perKey.orderBy(desc("key_rows"), col("key")).limit(5)
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(p99))
+      .withColumn("share",
+        r4(col("key_rows").cast("double") / col("n_rows")))
+      .withColumn("mean_rows",
+        r4(col("n_rows").cast("double") / col("n_keys")))
+      .withColumn("salt",
+        expr("(max_rows * n_keys + n_rows - 1) div n_rows"))
+      .withColumn("salt_bits",
+        when(col("salt") <= 1, lit(0L))
+          .otherwise(length(bin(col("salt") - 1)).cast("long")))
+      .select("key", "key_rows", "share", "n_rows", "n_keys", "max_rows",
+        "mean_rows", "p99_rows", "salt", "salt_bits")
+      .orderBy(desc("key_rows"), col("key"))
+  }
+
+  val auditKeySkewSql: String =
+    s"""WITH pk AS (
+       |  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS key_rows
+       |  FROM lineitem GROUP BY 1),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |    CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+       |    MAX(key_rows) AS max_rows
+       |  FROM pk),
+       |h AS (SELECT key_rows, COUNT(*) AS n_at FROM pk GROUP BY 1),
+       |c AS (
+       |  SELECT key_rows, SUM(n_at) OVER (ORDER BY key_rows) AS cum
+       |  FROM h),
+       |p AS (
+       |  SELECT MIN(key_rows) AS p99_rows FROM c, st
+       |  WHERE cum * 100 >= n_keys * 99),
+       |t5 AS (
+       |  SELECT key, key_rows FROM pk
+       |  ORDER BY key_rows DESC, key LIMIT 5)
+       |SELECT key, key_rows,
+       |  ${r4Sql("CAST(key_rows AS DOUBLE) / n_rows")} AS share,
+       |  n_rows, n_keys, max_rows,
+       |  ${r4Sql("CAST(n_rows AS DOUBLE) / n_keys")} AS mean_rows,
+       |  p99_rows,
+       |  (max_rows * n_keys + n_rows - 1) // n_rows AS salt,
+       |  CASE WHEN (max_rows * n_keys + n_rows - 1) // n_rows <= 1 THEN 0
+       |    ELSE CAST(length(bin(
+       |      (max_rows * n_keys + n_rows - 1) // n_rows - 1)) AS BIGINT)
+       |  END AS salt_bits
+       |FROM t5, st, p
+       |ORDER BY key_rows DESC, key""".stripMargin
+
+  // --------------------------------------------------------------- #263
+  /** #263 funnel conversion latency: #48's view→click→purchase funnel
+    * with the TIME axis — per converting user, the delay between the
+    * first view and the first subsequent click, and between that
+    * click and the first subsequent purchase; per step, the count and
+    * the exact-rank median / p90 / mean latency in seconds.
+    *
+    * Exactness: order statistics ride the bounded-domain histogram
+    * device (#245): latencies are floored to SECONDS first, and
+    * because floor is monotone the rank-th smallest floored latency
+    * IS the floor of the rank-th smallest latency — one histogram
+    * pass, no in-bucket resolution needed at second granularity.
+    * Ranks are integers (lower median `(n+1) div 2`, p90
+    * `⌈9n/10⌉ = (9n+9) div 10`); the mean is ONE r4'd division of
+    * the exact int64 µs sum.
+    *
+    * Scale: three keyed min-aggs (user-keyed shuffles with map-side
+    * combine), then a latency-SECOND histogram — the per-step
+    * cumulative window runs over the second-valued domain, never over
+    * |users| rows (the #224 low-cardinality window ceiling does not
+    * apply).
+    */
+  def eventsFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(spark, dir)
+      .select("user_id", "event_type", "ts_us")
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t0"))
+    // first-click table feeds BOTH the purchase chain and the latency
+    // union — slot-persist so the view⋈click subtree computes once
+    val c = Tables.persistSlot("summit.funnelLatency.firstClick",
+      e.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts_us") > col("t0"))
+        .groupBy("user_id", "t0").agg(min("ts_us").as("t1")))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c.select("user_id", "t1"), "user_id")
+      .where(col("ts_us") > col("t1"))
+      .groupBy("user_id", "t1").agg(min("ts_us").as("t2"))
+    val lat = c.select(lit("1_view_to_click").as("step"),
+        (col("t1") - col("t0")).as("lat_us"))
+      .unionByName(p.select(lit("2_click_to_purchase").as("step"),
+        (col("t2") - col("t1")).as("lat_us")))
+    // the second-domain histogram feeds FOUR consumers (cum, tot, med,
+    // p90) — slot-persist the tiny table so the event-scan upstream
+    // runs once, not four times
+    val hist = Tables.persistSlot("summit.funnelLatency.hist",
+      lat.groupBy(col("step"), expr("lat_us div 1000000").as("lat_s"))
+        .agg(count(lit(1)).as("n_at"), sum("lat_us").as("sum_us")))
+    val ws = Window.partitionBy("step").orderBy("lat_s")
+    val cum = hist.withColumn("cum", sum("n_at").over(ws))
+    val tot = hist.groupBy("step")
+      .agg(sum("n_at").as("n_conv"), sum("sum_us").as("tot_us"))
+    val med = cum.join(tot, "step")
+      .where(col("cum") >= expr("(n_conv + 1) div 2"))
+      .groupBy("step").agg(min("lat_s").as("median_s"))
+    val p90 = cum.join(tot, "step")
+      .where(col("cum") >= expr("(9 * n_conv + 9) div 10"))
+      .groupBy("step").agg(min("lat_s").as("p90_s"))
+    tot.join(med, "step").join(p90, "step")
+      .select(col("step"), col("n_conv"), col("median_s"), col("p90_s"),
+        r4(col("tot_us").cast("double") / (col("n_conv") * lit(1000000L)))
+          .as("mean_s"))
+      .orderBy("step")
+  }
+
+  val eventsFunnelLatencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |v AS (
+       |  SELECT user_id, MIN(ts_us) AS t0 FROM e
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |c AS (
+       |  SELECT e.user_id, v.t0, MIN(ts_us) AS t1
+       |  FROM e JOIN v ON e.user_id = v.user_id
+       |  WHERE event_type = 'click' AND ts_us > t0 GROUP BY 1, 2),
+       |p AS (
+       |  SELECT e.user_id, c.t1, MIN(ts_us) AS t2
+       |  FROM e JOIN c ON e.user_id = c.user_id
+       |  WHERE event_type = 'purchase' AND ts_us > t1 GROUP BY 1, 2),
+       |lat AS (
+       |  SELECT '1_view_to_click' AS step, t1 - t0 AS lat_us FROM c
+       |  UNION ALL
+       |  SELECT '2_click_to_purchase', t2 - t1 FROM p),
+       |h AS (
+       |  SELECT step, lat_us // 1000000 AS lat_s,
+       |    COUNT(*) AS n_at, SUM(lat_us) AS sum_us
+       |  FROM lat GROUP BY 1, 2),
+       |cumt AS (
+       |  SELECT step, lat_s,
+       |    SUM(n_at) OVER (PARTITION BY step ORDER BY lat_s) AS cum
+       |  FROM h),
+       |tot AS (
+       |  SELECT step, CAST(SUM(n_at) AS BIGINT) AS n_conv,
+       |    CAST(SUM(sum_us) AS BIGINT) AS tot_us
+       |  FROM h GROUP BY 1),
+       |med AS (
+       |  SELECT c.step, MIN(lat_s) AS median_s
+       |  FROM cumt c JOIN tot t ON c.step = t.step
+       |  WHERE cum >= (n_conv + 1) // 2 GROUP BY 1),
+       |p90 AS (
+       |  SELECT c.step, MIN(lat_s) AS p90_s
+       |  FROM cumt c JOIN tot t ON c.step = t.step
+       |  WHERE cum >= (9 * n_conv + 9) // 10 GROUP BY 1)
+       |SELECT t.step, n_conv, median_s, p90_s,
+       |  ${r4Sql("CAST(tot_us AS DOUBLE) / (n_conv * 1000000)")} AS mean_s
+       |FROM tot t JOIN med ON t.step = med.step
+       |  JOIN p90 ON t.step = p90.step
+       |ORDER BY t.step""".stripMargin
+
+  // --------------------------------------------------------------- #264
+  /** #264 discrete repeat-purchase hazard curve: for every pair of a
+    * customer's consecutive orders, the gap in 30-day months (capped
+    * into a 12+ tail bucket); per month offset m, the risk set (gaps
+    * that survived to m), the event count (gaps ending in m), and the
+    * discrete hazard d/n — the life-table read under #57's retention
+    * matrix and #219's repeat rate: WHEN the repeat purchase comes,
+    * not just whether.
+    *
+    * Exactness: gaps are integer day differences; the risk set is a
+    * reverse cumulative sum of exact counts; hazard is ONE r4'd
+    * division per row.
+    *
+    * Scale: one per-customer lag window (key-partitioned, scales by
+    * width), one keyed agg to the 13-row month domain; the reverse
+    * cumsum window runs over 13 rows (domain-sized).
+    */
+  def ordersHazardCurve(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val gaps = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .where(col("prev_date").isNotNull)
+      .select(expr("least(datediff(o_orderdate, prev_date) div 30, 12)")
+        .cast("long").as("m"))
+    val d = gaps.groupBy("m").agg(count(lit(1)).as("n_events"))
+    val wm = Window.orderBy(desc("m")) // 13 rows — domain-sized
+    d.withColumn("n_at_risk", sum("n_events").over(wm))
+      .select(col("m").as("month_offset"), col("n_at_risk"),
+        col("n_events"),
+        r4(col("n_events").cast("double") / col("n_at_risk")).as("hazard"))
+      .orderBy("month_offset")
+  }
+
+  val ordersHazardCurveSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderkey, o_orderdate,
+       |    LAG(o_orderdate) OVER (
+       |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |      AS prev_date
+       |  FROM orders),
+       |g AS (
+       |  SELECT LEAST(date_diff('day', CAST(prev_date AS DATE),
+       |      CAST(o_orderdate AS DATE)) // 30, 12) AS m
+       |  FROM o WHERE prev_date IS NOT NULL),
+       |d AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM g GROUP BY 1),
+       |r AS (
+       |  SELECT m, n_events,
+       |    SUM(n_events) OVER (ORDER BY m DESC) AS n_at_risk
+       |  FROM d)
+       |SELECT CAST(m AS BIGINT) AS month_offset,
+       |  CAST(n_at_risk AS BIGINT) AS n_at_risk, n_events,
+       |  ${r4Sql("CAST(n_events AS DOUBLE) / n_at_risk")} AS hazard
+       |FROM r ORDER BY month_offset""".stripMargin
+
+  // --------------------------------------------------------------- #265
+  /** #265 chance-corrected rule agreement: Cohen's κ for every pair of
+    * the four #81 quality gates, from the same per-doc independent
+    * verdicts as #256's overlap matrix. Jaccard says how often two
+    * rules co-fire; κ says whether they agree MORE THAN CHANCE given
+    * their marginal fire rates — a high-Jaccard pair of rules that
+    * both fire on 90% of docs is agreement by base rate, not
+    * redundancy. The standard inter-rater read before merging rules.
+    *
+    * Exactness: from the 2×2 table (a=both, b/c=one-only, d=neither),
+    * κ = 2(ad−bc) / ((a+b)(b+d)+(a+c)(c+d)); numerator and
+    * denominator are DECIMAL(38,0) products of exact counts (the #222
+    * HHI device), the emitted κ is ONE r4'd division, and the
+    * agreement class thresholds (0.2/0.4/0.6/0.8) compare `5·num`
+    * against integer multiples of `den` in decimal space — the class
+    * can't float apart from the ratio.
+    *
+    * Scale: identical to #256 — one map pass, ONE global aggregate,
+    * a 6-row unpivot.
+    */
+  def qualityRuleKappa(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val s = Pinnacle.ruleFlags(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum("f0").as("n0"), sum("f1").as("n1"),
+      sum("f2").as("n2"), sum("f3").as("n3"),
+      sum(col("f0") * col("f1")).as("n01"),
+      sum(col("f0") * col("f2")).as("n02"),
+      sum(col("f0") * col("f3")).as("n03"),
+      sum(col("f1") * col("f2")).as("n12"),
+      sum(col("f1") * col("f3")).as("n13"),
+      sum(col("f2") * col("f3")).as("n23"))
+    s.selectExpr(
+      """stack(6,
+        |  'min_tokens', 'repetition',  n, n0, n1, n01,
+        |  'min_tokens', 'token_shape', n, n0, n2, n02,
+        |  'min_tokens', 'digit_ratio', n, n0, n3, n03,
+        |  'repetition', 'token_shape', n, n1, n2, n12,
+        |  'repetition', 'digit_ratio', n, n1, n3, n13,
+        |  'token_shape', 'digit_ratio', n, n2, n3, n23)
+        |  AS (rule_a, rule_b, n, n_a, n_b, n_both)""".stripMargin)
+      .withColumn("a", col("n_both").cast(dec))
+      .withColumn("b", (col("n_a") - col("n_both")).cast(dec))
+      .withColumn("c", (col("n_b") - col("n_both")).cast(dec))
+      .withColumn("d",
+        (col("n") - col("n_a") - col("n_b") + col("n_both")).cast(dec))
+      .withColumn("num",
+        lit(2).cast(dec) * (col("a") * col("d") - col("b") * col("c")))
+      .withColumn("den",
+        (col("a") + col("b")) * (col("b") + col("d")) +
+          (col("a") + col("c")) * (col("c") + col("d")))
+      .withColumn("kappa",
+        when(col("den") =!= 0,
+          r4(col("num").cast("double") / col("den").cast("double"))))
+      .withColumn("agreement",
+        when(col("den") === 0, "degenerate")
+          .when(col("num") < 0, "poor")
+          .when(col("num") * 5 < col("den"), "slight")
+          .when(col("num") * 5 < col("den") * 2, "fair")
+          .when(col("num") * 5 < col("den") * 3, "moderate")
+          .when(col("num") * 5 < col("den") * 4, "substantial")
+          .otherwise(lit("almost_perfect")))
+      .select("rule_a", "rule_b", "n_a", "n_b", "n_both", "kappa",
+        "agreement")
+      .orderBy("rule_a", "rule_b")
+  }
+
+  val qualityRuleKappaSql: String =
+    s"""WITH ${Pinnacle.ruleFlagsCtesSql},
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(f0) AS BIGINT) AS n0, CAST(SUM(f1) AS BIGINT) AS n1,
+       |    CAST(SUM(f2) AS BIGINT) AS n2, CAST(SUM(f3) AS BIGINT) AS n3,
+       |    CAST(SUM(f0 * f1) AS BIGINT) AS n01,
+       |    CAST(SUM(f0 * f2) AS BIGINT) AS n02,
+       |    CAST(SUM(f0 * f3) AS BIGINT) AS n03,
+       |    CAST(SUM(f1 * f2) AS BIGINT) AS n12,
+       |    CAST(SUM(f1 * f3) AS BIGINT) AS n13,
+       |    CAST(SUM(f2 * f3) AS BIGINT) AS n23
+       |  FROM fl),
+       |pairs AS (
+       |  SELECT 'min_tokens' AS rule_a, 'repetition' AS rule_b,
+       |    n, n0 AS n_a, n1 AS n_b, n01 AS n_both FROM s
+       |  UNION ALL SELECT 'min_tokens', 'token_shape', n, n0, n2, n02 FROM s
+       |  UNION ALL SELECT 'min_tokens', 'digit_ratio', n, n0, n3, n03 FROM s
+       |  UNION ALL SELECT 'repetition', 'token_shape', n, n1, n2, n12 FROM s
+       |  UNION ALL SELECT 'repetition', 'digit_ratio', n, n1, n3, n13 FROM s
+       |  UNION ALL SELECT 'token_shape', 'digit_ratio', n, n2, n3, n23 FROM s),
+       |k AS (
+       |  SELECT rule_a, rule_b, n_a, n_b, n_both,
+       |    CAST(n_both AS HUGEINT) AS a,
+       |    CAST(n_a - n_both AS HUGEINT) AS b,
+       |    CAST(n_b - n_both AS HUGEINT) AS c,
+       |    CAST(n - n_a - n_b + n_both AS HUGEINT) AS d
+       |  FROM pairs),
+       |kk AS (
+       |  SELECT rule_a, rule_b, n_a, n_b, n_both,
+       |    2 * (a * d - b * c) AS num,
+       |    (a + b) * (b + d) + (a + c) * (c + d) AS den
+       |  FROM k)
+       |SELECT rule_a, rule_b, n_a, n_b, n_both,
+       |  CASE WHEN den <> 0 THEN
+       |    ${r4Sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} END
+       |    AS kappa,
+       |  CASE WHEN den = 0 THEN 'degenerate'
+       |    WHEN num < 0 THEN 'poor'
+       |    WHEN num * 5 < den THEN 'slight'
+       |    WHEN num * 5 < den * 2 THEN 'fair'
+       |    WHEN num * 5 < den * 3 THEN 'moderate'
+       |    WHEN num * 5 < den * 4 THEN 'substantial'
+       |    ELSE 'almost_perfect' END AS agreement
+       |FROM kk ORDER BY rule_a, rule_b""".stripMargin
+
+  // --------------------------------------------------------------- #266
+  /** #266 graph-based ANN search — the HNSW/NSG family's baseline
+    * shape: greedy best-first beam search over the #71 kNN graph.
+    * From a fixed entry point, each hop expands the current beam's
+    * graph neighbors, scores them by exact cosine against the query,
+    * and keeps the top-`beam`; after `hops` expansions the top-k of
+    * the final candidate set is the answer. The point vs #32's
+    * brute force: per-query work is O(hops·beam·degree) cosine
+    * evaluations — INDEPENDENT of corpus size — because the corpus
+    * pass happened once, at graph build.
+    *
+    * Determinism: the graph comes from the md5-parity hyperplane
+    * buckets (#33's oracle-reproducible planes); every beam/top-k
+    * selection ranks on (cosine DESC, vec_id) — a total order.
+    *
+    * Recall caveat (shared with #71): a query whose entry path stays
+    * inside a sparse bucket component can miss; vectors whose bucket
+    * is a singleton contribute no edges. Production patches are a
+    * second hash table or higher graph degree, not wider buckets.
+    *
+    * Scale: graph build is the LSH-bucketed self-join (never
+    * all-pairs); each hop is one pass over the (src-keyed) edge list
+    * and one over the corpus with a TINY broadcast frontier
+    * (≤ |queries|·beam rows). On a cluster the edge list is bucketed
+    * by src so the hop join is co-located; the registered eval query
+    * set is horizon-bounded (#32's `vec_id < 10^6` contract).
+    */
+  def annGraphSearch(spark: SparkSession, dir: String): DataFrame =
+    annGraphSearch(spark, dir, bits = 6, kGraph = 8, beam = 8,
+      hops = 3, k = 3)
+
+  def annGraphSearch(spark: SparkSession, dir: String, bits: Int,
+      kGraph: Int, beam: Int, hops: Int, k: Int): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.persistSlot("summit.graphSearch.v",
+      Tables.spread(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(s"md5_rhp_bucket(embedding, $bits)").as("bucket")))
+    val we = Window.partitionBy("src").orderBy(desc("cos_raw"), col("dst"))
+    val edges = Tables.persistSlot("summit.graphSearch.edges",
+      v.as("a")
+        .join(v.select(col("vec_id").as("dst"),
+            col("embedding").as("d_emb"),
+            col("bucket").as("d_bucket")).as("b"),
+          col("bucket") === col("d_bucket") && col("vec_id") =!= col("dst"))
+        .withColumn("cos_raw", expr("cosine_f32(embedding, d_emb)"))
+        .select(col("vec_id").as("src"), col("dst"), col("cos_raw"))
+        .withColumn("rk", row_number().over(we))
+        .where(col("rk") <= kGraph)
+        .select("src", "dst"))
+    val q = Similarity.evalQueries(spark, dir)
+    val entry = v.agg(min(col("vec_id")).as("node"))
+    var frontier = q.select("q_id").crossJoin(broadcast(entry))
+    var scored: DataFrame = null
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionByName(edges
+          .join(broadcast(frontier), col("src") === col("node"))
+          .select(col("q_id"), col("dst").as("node")))
+        .distinct()
+      scored = cand
+        .join(v.select(col("vec_id"), col("embedding")),
+          col("node") === col("vec_id"))
+        .join(broadcast(q), "q_id")
+        .where(col("node") =!= col("q_id"))
+        .withColumn("cos_raw", expr("cosine_f32(q_emb, embedding)"))
+      val wq = Window.partitionBy("q_id").orderBy(desc("cos_raw"),
+        col("node"))
+      // lineage cut (the graph-iteration device): each hop references
+      // the previous frontier TWICE (as candidates and via the edge
+      // expansion), so the textual plan doubles per hop; checkpointing
+      // the ≤|q|·beam-row frontier keeps the plan hop-sized
+      frontier = scored.withColumn("rk", row_number().over(wq))
+        .where(col("rk") <= beam)
+        .select("q_id", "node")
+        .localCheckpoint()
+    }
+    val wq = Window.partitionBy("q_id").orderBy(desc("cos_raw"),
+      col("node"))
+    scored.withColumn("rank", row_number().over(wq).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("node").as("c_id"),
+        r4(col("cos_raw")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle mirror: same md5-parity buckets/edges as `annKnnGraphSql`,
+    * three unrolled hop CTEs (candidates = frontier ∪ graph neighbors,
+    * rank by exact cosine, keep beam=8), top-3 of the last hop's
+    * scored set.
+    */
+  val annGraphSearchSql: String = {
+    def hop(fPrev: String, i: Int): String =
+      s"""c$i AS (
+         |  SELECT q_id, node FROM $fPrev
+         |  UNION
+         |  SELECT f.q_id, e.dst FROM $fPrev f JOIN e ON e.src = f.node),
+         |s$i AS (
+         |  SELECT c.q_id, c.node,
+         |    list_sum(list_transform(range(1, len(q.q_emb) + 1),
+         |      i -> q.q_emb[i]::DOUBLE * v.embedding[i]::DOUBLE))
+         |      / (q.q_norm * v.norm) AS cos_raw
+         |  FROM c$i c JOIN v ON c.node = v.vec_id
+         |    JOIN q ON c.q_id = q.q_id
+         |  WHERE c.node <> c.q_id),
+         |f$i AS (
+         |  SELECT q_id, node FROM (
+         |    SELECT q_id, node, ROW_NUMBER() OVER (
+         |      PARTITION BY q_id ORDER BY cos_raw DESC, node) AS rk
+         |    FROM s$i) WHERE rk <= 8)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 6), j ->
+       |      CASE WHEN list_sum(list_transform(range(1, 65), d ->
+       |        (CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), 1, 1))::INT
+       |            & 1 = 1 THEN 1.0 ELSE -1.0 END)
+       |          * embedding[CAST(d AS INT)]::DOUBLE)) > 0
+       |      THEN 1 << CAST(j AS INT) ELSE 0 END)) AS bucket,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+       |  FROM embeddings),
+       |es AS (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |      / (a.norm * c.norm) AS cos_raw
+       |  FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, ROW_NUMBER() OVER (
+       |      PARTITION BY src ORDER BY cos_raw DESC, dst) AS rk
+       |    FROM es) WHERE rk <= 8),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+       |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000000),
+       |entry AS (SELECT MIN(vec_id) AS node FROM v),
+       |f0 AS (SELECT q_id, node FROM q, entry),
+       |${hop("f0", 1)},
+       |${hop("f1", 2)},
+       |${hop("f2", 3)}
+       |SELECT q_id, rank, c_id,
+       |  ${r4Sql("cos_raw")} AS cosine
+       |FROM (
+       |  SELECT q_id, node AS c_id, cos_raw, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cos_raw DESC, node) AS rank
+       |  FROM s3)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #267
+  /** #267 shot-boundary detection for media payloads: the #51 frame
+    * chunking composed with the #140 perceptual hash — each 32-byte
+    * frame gets a phash64 signature, consecutive frames within an
+    * asset compare by hamming distance, and a distance > 16 bits
+    * marks a cut. Emits per asset: frame count, shot count, max
+    * inter-frame hamming, mean shot length. The video-curation
+    * pre-step before #51's keyframe sampling (sample per SHOT, not
+    * per fixed stride).
+    *
+    * STUB CODEC (declared, same as the rest of the multimodal family):
+    * frames are byte slices of the text stand-in payload and the
+    * signature is the byte-sampling phash64 — a real deployment
+    * decodes frames and phashes pixels; the Spark shape (map-side
+    * slicing + signature, per-asset lag window over 8-byte sigs,
+    * payload bytes never shuffle) is the real thing. ASCII contract
+    * as #140: phash64 samples BYTES, the oracle samples CHARACTERS —
+    * identical on ASCII payloads.
+    *
+    * Scale: frames explode map-side and project to (doc_id, fi, sig)
+    * BEFORE the per-asset window shuffles — only 8-byte signatures
+    * move; the window partitions by asset (scales by width).
+    */
+  def mmShotBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val frames = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (n + 31) div 32 - 1)")).as("fi"))
+      .select(col("doc_id"), col("fi"),
+        expr("phash64(substring(text, fi * 32 + 1, 32))").as("sig"))
+    val wd = Window.partitionBy("doc_id").orderBy("fi")
+    frames
+      .withColumn("prev", lag("sig", 1).over(wd))
+      .withColumn("hamming", when(col("prev").isNotNull,
+        expr("cast(bit_count(sig ^ prev) as long)")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_frames"),
+        (sum(when(col("hamming") > 16, 1L).otherwise(0L)) + 1L)
+          .as("n_shots"),
+        max("hamming").as("max_hamming"))
+      .withColumn("mean_shot_frames",
+        r4(col("n_frames").cast("double") / col("n_shots")))
+      .orderBy("doc_id")
+  }
+
+  val mmShotBoundariesSql: String =
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |f AS (
+       |  SELECT doc_id, unnest(range(0, (n + 31) // 32)) AS fi, text
+       |  FROM d),
+       |sl AS (
+       |  SELECT doc_id, fi,
+       |    substr(text, CAST(fi * 32 + 1 AS INT), 32) AS s
+       |  FROM f),
+       |t AS (
+       |  SELECT doc_id, fi,
+       |    list_transform(range(0, 64), i -> ascii(substr(s,
+       |      1 + CAST(FLOOR(i * len(s) / 64) AS INT), 1))) AS samples
+       |  FROM sl),
+       |bb AS (
+       |  SELECT doc_id, fi, list_transform(samples,
+       |    v -> CASE WHEN v * 64 > list_sum(samples) THEN 1 ELSE 0 END)
+       |    AS bits
+       |  FROM t),
+       |hm AS (
+       |  SELECT a.doc_id, a.fi,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> abs(a.bits[i] - b.bits[i]))) AS BIGINT) AS hamming
+       |  FROM bb a JOIN bb b ON a.doc_id = b.doc_id AND a.fi = b.fi + 1),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+       |  FROM bb GROUP BY 1),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) FILTER (WHERE hamming > 16) AS BIGINT) AS n_bound,
+       |    MAX(hamming) AS max_hamming
+       |  FROM hm GROUP BY 1)
+       |SELECT p.doc_id, n_frames,
+       |  COALESCE(n_bound, 0) + 1 AS n_shots, max_hamming,
+       |  ${r4Sql("CAST(n_frames AS DOUBLE) / (COALESCE(n_bound, 0) + 1)")}
+       |    AS mean_shot_frames
+       |FROM per p LEFT JOIN hs ON p.doc_id = hs.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #268
+  /** #268 Bollinger-band breakout detection: per event type, flag
+    * values outside mean ± 2σ of the TRAILING 24 observations (the
+    * window excludes the current row — the band is a prediction, not
+    * a self-including smooth). The volatility-band anomaly read
+    * beside #82's global z-score and #257's CUSUM level-shift.
+    *
+    * Exactness: values clear to integer cents via the #231 floor
+    * device (`floor(v·100 + 0.5)` — pure IEEE, identical on both
+    * engines); with frame sums S1=Σv, S2=Σv² over w=24 rows, the
+    * breakout test (x−μ)² > 4σ² clears to the INTEGER comparison
+    * `(w·x − S1)² > 4·(w·S2 − S1²)` — no float mean or stddev ever
+    * materializes. The emitted z² is ONE r4'd division of the two
+    * exact integers (null when the window is constant).
+    *
+    * Scale: one frame-bounded window per event type — the #224
+    * documented low-cardinality ceiling applies (|types| partitions);
+    * the production form partitions by (type, series-shard) exactly
+    * like #151/#257.
+    */
+  def tsBollingerBreakout(spark: SparkSession, dir: String): DataFrame = {
+    val wSize = 24
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      .rowsBetween(-wSize, -1)
+    Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        col("value"))
+      .withColumn("v", expr("cast(floor(value * 100.0 + 0.5) as bigint)"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s1", sum("v").over(w))
+      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .where(col("cnt") === wSize)
+      .withColumn("dev", col("v") * wSize - col("s1"))
+      .withColumn("band2",
+        (col("s2") * wSize - col("s1") * col("s1")) * 4)
+      .where(col("dev") * col("dev") > col("band2"))
+      .select(col("event_type"), col("event_id"), col("ts_us"),
+        col("value"),
+        when(col("dev") > 0, "up").otherwise(lit("down")).as("side"),
+        when(col("band2") > 0,
+          r4((col("dev") * col("dev")).cast("double") / col("band2")))
+          .as("z2"))
+      .orderBy("event_type", "ts_us", "event_id")
+  }
+
+  val tsBollingerBreakoutSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, epoch_us(ts) AS ts_us, value,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+       |  FROM events),
+       |w AS (
+       |  SELECT event_type, event_id, ts_us, value, v,
+       |    COUNT(*) OVER win AS cnt,
+       |    SUM(v) OVER win AS s1,
+       |    SUM(v * v) OVER win AS s2
+       |  FROM e WINDOW win AS (
+       |    PARTITION BY event_type ORDER BY ts_us, event_id
+       |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       |b AS (
+       |  SELECT *, v * 24 - s1 AS dev,
+       |    (s2 * 24 - s1 * s1) * 4 AS band2
+       |  FROM w WHERE cnt = 24)
+       |SELECT event_type, event_id, ts_us, value,
+       |  CASE WHEN dev > 0 THEN 'up' ELSE 'down' END AS side,
+       |  CASE WHEN band2 > 0 THEN
+       |    ${r4Sql("CAST(dev * dev AS DOUBLE) / band2")} END AS z2
+       |FROM b WHERE dev * dev > band2
+       |ORDER BY event_type, ts_us, event_id""".stripMargin
+
+  // --------------------------------------------------------------- #269
+  /** #269 brand-switching transition matrix: each order's modal brand
+    * (most line items, ties → lexicographically first), lagged along
+    * every customer's order sequence; transitions counted into the
+    * |brands|² matrix with per-origin row shares and the loyalty
+    * diagonal flagged. #103's Markov device on the retail axis —
+    * the cross-sell / loyalty read beside #243's reorder cadence.
+    *
+    * Scale: part is a broadcast dim; the modal-brand window partitions
+    * by order (high cardinality, scales by width); the customer
+    * sequence window scales by customer width; the transition matrix
+    * is attribute-bounded (≤ |brands|²), so the share window runs
+    * over a domain-sized table.
+    */
+  def ordersBrandSwitch(spark: SparkSession, dir: String): DataFrame = {
+    val lb = Tables(spark, dir, "lineitem")
+      .join(broadcast(Tables(spark, dir, "part")
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_orderkey", "p_brand").agg(count(lit(1)).as("n_lines"))
+    val wm = Window.partitionBy("l_orderkey")
+      .orderBy(desc("n_lines"), col("p_brand"))
+    val modal = lb.withColumn("rk", row_number().over(wm))
+      .where(col("rk") === 1)
+      .select(col("l_orderkey"), col("p_brand").as("brand"))
+    val wo = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+    val t = Tables(spark, dir, "orders")
+      .join(modal, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("prev_brand", lag("brand", 1).over(wo))
+      .where(col("prev_brand").isNotNull)
+      .groupBy(col("prev_brand").as("brand_from"),
+        col("brand").as("brand_to"))
+      .agg(count(lit(1)).as("n_trans"))
+    val wf = Window.partitionBy("brand_from") // |brands|² rows — bounded
+    t.withColumn("n_from", sum("n_trans").over(wf))
+      .select(col("brand_from"), col("brand_to"), col("n_trans"),
+        r4(col("n_trans").cast("double") / col("n_from")).as("share"),
+        (col("brand_from") === col("brand_to")).as("is_loyal"))
+      .orderBy("brand_from", "brand_to")
+  }
+
+  val ordersBrandSwitchSql: String =
+    s"""WITH lb AS (
+       |  SELECT l_orderkey, p_brand, COUNT(*) AS n_lines
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1, 2),
+       |modal AS (
+       |  SELECT l_orderkey, p_brand AS brand FROM (
+       |    SELECT l_orderkey, p_brand, ROW_NUMBER() OVER (
+       |      PARTITION BY l_orderkey ORDER BY n_lines DESC, p_brand) AS rk
+       |    FROM lb) WHERE rk = 1),
+       |sq AS (
+       |  SELECT o_custkey, brand,
+       |    LAG(brand) OVER (
+       |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |      AS prev_brand
+       |  FROM orders JOIN modal ON o_orderkey = l_orderkey),
+       |t AS (
+       |  SELECT prev_brand AS brand_from, brand AS brand_to,
+       |    CAST(COUNT(*) AS BIGINT) AS n_trans
+       |  FROM sq WHERE prev_brand IS NOT NULL GROUP BY 1, 2)
+       |SELECT brand_from, brand_to, n_trans,
+       |  ${r4Sql("CAST(n_trans AS DOUBLE) / " +
+                  "SUM(n_trans) OVER (PARTITION BY brand_from)")} AS share,
+       |  brand_from = brand_to AS is_loyal
+       |FROM t ORDER BY brand_from, brand_to""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_key_skew" -> (auditKeySkew _),
+    "events_funnel_latency" -> (eventsFunnelLatency _),
+    "orders_hazard_curve" -> (ordersHazardCurve _),
+    "quality_rule_kappa" -> (qualityRuleKappa _),
+    "ann_graph_search" -> ((s: SparkSession, d: String) =>
+      annGraphSearch(s, d)),
+    "mm_shot_boundaries" -> (mmShotBoundaries _),
+    "ts_bollinger_breakout" -> (tsBollingerBreakout _),
+    "orders_brand_switch" -> (ordersBrandSwitch _))
+
+  val oracles: Map[String, String] = Map(
+    "audit_key_skew" -> auditKeySkewSql,
+    "events_funnel_latency" -> eventsFunnelLatencySql,
+    "orders_hazard_curve" -> ordersHazardCurveSql,
+    "quality_rule_kappa" -> qualityRuleKappaSql,
+    "ann_graph_search" -> annGraphSearchSql,
+    "mm_shot_boundaries" -> mmShotBoundariesSql,
+    "ts_bollinger_breakout" -> tsBollingerBreakoutSql,
+    "orders_brand_switch" -> ordersBrandSwitchSql)
+}

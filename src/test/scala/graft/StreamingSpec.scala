@@ -614,4 +614,55 @@ class StreamingSpec extends GraftSpec {
     if (merged.getAs[Long]("sketch_size") == k)
       assert(merged.getAs[Long]("kth_hv") == direct.getAs[Long]("kth_hv"))
   }
+
+  test("streaming key-skew audit: per-batch additive key-count partials " +
+      "keyed by a content-derived batch tag merged on read == batch " +
+      "per-key counts, idempotent under a replayed batch (#262 streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_skew_part").toString
+    val stream = MemoryStream[Ev]
+    // Each micro-batch appends its per-key counts tagged with a
+    // CONTENT-derived batch key (min event_id — unique per real batch,
+    // identical for a redelivered one). Counts are additive, so unlike
+    // the KMV lattice they are NOT naturally idempotent: exactly-once
+    // under at-least-once delivery comes from the merge-on-read dedup
+    // per (src_batch, key) — a redelivered batch rewrites identical
+    // rows, never double-counts.
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy(col("user_id").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .crossJoin(batch.agg(min("event_id").as("src_batch")))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = spark.read.parquet(partDir)
+      .groupBy("src_batch", "key").agg(max("cnt").as("cnt"))
+      .groupBy("key").agg(sum("cnt").as("key_rows"))
+    val direct = events.toDF()
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("key_rows"))
+    assert(merged.except(direct).count() == 0)
+    assert(direct.except(merged).count() == 0)
+    // the downstream audit reads (max / n_keys / top-5) agree
+    val m = merged.agg(max("key_rows"), count(lit(1))).head()
+    val d = direct.agg(max("key_rows"), count(lit(1))).head()
+    assert(m == d)
+    val top5 = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy(desc("key_rows"), col("key")).limit(5)
+        .collect().map(_.toSeq).toSeq
+    assert(top5(merged) == top5(direct))
+  }
 }

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Summit}
+
+/** Invariant specs for the round-13 additions (#262+). Value-level
+  * correctness is the DuckDB oracle's job (tools/check.py); these pin
+  * the algebraic/structural contracts that must be PROVED rather than
+  * eyeballed: the skew audit's internal identities, exact-rank
+  * monotonicity, the life-table risk-set recursion, κ's exact-rational
+  * class boundaries, greedy-beam admissibility vs brute force, the
+  * frame-count identity, the breakout band inequality, and row-share
+  * normalization.
+  */
+class SummitSpec extends GraftSpec {
+
+  test("audit_key_skew: internal identities — top-1 row carries " +
+      "max_rows, p99 ≤ max, mean·n_keys = n_rows, salt levels the max") {
+    val out = Summit.auditKeySkew(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.length == 5)
+    val top = rows.head
+    assert(top.getAs[Long]("key_rows") == top.getAs[Long]("max_rows"))
+    val nRows = top.getAs[Long]("n_rows")
+    val nKeys = top.getAs[Long]("n_keys")
+    assert(nRows == Tables(spark, sf, "lineitem").count())
+    assert(nKeys ==
+      Tables(spark, sf, "lineitem").select("l_partkey").distinct().count())
+    assert(top.getAs[Long]("p99_rows") <= top.getAs[Long]("max_rows"))
+    // salt = ceil(max/mean): salt·n_rows ≥ max·n_keys > (salt−1)·n_rows
+    val salt = top.getAs[Long]("salt")
+    val maxR = top.getAs[Long]("max_rows")
+    assert(salt * nRows >= maxR * nKeys &&
+      (salt - 1) * nRows < maxR * nKeys)
+    // salt_bits = ⌈log₂ salt⌉
+    val bits = top.getAs[Long]("salt_bits")
+    assert(bits == (if (salt <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(salt - 1)))
+    // descending heavy keys
+    val kr = rows.map(_.getAs[Long]("key_rows"))
+    assert(kr.zip(kr.tail).forall { case (a, b) => a >= b })
+    out.unpersist()
+  }
+
+  test("events_funnel_latency: median ≤ p90, step-2 converters are a " +
+      "subset of step-1's, latencies positive") {
+    val out = Summit.eventsFunnelLatency(spark, sf).cache()
+    val rows = out.collect().map(r =>
+      r.getAs[String]("step") -> r).toMap
+    assert(rows.size == 2)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_conv") > 0)
+      assert(r.getAs[Long]("median_s") >= 0)
+      assert(r.getAs[Long]("median_s") <= r.getAs[Long]("p90_s"))
+      assert(r.getAs[Double]("mean_s") > 0.0)
+    }
+    assert(rows("2_click_to_purchase").getAs[Long]("n_conv") <=
+      rows("1_view_to_click").getAs[Long]("n_conv"))
+    out.unpersist()
+  }
+
+  test("orders_hazard_curve: life-table recursion — risk set at m is " +
+      "risk at m+1 plus events at m; hazards in (0,1]; gap total checks") {
+    val out = Summit.ordersHazardCurve(spark, sf).cache()
+    val rows = out.orderBy("month_offset").collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_at_risk") ==
+          b.getAs[Long]("n_at_risk") + a.getAs[Long]("n_events"))
+      case _ =>
+    }
+    val last = rows.last
+    assert(last.getAs[Long]("n_at_risk") == last.getAs[Long]("n_events"))
+    // total gaps = orders − customers-with-orders (k orders → k−1 gaps)
+    val totalGaps = rows.map(_.getAs[Long]("n_events")).sum
+    val o = Tables(spark, sf, "orders")
+    assert(totalGaps ==
+      o.count() - o.select("o_custkey").distinct().count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("hazard")
+      assert(h > 0.0 && h <= 1.0)
+    }
+    out.unpersist()
+  }
+
+  test("quality_rule_kappa: κ matches an exact-rational recomputation " +
+      "and the agreement class sits on the integer thresholds") {
+    val out = Summit.qualityRuleKappa(spark, sf).cache()
+    val n = Tables(spark, sf, "documents").count()
+    val rows = out.collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val a = BigInt(r.getAs[Long]("n_both"))
+      val b = BigInt(r.getAs[Long]("n_a")) - a
+      val c = BigInt(r.getAs[Long]("n_b")) - a
+      val d = BigInt(n) - a - b - c
+      val num = 2 * (a * d - b * c)
+      val den = (a + b) * (b + d) + (a + c) * (c + d)
+      if (den == 0) {
+        assert(r.isNullAt(r.fieldIndex("kappa")))
+        assert(r.getAs[String]("agreement") == "degenerate")
+      } else {
+        val kappa = r.getAs[Double]("kappa")
+        val exact = num.toDouble / den.toDouble
+        assert(math.abs(kappa - exact) < 1e-4)
+        val cls =
+          if (num < 0) "poor"
+          else if (num * 5 < den) "slight"
+          else if (num * 5 < den * 2) "fair"
+          else if (num * 5 < den * 3) "moderate"
+          else if (num * 5 < den * 4) "substantial"
+          else "almost_perfect"
+        assert(r.getAs[String]("agreement") == cls)
+      }
+    }
+    out.unpersist()
+  }
+
+  test("ann_graph_search: contiguous ranks, cosine admissible vs the " +
+      "brute-force optimum, per-query descending scores") {
+    val out = Summit.annGraphSearch(spark, sf).cache()
+    assert(out.count() > 0)
+    val perQ = out.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rank").as("rmin"),
+      max("rank").as("rmax")).collect()
+    perQ.foreach { r =>
+      assert(r.getAs[Long]("rmin") == 1L)
+      assert(r.getAs[Long]("rmax") == r.getAs[Long]("n"))
+    }
+    // greedy is admissible: its best cosine never beats brute force's
+    val bf = Similarity.annBruteforce(spark, sf)
+      .where(col("rank") === 1)
+      .select(col("q_id"), col("cosine").as("bf_best"))
+    val gs = out.where(col("rank") === 1)
+      .select(col("q_id"), col("cosine").as("gs_best"))
+    assert(gs.join(bf, "q_id")
+      .where(col("gs_best") > col("bf_best") + 1e-9).count() == 0)
+    // scores non-increasing with rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    assert(out.withColumn("prev", lag("cosine", 1).over(w))
+      .where(col("prev").isNotNull && col("cosine") > col("prev") + 1e-9)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("mm_shot_boundaries: frame-count identity ⌈len/32⌉, shot count " +
+      "bounded by frames, mean is the r4'd frames-per-shot ratio") {
+    val out = Summit.mmShotBoundaries(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    assert(out.count() == docs.count())
+    assert(out.join(docs, "doc_id")
+      .where(col("n_frames") =!= expr("(len + 31) div 32"))
+      .count() == 0)
+    assert(out.where(col("n_shots") < 1 ||
+      col("n_shots") > col("n_frames")).count() == 0)
+    assert(out.where(col("max_hamming") < 0 ||
+      col("max_hamming") > 64).count() == 0)
+    assert(out.where(abs(col("mean_shot_frames") -
+      expr("floor(n_frames / n_shots * 10000.0 + 0.5) / 10000.0"))
+      > 1e-12).count() == 0)
+    out.unpersist()
+  }
+
+  test("ts_bollinger_breakout: every flagged point clears the exact " +
+      "integer band (z² > 1 where defined), sides consistent") {
+    val out = Summit.tsBollingerBreakout(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("z2").isNotNull && col("z2") <= 1.0 - 1e-4)
+      .count() == 0)
+    assert(out.where(!col("side").isin("up", "down")).count() == 0)
+    out.unpersist()
+  }
+
+  test("orders_brand_switch: per-origin shares r4-sum to 1, loyalty " +
+      "flag is the diagonal, transition total is the gap total") {
+    val out = Summit.ordersBrandSwitch(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("is_loyal") =!=
+      (col("brand_from") === col("brand_to"))).count() == 0)
+    val sums = out.groupBy("brand_from")
+      .agg(sum("share").as("s"), count(lit(1)).as("k")).collect()
+    sums.foreach { r =>
+      // each share is r4'd: row sum drifts by at most k·0.5e-4
+      assert(math.abs(r.getAs[Double]("s") - 1.0) <=
+        r.getAs[Long]("k") * 1e-4)
+    }
+    // k brand-carrying orders per customer → k−1 transitions (orders
+    // with no lineitems have no modal brand and drop from the sequence)
+    val withLines = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "lineitem").select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+    val expected =
+      withLines.count() - withLines.select("o_custkey").distinct().count()
+    val total = out.agg(sum("n_trans")).head().getLong(0)
+    assert(total == expected)
+    out.unpersist()
+  }
+}
