@@ -725,11 +725,14 @@ object Summit {
         .select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("l_orderkey", "p_brand").agg(count(lit(1)).as("n_lines"))
-    val wm = Window.partitionBy("l_orderkey")
-      .orderBy(desc("n_lines"), col("p_brand"))
-    val modal = lb.withColumn("rk", row_number().over(wm))
-      .where(col("rk") === 1)
-      .select(col("l_orderkey"), col("p_brand").as("brand"))
+    // modal brand as an ARGMAX aggregate, not a sort-window:
+    // min(struct(−n, brand)) picks max count with lexicographic
+    // tie-break — partial-aggregatable, no per-order sort (measured at
+    // the 10× probe: the row_number form was the operator's cost)
+    val modal = lb.groupBy("l_orderkey")
+      .agg(min(struct((-col("n_lines")).as("neg"),
+        col("p_brand").as("b"))).as("m"))
+      .select(col("l_orderkey"), col("m.b").as("brand"))
     val wo = Window.partitionBy("o_custkey")
       .orderBy("o_orderdate", "o_orderkey")
     val t = Tables(spark, dir, "orders")
