@@ -514,7 +514,7 @@ object Pinnacle {
     * overlap matrix and #265's chance-corrected kappa (Summit). One
     * map-side pass; no shuffle.
     */
-  private[operators] def ruleFlags(spark: SparkSession,
+  private[graft] def ruleFlags(spark: SparkSession,
       dir: String): DataFrame =
     Tables.spread(spark, dir, "documents")
       .withColumn("toks", split(col("text"), " "))

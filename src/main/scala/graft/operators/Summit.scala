@@ -776,6 +776,412 @@ object Summit {
        |  brand_from = brand_to AS is_loyal
        |FROM t ORDER BY brand_from, brand_to""".stripMargin
 
+  // --------------------------------------------------------------- #270
+  /** #270 robust IQR outlier fences per event type: Tukey's
+    * q3 + 1.5·IQR / q1 − 1.5·IQR rule — the distribution-free
+    * complement to #82's z-score (which a heavy tail drags) and
+    * #268's rolling band (which needs a time axis).
+    *
+    * Exactness: values clear to integer cents (#231 floor device);
+    * quartiles are exact order statistics from the per-type
+    * VALUE-domain histogram (the #245 device — `4·cum ≥ n` /
+    * `4·cum ≥ 3n` integer rank compares); the fences clear to
+    * integers too: v is an upper outlier iff 2v > 5·q3 − 3·q1 and a
+    * lower one iff 2v < 5·q1 − 3·q3 — no float quartile or fence
+    * ever materializes. Emitted dollar values are ONE r4'd division
+    * each.
+    *
+    * Scale: one keyed count agg to |types|·|distinct cents| cells;
+    * the cumulative window runs over the value domain per type;
+    * outlier counting is a second pass over the same tiny histogram
+    * — the raw events never shuffle at all.
+    */
+  def eventsAnomalyIqr(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.persistSlot("summit.anomalyIqr.hist",
+      Tables.eventsUs(spark, dir)
+        .select(col("event_type"),
+          expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+        .groupBy("event_type", "v").agg(count(lit(1)).as("n_at")))
+    val wt = Window.partitionBy("event_type").orderBy("v")
+    val cum = hist.withColumn("cum", sum("n_at").over(wt))
+    val tot = hist.groupBy("event_type").agg(sum("n_at").as("n_events"))
+    val q1 = cum.join(tot, "event_type")
+      .where(col("cum") * 4 >= col("n_events"))
+      .groupBy("event_type").agg(min("v").as("q1c"))
+    val q3 = cum.join(tot, "event_type")
+      .where(col("cum") * 4 >= col("n_events") * 3)
+      .groupBy("event_type").agg(min("v").as("q3c"))
+    val fences = q1.join(q3, "event_type")
+      .withColumn("low2", col("q1c") * 5 - col("q3c") * 3)
+      .withColumn("high2", col("q3c") * 5 - col("q1c") * 3)
+    val counts = hist.join(fences, "event_type")
+      .groupBy("event_type").agg(
+        sum(when(col("v") * 2 < col("low2"), col("n_at"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("v") * 2 > col("high2"), col("n_at"))
+          .otherwise(0L)).as("n_high"))
+    tot.join(fences, "event_type").join(counts, "event_type")
+      .select(col("event_type"), col("n_events"),
+        r4(col("q1c").cast("double") / 100.0).as("q1"),
+        r4(col("q3c").cast("double") / 100.0).as("q3"),
+        r4(col("low2").cast("double") / 200.0).as("low_fence"),
+        r4(col("high2").cast("double") / 200.0).as("high_fence"),
+        col("n_low"), col("n_high"))
+      .orderBy("event_type")
+  }
+
+  val eventsAnomalyIqrSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n_at
+       |  FROM e GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, v, n_at,
+       |    SUM(n_at) OVER (PARTITION BY event_type ORDER BY v) AS cum
+       |  FROM h),
+       |tot AS (
+       |  SELECT event_type, CAST(SUM(n_at) AS BIGINT) AS n_events
+       |  FROM h GROUP BY 1),
+       |q1 AS (
+       |  SELECT c.event_type, MIN(v) AS q1c
+       |  FROM c JOIN tot t ON c.event_type = t.event_type
+       |  WHERE cum * 4 >= n_events GROUP BY 1),
+       |q3 AS (
+       |  SELECT c.event_type, MIN(v) AS q3c
+       |  FROM c JOIN tot t ON c.event_type = t.event_type
+       |  WHERE cum * 4 >= n_events * 3 GROUP BY 1),
+       |f AS (
+       |  SELECT q1.event_type, q1c, q3c,
+       |    q1c * 5 - q3c * 3 AS low2, q3c * 5 - q1c * 3 AS high2
+       |  FROM q1 JOIN q3 ON q1.event_type = q3.event_type),
+       |cnts AS (
+       |  SELECT h.event_type,
+       |    CAST(SUM(CASE WHEN v * 2 < low2 THEN n_at ELSE 0 END)
+       |      AS BIGINT) AS n_low,
+       |    CAST(SUM(CASE WHEN v * 2 > high2 THEN n_at ELSE 0 END)
+       |      AS BIGINT) AS n_high
+       |  FROM h JOIN f ON h.event_type = f.event_type GROUP BY 1)
+       |SELECT t.event_type, n_events,
+       |  ${r4Sql("CAST(q1c AS DOUBLE) / 100.0")} AS q1,
+       |  ${r4Sql("CAST(q3c AS DOUBLE) / 100.0")} AS q3,
+       |  ${r4Sql("CAST(low2 AS DOUBLE) / 200.0")} AS low_fence,
+       |  ${r4Sql("CAST(high2 AS DOUBLE) / 200.0")} AS high_fence,
+       |  n_low, n_high
+       |FROM tot t JOIN f ON t.event_type = f.event_type
+       |  JOIN cnts ON t.event_type = cnts.event_type
+       |ORDER BY t.event_type""".stripMargin
+
+  // --------------------------------------------------------------- #271
+  /** #271 edge embeddedness + local bridges: for every co-purchase
+    * edge (#99's support-floored graph), the number of common
+    * neighbors of its endpoints, the neighborhood Jaccard
+    * cn/(da+db−cn), and the LOCAL BRIDGE flag (cn = 0 — removing the
+    * edge puts its endpoints ≥ 3 hops apart). Burt's structural-hole
+    * read: high-embeddedness edges live inside communities, local
+    * bridges span them — the per-EDGE complement of #100's global
+    * transitivity and #242's per-node clustering.
+    *
+    * Scale: the wedge join runs over the support-floored
+    * structure-sized edge list (the family's guard — never over raw
+    * co-occurrence); degrees are one keyed count; everything is
+    * edge- or arc-sized.
+    */
+  def graphEmbeddedness(spark: SparkSession, dir: String): DataFrame = {
+    val und = Tables.persistSlot("summit.embeddedness.und",
+      Graph.undirected(spark, dir))
+    val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cn = und
+      .join(adj.select(col("src").as("pa"), col("dst").as("x")), "pa")
+      .join(adj.select(col("src").as("pb"), col("dst").as("x")),
+        Seq("pb", "x"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("cn"))
+    und.join(cn, Seq("pa", "pb"), "left")
+      .na.fill(0L, Seq("cn"))
+      .join(deg.select(col("src").as("pa"), col("deg").as("da")), "pa")
+      .join(deg.select(col("src").as("pb"), col("deg").as("db")), "pb")
+      .select(col("pa"), col("pb"), col("cn"), col("da"), col("db"),
+        r4(col("cn").cast("double") / (col("da") + col("db") - col("cn")))
+          .as("jaccard"),
+        (col("cn") === 0L).as("is_local_bridge"))
+      .orderBy("pa", "pb")
+  }
+
+  val graphEmbeddednessSql: String =
+    s"""WITH ${Graph.edgeSql},
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY 1),
+       |cn AS (
+       |  SELECT u.pa, u.pb, CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM und u
+       |    JOIN e ea ON ea.src = u.pa
+       |    JOIN e eb ON eb.src = u.pb AND eb.dst = ea.dst
+       |  GROUP BY 1, 2)
+       |SELECT u.pa, u.pb, COALESCE(cn.cn, 0) AS cn,
+       |  da.deg AS da, db.deg AS db,
+       |  ${r4Sql("CAST(COALESCE(cn.cn, 0) AS DOUBLE) / " +
+                  "(da.deg + db.deg - COALESCE(cn.cn, 0))")} AS jaccard,
+       |  COALESCE(cn.cn, 0) = 0 AS is_local_bridge
+       |FROM und u
+       |  LEFT JOIN cn ON u.pa = cn.pa AND u.pb = cn.pb
+       |  JOIN deg da ON da.src = u.pa
+       |  JOIN deg db ON db.src = u.pb
+       |ORDER BY u.pa, u.pb""".stripMargin
+
+  // --------------------------------------------------------------- #272
+  /** #272 voice-activity segments for audio payloads: 16-byte frames,
+    * frame energy = byte sum, voiced iff energy exceeds 96·frame_len
+    * (mean byte > 96), consecutive voiced frames merged into segments
+    * by the gaps-and-islands device (#147's streaks on the frame
+    * axis). Emits per asset: frames, voiced frames, segment count,
+    * longest run, voiced fraction — the audio-curation pre-step that
+    * decides what to transcribe.
+    *
+    * STUB CODEC (declared, as the whole multimodal family): byte sums
+    * of the text stand-in payload stand in for PCM frame energy; a
+    * real deployment decodes samples first. The Spark shape — frames
+    * explode map-side, only (doc_id, fi, flag) shuffles into the
+    * per-asset windows — is the real thing. ASCII contract as #140.
+    *
+    * Exactness: energy and the threshold compare are pure integers;
+    * the only division is the ONE r4'd voiced fraction.
+    */
+  def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (n + 15) div 16 - 1)")).as("fi"))
+      .select(col("doc_id"), col("fi"),
+        expr("substring(text, fi * 16 + 1, 16)").as("sl"))
+      .select(col("doc_id"), col("fi"),
+        expr("""aggregate(transform(sequence(1, length(sl)),
+                 i -> ascii(substr(sl, i, 1))), 0L, (a, x) -> a + x)""")
+          .as("energy"),
+        length(col("sl")).cast("long").as("flen"))
+      .withColumn("voiced", (col("energy") > col("flen") * 96).cast("int"))
+    val wd = Window.partitionBy("doc_id").orderBy("fi")
+    val runs = frames
+      .withColumn("rn", row_number().over(wd))
+      .where(col("voiced") === 1)
+      .withColumn("rnv",
+        row_number().over(Window.partitionBy("doc_id").orderBy("fi")))
+      .withColumn("grp", col("rn") - col("rnv"))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_segments"),
+        max("run_len").as("longest_run"),
+        sum("run_len").as("n_voiced"))
+    frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(runs, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_segments", "longest_run", "n_voiced"))
+      .select(col("doc_id"), col("n_frames"), col("n_voiced"),
+        col("n_segments"), col("longest_run"),
+        r4(col("n_voiced").cast("double") / col("n_frames"))
+          .as("voiced_frac"))
+      .orderBy("doc_id")
+  }
+
+  val mmAudioVadSql: String =
+    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+       |f AS (
+       |  SELECT doc_id, unnest(range(0, (n + 15) // 16)) AS fi, text
+       |  FROM d),
+       |en AS (
+       |  SELECT doc_id, fi,
+       |    CAST(list_sum(list_transform(range(1,
+       |      len(substr(text, CAST(fi * 16 + 1 AS INT), 16)) + 1),
+       |      i -> ascii(substr(substr(text, CAST(fi * 16 + 1 AS INT), 16),
+       |        CAST(i AS INT), 1)))) AS BIGINT) AS energy,
+       |    CAST(len(substr(text, CAST(fi * 16 + 1 AS INT), 16))
+       |      AS BIGINT) AS flen
+       |  FROM f),
+       |v AS (
+       |  SELECT doc_id, fi,
+       |    CASE WHEN energy > flen * 96 THEN 1 ELSE 0 END AS voiced,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
+       |  FROM en),
+       |runs AS (
+       |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+       |  FROM (
+       |    SELECT doc_id, rn -
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+       |    FROM v WHERE voiced = 1)
+       |  GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |    MAX(run_len) AS longest_run,
+       |    CAST(SUM(run_len) AS BIGINT) AS n_voiced
+       |  FROM runs GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+       |  FROM v GROUP BY 1)
+       |SELECT p.doc_id, n_frames,
+       |  COALESCE(n_voiced, 0) AS n_voiced,
+       |  COALESCE(n_segments, 0) AS n_segments,
+       |  COALESCE(longest_run, 0) AS longest_run,
+       |  ${r4Sql("CAST(COALESCE(n_voiced, 0) AS DOUBLE) / n_frames")}
+       |    AS voiced_frac
+       |FROM per p LEFT JOIN seg ON p.doc_id = seg.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #273
+  /** #273 filter-cascade ordering optimizer: which order of the four
+    * #81 gates minimizes expected rule evaluations per document? A doc
+    * stops at its first failing rule, so the cost of an ordering
+    * depends on the FULL 16-cell joint verdict distribution — which
+    * one global aggregate produces exactly (#256 stops at pairwise).
+    * All 24 orderings are priced from the joint and ranked; the
+    * winner is the cascade #81 should run. The plan-space is
+    * data-independent (a 24×16 literal table of "evaluations until
+    * first failure"), so the whole optimization is one tiny join.
+    *
+    * Exactness: the joint is exact int64 counts; expected evaluations
+    * is ONE r4'd division of the exact integer cost sum; ranking ties
+    * break on the ordering name — total order.
+    *
+    * Scale: one map pass + ONE 16-row aggregate; the 384-row pricing
+    * join and the 24-row rank window are constant-sized at any
+    * corpus size.
+    */
+  def qualityCascadePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = Pinnacle.ruleFlags(spark, dir)
+      .groupBy(expr("f0 + 2 * f1 + 4 * f2 + 8 * f3").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val price = cascadePriceTable.toDF("ordering", "cell", "evals")
+    val tot = cells.agg(sum("cnt").as("n_docs"))
+    val costs = cells.join(broadcast(price), "cell")
+      .groupBy("ordering")
+      .agg(sum(col("cnt") * col("evals")).as("cost"))
+    val wr = Window.orderBy("cost", "ordering") // 24 rows — constant
+    costs.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(col("rank"), col("ordering"),
+        r4(col("cost").cast("double") / col("n_docs"))
+          .as("expected_evals"))
+      .orderBy("rank")
+  }
+
+  /** The data-independent pricing table: for each of the 24 orderings
+    * of the four rules and each of the 16 joint verdict cells (bit r
+    * set = rule r fires), the number of rules evaluated until the
+    * first firing rule (all 4 if none fires).
+    */
+  private[operators] lazy val cascadePriceTable: Seq[(String, Long, Long)] = {
+    val names = Vector("min_tokens", "repetition", "token_shape",
+      "digit_ratio")
+    for {
+      perm <- (0 to 3).permutations.toSeq
+      cell <- 0L to 15L
+    } yield {
+      val name = perm.map(names).mkString(">")
+      val first = perm.indexWhere(r => ((cell >> r) & 1L) == 1L)
+      val evals = if (first < 0) 4L else first + 1L
+      (name, cell, evals)
+    }
+  }
+
+  val qualityCascadePlanSql: String = {
+    val values = cascadePriceTable
+      .map { case (o, c, e) => s"('$o', $c, $e)" }.mkString(", ")
+    s"""WITH ${Pinnacle.ruleFlagsCtesSql},
+       |cells AS (
+       |  SELECT f0 + 2 * f1 + 4 * f2 + 8 * f3 AS cell,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM fl GROUP BY 1),
+       |price(ordering, cell, evals) AS (VALUES $values),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs FROM cells),
+       |costs AS (
+       |  SELECT ordering, CAST(SUM(cnt * evals) AS BIGINT) AS cost
+       |  FROM cells JOIN price ON cells.cell = price.cell
+       |  GROUP BY 1)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cost, ordering) AS rank,
+       |  ordering,
+       |  ${r4Sql("CAST(cost AS DOUBLE) / n_docs")} AS expected_evals
+       |FROM costs, tot ORDER BY rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #274
+  /** #274 vocabulary Gini: inequality of the corpus token-frequency
+    * distribution — the single-number companion to #80's Zipf fit and
+    * #189's hapax rate (a template-y corpus concentrates mass in few
+    * types → Gini ↑). Computed WITHOUT the global sort #133 uses:
+    * tokens with equal frequency contribute rank·freq sums that
+    * depend only on the run's position, so the frequency-VALUE
+    * histogram (distinct frequency values, domain-sized) yields
+    * Σ rank·freq exactly: a run of m types at frequency f after
+    * `cum` lighter types contributes f·(m·cum + m(m+1)/2).
+    *
+    * Exactness: all sums are DECIMAL(38,0) products of exact counts
+    * (the #222 HUGEINT device on the oracle side); Gini
+    * (2W − (n+1)T) / (nT) is ONE r4'd division of exact integers.
+    *
+    * Scale: token explode → ONE keyed count (map-side combine), a
+    * second count to the frequency histogram, and a cumulative window
+    * over DISTINCT FREQUENCY VALUES — at web scale that is thousands
+    * of cells where #133's row_number window would be |vocab|-wide.
+    */
+  def textVocabGini(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val freq = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val hist = freq.groupBy("f").agg(count(lit(1)).as("m"))
+    val wf = Window.orderBy("f") // distinct-frequency domain
+    // 2W (twice the rank-weighted sum) stays INTEGRAL — a run of m
+    // types at frequency f after cum lighter types contributes
+    // f·(2·m·cum + m² + m) — so no division happens before the single
+    // r4'd Gini emit (DuckDB HUGEINT `/` would drop to double)
+    hist
+      .withColumn("cum_after", sum("m").over(wf))
+      .withColumn("cum", col("cum_after") - col("m"))
+      .select(
+        sum(col("m")).as("n_types"),
+        sum(col("f").cast(dec) * col("m").cast(dec)).as("total"),
+        sum(col("f").cast(dec) *
+          (lit(2).cast(dec) * col("m").cast(dec) * col("cum").cast(dec) +
+            col("m").cast(dec) * col("m").cast(dec) + col("m").cast(dec)))
+          .as("w2"))
+      .select(col("n_types"),
+        col("total").cast("long").as("n_tokens"),
+        r4((col("w2").cast("double") -
+            (col("n_types") + lit(1)).cast("double") *
+              col("total").cast("double")) /
+          (col("n_types").cast("double") * col("total").cast("double")))
+          .as("gini"))
+  }
+
+  val textVocabGiniSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |freq AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM toks WHERE tok <> '' GROUP BY 1),
+       |h AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM freq GROUP BY 1),
+       |c AS (
+       |  SELECT f, m,
+       |    SUM(m) OVER (ORDER BY f) - m AS cum
+       |  FROM h),
+       |agg AS (
+       |  SELECT CAST(SUM(m) AS BIGINT) AS n_types,
+       |    SUM(CAST(f AS HUGEINT) * CAST(m AS HUGEINT)) AS total,
+       |    SUM(CAST(f AS HUGEINT) *
+       |      (2 * CAST(m AS HUGEINT) * CAST(cum AS HUGEINT)
+       |        + CAST(m AS HUGEINT) * CAST(m AS HUGEINT)
+       |        + CAST(m AS HUGEINT))) AS w2
+       |  FROM c)
+       |SELECT n_types, CAST(total AS BIGINT) AS n_tokens,
+       |  ${r4Sql("(CAST(w2 AS DOUBLE) - " +
+                  "(n_types + 1) * CAST(total AS DOUBLE)) / " +
+                  "(n_types * CAST(total AS DOUBLE))")} AS gini
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_key_skew" -> (auditKeySkew _),
     "events_funnel_latency" -> (eventsFunnelLatency _),
@@ -785,7 +1191,12 @@ object Summit {
       annGraphSearch(s, d)),
     "mm_shot_boundaries" -> (mmShotBoundaries _),
     "ts_bollinger_breakout" -> (tsBollingerBreakout _),
-    "orders_brand_switch" -> (ordersBrandSwitch _))
+    "orders_brand_switch" -> (ordersBrandSwitch _),
+    "events_anomaly_iqr" -> (eventsAnomalyIqr _),
+    "graph_embeddedness" -> (graphEmbeddedness _),
+    "mm_audio_vad" -> (mmAudioVad _),
+    "quality_cascade_plan" -> (qualityCascadePlan _),
+    "text_vocab_gini" -> (textVocabGini _))
 
   val oracles: Map[String, String] = Map(
     "audit_key_skew" -> auditKeySkewSql,
@@ -795,5 +1206,10 @@ object Summit {
     "ann_graph_search" -> annGraphSearchSql,
     "mm_shot_boundaries" -> mmShotBoundariesSql,
     "ts_bollinger_breakout" -> tsBollingerBreakoutSql,
-    "orders_brand_switch" -> ordersBrandSwitchSql)
+    "orders_brand_switch" -> ordersBrandSwitchSql,
+    "events_anomaly_iqr" -> eventsAnomalyIqrSql,
+    "graph_embeddedness" -> graphEmbeddednessSql,
+    "mm_audio_vad" -> mmAudioVadSql,
+    "quality_cascade_plan" -> qualityCascadePlanSql,
+    "text_vocab_gini" -> textVocabGiniSql)
 }

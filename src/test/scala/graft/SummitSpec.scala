@@ -198,4 +198,125 @@ class SummitSpec extends GraftSpec {
     assert(total == expected)
     out.unpersist()
   }
+
+  test("events_anomaly_iqr: fences bracket the quartiles, quartiles " +
+      "match a direct sorted-rank recomputation, outliers bounded") {
+    val out = Summit.eventsAnomalyIqr(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.eventsUs(spark, sf)
+      .selectExpr("event_type", "cast(floor(value * 100.0 + 0.5) as bigint) v")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val vs = cents(t)
+      val n = vs.length
+      assert(r.getAs[Long]("n_events") == n)
+      // exact-rank quartiles: smallest value with 4·cum ≥ n (resp. 3n)
+      val q1c = vs((n + 3) / 4 - 1)
+      val q3c = vs((3 * n + 3) / 4 - 1)
+      assert(math.abs(r.getAs[Double]("q1") - q1c / 100.0) < 1e-4)
+      assert(math.abs(r.getAs[Double]("q3") - q3c / 100.0) < 1e-4)
+      assert(r.getAs[Double]("low_fence") <= r.getAs[Double]("q1") &&
+        r.getAs[Double]("q1") <= r.getAs[Double]("q3") &&
+        r.getAs[Double]("q3") <= r.getAs[Double]("high_fence"))
+      val nOut = r.getAs[Long]("n_low") + r.getAs[Long]("n_high")
+      assert(nOut >= 0 && nOut < n)
+      assert(r.getAs[Long]("n_low") == vs.count(v => 2 * v < 5 * q1c - 3 * q3c))
+      assert(r.getAs[Long]("n_high") == vs.count(v => 2 * v > 5 * q3c - 3 * q1c))
+    }
+    out.unpersist()
+  }
+
+  test("graph_embeddedness: Σ common-neighbors over edges = 3·triangle " +
+      "census, cn bounds, bridge flag is the cn=0 set") {
+    val out = Summit.graphEmbeddedness(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("is_local_bridge") =!= (col("cn") === 0L))
+      .count() == 0)
+    // b ∈ N(a) but b is never a COMMON neighbor → cn ≤ min(da,db) − 1
+    assert(out.where(col("cn") >
+      least(col("da"), col("db")) - 1).count() == 0)
+    assert(out.where(col("jaccard") < 0.0 || col("jaccard") >= 1.0)
+      .count() == 0)
+    // each triangle has 3 edges, each seeing the third vertex as a
+    // common neighbor: Σ cn = 3 · census
+    val sumCn = out.agg(sum("cn")).head().getLong(0)
+    val tri = operators.Graph.graphTriangles(spark, sf)
+      .agg(sum("n_triangles")).head().getLong(0)
+    assert(sumCn == 3 * tri)
+    out.unpersist()
+  }
+
+  test("mm_audio_vad: frame identity ⌈len/16⌉, run accounting " +
+      "consistent (voiced = Σ runs, longest ≤ voiced, segments ≥ 1 " +
+      "iff any voiced)") {
+    val out = Summit.mmAudioVad(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"))
+    assert(out.count() == docs.count())
+    assert(out.join(docs, "doc_id")
+      .where(col("n_frames") =!= expr("(len + 15) div 16")).count() == 0)
+    assert(out.where(col("n_voiced") > col("n_frames") ||
+      col("longest_run") > col("n_voiced") ||
+      col("n_segments") > col("n_voiced")).count() == 0)
+    assert(out.where((col("n_voiced") > 0) =!= (col("n_segments") > 0))
+      .count() == 0)
+    assert(out.where(col("n_segments") > 0 &&
+      col("longest_run") * col("n_segments") < col("n_voiced"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("quality_cascade_plan: 24 contiguous ranks, best ≤ identity " +
+      "ordering, identity ordering cost matches a direct per-doc " +
+      "first-failure recomputation") {
+    val out = Summit.qualityCascadePlan(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.length == 24)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 24L))
+    rows.foreach { r =>
+      val e = r.getAs[Double]("expected_evals")
+      assert(e >= 1.0 && e <= 4.0)
+    }
+    // direct recomputation for the identity cascade order
+    val flags = operators.Pinnacle.ruleFlags(spark, sf)
+    val direct = flags.select(
+      when(col("f0") === 1, 1L).when(col("f1") === 1, 2L)
+        .when(col("f2") === 1, 3L).when(col("f3") === 1, 4L)
+        .otherwise(4L).as("evals"))
+      .agg(sum("evals").cast("double") / count(lit(1))).head().getDouble(0)
+    val identity = rows.find(_.getAs[String]("ordering") ==
+      "min_tokens>repetition>token_shape>digit_ratio").get
+    assert(math.abs(identity.getAs[Double]("expected_evals") - direct) < 1e-4)
+    val best = rows.find(_.getAs[Long]("rank") == 1L).get
+    assert(best.getAs[Double]("expected_evals") <=
+      identity.getAs[Double]("expected_evals") + 1e-12)
+    out.unpersist()
+  }
+
+  test("text_vocab_gini: the frequency-histogram device equals the " +
+      "direct |vocab|-wide sorted-rank computation") {
+    val out = Summit.textVocabGini(spark, sf).head()
+    // direct: global row_number over (f, tok) — the #133 shape the
+    // histogram device replaces at scale
+    val freq = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("f", "tok")
+    val ranked = freq.withColumn("i", row_number().over(w))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum("f").as("t"),
+      sum(col("i") * col("f")).as("wsum")).head()
+    val n = agg.getAs[Long]("n"); val t = agg.getAs[Long]("t")
+    val wsum = agg.getAs[Long]("wsum")
+    val direct = (2.0 * wsum - (n + 1).toDouble * t) / (n.toDouble * t)
+    val directR4 = math.floor(direct * 10000.0 + 0.5) / 10000.0
+    assert(out.getAs[Long]("n_types") == n)
+    assert(out.getAs[Long]("n_tokens") == t)
+    assert(out.getAs[Double]("gini") == directR4)
+  }
 }
