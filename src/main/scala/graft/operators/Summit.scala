@@ -311,16 +311,19 @@ object Summit {
     */
   def qualityRuleKappa(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
+    // sums coalesce to 0 so a zero-row corpus lands every pair in the
+    // den=0 'degenerate' class instead of null-poisoning the chain
+    val cz = (c: org.apache.spark.sql.Column) => coalesce(c, lit(0L))
     val s = Pinnacle.ruleFlags(spark, dir).agg(
       count(lit(1)).as("n"),
-      sum("f0").as("n0"), sum("f1").as("n1"),
-      sum("f2").as("n2"), sum("f3").as("n3"),
-      sum(col("f0") * col("f1")).as("n01"),
-      sum(col("f0") * col("f2")).as("n02"),
-      sum(col("f0") * col("f3")).as("n03"),
-      sum(col("f1") * col("f2")).as("n12"),
-      sum(col("f1") * col("f3")).as("n13"),
-      sum(col("f2") * col("f3")).as("n23"))
+      cz(sum("f0")).as("n0"), cz(sum("f1")).as("n1"),
+      cz(sum("f2")).as("n2"), cz(sum("f3")).as("n3"),
+      cz(sum(col("f0") * col("f1"))).as("n01"),
+      cz(sum(col("f0") * col("f2"))).as("n02"),
+      cz(sum(col("f0") * col("f3"))).as("n03"),
+      cz(sum(col("f1") * col("f2"))).as("n12"),
+      cz(sum(col("f1") * col("f3"))).as("n13"),
+      cz(sum(col("f2") * col("f3"))).as("n23"))
     s.selectExpr(
       """stack(6,
         |  'min_tokens', 'repetition',  n, n0, n1, n01,
@@ -360,14 +363,16 @@ object Summit {
     s"""WITH ${Pinnacle.ruleFlagsCtesSql},
        |s AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(f0) AS BIGINT) AS n0, CAST(SUM(f1) AS BIGINT) AS n1,
-       |    CAST(SUM(f2) AS BIGINT) AS n2, CAST(SUM(f3) AS BIGINT) AS n3,
-       |    CAST(SUM(f0 * f1) AS BIGINT) AS n01,
-       |    CAST(SUM(f0 * f2) AS BIGINT) AS n02,
-       |    CAST(SUM(f0 * f3) AS BIGINT) AS n03,
-       |    CAST(SUM(f1 * f2) AS BIGINT) AS n12,
-       |    CAST(SUM(f1 * f3) AS BIGINT) AS n13,
-       |    CAST(SUM(f2 * f3) AS BIGINT) AS n23
+       |    CAST(COALESCE(SUM(f0), 0) AS BIGINT) AS n0,
+       |    CAST(COALESCE(SUM(f1), 0) AS BIGINT) AS n1,
+       |    CAST(COALESCE(SUM(f2), 0) AS BIGINT) AS n2,
+       |    CAST(COALESCE(SUM(f3), 0) AS BIGINT) AS n3,
+       |    CAST(COALESCE(SUM(f0 * f1), 0) AS BIGINT) AS n01,
+       |    CAST(COALESCE(SUM(f0 * f2), 0) AS BIGINT) AS n02,
+       |    CAST(COALESCE(SUM(f0 * f3), 0) AS BIGINT) AS n03,
+       |    CAST(COALESCE(SUM(f1 * f2), 0) AS BIGINT) AS n12,
+       |    CAST(COALESCE(SUM(f1 * f3), 0) AS BIGINT) AS n13,
+       |    CAST(COALESCE(SUM(f2 * f3), 0) AS BIGINT) AS n23
        |  FROM fl),
        |pairs AS (
        |  SELECT 'min_tokens' AS rule_a, 'repetition' AS rule_b,

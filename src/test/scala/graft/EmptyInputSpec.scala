@@ -144,7 +144,21 @@ class EmptyInputSpec extends AnyFunSuite {
     "quality_rule_overlap", // 6 pair rows of null counts
     "ts_cusum",             // cusum over an empty axis
     "events_entropy_rate",  // 1 __rate row of null totals
-    "sessions_concurrency") // hours of no sessions
+    "sessions_concurrency", // hours of no sessions
+    // round-13 additions (#262-274)
+    "audit_key_skew",       // top-5 of no keys
+    "events_funnel_latency",// histogram of no conversions
+    "orders_hazard_curve",  // life table of no gaps
+    "quality_rule_kappa",   // 6 degenerate pair rows (den = 0)
+    "ann_graph_search",     // beam from a null entry, no queries
+    "mm_shot_boundaries",   // frames of no payloads
+    "ts_bollinger_breakout",// bands over an empty axis
+    "orders_brand_switch",  // transitions of no orders
+    "events_anomaly_iqr",   // quartiles of an empty histogram
+    "graph_embeddedness",   // wedges of an empty edge list
+    "mm_audio_vad",         // energy of no payloads
+    "quality_cascade_plan", // pricing join against zero cells
+    "text_vocab_gini")      // 1 row of null sums (empty vocabulary)
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -192,6 +206,15 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.length == 1)
         assert(rows.head.getAs[String]("src") == "__rate")
         assert(rows.head.isNullAt(rows.head.fieldIndex("ent_bits")))
+      } else if (name == "quality_rule_kappa") {
+        // the 6-pair rule dim survives; den = 0 → degenerate, null κ
+        assert(rows.length == 6)
+        assert(rows.forall(_.getAs[String]("agreement") == "degenerate"))
+        assert(rows.forall(_.isNullAt(rows.head.fieldIndex("kappa"))))
+      } else if (name == "text_vocab_gini") {
+        // global agg: one row of null sums — no 0/0
+        assert(rows.length == 1)
+        assert(rows.head.isNullAt(rows.head.fieldIndex("gini")))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

@@ -85,7 +85,15 @@ class NullInputSpec extends AnyFunSuite {
     // round-12: rule flags evaluate null text to 0 (no fabricated
     // fires); the label-scoped join and SQ8 quantization both see the
     // null embedding (null cosine ranks last, never crashes)
-    "quality_rule_overlap", "ann_filtered", "ann_rerank")
+    "quality_rule_overlap", "ann_filtered", "ann_rerank",
+    // round-13: null text yields NO frames (sequence over a null
+    // length explodes to nothing) for the frame operators; the null
+    // embedding's null bucket joins out of the kNN graph and a
+    // null-embedding query ranks its null cosines last; rule flags
+    // evaluate null text to 0 for κ and the cascade pricing; null
+    // tokens never reach the vocabulary
+    "mm_shot_boundaries", "mm_audio_vad", "ann_graph_search",
+    "quality_rule_kappa", "quality_cascade_plan", "text_vocab_gini")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
