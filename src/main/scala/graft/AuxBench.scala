@@ -18,7 +18,12 @@ object AuxBench {
     // #169 with the symmetric edge list persisted (A/B vs the unrolled
     // 27x-recompute plan)
     "graph_kcore_persist" ->
-      ((s: SparkSession, d: String) => operators.Curation.graphKcorePersist(s, d)))
+      ((s: SparkSession, d: String) => operators.Curation.graphKcorePersist(s, d)),
+    // #266's scale dial turned automatically (bits from log2(n), target
+    // bucket occupancy ~2k) — the registered query pins bits=6 for the
+    // static oracle; this is the form a growing corpus runs
+    "ann_graph_search_auto" ->
+      ((s: SparkSession, d: String) => operators.Summit.annGraphSearchAuto(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
