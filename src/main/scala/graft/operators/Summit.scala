@@ -1207,6 +1207,228 @@ object Summit {
                   "(n_types * CAST(total AS DOUBLE))")} AS gini
        |FROM agg""".stripMargin
 
+  // --------------------------------------------------------------- #275
+  /** #275 cross-modal consistency audit: documents with BYTE-IDENTICAL
+    * text must carry (near-)identical embeddings — a text-duplicate
+    * pair whose vectors disagree means the embedding run mixed model
+    * versions, truncation settings, or row alignment. Each exact-dup
+    * doc compares to its cluster REPRESENTATIVE (min doc_id per text
+    * hash), so work is linear in duplicates, never quadratic in
+    * cluster size. Emits the pair, the exact cosine, and the conflict
+    * flag (cosine < 0.99).
+    *
+    * Determinism: the conflict compare runs on the same IEEE cosine
+    * double both engines compute (the proven cosine device) — the
+    * threshold can't straddle.
+    *
+    * Scale: one md5-keyed agg for representatives, one equi-join
+    * attach, two id-keyed embedding joins — all width-distributed;
+    * the cosine is the only per-pair compute.
+    */
+  def embedTextConflict(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    // the eval corpus plants the positive class (the #140 convention —
+    // the organic corpus has no byte-identical dups): every 7th doc
+    // re-uploads under a fresh id; HALF the re-uploads (every 14th)
+    // carry the correctly-aligned embedding, half carry the NEXT row's
+    // embedding — the off-by-one join-misalignment bug this audit
+    // exists to catch
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val planted = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val all = docs.unionByName(planted)
+    val emb = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val plantedEmb = emb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        when(col("vec_id") % 14 === 0, col("vec_id"))
+          .otherwise(col("vec_id") + 1).as("src"))
+      .join(emb.select(col("vec_id").as("src"), col("embedding")), "src")
+      .select("vec_id", "embedding")
+    val allEmb = emb.unionByName(plantedEmb)
+    val d = all.select(col("doc_id"), md5(col("text")).as("th"))
+    val rep = d.groupBy("th").agg(min("doc_id").as("rep_id"),
+      count(lit(1)).as("csize"))
+      .where(col("csize") >= 2)
+    val pairs = d.join(rep, "th")
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id"), col("doc_id").as("dup_id"))
+    pairs
+      .join(allEmb.select(col("vec_id").as("rep_id"),
+        col("embedding").as("e_rep")), "rep_id")
+      .join(allEmb.select(col("vec_id").as("dup_id"),
+        col("embedding").as("e_dup")), "dup_id")
+      .withColumn("cos_raw", expr("cosine_f32(e_rep, e_dup)"))
+      .select(col("rep_id"), col("dup_id"),
+        r4(col("cos_raw")).as("cosine"),
+        (col("cos_raw") < 0.99).as("conflict"))
+      .orderBy("rep_id", "dup_id")
+  }
+
+  val embedTextConflictSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |emb AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT p.vec_id + 1000000, s.embedding
+       |  FROM embeddings p JOIN embeddings s
+       |    ON s.vec_id = CASE WHEN p.vec_id % 14 = 0 THEN p.vec_id
+       |                       ELSE p.vec_id + 1 END
+       |  WHERE p.vec_id % 7 = 0),
+       |d AS (SELECT doc_id, md5(text) AS th FROM docs),
+       |rep AS (
+       |  SELECT th, MIN(doc_id) AS rep_id, COUNT(*) AS csize
+       |  FROM d GROUP BY 1 HAVING COUNT(*) >= 2),
+       |pairs AS (
+       |  SELECT rep_id, doc_id AS dup_id
+       |  FROM d JOIN rep ON d.th = rep.th
+       |  WHERE doc_id <> rep_id),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+       |  FROM emb),
+       |scored AS (
+       |  SELECT rep_id, dup_id,
+       |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+       |      / (a.norm * b.norm) AS cos_raw
+       |  FROM pairs JOIN v a ON rep_id = a.vec_id
+       |    JOIN v b ON dup_id = b.vec_id)
+       |SELECT rep_id, dup_id, ${r4Sql("cos_raw")} AS cosine,
+       |  cos_raw < 0.99 AS conflict
+       |FROM scored ORDER BY rep_id, dup_id""".stripMargin
+
+  // --------------------------------------------------------------- #276
+  /** #276 code-vs-prose detection: the corpus-routing gate an LLM data
+    * pipeline runs before tokenizer/quality decisions (code wants a
+    * different tokenizer budget and different quality rules than
+    * prose). Pure structural heuristics — code-symbol density
+    * ([]{}();=<>), identifier underscores, and line-indent rate —
+    * each compared in INTEGER space (20·n_sym > len ⟺ density > 5%,
+    * 10·n_indent > n_lines ⟺ >10% indented lines); a doc flags as
+    * code on 2-of-3 votes.
+    *
+    * Scale: one map-side pass (regexp counting is per-row), no
+    * shuffle at all before the final order.
+    */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("n_sym", col("len") -
+        length(regexp_replace(col("text"), "[\\[\\]{}();=<>]", "")))
+      .withColumn("n_underscore", col("len") -
+        length(regexp_replace(col("text"), "_", "")))
+      .withColumn("n_lines",
+        (col("len") - length(regexp_replace(col("text"), "\n", "")) + 1))
+      .withColumn("n_indent",
+        (length(regexp_replace(col("text"), "(?m)^[ \\t]", "@$0")) -
+          col("len")))
+      .withColumn("v_sym", (col("n_sym") * 20 > col("len")).cast("int"))
+      .withColumn("v_us", (col("n_underscore") * 100 > col("len")).cast("int"))
+      .withColumn("v_ind", (col("n_indent") * 10 > col("n_lines")).cast("int"))
+      .select(col("doc_id"),
+        col("n_sym").cast("long").as("n_sym"),
+        col("n_underscore").cast("long").as("n_underscore"),
+        col("n_indent").cast("long").as("n_indent"),
+        r4(col("n_sym").cast("double") / col("len")).as("sym_density"),
+        (col("v_sym") + col("v_us") + col("v_ind") >= 2).as("is_code"))
+      .orderBy("doc_id")
+  }
+
+  val textCodeDetectSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, len(text) AS len,
+       |    len(text) - len(regexp_replace(text,
+       |      '[\\[\\]{}();=<>]', '', 'g')) AS n_sym,
+       |    len(text) - len(regexp_replace(text, '_', '', 'g'))
+       |      AS n_underscore,
+       |    len(text) - len(regexp_replace(text, e'\\n', '', 'g')) + 1
+       |      AS n_lines,
+       |    len(regexp_replace(text, '(?m)^[ \\t]', e'@\\\\0', 'g')) - len(text)
+       |      AS n_indent
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, n_sym, n_underscore, n_indent, len,
+       |    CASE WHEN n_sym * 20 > len THEN 1 ELSE 0 END AS v_sym,
+       |    CASE WHEN n_underscore * 100 > len THEN 1 ELSE 0 END AS v_us,
+       |    CASE WHEN n_indent * 10 > n_lines THEN 1 ELSE 0 END AS v_ind
+       |  FROM d)
+       |SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+       |  CAST(n_underscore AS BIGINT) AS n_underscore,
+       |  CAST(n_indent AS BIGINT) AS n_indent,
+       |  ${r4Sql("CAST(n_sym AS DOUBLE) / len")} AS sym_density,
+       |  v_sym + v_us + v_ind >= 2 AS is_code
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #277
+  /** #277 deterministic random-walk corpus (node2vec/DeepWalk's data
+    * step): one length-3 walk per graph node over the co-purchase
+    * graph, the "sentence" corpus a graph-embedding trainer consumes.
+    * The walk is DETERMINISTIC — at step t from node u, the next hop
+    * is neighbor rank 1 + (md5(u:t) mod deg(u)) — so 1000 executors
+    * (and the DuckDB oracle) generate bit-identical walks with no
+    * RNG state, the same device as #44's md5 sampling.
+    *
+    * Scale: the neighbor-ranked adjacency builds once (arc-sized,
+    * per-src window — width-distributed); each step is one equi-join
+    * of the |nodes|-sized walk head against it. Walk length is the
+    * unrolled-iteration count, the #180 BFS pattern.
+    */
+  def graphWalkCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val und = Tables.persistSlot("summit.walkCorpus.und",
+      Graph.undirected(spark, dir))
+    val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val wn = Window.partitionBy("src").orderBy("dst")
+    val ranked = Tables.persistSlot("summit.walkCorpus.adj",
+      adj.withColumn("rn", row_number().over(wn).cast("long"))
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))
+          .cast("long")))
+    def hop(cur: DataFrame, curCol: String, t: Int,
+        outCol: String): DataFrame =
+      cur.join(ranked.select(col("src"), col("dst"), col("rn"), col("deg")),
+          col(curCol) === col("src"))
+        .where(col("rn") === lit(1) +
+          conv(substring(md5(concat(col(curCol).cast("string"),
+            lit(":"), lit(t).cast("string"))), 1, 8), 16, 10)
+            .cast("long") % col("deg"))
+        .drop("src", "rn", "deg")
+        .withColumnRenamed("dst", outCol)
+    val start = ranked.select(col("src").as("n0")).distinct()
+    val w1 = hop(start, "n0", 1, "n1")
+    val w2 = hop(w1, "n1", 2, "n2")
+    val w3 = hop(w2, "n2", 3, "n3")
+    w3.select("n0", "n1", "n2", "n3").orderBy("n0")
+  }
+
+  val graphWalkCorpusSql: String = {
+    def hopSql(prev: String, t: Int, cols: String, nxt: String): String = {
+      val cur = if (t == 1) "n0" else s"n${t - 1}"
+      s"""w$t AS (
+         |  SELECT $cols, a.dst AS $nxt
+         |  FROM $prev p JOIN adj a ON p.$cur = a.src
+         |  WHERE a.rn = 1 + ('0x' || substr(md5(
+         |    CAST(p.$cur AS VARCHAR) || ':' || '$t'),
+         |    1, 8))::BIGINT % a.deg)""".stripMargin
+    }
+    s"""WITH ${Graph.edgeSql},
+       |adj AS (
+       |  SELECT src, dst,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+       |      AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+       |  FROM e),
+       |w0 AS (SELECT DISTINCT src AS n0 FROM adj),
+       |${hopSql("w0", 1, "p.n0", "n1")},
+       |${hopSql("w1", 2, "p.n0, p.n1", "n2")},
+       |${hopSql("w2", 3, "p.n0, p.n1, p.n2", "n3")}
+       |SELECT n0, n1, n2, n3 FROM w3 ORDER BY n0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_key_skew" -> (auditKeySkew _),
     "events_funnel_latency" -> (eventsFunnelLatency _),
@@ -1221,7 +1443,10 @@ object Summit {
     "graph_embeddedness" -> (graphEmbeddedness _),
     "mm_audio_vad" -> (mmAudioVad _),
     "quality_cascade_plan" -> (qualityCascadePlan _),
-    "text_vocab_gini" -> (textVocabGini _))
+    "text_vocab_gini" -> (textVocabGini _),
+    "embed_text_conflict" -> (embedTextConflict _),
+    "text_code_detect" -> (textCodeDetect _),
+    "graph_walk_corpus" -> (graphWalkCorpus _))
 
   val oracles: Map[String, String] = Map(
     "audit_key_skew" -> auditKeySkewSql,
@@ -1236,5 +1461,8 @@ object Summit {
     "graph_embeddedness" -> graphEmbeddednessSql,
     "mm_audio_vad" -> mmAudioVadSql,
     "quality_cascade_plan" -> qualityCascadePlanSql,
-    "text_vocab_gini" -> textVocabGiniSql)
+    "text_vocab_gini" -> textVocabGiniSql,
+    "embed_text_conflict" -> embedTextConflictSql,
+    "text_code_detect" -> textCodeDetectSql,
+    "graph_walk_corpus" -> graphWalkCorpusSql)
 }

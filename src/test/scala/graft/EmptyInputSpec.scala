@@ -158,7 +158,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_embeddedness",   // wedges of an empty edge list
     "mm_audio_vad",         // energy of no payloads
     "quality_cascade_plan", // pricing join against zero cells
-    "text_vocab_gini")      // 1 row of null sums (empty vocabulary)
+    "text_vocab_gini",      // 1 row of null sums (empty vocabulary)
+    "embed_text_conflict",  // planted class of an empty corpus
+    "text_code_detect",     // structural counts of no docs
+    "graph_walk_corpus")    // walks from no nodes
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -93,7 +93,11 @@ class NullInputSpec extends AnyFunSuite {
     // evaluate null text to 0 for κ and the cascade pricing; null
     // tokens never reach the vocabulary
     "mm_shot_boundaries", "mm_audio_vad", "ann_graph_search",
-    "quality_rule_kappa", "quality_cascade_plan", "text_vocab_gini")
+    "quality_rule_kappa", "quality_cascade_plan", "text_vocab_gini",
+    // md5(null text) groups out (null never equals), null embedding
+    // joins out of the conflict pairs; structural regex counts of
+    // null text are null-flagged rows, never throws
+    "embed_text_conflict", "text_code_detect")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

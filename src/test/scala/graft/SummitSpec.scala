@@ -319,4 +319,65 @@ class SummitSpec extends GraftSpec {
     assert(out.getAs[Long]("n_tokens") == t)
     assert(out.getAs[Double]("gini") == directR4)
   }
+
+  test("embed_text_conflict: planted aligned re-uploads never conflict " +
+      "(cosine 1), pairs are exactly the planted id offset") {
+    val out = Summit.embedTextConflict(spark, sf).cache()
+    assert(out.count() > 0)
+    // the organic corpus has no byte dups: every pair is rep → rep+10^6
+    assert(out.where(col("dup_id") =!= col("rep_id") + 1000000L)
+      .count() == 0)
+    val aligned = out.where(col("rep_id") % 14 === 0)
+    assert(aligned.count() > 0)
+    assert(aligned.where(col("conflict") ||
+      col("cosine") < 0.9999).count() == 0)
+    // misaligned rows exist and at least one conflicts (random vectors)
+    val misaligned = out.where(col("rep_id") % 14 =!= 0)
+    assert(misaligned.count() > 0)
+    assert(misaligned.where(col("conflict")).count() > 0)
+    out.unpersist()
+  }
+
+  test("text_code_detect: per-doc coverage, vote recomputation from " +
+      "emitted counts matches is_code") {
+    val out = Summit.textCodeDetect(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\n", "")) + 1).as("n_lines"))
+    assert(out.count() == docs.count())
+    val joined = out.join(docs, "doc_id")
+    assert(joined.where(
+      (((col("n_sym") * 20 > col("len")).cast("int") +
+        (col("n_underscore") * 100 > col("len")).cast("int") +
+        (col("n_indent") * 10 > col("n_lines")).cast("int")) >= 2) =!=
+        col("is_code")).count() == 0)
+    assert(joined.where(abs(col("sym_density") -
+      expr("floor(n_sym / len * 10000.0 + 0.5) / 10000.0")) > 1e-12)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("graph_walk_corpus: one walk per node, every hop is a graph " +
+      "arc, hops follow the md5 rank rule") {
+    val out = Summit.graphWalkCorpus(spark, sf).cache()
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(countDistinct(col("a.o")).as("sup"))
+      .where(col("sup") >= 2).select("pa", "pb")
+    val adj = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(und.select(col("pb").as("src"), col("pa").as("dst")))
+      .cache()
+    val nNodes = adj.select("src").distinct().count()
+    assert(out.count() == nNodes)
+    for ((a, b) <- Seq(("n0", "n1"), ("n1", "n2"), ("n2", "n3"))) {
+      val bad = out.select(col(a).as("src"), col(b).as("dst"))
+        .except(adj)
+      assert(bad.count() == 0, s"hop $a->$b left the graph")
+    }
+    adj.unpersist(); out.unpersist()
+  }
 }
