@@ -1429,6 +1429,161 @@ object Summit {
        |SELECT n0, n1, n2, n3 FROM w3 ORDER BY n0""".stripMargin
   }
 
+  // --------------------------------------------------------------- #278
+  /** #278 binary (1-bit) quantized ANN — the third leg of the
+    * quantization family beside SQ8 (#84) and PQ (#107): each vector
+    * packs to a 64-bit SIGN signature (bit i = dim i > 0, dims = 64),
+    * candidates rank by hamming distance popcount(sig_q ⊕ sig_c) —
+    * 64× memory reduction and XOR+popcount scan speed, the standard
+    * first-stage filter for billion-vector search. The exact cosine
+    * rides along per result so the recall loss is observable (#84's
+    * convention).
+    *
+    * Cross-engine: Spark scans the PACKED path (shiftleft build,
+    * bit_count(xor) distance); the oracle computes the identical
+    * hamming as an unpacked sign-disagreement sum (DuckDB's strict
+    * `1<<63` overflow makes packing bit 63 impossible there) — same
+    * integer, proven by the hash match. Ranking key (hamming, c_id)
+    * is total.
+    *
+    * Scale: signatures are a map-side projection (8 bytes/vector
+    * leave the scan); ranking reuses the broadcast-query
+    * WindowGroupLimit shape of #32.
+    */
+  def annBinaryHamming(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val sigExpr =
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + if(element_at(embedding, i + 1) > 0.0F,
+        |    shiftleft(1L, i), 0L))""".stripMargin
+    val v = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(sigExpr).as("sig"))
+    val q = v
+      .where(col("vec_id") % 50 === 0 && col("vec_id") < 1000000L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("sig").as("q_sig"))
+    val w = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("sig").as("c_sig"))
+      .join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("hamming",
+        expr("cast(bit_count(q_sig ^ c_sig) as long)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("hamming"),
+        r4(expr("cosine_f32(q_emb, c_emb)")).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val annBinaryHammingSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i ->
+       |      CASE WHEN (q.embedding[i] > 0) <> (c.embedding[i] > 0)
+       |        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+       |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |      / (q.norm * c.norm) AS cos_raw
+       |  FROM v q JOIN v c
+       |    ON q.vec_id % 50 = 0 AND q.vec_id < 1000000
+       |      AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, c_id, hamming, cos_raw, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY hamming, c_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, c_id, hamming, ${r4Sql("cos_raw")} AS cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- #279
+  /** #279 Matryoshka truncation eval (MRL): how much recall does
+    * serving on the first 16 of 64 dimensions cost? Per eval query,
+    * the top-5 by exact cosine on the FULL vector (truth) vs the
+    * top-5 by cosine on the 16-dim PREFIX; emits overlap, recall@5,
+    * and whether the top-1 survives truncation. The dial a serving
+    * stack reads before switching to truncated embeddings (4×
+    * memory/bandwidth win when recall holds).
+    *
+    * Scale: two broadcast-query corpus scans (the #32 shape twice);
+    * the overlap join is |q|·k rows. The registered query set is
+    * horizon-bounded as always.
+    */
+  def embedMatryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = Similarity.evalQueries(spark, dir)
+    def topk(scoreExpr: String): DataFrame = {
+      val w = Window.partitionBy("q_id").orderBy(desc("s"), col("c_id"))
+      v.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        .join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("s", expr(scoreExpr))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select("q_id", "rank", "c_id")
+    }
+    val full = topk("cosine_f32(q_emb, c_emb)")
+    val pref = topk("cosine_f32(slice(q_emb, 1, 16), slice(c_emb, 1, 16))")
+    val overlap = full.select("q_id", "c_id")
+      .join(pref.select("q_id", "c_id"), Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    val top1 = full.where(col("rank") === 1)
+      .select(col("q_id"), col("c_id").as("t_full"))
+      .join(pref.where(col("rank") === 1)
+        .select(col("q_id"), col("c_id").as("t_pref")), "q_id")
+      .select(col("q_id"), (col("t_full") === col("t_pref")).as("top1_match"))
+    q.select("q_id").join(overlap, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .join(top1, "q_id")
+      .select(col("q_id"), col("n_overlap"),
+        r4(col("n_overlap").cast("double") / 5.0).as("recall_at_5"),
+        col("top1_match"))
+      .orderBy("q_id")
+  }
+
+  val embedMatryoshkaEvalSql: String = {
+    def rankedSql(name: String, emb: String, dims: String): String =
+      s"""$name AS (
+         |  SELECT q_id, c_id, rank FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+         |      PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, $dims + 1), i ->
+         |          q.embedding$emb[i]::DOUBLE * c.embedding$emb[i]::DOUBLE))
+         |        / (sqrt(list_sum(list_transform(q.embedding$emb,
+         |            x -> x::DOUBLE * x::DOUBLE)))
+         |          * sqrt(list_sum(list_transform(c.embedding$emb,
+         |            x -> x::DOUBLE * x::DOUBLE)))) DESC,
+         |        c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id % 50 = 0 AND q.vec_id < 1000000
+         |        AND q.vec_id <> c.vec_id)
+         |  WHERE rank <= 5)""".stripMargin
+    s"""WITH ${rankedSql("fullk", "", "64")},
+       |${rankedSql("prefk", "[1:16]", "16")},
+       |ov AS (
+       |  SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM fullk f JOIN prefk p ON f.q_id = p.q_id AND f.c_id = p.c_id
+       |  GROUP BY 1),
+       |qs AS (
+       |  SELECT DISTINCT vec_id AS q_id FROM embeddings
+       |  WHERE vec_id % 50 = 0 AND vec_id < 1000000)
+       |SELECT qs.q_id, COALESCE(n_overlap, 0) AS n_overlap,
+       |  ${r4Sql("CAST(COALESCE(n_overlap, 0) AS DOUBLE) / 5.0")}
+       |    AS recall_at_5,
+       |  ft.c_id = pt.c_id AS top1_match
+       |FROM qs
+       |  LEFT JOIN ov ON qs.q_id = ov.q_id
+       |  JOIN (SELECT q_id, c_id FROM fullk WHERE rank = 1) ft
+       |    ON qs.q_id = ft.q_id
+       |  JOIN (SELECT q_id, c_id FROM prefk WHERE rank = 1) pt
+       |    ON qs.q_id = pt.q_id
+       |ORDER BY qs.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_key_skew" -> (auditKeySkew _),
     "events_funnel_latency" -> (eventsFunnelLatency _),
@@ -1446,7 +1601,9 @@ object Summit {
     "text_vocab_gini" -> (textVocabGini _),
     "embed_text_conflict" -> (embedTextConflict _),
     "text_code_detect" -> (textCodeDetect _),
-    "graph_walk_corpus" -> (graphWalkCorpus _))
+    "graph_walk_corpus" -> (graphWalkCorpus _),
+    "ann_binary_hamming" -> (annBinaryHamming _),
+    "embed_matryoshka_eval" -> (embedMatryoshkaEval _))
 
   val oracles: Map[String, String] = Map(
     "audit_key_skew" -> auditKeySkewSql,
@@ -1464,5 +1621,7 @@ object Summit {
     "text_vocab_gini" -> textVocabGiniSql,
     "embed_text_conflict" -> embedTextConflictSql,
     "text_code_detect" -> textCodeDetectSql,
-    "graph_walk_corpus" -> graphWalkCorpusSql)
+    "graph_walk_corpus" -> graphWalkCorpusSql,
+    "ann_binary_hamming" -> annBinaryHammingSql,
+    "embed_matryoshka_eval" -> embedMatryoshkaEvalSql)
 }

@@ -161,7 +161,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_vocab_gini",      // 1 row of null sums (empty vocabulary)
     "embed_text_conflict",  // planted class of an empty corpus
     "text_code_detect",     // structural counts of no docs
-    "graph_walk_corpus")    // walks from no nodes
+    "graph_walk_corpus",    // walks from no nodes
+    "ann_binary_hamming",   // signatures of an empty corpus
+    "embed_matryoshka_eval")// both rankings empty, no queries
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -97,7 +97,10 @@ class NullInputSpec extends AnyFunSuite {
     // md5(null text) groups out (null never equals), null embedding
     // joins out of the conflict pairs; structural regex counts of
     // null text are null-flagged rows, never throws
-    "embed_text_conflict", "text_code_detect")
+    "embed_text_conflict", "text_code_detect",
+    // the null embedding's null signature/cosine ranks last or joins
+    // out; slice(null) stays null in the prefix ranking
+    "ann_binary_hamming", "embed_matryoshka_eval")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

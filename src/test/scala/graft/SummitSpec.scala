@@ -380,4 +380,52 @@ class SummitSpec extends GraftSpec {
     }
     adj.unpersist(); out.unpersist()
   }
+
+  test("ann_binary_hamming: packed-XOR hamming equals the unpacked " +
+      "sign-disagreement sum, ranks contiguous and distance-monotone") {
+    val out = Summit.annBinaryHamming(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("hamming") < 0 || col("hamming") > 64)
+      .count() == 0)
+    val emb = Tables(spark, sf, "embeddings")
+    val unpacked = out
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe")), "q_id")
+      .join(emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("ce")), "c_id")
+      .withColumn("h2", expr(
+        """aggregate(sequence(1, 64), 0L, (acc, i) ->
+          |  acc + if((element_at(qe, i) > 0.0F) !=
+          |    (element_at(ce, i) > 0.0F), 1L, 0L))""".stripMargin))
+    assert(unpacked.where(col("hamming") =!= col("h2")).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    assert(out.withColumn("prev", lag("hamming", 1).over(w))
+      .where(col("prev").isNotNull && col("hamming") < col("prev"))
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("embed_matryoshka_eval: overlap matches an independent " +
+      "brute-force recomputation of both rankings") {
+    val out = Summit.embedMatryoshkaEval(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("n_overlap") < 0 || col("n_overlap") > 5)
+      .count() == 0)
+    val v = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = operators.Similarity.evalQueries(spark, sf)
+    val full5 = operators.Similarity.annBruteforceFrom(v, q, 5)
+      .select("q_id", "c_id")
+    val pref5 = operators.Similarity.annBruteforceFrom(
+      v.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("embedding")),
+      q.select(col("q_id"), expr("slice(q_emb, 1, 16)").as("q_emb")), 5)
+      .select("q_id", "c_id")
+    val expected = full5.join(pref5, Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("exp_overlap"))
+    assert(out.join(expected, Seq("q_id"), "left")
+      .where(col("n_overlap") =!=
+        coalesce(col("exp_overlap"), lit(0L))).count() == 0)
+    out.unpersist()
+  }
 }
