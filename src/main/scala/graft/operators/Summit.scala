@@ -1584,6 +1584,294 @@ object Summit {
        |ORDER BY qs.q_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- #280
+  /** #280 dominant-period detection per event type: #178's gap-filled
+    * hourly ACF extended to lags 2-24 and arg-maxed — "what cadence
+    * does this series repeat at" as one row per type (best lag, its
+    * autocorrelation, pair count). The read that chooses #43/#21's
+    * window widths and #195's seasonal baseline.
+    *
+    * Determinism: each per-lag r is the #178 device (exact int64
+    * cross-products, 3 correctly-rounded IEEE ops) — identical
+    * doubles on both engines, so the (acf DESC, lag) arg-max ranking
+    * is engine-identical; lag 1 is excluded (trivially high for any
+    * smooth series), zero-variance lags rank last as NULL.
+    *
+    * Scale: the dense axis is span-sized (not event-sized), 23 leads
+    * over ONE per-type window Exchange, final state 23·|types| rows;
+    * the arg-max window runs over the 23-row lag domain per type.
+    */
+  def tsPeriodDetect(spark: SparkSession, dir: String): DataFrame = {
+    val maxLag = 24
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val axis = hourly.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("hr"))
+    val dense = axis.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    // ONE window pass computes all 23 leads; stack unpivots — the
+    // 23-way union of per-lag selects would re-run the window 23×
+    val wide = dense.select(
+      Seq(col("event_type"), col("x")) ++
+        (2 to maxLag).map(l => lead(col("x"), l).over(w).as(s"y$l")): _*)
+    val lagged = wide.selectExpr("event_type", "x",
+      s"stack(${maxLag - 1}, " +
+        (2 to maxLag).map(l => s"${l}L, y$l").mkString(", ") +
+        ") as (lag, y)")
+      .where(col("y").isNotNull)
+    val acfs = lagged.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) === 0L ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+            lit(null).cast("double"))
+            .otherwise(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("acf"))
+    val wa = Window.partitionBy("event_type")
+      .orderBy(desc_nulls_last("acf"), col("lag"))
+    acfs.withColumn("rk", row_number().over(wa))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("lag").as("best_lag"), col("n"),
+        col("acf"))
+      .orderBy("event_type")
+  }
+
+  val tsPeriodDetectSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |axis AS (
+       |  SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+       |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+       |        FROM hourly GROUP BY event_type)),
+       |dense AS (
+       |  SELECT a.event_type, a.hr, COALESCE(h.c, 0) AS x
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |wide AS (
+       |  SELECT event_type, x,
+       |    ${(2 to 24).map(l =>
+              s"LEAD(x, $l) OVER w AS y$l").mkString(",\n       |    ")}
+       |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+       |lagged AS (
+       |  ${(2 to 24).map(l =>
+            s"SELECT event_type, CAST($l AS BIGINT) AS lag, x, y$l AS y " +
+              s"FROM wide WHERE y$l IS NOT NULL")
+            .mkString("\n       |  UNION ALL ")}),
+       |acfs AS (
+       |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM lagged GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT event_type, lag, n,
+       |    ${r4Sql(
+            """CAST(n * sxy - sx * sy AS DOUBLE) /
+              |      sqrt(CASE WHEN n * sxx - sx * sx = 0
+              |          OR n * syy - sy * sy = 0 THEN NULL
+              |        ELSE CAST(n * sxx - sx * sx AS DOUBLE)
+              |          * CAST(n * syy - sy * sy AS DOUBLE) END)"""
+              .stripMargin)} AS acf
+       |  FROM acfs)
+       |SELECT event_type, lag AS best_lag, n, acf FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY acf DESC NULLS LAST, lag) AS rk
+       |  FROM scored) WHERE rk = 1
+       |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- #281
+  /** #281 class-balanced sampling: per language, keep exactly
+    * `min-class-count` documents selected by deterministic md5 rank —
+    * the balanced-training-set construction beside #44's rate-based
+    * stratified sampling and the fixed-k variant (#198): here k is
+    * DERIVED (the smallest class), so the output is exactly balanced
+    * at any corpus composition without a config change.
+    *
+    * Scale: one count agg (tiny), a 1-row global-min broadcast, and a
+    * per-class hash-rank window; the data-dependent k means no
+    * WindowGroupLimit pushdown (documented — the fixed-k form gets
+    * it), so the rank materializes per class and the filter follows.
+    */
+  def sampleClassBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    val m = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .agg(min("cnt").as("k"))
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .where(col("rk") <= col("k"))
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val sampleClassBalancedSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |m AS (SELECT MIN(cnt) AS k FROM (
+      |  SELECT lang, COUNT(*) AS cnt FROM d GROUP BY 1)),
+      |r AS (
+      |  SELECT lang, doc_id, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+      |  FROM d)
+      |SELECT lang, doc_id, rk FROM r, m WHERE rk <= k
+      |ORDER BY lang, rk""".stripMargin
+
+  // --------------------------------------------------------------- #282
+  /** #282 template coverage: what share of each document's bigrams
+    * belong to the corpus-wide top-100 bigram set? #34/#64 measure
+    * INTRA-doc repetition; this is the CROSS-doc templating signal —
+    * boilerplate-heavy docs score high even when each is internally
+    * diverse. The standard "SEO-template farm" detector beside
+    * #104's heavy hitters (which finds the grams; this attributes
+    * them back to documents).
+    *
+    * Determinism: the top-100 cut ranks by (count DESC, gram) — a
+    * total order, so the template set is engine-identical.
+    *
+    * Scale: bigram explode → ONE keyed count (map-side combine) →
+    * TakeOrdered(100) — the template set is a constant-size
+    * broadcast; the attribution is a map-side broadcast semi-join
+    * per exploded bigram + one doc-keyed count.
+    */
+  def textTemplateCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("gram"))
+    val top = bigrams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("gram")).limit(100)
+      .select(col("gram"))
+    val perDoc = bigrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"))
+    val tmpl = bigrams.join(broadcast(top), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_template"))
+    perDoc.join(tmpl, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_template"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_template"),
+        r4(col("n_template").cast("double") / col("n_bigrams"))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  val textTemplateCoverageSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(string_split(text, ' '))),
+       |    i -> string_split(text, ' ')[i] || ' ' ||
+       |      string_split(text, ' ')[i + 1])) AS gram
+       |  FROM documents),
+       |top100 AS (
+       |  SELECT gram FROM (
+       |    SELECT gram, COUNT(*) AS cnt FROM b GROUP BY 1)
+       |  ORDER BY cnt DESC, gram LIMIT 100),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams
+       |  FROM b GROUP BY 1),
+       |tm AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_template
+       |  FROM b JOIN top100 USING (gram) GROUP BY 1)
+       |SELECT p.doc_id, n_bigrams, COALESCE(n_template, 0) AS n_template,
+       |  ${r4Sql("CAST(COALESCE(n_template, 0) AS DOUBLE) / n_bigrams")}
+       |    AS coverage
+       |FROM per p LEFT JOIN tm ON p.doc_id = tm.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #283
+  /** #283 ABC class migration: #110's Pareto classification computed
+    * independently on the early and late half of the order history
+    * (calendar cut at 1998-01-01), then the A/B/C→A/B/C transition
+    * matrix with 'absent' rows for churned/new customers — "did my A
+    * customers stay A" as one bounded table. The class-level
+    * companion to #113's cohort LTV.
+    *
+    * Scale: two half-sized #110 windows (the cum-share global sort is
+    * inherent to Pareto ranking — at cluster scale it is the
+    * TakeOrdered-style range partition sort), a full-outer key join,
+    * and a ≤ 15-row matrix with domain-sized share windows.
+    */
+  def ordersAbcMigration(spark: SparkSession, dir: String): DataFrame = {
+    def abcOf(half: DataFrame): DataFrame = {
+      val rev = half.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("revenue"))
+      val ord = Window.orderBy(desc("revenue"), col("o_custkey"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      rev.withColumn("cum_share",
+          sum(col("revenue")).over(cum).cast("double") /
+            sum(col("revenue")).over(all).cast("double"))
+        .select(col("o_custkey"),
+          when(col("cum_share") <= 0.5, "A")
+            .when(col("cum_share") <= 0.8, "B")
+            .otherwise(lit("C")).as("cls"))
+    }
+    val o = Tables(spark, dir, "orders")
+    val h1 = abcOf(o.where(col("o_orderdate") < "1998-01-01"))
+      .withColumnRenamed("cls", "class_from")
+    val h2 = abcOf(o.where(col("o_orderdate") >= "1998-01-01"))
+      .withColumnRenamed("cls", "class_to")
+    val t = h1.join(h2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("class_from"), lit("absent")).as("class_from"),
+        coalesce(col("class_to"), lit("absent")).as("class_to"))
+      .groupBy("class_from", "class_to").agg(count(lit(1)).as("n_cust"))
+    val wf = Window.partitionBy("class_from") // ≤ 4×4 rows
+    t.withColumn("n_from", sum("n_cust").over(wf))
+      .select(col("class_from"), col("class_to"), col("n_cust"),
+        r4(col("n_cust").cast("double") / col("n_from")).as("share"))
+      .orderBy("class_from", "class_to")
+  }
+
+  val ordersAbcMigrationSql: String = {
+    def abcSql(name: String, pred: String): String =
+      s"""$name AS (
+         |  SELECT o_custkey,
+         |    CASE WHEN cum_share <= 0.5 THEN 'A'
+         |         WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS cls
+         |  FROM (
+         |    SELECT o_custkey,
+         |      CAST(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS DOUBLE) / CAST(SUM(revenue) OVER () AS DOUBLE)
+         |        AS cum_share
+         |    FROM (
+         |      SELECT o_custkey,
+         |        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         |      FROM orders WHERE $pred GROUP BY 1)))""".stripMargin
+    s"""WITH ${abcSql("h1", "o_orderdate < TIMESTAMP '1998-01-01'")},
+       |${abcSql("h2", "o_orderdate >= TIMESTAMP '1998-01-01'")},
+       |t AS (
+       |  SELECT COALESCE(h1.cls, 'absent') AS class_from,
+       |    COALESCE(h2.cls, 'absent') AS class_to,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cust
+       |  FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+       |  GROUP BY 1, 2)
+       |SELECT class_from, class_to, n_cust,
+       |  ${r4Sql("CAST(n_cust AS DOUBLE) / " +
+                  "SUM(n_cust) OVER (PARTITION BY class_from)")} AS share
+       |FROM t ORDER BY class_from, class_to""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_key_skew" -> (auditKeySkew _),
     "events_funnel_latency" -> (eventsFunnelLatency _),
@@ -1603,7 +1891,11 @@ object Summit {
     "text_code_detect" -> (textCodeDetect _),
     "graph_walk_corpus" -> (graphWalkCorpus _),
     "ann_binary_hamming" -> (annBinaryHamming _),
-    "embed_matryoshka_eval" -> (embedMatryoshkaEval _))
+    "embed_matryoshka_eval" -> (embedMatryoshkaEval _),
+    "ts_period_detect" -> (tsPeriodDetect _),
+    "sample_class_balanced" -> (sampleClassBalanced _),
+    "text_template_coverage" -> (textTemplateCoverage _),
+    "orders_abc_migration" -> (ordersAbcMigration _))
 
   val oracles: Map[String, String] = Map(
     "audit_key_skew" -> auditKeySkewSql,
@@ -1623,5 +1915,9 @@ object Summit {
     "text_code_detect" -> textCodeDetectSql,
     "graph_walk_corpus" -> graphWalkCorpusSql,
     "ann_binary_hamming" -> annBinaryHammingSql,
-    "embed_matryoshka_eval" -> embedMatryoshkaEvalSql)
+    "embed_matryoshka_eval" -> embedMatryoshkaEvalSql,
+    "ts_period_detect" -> tsPeriodDetectSql,
+    "sample_class_balanced" -> sampleClassBalancedSql,
+    "text_template_coverage" -> textTemplateCoverageSql,
+    "orders_abc_migration" -> ordersAbcMigrationSql)
 }

@@ -163,7 +163,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_code_detect",     // structural counts of no docs
     "graph_walk_corpus",    // walks from no nodes
     "ann_binary_hamming",   // signatures of an empty corpus
-    "embed_matryoshka_eval")// both rankings empty, no queries
+    "embed_matryoshka_eval",// both rankings empty, no queries
+    "ts_period_detect",     // arg-max over an empty lag table
+    "sample_class_balanced",// rank windows over no classes
+    "text_template_coverage", // top-100 of an empty gram space
+    "orders_abc_migration") // two empty halves, empty outer join
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -100,7 +100,10 @@ class NullInputSpec extends AnyFunSuite {
     "embed_text_conflict", "text_code_detect",
     // the null embedding's null signature/cosine ranks last or joins
     // out; slice(null) stays null in the prefix ranking
-    "ann_binary_hamming", "embed_matryoshka_eval")
+    "ann_binary_hamming", "embed_matryoshka_eval",
+    // null text yields an empty bigram list (coverage row with zero
+    // grams); the null doc still ranks in its class by id hash
+    "text_template_coverage", "sample_class_balanced")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

@@ -428,4 +428,72 @@ class SummitSpec extends GraftSpec {
         coalesce(col("exp_overlap"), lit(0L))).count() == 0)
     out.unpersist()
   }
+
+  test("ts_period_detect: one row per type, lag in [2,24], winning acf " +
+      "dominates the ts_acf lag-2/3 values") {
+    val out = Summit.tsPeriodDetect(spark, sf).cache()
+    val types = Tables.eventsUs(spark, sf)
+      .select("event_type").distinct().count()
+    assert(out.count() == types)
+    assert(out.where(col("best_lag") < 2 || col("best_lag") > 24)
+      .count() == 0)
+    // the winner is a max over lags ⊇ {2, 3}: it can't lose to the
+    // published ts_acf values at those lags
+    val acf23 = operators.Horizon.tsAcf(spark, sf)
+      .where(col("lag").isin(2L, 3L) && col("acf").isNotNull)
+      .groupBy("event_type").agg(max("acf").as("ref"))
+    assert(out.join(acf23, "event_type")
+      .where(col("acf") < col("ref") - 1e-12).count() == 0)
+    out.unpersist()
+  }
+
+  test("sample_class_balanced: every class keeps exactly the min class " +
+      "count, ranks contiguous") {
+    val out = Summit.sampleClassBalanced(spark, sf).cache()
+    val counts = Tables(spark, sf, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val k = counts.agg(min("cnt")).head().getLong(0)
+    val kept = out.groupBy("lang").agg(
+      count(lit(1)).as("n"), max("rk").as("rmax")).collect()
+    assert(kept.length == counts.count())
+    kept.foreach { r =>
+      assert(r.getAs[Long]("n") == k && r.getAs[Long]("rmax") == k)
+    }
+    out.unpersist()
+  }
+
+  test("text_template_coverage: per-doc attribution sums back to the " +
+      "top-100 grams' total occurrences") {
+    val out = Summit.textTemplateCoverage(spark, sf).cache()
+    val docs = Tables(spark, sf, "documents")
+    assert(out.count() == docs.count())
+    assert(out.where(col("coverage") < 0.0 || col("coverage") > 1.0)
+      .count() == 0)
+    val bigrams = docs.select(explode(expr(
+      """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+        |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+        |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("gram"))
+    val topTotal = bigrams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("gram")).limit(100)
+      .agg(sum("cnt")).head().getLong(0)
+    assert(out.agg(sum("n_template")).head().getLong(0) == topTotal)
+    out.unpersist()
+  }
+
+  test("orders_abc_migration: row shares normalize, customer total " +
+      "conserved, no absent->absent cell") {
+    val out = Summit.ordersAbcMigration(spark, sf).cache()
+    assert(out.where(col("class_from") === "absent" &&
+      col("class_to") === "absent").count() == 0)
+    val total = out.agg(sum("n_cust")).head().getLong(0)
+    assert(total ==
+      Tables(spark, sf, "orders").select("o_custkey").distinct().count())
+    out.groupBy("class_from")
+      .agg(sum("share").as("s"), count(lit(1)).as("cells")).collect()
+      .foreach { r =>
+        assert(math.abs(r.getAs[Double]("s") - 1.0) <=
+          r.getAs[Long]("cells") * 1e-4)
+      }
+    out.unpersist()
+  }
 }
