@@ -556,4 +556,50 @@ object EventStream {
         TimeMode.None(), OutputMode.Update(),
         org.apache.spark.sql.Encoders.product[UserTotals])
   }
+
+  /** One streaming Bollinger breakout (SURVEY §2 #268's streamed
+    * form). */
+  final case class Boll(event_id: Long, event_type: String, ts_us: Long,
+      value: Double, side: String)
+
+  /** Ring buffer of the last ≤ w cents values per type — BOUNDED state
+    * (w int64s per event type), oldest first.
+    */
+  final case class BollState(vals: Seq[Long])
+
+  /** Streaming form of #268 `ts_bollinger_breakout`: per event type, a
+    * bounded ring buffer holds the TRAILING w cents values; each
+    * arriving event tests the same integer band inequality
+    * `(w·v − S1)² > 4·(w·S2 − S1²)` the batch operator clears to —
+    * no float mean/σ in either form, so streamed flags can be proven
+    * EQUAL (not just close) to the batch operator's rows when batches
+    * respect event-time order. State is w longs per type regardless
+    * of stream length.
+    */
+  def bollingerStream(events: Dataset[Ev], w: Int = 24): Dataset[Boll] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[BollState, Boll](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[Ev], state: GroupState[BollState]) =>
+          var vals = state.getOption.map(_.vals).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Boll]
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          sorted.foreach { e =>
+            val v = math.floor(e.value * 100.0 + 0.5).toLong
+            if (vals.length == w) {
+              val s1 = vals.sum
+              val s2 = vals.map(x => x * x).sum
+              val dev = v * w - s1
+              val band2 = (s2 * w - s1 * s1) * 4
+              if (dev * dev > band2)
+                out += Boll(e.event_id, etype, e.ts_us, e.value,
+                  if (dev > 0) "up" else "down")
+            }
+            vals = (vals :+ v).takeRight(w)
+          }
+          state.update(BollState(vals))
+          out.result().iterator
+      }
+  }
 }

@@ -665,4 +665,32 @@ class StreamingSpec extends GraftSpec {
         .collect().map(_.toSeq).toSeq
     assert(top5(merged) == top5(direct))
   }
+
+  test("streaming Bollinger breakout == batch ts_bollinger_breakout " +
+      "(#268 streamed): integer band carried across micro-batch state") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    val q = EventStream.bollingerStream(stream.toDS())
+      .writeStream.format("memory").queryName("boll_out")
+      .outputMode("append").start()
+    // time-ordered batches: the trailing frame is prefix-computable,
+    // so cross-batch ring-buffer state must reproduce the batch frame
+    val ordered = events.sortBy(e => (e.ts_us, e.event_id))
+    val (b1, rest) = ordered.splitAt(events.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("boll_out")
+      .select("event_id", "side").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = operators.Summit.tsBollingerBreakout(spark, sf)
+      .select("event_id", "side").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, s) => assert(s == batch(id)) }
+  }
 }
