@@ -603,8 +603,13 @@ object Summit {
     graft.functions.Hashes.register(spark)
     val frames = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      // n > 0 guard: Spark's sequence(0, -1) yields a DESCENDING
+      // [0, -1] (two phantom frames) where the oracle's range(0, 0)
+      // yields none — empty docs must emit zero frames on both engines
+      .where(col("n") > 0)
       .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, (n + 31) div 32 - 1)")).as("fi"))
+        explode(expr("sequence(0, greatest((n + 31) div 32 - 1, 0))"))
+          .as("fi"))
       .select(col("doc_id"), col("fi"),
         expr("phash64(substring(text, fi * 32 + 1, 32))").as("sig"))
     val wd = Window.partitionBy("doc_id").orderBy("fi")
@@ -693,9 +698,16 @@ object Summit {
       .withColumn("s1", sum("v").over(w))
       .withColumn("s2", sum(col("v") * col("v")).over(w))
       .where(col("cnt") === wSize)
-      .withColumn("dev", col("v") * wSize - col("s1"))
+      // products in DECIMAL(38,0) (the #222 device): s2·w overflows
+      // int64 once |v| exceeds ~3e8 cents, where Spark would wrap
+      // silently while the oracle's HUGEINT sum keeps exact int128 —
+      // decimal keeps the two engines identical on any value domain
+      .withColumn("s1d", col("s1").cast("decimal(38,0)"))
+      .withColumn("s2d", col("s2").cast("decimal(38,0)"))
+      .withColumn("dev",
+        col("v").cast("decimal(38,0)") * wSize - col("s1d"))
       .withColumn("band2",
-        (col("s2") * wSize - col("s1") * col("s1")) * 4)
+        (col("s2d") * wSize - col("s1d") * col("s1d")) * 4)
       .where(col("dev") * col("dev") > col("band2"))
       .select(col("event_type"), col("event_id"), col("ts_us"),
         col("value"),
@@ -978,8 +990,12 @@ object Summit {
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
     val frames = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      // same n > 0 guard as #267: sequence(0, -1) is descending in
+      // Spark but empty in the oracle's range — drop empty docs first
+      .where(col("n") > 0)
       .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, (n + 15) div 16 - 1)")).as("fi"))
+        explode(expr("sequence(0, greatest((n + 15) div 16 - 1, 0))"))
+          .as("fi"))
       .select(col("doc_id"), col("fi"),
         expr("substring(text, fi * 16 + 1, 16)").as("sl"))
       .select(col("doc_id"), col("fi"),
@@ -1233,14 +1249,20 @@ object Summit {
     // carry the correctly-aligned embedding, half carry the NEXT row's
     // embedding — the off-by-one join-misalignment bug this audit
     // exists to catch
+    // planted ids live at +10^12 — disjoint from the organic range by
+    // construction (doc_ids are corpus ordinals; even a 100 TB corpus
+    // stays orders of magnitude below 10^12 docs), so re-uploads can
+    // never collide with real doc_ids/vec_ids and silently corrupt the
+    // planted audit class the way a +10^6 offset would at ≥1e6 docs
+    val plantOff = 1000000000000L
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
     val planted = docs.where(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + plantOff).as("doc_id"), col("text"))
     val all = docs.unionByName(planted)
     val emb = Tables(spark, dir, "embeddings")
       .select("vec_id", "embedding")
     val plantedEmb = emb.where(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + plantOff).as("vec_id"),
         when(col("vec_id") % 14 === 0, col("vec_id"))
           .otherwise(col("vec_id") + 1).as("src"))
       .join(emb.select(col("vec_id").as("src"), col("embedding")), "src")
@@ -1269,11 +1291,12 @@ object Summit {
     s"""WITH docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |  SELECT doc_id + 1000000000000, text FROM documents
+       |  WHERE doc_id % 7 = 0),
        |emb AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
-       |  SELECT p.vec_id + 1000000, s.embedding
+       |  SELECT p.vec_id + 1000000000000, s.embedding
        |  FROM embeddings p JOIN embeddings s
        |    ON s.vec_id = CASE WHEN p.vec_id % 14 = 0 THEN p.vec_id
        |                       ELSE p.vec_id + 1 END
@@ -1605,7 +1628,11 @@ object Summit {
     val maxLag = 24
     val hourly = Tables.eventsUs(spark, dir)
       .groupBy(col("event_type"),
-        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+        // integer-space div (the tsCusum device) — float division then
+        // cast deviates from the repo's integer contract and from the
+        // oracle's exact // even though epoch-us quotients happen to
+        // stay clear of double half-ULP boundaries
+        expr("ts_us div 3600000000").as("hr"))
       .agg(count(lit(1)).as("c"))
     val axis = hourly.groupBy("event_type")
       .agg(min("hr").as("lo"), max("hr").as("hi"))

@@ -588,9 +588,11 @@ object EventStream {
           sorted.foreach { e =>
             val v = math.floor(e.value * 100.0 + 0.5).toLong
             if (vals.length == w) {
-              val s1 = vals.sum
-              val s2 = vals.map(x => x * x).sum
-              val dev = v * w - s1
+              // BigInt products, mirroring the batch operator's
+              // DECIMAL(38,0): s2·w wraps int64 once |v| > ~3e8 cents
+              val s1 = vals.map(BigInt(_)).sum
+              val s2 = vals.map(x => BigInt(x) * x).sum
+              val dev = BigInt(v) * w - s1
               val band2 = (s2 * w - s1 * s1) * 4
               if (dev * dev > band2)
                 out += Boll(e.event_id, etype, e.ts_us, e.value,

@@ -324,8 +324,8 @@ class SummitSpec extends GraftSpec {
       "(cosine 1), pairs are exactly the planted id offset") {
     val out = Summit.embedTextConflict(spark, sf).cache()
     assert(out.count() > 0)
-    // the organic corpus has no byte dups: every pair is rep → rep+10^6
-    assert(out.where(col("dup_id") =!= col("rep_id") + 1000000L)
+    // the organic corpus has no byte dups: every pair is rep → rep+10^12
+    assert(out.where(col("dup_id") =!= col("rep_id") + 1000000000000L)
       .count() == 0)
     val aligned = out.where(col("rep_id") % 14 === 0)
     assert(aligned.count() > 0)
