@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Exprs.{r4, r4Sql}
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Change-data-capture shapes over the append-only event log
   * (SURVEY.md §2 #95-96).
@@ -195,15 +195,92 @@ object Change {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, step1, step2, step3 LIMIT 25""".stripMargin
 
+  // --------------------------------------------------------------- #284
+  /** #284 compaction plan for the CDC'd snapshot: fold the #238 change
+    * batch into the orders base (delete ≡0 mod 11; update ≡0 mod 7 gets
+    * price+100; insert ≡0 mod 13 re-lands at +3·10⁹) and emit the FILE
+    * PLAN the compactor would write — per (partition=o_orderstatus,
+    * file_id) with a 2048-row target: row count, the contiguous key
+    * range [min_key, max_key], and the decimal-exact price total. This
+    * is the read-side half of `sources.CatalogCompaction` (which
+    * performs the physical rewrite — dynamic partition overwrite,
+    * bucketed tasks, `maxRecordsPerFile` cap — proven equal to the
+    * merge-on-read view in CatalogCompactionSpec); the PLAN assigns
+    * files as contiguous key ranges, the deterministic mirror of the
+    * writer's range-clustered split, so the oracle can check it
+    * exactly.
+    *
+    * Scale: the merge is #238's equi-join shape (change-sized sides
+    * broadcast); the file assignment is one row_number window per
+    * partition — fine for a per-partition maintenance pass (the window
+    * partitions by the same column the files do), and the emitted plan
+    * is file-count-sized, not row-sized.
+    */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val target = 2048
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val deletes = base.where(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"))
+    val updates = base
+      .where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(100.0)).as("new_price"))
+    val inserts = base.where(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + lit(3000000000L)).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").as("price"))
+    val merged = base
+      .join(deletes, Seq("o_orderkey"), "left_anti")
+      .join(updates, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("new_price"), col("o_totalprice")).as("price"))
+      .unionByName(inserts)
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    merged
+      .withColumn("rn", row_number().over(w))
+      .withColumn("file_id",
+        expr(s"cast((rn - 1) div $target as bigint)"))
+      .groupBy(col("o_orderstatus"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"),
+        sumDec(col("price"), 38, 2).as("total_price"))
+      .orderBy("o_orderstatus", "file_id")
+  }
+
+  val cdcCompactSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       |merged AS (
+       |  SELECT b.o_orderkey, b.o_orderstatus,
+       |    CASE WHEN b.o_orderkey % 7 = 0 THEN b.o_totalprice + 100.0
+       |         ELSE b.o_totalprice END AS price
+       |  FROM base b WHERE b.o_orderkey % 11 <> 0
+       |  UNION ALL
+       |  SELECT o_orderkey + 3000000000, o_orderstatus, o_totalprice
+       |  FROM base WHERE o_orderkey % 13 = 0),
+       |planned AS (
+       |  SELECT o_orderstatus, o_orderkey, price,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+       |      ORDER BY o_orderkey) - 1) // 2048 AS BIGINT) AS file_id
+       |  FROM merged)
+       |SELECT o_orderstatus, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       |  ${sumDecSql("price", 38, 2)} AS total_price
+       |FROM planned GROUP BY 1, 2
+       |ORDER BY o_orderstatus, file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_intervals" -> (scd2Intervals _),
     "cdc_state_diff" -> (cdcStateDiff _),
     "events_markov" -> (eventsMarkov _),
-    "events_paths" -> (eventsPaths _))
+    "events_paths" -> (eventsPaths _),
+    "cdc_compact" -> (cdcCompact _))
 
   val oracles: Map[String, String] = Map(
     "scd2_intervals" -> scd2Sql,
     "cdc_state_diff" -> cdcSql,
     "events_markov" -> eventsMarkovSql,
-    "events_paths" -> eventsPathsSql)
+    "events_paths" -> eventsPathsSql,
+    "cdc_compact" -> cdcCompactSql)
 }
