@@ -83,6 +83,33 @@ object IndexRequests {
       .select("uuid", "name", "level", "token", "filters")
   }
 
+  /** Python-`unquote` parity for percent-encoded URL parameters — the
+    * reference's own TODO (`/root/reference/reactor.py:106-110`: the
+    * commented-out `unquote(f)` loop under "TODO implement urldecode
+    * on ?filters parameter"). Decodes %XX sequences ONLY: a literal
+    * `+` must survive (regex "one or more"), unlike `url_decode`'s
+    * form-encoding semantics where `+` means space — protecting `+`
+    * as %2B first makes the builtin exactly `unquote`. A string with
+    * no escapes passes through unchanged, so decoding an
+    * already-plain pattern is the identity (same reason the
+    * reference could apply unquote to whatever source resolved).
+    * Deviation, documented: a MALFORMED escape (`%G1`) errors here
+    * where Python's unquote passes it through — fail-fast on a
+    * corrupt control message beats silently indexing with a pattern
+    * that was mangled in transit.
+    */
+  def percentDecode(c: Column): Column =
+    url_decode(regexp_replace(c, "\\+", "%2B"))
+
+  /** [[percentDecode]] over a whole filter list: every pattern decodes,
+    * levels ride through.
+    */
+  def percentDecodeFilters(filters: Column): Column =
+    transform(filters, f =>
+      struct(
+        f.getField("processing_level").as("processing_level"),
+        transform(f.getField("patterns"), percentDecode(_)).as("patterns")))
+
   /** Reference-faithful routing with the `urlparams` fallback
     * (`/root/reference/reactor.py:66` sets `action = "urlparams"`
     * BEFORE schema validation, and `reactor.py:147` indexes for
@@ -122,10 +149,14 @@ object IndexRequests {
     // context/env supply filters as their JSON string representation
     // (reactor.py:106-110 notes exactly this encoding); parse against the
     // same struct shape the message schema uses so downstream consumers
-    // see one filter type regardless of where the value resolved from
+    // see one filter type regardless of where the value resolved from.
+    // URL-sourced patterns percent-decode (the ?filters parameter rides
+    // in percent-encoded — the reference's TODO); message-borne filters
+    // stay untouched, which the reference calls out as already usable
+    // ("This is enough for filters passed from message")
     val filtersType = requestSchema("filters").dataType
     val filtersFallback = contextFiltersJson.orElse(envFiltersJson)
-      .map(j => from_json(lit(j), filtersType))
+      .map(j => percentDecodeFilters(from_json(lit(j), filtersType)))
       .getOrElse(lit(null).cast(filtersType))
     val schemaReason = rejectReason
     val resolvedUuid = coalesce(col("uuid"), uuidFallback)

@@ -114,6 +114,43 @@ class IndexRequestsSpec extends GraftSpec {
     assert(bare(1).isNullAt(3) && bare(1).isNullAt(4))
   }
 
+  test("?filters percent-decoding: URL-encoded patterns index " +
+    "identically to their decoded forms (reference TODO, " +
+    "reactor.py:106-110)") {
+    // schema-invalid message (no name): the urlparams path, where the
+    // ?filters parameter rides in percent-encoded
+    val dir = writeMessages("""{"uuid": "u1"}""" + "\n")
+    val msgs = IndexRequests.read(spark, dir)
+    // %5C -> backslash, %24 -> dollar; the literal '+' in log%5Cd+%24
+    // is regex one-or-more and must SURVIVE (unquote semantics, not
+    // form-decoding where + means space)
+    val encoded = """[{"processing_level": "2",""" +
+      """ "patterns": ["%5C.txt%24", "log%5Cd+%24"]}]"""
+    val row = IndexRequests.routed(msgs,
+      contextFiltersJson = Some(encoded)).collect()(0)
+    val decoded = IndexRequests.filtersOf(row)
+    assert(decoded == Seq(IndexFilter("2", Seq("\\.txt$", "log\\d+$"))))
+
+    val sp = spark
+    import sp.implicits._
+    val files = Seq((1L, "a/x.txt"), (2L, "a/run/log123"),
+      (3L, "a/y.log"), (4L, "a/x.txt.bak")).toDF("doc_id", "path")
+    val viaEncoded = FileIndexer.index(files, "path", decoded, "u1")
+    val viaPlain = FileIndexer.index(files, "path",
+      Seq(IndexFilter("2", Seq("\\.txt$", "log\\d+$"))), "u1")
+    assert(viaEncoded.collect().toSet == viaPlain.collect().toSet)
+    assert(viaEncoded.select("doc_id").collect().map(_.getLong(0))
+      .toSet == Set(1L, 2L))
+    // message-borne filters stay untouched: a plain pattern containing
+    // a percent-escape-looking literal must NOT decode on that path
+    val msgDir = writeMessages(
+      """{"uuid": "m1", "name": "index", "filters": [{"processing_level": "3", "patterns": ["%24raw"]}]}""" + "\n")
+    val msgRow = IndexRequests.routed(IndexRequests.read(spark, msgDir))
+      .collect()(0)
+    assert(IndexRequests.filtersOf(msgRow) ==
+      Seq(IndexFilter("3", Seq("%24raw"))))
+  }
+
   test("level resolves message -> context/env -> default '1'") {
     val dir = writeMessages(
       """{"uuid": "a", "name": "index", "level": "3"}
