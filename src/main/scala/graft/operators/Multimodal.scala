@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   *
   * Models how a 100 TB training-data pipeline carries image/audio/video:
   * an opaque `binary` payload column plus typed metadata extracted by a
-  * batched per-partition decode. The decode itself is a STUB — a
+  * batched per-partition decode. Most decodes are DECLARED STUBS — a
   * deterministic fake standing in for a codec (no media libs in this
   * environment) — but everything Spark-level is real: the binary
   * schema, the typed `Dataset` hop, partition-batched iteration
   * (`mapPartitions`, the Scala analogue of `mapInPandas` batches), and
-  * the metadata schema the downstream pipeline would consume.
+  * the metadata schema the downstream pipeline would consume. One leg
+  * (#285 `mm_image_resize`) runs a REAL codec — JDK ImageIO over
+  * planted deterministic BMPs — with its oracle pinning the decoded
+  * pixels to the closed-form pixel function.
   *
   * Scale: the payload never shuffles — decode is map-side narrow on the
   * scan partitions; only the (tiny) typed metadata flows onward.
@@ -297,8 +300,11 @@ object Multimodal {
     graft.functions.Hashes.register(spark)
     val docs = graft.Tables.spread(spark, dir, "documents")
       .select("doc_id", "text")
+    // planted ids at +10^12 — disjoint from organic doc_ids by
+    // construction at any realistic corpus size (the #275 device; a
+    // +10^6 offset collides once the corpus reaches 1e6 docs)
     val reuploads = docs.where(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
     // native one-pass signature (Phash64); persisted because BOTH
     // sides of the banded self-join reference this subplan — without
     // it every signature computes twice. Slot-bounded: repeated calls
@@ -341,7 +347,8 @@ object Multimodal {
     s"""WITH docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+      |  SELECT doc_id + 1000000000000, text FROM documents
+      |  WHERE doc_id % 7 = 0),
       |t AS (
       |  SELECT doc_id, list_transform(range(0, 64), i ->
       |      ascii(substr(text,
@@ -370,18 +377,131 @@ object Multimodal {
       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- #285
+  /** Output of the real-codec resize. */
+  final case class ImgResized(doc_id: Long, width: Long, height: Long,
+      out_w: Long, out_h: Long, checksum: Long)
+
+  /** Deterministic grayscale test image for `doc_id`: dimensions
+    * 16·(1+(7·id+3) mod 8) × 16·(1+(5·id+1) mod 8) (16..128 px),
+    * pixel (x,y) = (3x + 5y + id) mod 256 — RNG-free, so the oracle
+    * recomputes every pixel from the id alone and the spec can pin
+    * decoded pixels against the closed form.
+    */
+  private def plantedImage(docId: Long): java.awt.image.BufferedImage = {
+    val w = (16L * (1L + (docId * 7 + 3) % 8)).toInt
+    val h = (16L * (1L + (docId * 5 + 1) % 8)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((3L * x + 5L * y + docId) % 256L).toInt
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Lossless 24-bit BMP bytes for [[plantedImage]] — a REAL on-disk
+    * image format, byte-deterministic (BMP is uncompressed raster +
+    * fixed header, unlike PNG whose deflate stream can vary by encoder).
+    */
+  def plantedBmp(docId: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(plantedImage(docId), "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** #285 image resize over a REAL codec: the one multimodal leg where
+    * the decode is NOT a stub. Each doc carries a planted deterministic
+    * 24-bit BMP; the operator decodes it with JDK `ImageIO` (a real
+    * format parser — header, stride, bottom-up raster ordering), then
+    * 2×2 integer box-pools the true pixels (floor of the 4-sample mean,
+    * exact integer arithmetic) and emits the pooled checksum. The
+    * oracle recomputes the SAME values from the closed-form pixel
+    * function — so a green hash proves the encode→ImageIO-decode→pool
+    * path is pixels-true, not just plumbing-true (the upgrade the
+    * declared stubs in #39/#50/#77 trade away; their shape notes still
+    * apply here: payload bytes never leave the partition, only the
+    * 6-column summary flows on).
+    *
+    * Scale: map-side narrow per partition; per-doc work is bounded by
+    * the 128×128 dimension cap, so throughput scales with width like
+    * every other codec pass.
+    */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(plantedBmp(id)))
+      val w = img.getWidth
+      val h = img.getHeight
+      val ow = w / 2
+      val oh = h / 2
+      var sum = 0L
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          val p00 = img.getRGB(2 * x, 2 * y) & 0xFF
+          val p10 = img.getRGB(2 * x + 1, 2 * y) & 0xFF
+          val p01 = img.getRGB(2 * x, 2 * y + 1) & 0xFF
+          val p11 = img.getRGB(2 * x + 1, 2 * y + 1) & 0xFF
+          sum += (p00 + p10 + p01 + p11) / 4
+          x += 1
+        }
+        y += 1
+      }
+      ImgResized(id, w.toLong, h.toLong, ow.toLong, oh.toLong,
+        sum % 65536L)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
+  /** The oracle never sees a BMP: it evaluates the closed-form pixel
+    * function and the same integer pooling — equality proves the
+    * operator's real decode returned the true pixels.
+    */
+  val mmImageResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    16 * (1 + (doc_id * 7 + 3) % 8) AS w,
+      |    16 * (1 + (doc_id * 5 + 1) % 8) AS h
+      |  FROM documents)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w // 2 AS BIGINT) AS out_w, CAST(h // 2 AS BIGINT) AS out_h,
+      |  CAST(list_sum(list_transform(range(0, (w // 2) * (h // 2)), i ->
+      |    ((3 * (2 * (i % (w // 2))) + 5 * (2 * (i // (w // 2)))
+      |        + doc_id) % 256
+      |     + (3 * (2 * (i % (w // 2)) + 1) + 5 * (2 * (i // (w // 2)))
+      |        + doc_id) % 256
+      |     + (3 * (2 * (i % (w // 2))) + 5 * (2 * (i // (w // 2)) + 1)
+      |        + doc_id) % 256
+      |     + (3 * (2 * (i % (w // 2)) + 1) + 5 * (2 * (i // (w // 2)) + 1)
+      |        + doc_id) % 256) // 4
+      |  )) % 65536 AS BIGINT) AS checksum
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_dedup" ->
       ((s: SparkSession, d: String) => mmPhashDedup(s, d)),
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_feature_extract" -> (mmFeatureExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_resize" -> (mmResize _))
+    "mm_resize" -> (mmResize _),
+    "mm_image_resize" -> (mmImageResize _))
 
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup" -> mmPhashDedupSql(),
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_feature_extract" -> mmFeatureExtractSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_resize" -> mmResizeSql)
+    "mm_resize" -> mmResizeSql,
+    "mm_image_resize" -> mmImageResizeSql)
 }

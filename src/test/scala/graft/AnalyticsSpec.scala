@@ -143,7 +143,7 @@ class AnalyticsSpec extends GraftSpec {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
         r.getAs[Long]("hamming")))
     val found = pairs.collect {
-      case (a, b, h) if b == a + 1000000L && h == 0L => a
+      case (a, b, h) if b == a + 1000000000000L && h == 0L => a
     }.toSet
     assert(planted.subsetOf(found),
       s"missing re-uploads: ${(planted -- found).take(5)}")

@@ -167,7 +167,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "ts_period_detect",     // arg-max over an empty lag table
     "sample_class_balanced",// rank windows over no classes
     "text_template_coverage", // top-100 of an empty gram space
-    "orders_abc_migration") // two empty halves, empty outer join
+    "orders_abc_migration", // two empty halves, empty outer join
+    // round-14 additions (#284-285)
+    "cdc_compact",          // file plan of an empty merged snapshot
+    "mm_image_resize")      // real codec over no docs
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

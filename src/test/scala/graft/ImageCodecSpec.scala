@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** The real-codec multimodal leg: planted BMPs round-trip through JDK
+  * ImageIO pixels-true, and the operator's pooled output equals the
+  * closed-form computation.
+  */
+class ImageCodecSpec extends GraftSpec {
+
+  private def pixel(id: Long, x: Int, y: Int): Int =
+    ((3L * x + 5L * y + id) % 256L).toInt
+
+  test("BMP encode -> ImageIO decode returns the exact planted pixels") {
+    Seq(0L, 1L, 7L, 123L, 499L).foreach { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.plantedBmp(id)))
+      val w = (16L * (1L + (id * 7 + 3) % 8)).toInt
+      val h = (16L * (1L + (id * 5 + 1) % 8)).toInt
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFF) == pixel(id, x, y),
+          s"doc $id pixel ($x,$y)")
+    }
+  }
+
+  test("BMP bytes are deterministic across encodes (byte-stable format)") {
+    Seq(3L, 42L).foreach { id =>
+      assert(java.util.Arrays.equals(
+        Multimodal.plantedBmp(id), Multimodal.plantedBmp(id)))
+    }
+  }
+
+  test("mm_image_resize == closed-form pooling (real decode, no stub)") {
+    val out = Multimodal.mmImageResize(spark, sf)
+      .where(col("doc_id") < 20).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = (16L * (1L + (id * 7 + 3) % 8)).toInt
+      val h = (16L * (1L + (id * 5 + 1) % 8)).toInt
+      var sum = 0L
+      for (y <- 0 until h / 2; x <- 0 until w / 2)
+        sum += (pixel(id, 2 * x, 2 * y) + pixel(id, 2 * x + 1, 2 * y) +
+          pixel(id, 2 * x, 2 * y + 1) + pixel(id, 2 * x + 1, 2 * y + 1)) / 4
+      assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+      assert(r.getAs[Long]("out_w") == w / 2 &&
+        r.getAs[Long]("out_h") == h / 2)
+      assert(r.getAs[Long]("checksum") == sum % 65536L, s"doc $id")
+    }
+  }
+}

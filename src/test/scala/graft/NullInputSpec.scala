@@ -103,7 +103,10 @@ class NullInputSpec extends AnyFunSuite {
     "ann_binary_hamming", "embed_matryoshka_eval",
     // null text yields an empty bigram list (coverage row with zero
     // grams); the null doc still ranks in its class by id hash
-    "text_template_coverage", "sample_class_balanced")
+    "text_template_coverage", "sample_class_balanced",
+    // round-14: the real-codec leg keys off doc_id only — a null text
+    // row still plants, encodes and decodes its BMP
+    "mm_image_resize")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
