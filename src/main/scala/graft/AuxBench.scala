@@ -23,7 +23,29 @@ object AuxBench {
     // bucket occupancy ~2k) — the registered query pins bits=6 for the
     // static oracle; this is the form a growing corpus runs
     "ann_graph_search_auto" ->
-      ((s: SparkSession, d: String) => operators.Summit.annGraphSearchAuto(s, d)))
+      ((s: SparkSession, d: String) => operators.Summit.annGraphSearchAuto(s, d)),
+    // the spark.graft.clusterSaturated profile: shared graph edge
+    // subplans persist instead of recomputing in parallel — the
+    // escape-hatch shape for busy clusters, A/B'd here against the
+    // registered (idle-profile) operators' Bench numbers
+    "graph_pagerank_saturated" ->
+      ((s: SparkSession, d: String) =>
+        saturated(s)(operators.Graph.graphPagerank(s, d))),
+    "graph_triangles_saturated" ->
+      ((s: SparkSession, d: String) =>
+        saturated(s)(operators.Graph.graphTriangles(s, d))),
+    "graph_kcore_saturated" ->
+      ((s: SparkSession, d: String) =>
+        saturated(s)(operators.Curation.graphKcore(s, d))))
+
+  /** Build a plan under the saturated-cluster profile (the conf is
+    * consulted at plan-build time, so resetting it after construction
+    * is safe — the persist decision is already baked into the plan).
+    */
+  private def saturated(s: SparkSession)(body: => DataFrame): DataFrame = {
+    s.conf.set("spark.graft.clusterSaturated", "true")
+    try body finally s.conf.set("spark.graft.clusterSaturated", "false")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

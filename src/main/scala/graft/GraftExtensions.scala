@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cms_est", es => graft.functions.CountMinEstimate(es(0), es(1),
       es(2).eval(null).asInstanceOf[Int],
       es(3).eval(null).asInstanceOf[Int]))
+    inject("qdigest_quantile", es => graft.functions.QuantileSketch(es(0),
+      es(1).eval(null) match {
+        case d: java.lang.Double => d.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      }).toAggregateExpression())
 
     ext.injectPostHocResolutionRule(BroadcastDimTables)
     ext.injectOptimizerRule(ApproxDistinctRewrite)

@@ -70,6 +70,27 @@ object Tables {
     cached
   }
 
+  /** Saturated-cluster profile dial: `spark.graft.clusterSaturated`
+    * (default false). The graph family's shared edge subplans measured
+    * FASTER recomputed in parallel than persisted on an idle box (the
+    * PLANS.md "Evaluated and rejected" A/Bs: persist 15-30% slower at
+    * 4-7 subtree refs, 1.6× slower even at kcore's 27 refs) — but that
+    * verdict inverts on a saturated cluster, where duplicate subtrees
+    * queue behind real work instead of filling idle cores and
+    * recompute costs genuine throughput. This helper is the promoted
+    * escape hatch: consulted at PLAN BUILD time, it persists the
+    * shared subplan into its bounded [[persistSlot]] when the profile
+    * says the cluster is busy, and leaves the plan untouched (the
+    * measured-faster idle shape) otherwise. Both settings are
+    * oracle-identical (GraphSaturatedSpec pins it); AuxBench carries
+    * the A/B numbers for each.
+    */
+  def saturatedSlot(slot: String, df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.clusterSaturated", "false").toBoolean)
+      persistSlot(slot, df)
+    else df
+
   /** Size-gated broadcast hint for attach-side tables that GROW WITH THE
     * CORPUS (per-doc gram arrays, full doc text, global vocabularies).
     * An unconditional `broadcast()` on such a table is a driver OOM at

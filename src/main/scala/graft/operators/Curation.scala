@@ -525,8 +525,12 @@ object Curation {
 
   private def symmetricEdges(spark: SparkSession, dir: String): DataFrame = {
     val und = Graph.undirected(spark, dir)
-    und.select(col("pa").as("src"), col("pb").as("dst"))
-      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    // the 27-ref kcore subtree: saturated clusters also persist the
+    // doubled arc list (the graph_kcore_persist A/B shape), idle boxes
+    // recompute it in parallel (measured 1.6× faster — PLANS.md)
+    Tables.saturatedSlot("graph_kcore_edges",
+      und.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(und.select(col("pb").as("src"), col("pa").as("dst"))))
   }
 
   private def graphKcoreOn(edges: DataFrame, k: Int,

@@ -42,7 +42,11 @@ object Graph {
     * wedge counts explode quadratically.
     */
   private[operators] def undirected(spark: SparkSession, dir: String): DataFrame =
-    undirected(spark, dir, minSupport = 2)
+    // shared across pagerank/triangles/rules/kcore at 4-27 subtree refs:
+    // persist-free on an idle box (measured faster — PLANS.md), persisted
+    // under the spark.graft.clusterSaturated profile (see Tables doc)
+    Tables.saturatedSlot("graph.sharedEdges",
+      undirected(spark, dir, minSupport = 2))
 
   private def undirected(spark: SparkSession, dir: String,
       minSupport: Long): DataFrame = {

@@ -923,7 +923,113 @@ object Pinnacle {
        |  (n_a - n_b) * (n_a - n_b) > (n_a + n_b) * 9 AS srm_flag
        |FROM a""".stripMargin
 
+  // --------------------------------------------------------------- #286
+  /** #286 quantile-digest estimate vs exact: per event type, p50/p90/
+    * p99 of the integer-cents value, once exactly (rank-⌈q·N⌉ order
+    * statistic via one window pass) and once from the mergeable
+    * [[graft.functions.QuantileSketch]] log2-linear histogram — the
+    * #53/#254 estimate-vs-exact read extended to order statistics, and
+    * the #114 fixed-bin histogram's unbounded-domain graduate.
+    *
+    * Determinism: the sketch state is a pure function of the value
+    * multiset (bucket-wise counts — no order-dependent compaction), so
+    * any partitioning/merge tree yields the identical estimate, and
+    * the oracle reproduces it from the same bucket arithmetic
+    * (`length(bin(v))` msb + 3 linear sub-bits, both engines integer-
+    * exact). Ranks are ⌈q·N⌉ with one IEEE multiply — identical on
+    * both sides. Estimate contract (spec-pinned): est ≤ exact <
+    * est·9/8, exact equality below 16.
+    *
+    * Scale: the exact side is one window pass (bench-scale yardstick);
+    * the SKETCH side is the 100 TB path — ≤488-entry partials combine
+    * map-side, only histograms cross the shuffle, reads are O(buckets).
+    */
+  def aggQdigest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.QuantileSketch.register(spark)
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("v"))
+    val wOrd = Window.partitionBy("event_type").orderBy("v")
+    val wAll = Window.partitionBy("event_type")
+    def rankOf(q: Double) =
+      greatest(lit(1L), ceil(lit(q) * col("n")))
+    val exact = e
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === rankOf(0.5), col("v"))).as("p50_exact"),
+        max(when(col("rn") === rankOf(0.9), col("v"))).as("p90_exact"),
+        max(when(col("rn") === rankOf(0.99), col("v"))).as("p99_exact"))
+    val est = e.groupBy("event_type")
+      .agg(expr("qdigest_quantile(v, 0.5)").as("p50_est"),
+        expr("qdigest_quantile(v, 0.9)").as("p90_est"),
+        expr("qdigest_quantile(v, 0.99)").as("p99_est"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("n"),
+        col("p50_exact"), col("p50_est"),
+        col("p90_exact"), col("p90_est"),
+        col("p99_exact"), col("p99_est"))
+      .orderBy("event_type")
+  }
+
+  /** SQL mirror of the sketch: same buckets, same rank walk, same
+    * lower-bound read — equality proves the native aggregate.
+    */
+  val aggQdigestSql: String = {
+    def rankSql(q: String) = s"GREATEST(1, CAST(CEIL($q * n) AS BIGINT))"
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM e),
+       |ex AS (
+       |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       |    MAX(CASE WHEN rn = ${rankSql("0.5")} THEN v END) AS p50_exact,
+       |    MAX(CASE WHEN rn = ${rankSql("0.9")} THEN v END) AS p90_exact,
+       |    MAX(CASE WHEN rn = ${rankSql("0.99")} THEN v END) AS p99_exact
+       |  FROM r GROUP BY 1),
+       |b AS (
+       |  SELECT event_type,
+       |    CASE WHEN v < 8 THEN v
+       |         ELSE (length(bin(v)) - 4) * 8
+       |              + (v >> (length(bin(v)) - 4)) END AS bucket
+       |  FROM e),
+       |c AS (
+       |  SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bucket,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM c),
+       |pick AS (
+       |  SELECT event_type,
+       |    MIN(CASE WHEN cum >= ${rankSql("0.5")} THEN bucket END) AS b50,
+       |    MIN(CASE WHEN cum >= ${rankSql("0.9")} THEN bucket END) AS b90,
+       |    MIN(CASE WHEN cum >= ${rankSql("0.99")} THEN bucket END) AS b99
+       |  FROM cum GROUP BY 1),
+       |lb AS (
+       |  SELECT event_type,
+       |    CAST(CASE WHEN b50 < 16 THEN b50
+       |      ELSE (b50 % 8 + 8) << (b50 // 8 - 1) END AS BIGINT) AS p50_est,
+       |    CAST(CASE WHEN b90 < 16 THEN b90
+       |      ELSE (b90 % 8 + 8) << (b90 // 8 - 1) END AS BIGINT) AS p90_est,
+       |    CAST(CASE WHEN b99 < 16 THEN b99
+       |      ELSE (b99 % 8 + 8) << (b99 // 8 - 1) END AS BIGINT) AS p99_est
+       |  FROM pick)
+       |SELECT ex.event_type, n, p50_exact, p50_est, p90_exact, p90_est,
+       |  p99_exact, p99_est
+       |FROM ex JOIN lb ON ex.event_type = lb.event_type
+       |ORDER BY ex.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_qdigest" -> (aggQdigest _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q16_parts_supplier" -> (q16PartsSupplier _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
@@ -939,6 +1045,7 @@ object Pinnacle {
     "events_ab_srm" -> (eventsAbSrm _))
 
   val oracles: Map[String, String] = Map(
+    "agg_qdigest" -> aggQdigestSql,
     "q11_important_stock" -> q11ImportantStockSql,
     "q16_parts_supplier" -> q16PartsSupplierSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,

@@ -168,9 +168,10 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_class_balanced",// rank windows over no classes
     "text_template_coverage", // top-100 of an empty gram space
     "orders_abc_migration", // two empty halves, empty outer join
-    // round-14 additions (#284-285)
+    // round-14 additions (#284-286)
     "cdc_compact",          // file plan of an empty merged snapshot
-    "mm_image_resize")      // real codec over no docs
+    "mm_image_resize",      // real codec over no docs
+    "agg_qdigest")          // sketch + exact join over no events
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -59,6 +59,11 @@ class GraftExtensionsSpec extends GraftSpec {
           |  (SELECT explode(array('a','a','a','b','c','a','b')) AS t)"""
           .stripMargin).head.getSeq[String](0)
       assert(mg.contains("a")) // freq 4 > N/k = 3.5 => guaranteed
+      // round-14 injection: the quantile digest reads through pure SQL
+      val qd = s2.sql(
+        """SELECT qdigest_quantile(v, 0.5) AS p50 FROM
+          |  (SELECT explode(sequence(1L, 10L)) AS v)""".stripMargin).head
+      assert(qd.getAs[Long]("p50") == 5L) // exact below 16
       // dim-table auto-broadcast: with size-based broadcast disabled, a
       // plain customer x nation join must STILL plan a BroadcastHashJoin
       // because the injected rule recognizes the dim signature
