@@ -164,7 +164,12 @@ object EventStream {
                   st = SessState(s.sessionId + 1,
                     Some(OpenSession(s.sessionId + 1, e.ts_us, e.ts_us, 1)))
                 case Some(s) =>
-                  st = st.copy(open = Some(s.copy(lastUs = e.ts_us, n = s.n + 1)))
+                  // min/max merge: a CROSS-BATCH late event (inside the
+                  // watermark) must extend the session the way batch
+                  // order would — never regress lastUs or startUs
+                  st = st.copy(open = Some(s.copy(
+                    startUs = math.min(s.startUs, e.ts_us),
+                    lastUs = math.max(s.lastUs, e.ts_us), n = s.n + 1)))
                 case None =>
                   st = SessState(st.nextId,
                     Some(OpenSession(st.nextId, e.ts_us, e.ts_us, 1)))
@@ -462,8 +467,10 @@ object EventStream {
             out += Session(key, next, n, s, l)
             next += 1
             cur = Some((e.ts_us, e.ts_us, 1L))
-          case Some((s, _, n)) =>
-            cur = Some((s, e.ts_us, n + 1L))
+          case Some((s, l, n)) =>
+            // min/max merge (see [[sessionize]]): cross-batch late
+            // events inside the watermark extend, never regress
+            cur = Some((math.min(s, e.ts_us), math.max(l, e.ts_us), n + 1L))
           case None =>
             cur = Some((e.ts_us, e.ts_us, 1L))
         }
@@ -502,6 +509,38 @@ object EventStream {
     events
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer,
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[Session])
+  }
+
+  /** [[sessionizeTws]] hardened for AT-LEAST-ONCE intake: the
+    * watermarked event-identity dedup runs in FRONT of the stateful
+    * sessionizer, so a redelivered batch (producer retry, upstream
+    * replay) reaches the session state exactly once — the standard
+    * two-stateful-operator chain (dedup state expires with the
+    * watermark; session state stays bounded as documented on
+    * [[sessionize]]). The session numbering/count invariants survive
+    * BECAUSE the dedup sits upstream: the sessionizer itself counts
+    * every row it sees, which is correct only under exactly-once
+    * delivery. Proven in StreamingSpec's soak: shuffled batch order,
+    * cross-batch late events inside the watermark, and a fully
+    * redelivered batch all land on the batch operator's exact rows.
+    */
+  def sessionizeTwsExactlyOnce(events: DataFrame): Dataset[Session] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    // ONE watermark feeds both stateful operators (redefining the
+    // watermark between chained stateful operators is disallowed);
+    // the ts column rides through so the event-time attribute reaches
+    // the sessionizer
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
       .as[Ev]
       .groupByKey(_.user_id)
       .transformWithState(new TwsSessionizer,

@@ -693,4 +693,117 @@ class StreamingSpec extends GraftSpec {
     assert(streamed.keySet == batch.keySet)
     streamed.foreach { case (id, s) => assert(s == batch(id)) }
   }
+
+  test("sessionizeTws soak: scrambled batch order, cross-batch late " +
+      "events inside the watermark, and a fully redelivered batch " +
+      "still equal batch sessionize") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val gapUs = 1800000000L // the operator's 30-min session gap
+      val minUs = 60L * 1000000L
+      // Dense synthetic corpus (the REAL event log is ~43 min/event —
+      // any cross-batch laggard there is days late, far outside the
+      // 1-hour watermark; batch-operator equivalence on the real log
+      // is the PREVIOUS test's job): 40 users, 2-4 sessions each,
+      // 7-min intra-session strides, 3-hour inter-session gaps.
+      var eid = 0L
+      val synthetic = (for {
+        u <- 1L to 40L
+        s <- 0L to (u % 3 + 1)
+        k <- 0L to (4 + (u + s) % 5)
+      } yield {
+        eid += 1
+        Ev(eid, u, "view",
+          u * 13 * minUs + s * 3L * 60 * minUs + k * 7 * minUs, 1.0)
+      }).sortBy(e => (e.ts_us, e.event_id))
+      // reference fold = the batch gap semantics over the full corpus
+      val expected = synthetic.groupBy(_.user_id).flatMap { case (u, es) =>
+        val runs = es.sortBy(e => (e.ts_us, e.event_id))
+          .foldLeft(List.empty[List[Ev]]) {
+            case (acc @ (cur :: rest), e)
+                if e.ts_us - cur.head.ts_us <= gapUs =>
+              (e :: cur) :: rest
+            case (acc, e) => List(e) :: acc
+          }.reverse.map(_.reverse)
+        runs.zipWithIndex.map { case (r, i) =>
+          Seq(u, (i + 1).toLong, r.size.toLong, r.head.ts_us, r.last.ts_us)
+        }
+      }.toSet
+
+      // 2-hour event-time chunks; hold back INTERIOR session events
+      // (a within-gap predecessor delivered earlier bridges the
+      // session; a within-gap successor keeps it open) whose ts is
+      // within 50 min of the chunk max (< the 1-h watermark) and
+      // deliver them one batch LATE; one laggard per user overall so
+      // laggards never depend on each other.
+      val chunkUs = 2L * 60 * minUs
+      val chunks = synthetic.groupBy(e => e.ts_us / chunkUs).toSeq
+        .sortBy(_._1).map(_._2.sortBy(e => (e.ts_us, e.event_id)))
+      val nChunks = chunks.size
+      val held = Array.fill(nChunks)(Seq.newBuilder[Ev])
+      val heldIds = scala.collection.mutable.Set[Long]()
+      val usedUsers = scala.collection.mutable.Set[Long]()
+      var parity = 0
+      for (i <- 0 until nChunks - 1) {
+        val chunkMax = chunks(i).map(_.ts_us).max
+        chunks(i).foreach { e =>
+          val fresh = e.ts_us >= chunkMax - 50L * minUs
+          lazy val succ = synthetic.exists(s => s.user_id == e.user_id &&
+            s.ts_us > e.ts_us && s.ts_us - e.ts_us <= gapUs)
+          lazy val pred = synthetic.exists(p => p.user_id == e.user_id &&
+            p.ts_us < e.ts_us && e.ts_us - p.ts_us <= gapUs)
+          if (fresh && !usedUsers.contains(e.user_id) && succ && pred) {
+            parity += 1
+            if (parity % 3 == 0) {
+              held(i) += e
+              heldIds += e.event_id
+              usedUsers += e.user_id
+            }
+          }
+        }
+      }
+      val totalHeld = heldIds.size
+      assert(totalHeld >= 5, s"soak too weak: only $totalHeld laggards")
+
+      val stream = MemoryStream[Ev]
+      val q = EventStream.sessionizeTwsExactlyOnce(stream.toDF())
+        .writeStream.format("memory").queryName("tws_soak_out")
+        .outputMode("append").start()
+      for (i <- 0 until nChunks) {
+        val delivered = chunks(i).filterNot(e => heldIds.contains(e.event_id))
+        val laggards = if (i > 0) held(i - 1).result() else Seq.empty
+        // scramble within-batch order: the operator's per-batch sort
+        // must not rely on arrival order
+        val batchRows = (delivered ++ laggards).sortBy(_.event_id)
+        stream.addData(batchRows)
+        q.processAllAvailable()
+        if (i == 1 && batchRows.nonEmpty) {
+          // full at-least-once redelivery of an entire batch
+          stream.addData(batchRows)
+          q.processAllAvailable()
+        }
+      }
+      val flushTs = synthetic.map(_.ts_us).max + 100L * 3600L * 1000000L
+      stream.addData(Ev(-1L, -1L, "flush", flushTs, 0.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("tws_soak_out")
+        .where(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == expected)
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+  }
 }
