@@ -68,6 +68,10 @@ object SpillProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString).toInt
     val spark = GraftSession(cpus, "graft-spill-probe")
+    // SPARK_GRAFT_SATURATED=true probes the saturated-cluster profile
+    // (shared subplans persisted) — the A/B lever for spill volume
+    if (sys.env.get("SPARK_GRAFT_SATURATED").contains("true"))
+      spark.conf.set("spark.graft.clusterSaturated", "true")
     val totals = new MetricsTotals
     spark.sparkContext.addSparkListener(totals)
 

@@ -934,9 +934,16 @@ object Zenith {
       .select(col("l_orderkey"), col("l_partkey"))
     val o = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
-    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-      .distinct()
+    // the distinct bipartite edge list is referenced by all three
+    // half-iterations (a1, h1, a2) — 3 recomputes of the join+distinct
+    // under the persist-free idle default (the measured-faster shape on
+    // an idle box); the spark.graft.clusterSaturated profile persists
+    // it, which the 100× memory-pressure probe shows also collapses
+    // the spill volume (PLANS.md round-14)
+    val e = Tables.saturatedSlot("graph.hitsEdges",
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct())
     val a1 = e.groupBy("p").agg(count(lit(1)).as("n_buyers"))
     val h1 = e.join(a1, "p").groupBy("u").agg(sum("n_buyers").as("h1"))
     val a2 = e.join(h1, "u").groupBy("p")

@@ -22,7 +22,7 @@ class GraphSaturatedSpec extends GraftSpec {
   }
 
   for (name <- Seq("graph_pagerank", "graph_triangles", "graph_kcore",
-      "graph_basket_rules"))
+      "graph_basket_rules", "graph_hits"))
     test(s"$name: saturated profile is result-identical to idle") {
       val (idle, sat) = bothProfiles(name)
       assert(idle.nonEmpty)
