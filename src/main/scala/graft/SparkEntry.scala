@@ -34,6 +34,7 @@ object SparkEntry {
     operators.Zenith.queries,
     operators.Pinnacle.queries,
     operators.Summit.queries,
+    operators.Apex.queries,
   )
 
   private def oracleModules = Seq(
@@ -60,6 +61,7 @@ object SparkEntry {
     operators.Zenith.oracles,
     operators.Pinnacle.oracles,
     operators.Summit.oracles,
+    operators.Apex.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

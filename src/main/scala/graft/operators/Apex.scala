@@ -1,0 +1,392 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql}
+
+/** Round-14 widening (SURVEY.md §2 #287-290): the Pareto skyline (the
+  * classic multi-objective dominance operator the inventory lacked),
+  * Theil-Sen robust trend estimation (the breakdown-resistant sibling
+  * of #142's least-squares trend), exact Shapley attribution over the
+  * #81 filter gates (which rule actually COSTS the corpus documents,
+  * order-free — the fair-attribution upgrade of #273's ordering
+  * optimizer), and the perceptual hash recomputed over REAL decoded
+  * pixels (the #285 codec path extended to #140's signature family).
+  *
+  * Cross-engine exactness: dominance, Shapley numerators, phash bits
+  * and hamming distances all clear to pure integer comparisons; every
+  * emitted ratio is ONE r4'd IEEE division of exact integers.
+  */
+object Apex {
+
+  // --------------------------------------------------------------- #287
+  /** #287 Pareto skyline of parts: the non-dominated set under
+    * (minimize retail price, maximize size) — no other part is both
+    * cheaper-or-equal and larger-or-equal with one strict. The
+    * multi-objective shortlist read (cheapest part at every size
+    * frontier) that BI suites ship as SKYLINE.
+    *
+    * Exactness: prices clear to integer cents (the #231 floor device),
+    * so dominance is integer-only. Survival: a part survives iff its
+    * size strictly exceeds the best size at any strictly lower price
+    * AND equals the best size at its own price (price-tied parts with
+    * the same size are mutually non-dominated and all survive).
+    *
+    * Scale: one keyed agg to the per-cents best-size table (bounded by
+    * the PRICE DOMAIN, not the part count), ONE ordered window over
+    * that domain-sized table for the running best, and a broadcast
+    * join back — the data-sized pass never sorts globally. This is the
+    * standard 2D skyline sweep; higher dimensions go through repeated
+    * sweeps or a grid prune, same domain-bounded shape.
+    */
+  def partsSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("long").as("size"),
+        expr("cast(floor(p_retailprice * 100.0 + 0.5) as bigint)")
+          .as("cents"))
+    val best = p.groupBy("cents").agg(max("size").as("best_size"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // runs over the price-DOMAIN-sized table (≤ distinct cents rows)
+    val frontier = best
+      .withColumn("best_below", max("best_size").over(w))
+    p.join(broadcast(frontier), "cents")
+      .where(col("size") === col("best_size") &&
+        (col("best_below").isNull || col("size") > col("best_below")))
+      .select(col("p_partkey"), col("p_brand"), col("size"), col("cents"))
+      .orderBy("cents", "p_partkey")
+  }
+
+  val partsSkylineSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS size,
+      |    CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM part),
+      |best AS (
+      |  SELECT cents, MAX(size) AS best_size FROM p GROUP BY cents),
+      |fr AS (
+      |  SELECT cents, best_size,
+      |    MAX(best_size) OVER (ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS best_below
+      |  FROM best)
+      |SELECT p.p_partkey, p.p_brand, p.size, p.cents
+      |FROM p JOIN fr USING (cents)
+      |WHERE p.size = fr.best_size
+      |  AND (fr.best_below IS NULL OR p.size > fr.best_below)
+      |ORDER BY p.cents, p.p_partkey""".stripMargin
+
+  // --------------------------------------------------------------- #288
+  /** #288 Theil-Sen robust trend per event type over the daily count
+    * series: the median of all pairwise slopes (y_j−y_i)/(d_j−d_i),
+    * with the intercept as the median residual y_i − slope·d_i. A
+    * single wild day shifts #142's least-squares slope arbitrarily;
+    * the pairwise-median estimator has a 29% breakdown point — the
+    * robust read an ops dashboard wants next to the OLS one.
+    *
+    * Determinism: daily counts are exact integers; each slope is ONE
+    * IEEE division of exact int64s (identical on both engines), so
+    * the (slope, i, j) total order — and therefore the lower-median
+    * pick at rank ⌈n/2⌉ — is engine-identical; same for residuals.
+    *
+    * Scale: the dense axis is SPAN-sized (days), so the pair
+    * explosion is span²-bounded per type — a fixed-horizon constant,
+    * never event-volume-quadratic; everything after the one
+    * events→daily agg runs on domain-sized tables.
+    */
+  def tsTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    // the daily table is referenced 3× (both pair sides + residuals);
+    // unlike the graph family's DATA-sized edge caches (where the idle
+    // A/B favors parallel recompute), this subplan reduces to a
+    // SPAN-sized handful of rows behind a full events scan — persist
+    // is unambiguous: one scan instead of three at any scale, and the
+    // materialization barrier costs a ~|types|·days-row cache
+    val daily = Tables.persistSlot("apex.theilSen.daily",
+      Tables.eventsUs(spark, dir)
+        .groupBy(col("event_type"),
+          expr(s"ts_us div $dayUs").as("d"))
+        .agg(count(lit(1)).as("y")))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.d").as("di"), col("a.y").as("yi"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.d") - col("a.d")).cast("double")).as("slope"),
+        col("b.d").as("dj"))
+    val ws = Window.partitionBy("event_type")
+      .orderBy("slope", "di", "dj")
+    val slope = pairs
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("rn") === ceil(col("np").cast("double") / 2).cast("long"))
+      .select(col("event_type"), col("slope"), col("np").as("n_pairs"))
+    val resid = daily.join(slope, "event_type")
+      .select(col("event_type"), col("slope"), col("n_pairs"),
+        (col("y").cast("double") - col("slope") * col("d")).as("r"),
+        col("d"))
+    val wr = Window.partitionBy("event_type").orderBy("r", "d")
+    resid
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("rn") === ceil(col("nd").cast("double") / 2).cast("long"))
+      .select(col("event_type"), col("nd").as("n_days"), col("n_pairs"),
+        r4(col("slope")).as("slope"), r4(col("r")).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  val tsTheilSenSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.event_type, a.d AS di, a.y AS yi,
+       |    CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope, b.d AS dj
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.d < b.d),
+       |sl AS (
+       |  SELECT event_type, slope, np AS n_pairs FROM (
+       |    SELECT event_type, slope,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY slope, di, dj) AS rn,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS np
+       |    FROM pairs)
+       |  WHERE rn = CAST(CEIL(CAST(np AS DOUBLE) / 2) AS BIGINT)),
+       |res AS (
+       |  SELECT d.event_type, sl.slope, sl.n_pairs,
+       |    CAST(d.y AS DOUBLE) - sl.slope * d.d AS r, d.d
+       |  FROM daily d JOIN sl ON d.event_type = sl.event_type)
+       |SELECT event_type, nd AS n_days, n_pairs,
+       |  ${r4Sql("slope")} AS slope, ${r4Sql("r")} AS intercept
+       |FROM (
+       |  SELECT event_type, slope, n_pairs, r,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, d) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM res)
+       |WHERE rn = CAST(CEIL(CAST(nd AS DOUBLE) / 2) AS BIGINT)
+       |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- #289
+  /** #289 exact Shapley drop-attribution over the four #81 gates: how
+    * much of the corpus does each rule FAIRLY cost, averaged over
+    * every evaluation order? #81's funnel charges a doc to the first
+    * gate in ONE fixed order and #273 optimizes that order; Shapley
+    * removes the order from the question — a doc failing two rules
+    * splits its drop between them. With 4 rules the game is exact:
+    * value(S) = share of docs passing every rule in S, and the
+    * 16-cell fire-pattern distribution (ONE map-side pass + ONE tiny
+    * agg) determines all 16 coalition values.
+    *
+    * Exactness: φ_r·24·N = Σ over the 8 subsets S ∌ r of
+    * |S|!·(3−|S|)!·[passN(S) − passN(S∪{r})] — an INTEGER; the
+    * emitted share is ONE r4'd division by 24N. Conservation (spec-
+    * pinned): Σ_r drop_share == overall drop rate (v(∅) − v(R)).
+    *
+    * Scale: one doc-sized pass → 16-row pattern table; coalition
+    * values and the Shapley sum run on constant-size literal dims
+    * (16 masks × 16 patterns, 4 rules × 8 subsets) — broadcast
+    * crosses of O(1) tables, nothing data-sized after the scan.
+    */
+  def qualityRuleShapley(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // ≤16 rows behind a full doc scan, referenced by both `pass` and
+    // the total — persist (the span-sized-cache rule of #288): one
+    // scan instead of two at any corpus size
+    val pat = Tables.persistSlot("apex.shapley.patterns",
+      Pinnacle.ruleFlags(spark, dir)
+        .select((col("f0") + col("f1") * 2 + col("f2") * 4 + col("f3") * 8)
+          .as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c")))
+    val masks = spark.range(16).select(col("id").as("m"))
+    // passN(mask) = docs whose fire pattern avoids every rule in mask
+    val pass = pat.crossJoin(broadcast(masks))
+      .groupBy("m")
+      .agg(sum(when(expr("(p & m) = 0"), col("c")).otherwise(0L))
+        .as("pn"))
+    val n = pat.agg(sum("c").as("n"))
+    // (rule, subset-without-rule, permutation weight |S|!·(3-|S|)!)
+    val ruleNames =
+      Seq("min_tokens", "repetition", "token_shape", "digit_ratio")
+    val combos = (for {
+      r <- 0 until 4
+      s <- 0 until 16 if (s & (1 << r)) == 0
+    } yield {
+      val k = Integer.bitCount(s)
+      val wt = Seq(6L, 2L, 2L, 6L)(k)
+      (r.toLong, ruleNames(r), s.toLong, (s | (1 << r)).toLong, wt)
+    }).toDF("rule_id", "rule", "s", "sr", "wt")
+    combos
+      .join(broadcast(pass.select(col("m").as("s"), col("pn").as("pn_s"))),
+        "s")
+      .join(broadcast(pass.select(col("m").as("sr"), col("pn").as("pn_sr"))),
+        "sr")
+      .groupBy("rule_id", "rule")
+      .agg(sum(col("wt") * (col("pn_s") - col("pn_sr"))).as("num"))
+      .crossJoin(broadcast(n))
+      .select(col("rule_id"), col("rule"),
+        r4(col("num").cast("double") / (col("n") * 24).cast("double"))
+          .as("drop_share"))
+      .orderBy("rule_id")
+  }
+
+  val qualityRuleShapleySql: String =
+    s"""WITH ${Pinnacle.ruleFlagsCtesSql},
+       |pat AS (
+       |  SELECT f0 + f1 * 2 + f2 * 4 + f3 * 8 AS p,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM fl GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pat),
+       |pass AS (
+       |  SELECT m.m, CAST(SUM(CASE WHEN (pat.p & m.m) = 0 THEN pat.c
+       |    ELSE 0 END) AS BIGINT) AS pn
+       |  FROM pat CROSS JOIN (SELECT unnest(range(0, 16)) AS m) m
+       |  GROUP BY m.m),
+       |combos AS (
+       |  SELECT r.r AS rule_id,
+       |    ['min_tokens', 'repetition', 'token_shape', 'digit_ratio']
+       |      [CAST(r.r AS INT) + 1] AS rule,
+       |    s.m AS s, s.m | (1 << CAST(r.r AS INT)) AS sr,
+       |    CASE bit_count(s.m) WHEN 0 THEN 6 WHEN 1 THEN 2
+       |      WHEN 2 THEN 2 ELSE 6 END AS wt
+       |  FROM (SELECT unnest(range(0, 4)) AS r) r
+       |  JOIN (SELECT unnest(range(0, 16)) AS m) s
+       |    ON (s.m & (1 << CAST(r.r AS INT))) = 0)
+       |SELECT c.rule_id, c.rule,
+       |  ${r4Sql("CAST(SUM(c.wt * (ps.pn - psr.pn)) AS DOUBLE) " +
+                  "/ (MAX(tot.n) * 24)")} AS drop_share
+       |FROM combos c
+       |  JOIN pass ps ON c.s = ps.m
+       |  JOIN pass psr ON c.sr = psr.m
+       |  CROSS JOIN tot
+       |GROUP BY c.rule_id, c.rule
+       |ORDER BY c.rule_id""".stripMargin
+
+  // --------------------------------------------------------------- #290
+  /** #290 perceptual hash over REAL decoded pixels: the #285 codec
+    * path extended to the #140 signature family. Each doc's planted
+    * BMP decodes through JDK ImageIO; the 64-bit average-hash works on
+    * TRUE pixels — 8×8 blocks (dimensions are multiples of 16, so
+    * blocks are exact), bit = block-sum·64 > image-sum (equal-size
+    * blocks clear the mean compare to integers). A second REAL encode/
+    * decode of the same image with deterministic sparse pixel noise
+    * (+1 where (x+y+id) ≡ 0 mod 97) yields the robustness read: the
+    * hamming distance between the clean and noisy signatures. The
+    * signature ships as two 32-bit halves (a full 2⁶³ bit would
+    * overflow BIGINT on the oracle side).
+    *
+    * Scale: map-side narrow — two in-partition encode/decode passes
+    * per doc, bounded by the 128×128 dimension cap; only (doc_id, two
+    * int halves, hamming) ever leaves the scan.
+    */
+  def mmImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map { id =>
+      def decode(bytes: Array[Byte]) =
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      def sigBits(img: java.awt.image.BufferedImage): Array[Int] = {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bw = w / 8
+        val bh = h / 8
+        val sums = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) & 0xFF).toLong
+            sums((y / bh) * 8 + x / bw) += v
+            total += v
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(64)(i => if (sums(i) * 64 > total) 1 else 0)
+      }
+      val clean = sigBits(decode(Multimodal.plantedBmp(id)))
+      val noisy = sigBits(decode(Multimodal.plantedBmpNoisy(id)))
+      var hi = 0L
+      var lo = 0L
+      var ham = 0L
+      var i = 0
+      while (i < 64) {
+        if (clean(i) == 1) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        if (clean(i) != noisy(i)) ham += 1
+        i += 1
+      }
+      (id, hi, lo, ham)
+    }).toDF("doc_id", "sig_hi", "sig_lo", "hamming_noise")
+      .orderBy("doc_id")
+  }
+
+  /** The oracle never decodes a BMP: it evaluates the closed-form
+    * pixel functions and the same block/bit algebra — equality proves
+    * both real decodes returned the true pixels.
+    */
+  val mmImagePhashSql: String = {
+    // pixel streams as SQL generators: v = (3x+5y+id) % 256, noisy
+    // adds 1 where (x+y+id) % 97 = 0 (wrapping mod 256)
+    def sig(noisy: Boolean): String = {
+      val v = if (noisy)
+        "((3 * x + 5 * y + doc_id) % 256 + " +
+          "CASE WHEN (x + y + doc_id) % 97 = 0 THEN 1 ELSE 0 END) % 256"
+      else "(3 * x + 5 * y + doc_id) % 256"
+      s"""SELECT doc_id, (y // bh) * 8 + (x // bw) AS blk, $v AS v
+         |  FROM (
+         |    SELECT doc_id, w, h, w // 8 AS bw, h // 8 AS bh,
+         |      unnest(range(0, w * h)) AS i
+         |    FROM dims) q0,
+         |    LATERAL (SELECT i % w AS x, i // w AS y) q1""".stripMargin
+    }
+    def bits(src: String): String =
+      s"""SELECT doc_id, blk,
+         |  CASE WHEN bs * 64 > SUM(bs) OVER (PARTITION BY doc_id)
+         |    THEN 1 ELSE 0 END AS bit
+         |FROM (SELECT doc_id, blk, SUM(v) AS bs FROM ($src) GROUP BY 1, 2)"""
+        .stripMargin
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    16 * (1 + (doc_id * 7 + 3) % 8) AS w,
+       |    16 * (1 + (doc_id * 5 + 1) % 8) AS h
+       |  FROM documents),
+       |cb AS (${bits(sig(noisy = false))}),
+       |nb AS (${bits(sig(noisy = true))}),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN blk >= 32 THEN bit * (1::BIGINT << (blk - 32))
+       |      ELSE 0 END) AS BIGINT) AS sig_hi,
+       |    CAST(SUM(CASE WHEN blk < 32 THEN bit * (1::BIGINT << blk)
+       |      ELSE 0 END) AS BIGINT) AS sig_lo
+       |  FROM cb GROUP BY doc_id),
+       |ham AS (
+       |  SELECT cb.doc_id,
+       |    CAST(SUM(ABS(cb.bit - nb.bit)) AS BIGINT) AS hamming_noise
+       |  FROM cb JOIN nb ON cb.doc_id = nb.doc_id AND cb.blk = nb.blk
+       |  GROUP BY cb.doc_id)
+       |SELECT s.doc_id, s.sig_hi, s.sig_lo, h.hamming_noise
+       |FROM sigs s JOIN ham h ON s.doc_id = h.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parts_skyline" -> (partsSkyline _),
+    "ts_theil_sen" -> (tsTheilSen _),
+    "quality_rule_shapley" -> (qualityRuleShapley _),
+    "mm_image_phash" -> (mmImagePhash _))
+
+  val oracles: Map[String, String] = Map(
+    "parts_skyline" -> partsSkylineSql,
+    "ts_theil_sen" -> tsTheilSenSql,
+    "quality_rule_shapley" -> qualityRuleShapleySql,
+    "mm_image_phash" -> mmImagePhashSql)
+}

@@ -388,7 +388,8 @@ object Multimodal {
     * recomputes every pixel from the id alone and the spec can pin
     * decoded pixels against the closed form.
     */
-  private def plantedImage(docId: Long): java.awt.image.BufferedImage = {
+  private def plantedImage(docId: Long,
+      noisy: Boolean = false): java.awt.image.BufferedImage = {
     val w = (16L * (1L + (docId * 7 + 3) % 8)).toInt
     val h = (16L * (1L + (docId * 5 + 1) % 8)).toInt
     val img = new java.awt.image.BufferedImage(
@@ -397,7 +398,9 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = ((3L * x + 5L * y + docId) % 256L).toInt
+        val base = (3L * x + 5L * y + docId) % 256L
+        val v = (if (noisy && (x + y + docId) % 97 == 0) (base + 1) % 256
+                 else base).toInt
         img.setRGB(x, y, v * 0x010101)
         x += 1
       }
@@ -413,6 +416,16 @@ object Multimodal {
   def plantedBmp(docId: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(plantedImage(docId), "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** [[plantedBmp]] with deterministic sparse pixel noise (+1 mod 256
+    * where (x+y+id) ≡ 0 mod 97) — the re-encoded near-duplicate twin
+    * the #290 real-pixel phash measures its robustness against.
+    */
+  def plantedBmpNoisy(docId: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(plantedImage(docId, noisy = true), "bmp", bos)
     bos.toByteArray
   }
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Apex
+
+/** Round-14 operator invariants (#287-290). */
+class ApexSpec extends GraftSpec {
+
+  test("parts_skyline: output is mutually non-dominated and dominates " +
+      "every excluded part") {
+    val parts = Tables(spark, sf, "part")
+      .select(col("p_partkey"),
+        expr("cast(floor(p_retailprice * 100.0 + 0.5) as bigint)")
+          .as("cents"),
+        col("p_size").cast("long").as("size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sky = Apex.partsSkyline(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("cents"),
+        r.getAs[Long]("size")))
+    assert(sky.nonEmpty)
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    for (a <- sky; b <- sky)
+      assert(!dominates(a, b), s"frontier pair $a dominates $b")
+    val skyKeys = sky.map(_._1).toSet
+    parts.filterNot(p => skyKeys.contains(p._1)).foreach { p =>
+      assert(sky.exists(s => dominates(s, p)),
+        s"excluded part $p not dominated by any frontier part")
+    }
+  }
+
+  test("ts_theil_sen: slope is the exact lower-median pairwise slope " +
+      "per type") {
+    val daily = Tables.eventsUs(spark, sf)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val out = Apex.tsTheilSen(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = daily(t).map(p => (p._2, p._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield (pts(j)._2 - pts(i)._2).toDouble /
+          (pts(j)._1 - pts(i)._1).toDouble).sorted
+      assert(r.getAs[Long]("n_pairs") == slopes.size)
+      val med = slopes((math.ceil(slopes.size / 2.0) - 1).toInt)
+      val medR4 = math.floor(med * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("slope") == medR4, s"type $t")
+    }
+  }
+
+  test("quality_rule_shapley: shares are non-negative and conserve the " +
+      "overall drop rate") {
+    val out = Apex.qualityRuleShapley(spark, sf).collect()
+    assert(out.length == 4)
+    val shares = out.map(_.getAs[Double]("drop_share"))
+    shares.foreach(s => assert(s >= 0.0))
+    val flags = operators.Pinnacle.ruleFlags(spark, sf)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("f0") + col("f1") + col("f2") + col("f3") > 0, 1L)
+          .otherwise(0L)).as("n_drop")).head()
+    val dropRate = flags.getAs[Long]("n_drop").toDouble /
+      flags.getAs[Long]("n")
+    // each share is r4'd, so the sum drifts by at most 4·0.5e-4
+    assert(math.abs(shares.sum - dropRate) <= 2e-4,
+      s"sum ${shares.sum} vs drop rate $dropRate")
+  }
+
+  test("mm_image_phash: real-decode signature matches the closed form; " +
+      "sparse noise stays within a small hamming radius") {
+    val out = Apex.mmImagePhash(spark, sf)
+      .where(col("doc_id") < 30).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = (16L * (1L + (id * 7 + 3) % 8)).toInt
+      val h = (16L * (1L + (id * 5 + 1) % 8)).toInt
+      val bw = w / 8
+      val bh = h / 8
+      val sums = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (3L * x + 5L * y + id) % 256L
+        sums((y / bh) * 8 + x / bw) += v
+        total += v
+      }
+      var hi = 0L
+      var lo = 0L
+      for (i <- 0 until 64 if sums(i) * 64 > total)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      assert(r.getAs[Long]("sig_hi") == hi, s"doc $id hi")
+      assert(r.getAs[Long]("sig_lo") == lo, s"doc $id lo")
+      // 1-in-97 single-increment noise must not flip many mean bits
+      assert(r.getAs[Long]("hamming_noise") <= 8, s"doc $id hamming")
+    }
+  }
+}

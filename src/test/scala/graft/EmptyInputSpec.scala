@@ -168,10 +168,14 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_class_balanced",// rank windows over no classes
     "text_template_coverage", // top-100 of an empty gram space
     "orders_abc_migration", // two empty halves, empty outer join
-    // round-14 additions (#284-286)
+    // round-14 additions (#284-290)
     "cdc_compact",          // file plan of an empty merged snapshot
     "mm_image_resize",      // real codec over no docs
-    "agg_qdigest")          // sketch + exact join over no events
+    "agg_qdigest",          // sketch + exact join over no events
+    "parts_skyline",        // frontier of no parts
+    "ts_theil_sen",         // pairwise slopes of an empty axis
+    "quality_rule_shapley", // coalition values of an empty pattern table
+    "mm_image_phash")       // real-pixel signatures of no docs
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -104,9 +104,10 @@ class NullInputSpec extends AnyFunSuite {
     // null text yields an empty bigram list (coverage row with zero
     // grams); the null doc still ranks in its class by id hash
     "text_template_coverage", "sample_class_balanced",
-    // round-14: the real-codec leg keys off doc_id only — a null text
-    // row still plants, encodes and decodes its BMP
-    "mm_image_resize")
+    // round-14: the real-codec legs key off doc_id only — a null text
+    // row still plants, encodes and decodes its BMPs; the Shapley
+    // gates evaluate null text to all-pass flags (no fabricated fires)
+    "mm_image_resize", "mm_image_phash", "quality_rule_shapley")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

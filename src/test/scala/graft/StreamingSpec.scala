@@ -694,6 +694,69 @@ class StreamingSpec extends GraftSpec {
     streamed.foreach { case (id, s) => assert(s == batch(id)) }
   }
 
+  test("streaming quantile digest: per-batch bucket-count partials " +
+      "merged on read == batch agg_qdigest estimates, idempotent under " +
+      "a replayed batch (#286 streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.functions.QuantileSketch
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_qd_part").toString
+    val stream = MemoryStream[Ev]
+    // Each micro-batch appends its OWN bucket histogram (≤488 rows per
+    // type per batch) tagged by a CONTENT-derived batch id; the
+    // log2-linear bucket function is a pure function of the value, so
+    // partials are additive and merge in ANY order — redelivery dedups
+    // on the content tag before the sum.
+    val q = stream.toDS()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Ev], _: Long) =>
+        val tag = batch.agg(sum("event_id")).head().getLong(0)
+        batch.map(e => (e.event_type,
+            QuantileSketch.bucketOf(
+              math.floor(e.value * 100.0 + 0.5).toLong)))
+          .toDF("event_type", "bucket")
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+          .withColumn("src_tag", lit(tag))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    // uneven batches out of time order; one batch fully REPLAYED
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val counts = spark.read.parquet(partDir)
+      .dropDuplicates("src_tag", "event_type", "bucket")
+      .groupBy("event_type", "bucket").agg(sum("cnt").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    def estimate(t: String, qq: Double): Long = {
+      val buckets = counts(t).map(x => (x._2, x._3)).sortBy(_._1)
+      val n = buckets.map(_._2).sum
+      val rank = math.max(1L, math.ceil(qq * n).toLong)
+      var cum = 0L
+      buckets.collectFirst {
+        case (b, c) if { cum += c; cum >= rank } =>
+          QuantileSketch.lowerBound(b)
+      }.get
+    }
+    val batchSide = operators.Pinnacle.aggQdigest(spark, sf).collect()
+    assert(batchSide.nonEmpty)
+    batchSide.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(estimate(t, 0.5) == r.getAs[Long]("p50_est"), s"$t p50")
+      assert(estimate(t, 0.9) == r.getAs[Long]("p90_est"), s"$t p90")
+      assert(estimate(t, 0.99) == r.getAs[Long]("p99_est"), s"$t p99")
+    }
+  }
+
   test("sessionizeTws soak: scrambled batch order, cross-batch late " +
       "events inside the watermark, and a fully redelivered batch " +
       "still equal batch sessionize") {
