@@ -378,15 +378,172 @@ object Apex {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- #291
+  /** #291 partition-key advisor: for each candidate partition column of
+    * the orders fact (status, priority, order month, order year),
+    * the layout profile a catalog maintainer reads before choosing
+    * `partitionBy` — partition count, average rows per partition, and
+    * the max/avg skew ratio. Too few partitions → no pruning; too many
+    * → the small-files explosion `CatalogIO.writeCatalog` guards
+    * against; high skew → stragglers on every partitioned write. The
+    * advisory read behind the #284 compactor's layout choice.
+    *
+    * Scale: ONE scan — the four candidate profiles come out of a
+    * single GROUPING SETS pass (grouping_id labels the candidate), a
+    * second tiny agg folds group rows into per-candidate stats. Never
+    * four scans.
+    *
+    * Exactness: counts are exact; avg and skew are each ONE r4'd
+    * division of exact integers.
+    */
+  def layoutPartitionAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        date_format(col("o_orderdate"), "yyyy").as("year"))
+    val grouped = o
+      .groupingSets(
+        Seq(Seq(col("status")), Seq(col("priority")), Seq(col("month")),
+          Seq(col("year"))),
+        col("status"), col("priority"), col("month"), col("year"))
+      .agg(count(lit(1)).as("rows"), grouping_id().as("gid"))
+    // gid bit = 1 when the column is AGGREGATED AWAY; a single-column
+    // grouping set therefore has exactly one zero bit
+    val candidate =
+      when(col("gid") === 7, "status")      // 0111
+        .when(col("gid") === 11, "priority") // 1011
+        .when(col("gid") === 13, "month")    // 1101
+        .otherwise("year")                   // 1110
+    grouped
+      .select(candidate.as("candidate"), col("rows"))
+      .groupBy("candidate")
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("rows").as("n_rows"),
+        max("rows").as("max_rows"))
+      .select(col("candidate"), col("n_partitions"), col("n_rows"),
+        col("max_rows"),
+        r4(col("n_rows").cast("double") / col("n_partitions"))
+          .as("avg_rows"),
+        r4(col("max_rows").cast("double") * col("n_partitions") /
+          col("n_rows")).as("skew"))
+      .orderBy("candidate")
+  }
+
+  val layoutPartitionAdvisorSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       |    strftime(o_orderdate, '%Y-%m') AS month,
+       |    strftime(o_orderdate, '%Y') AS year
+       |  FROM orders),
+       |g AS (
+       |  SELECT CASE WHEN GROUPING(status) = 0 THEN 'status'
+       |              WHEN GROUPING(priority) = 0 THEN 'priority'
+       |              WHEN GROUPING(month) = 0 THEN 'month'
+       |              ELSE 'year' END AS candidate,
+       |    CAST(COUNT(*) AS BIGINT) AS rows
+       |  FROM o
+       |  GROUP BY GROUPING SETS ((status), (priority), (month), (year)))
+       |SELECT candidate, CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       |  CAST(SUM(rows) AS BIGINT) AS n_rows,
+       |  MAX(rows) AS max_rows,
+       |  ${r4Sql("CAST(SUM(rows) AS DOUBLE) / COUNT(*)")} AS avg_rows,
+       |  ${r4Sql("CAST(MAX(rows) AS DOUBLE) * COUNT(*) / SUM(rows)")}
+       |    AS skew
+       |FROM g GROUP BY candidate ORDER BY candidate""".stripMargin
+
+  // --------------------------------------------------------------- #292
+  /** #292 file-skipping audit: how many simulated 512-row files would a
+    * month-predicate scan actually skip, under the insertion-order
+    * layout (files cut by o_orderkey) vs the date-clustered layout
+    * (files cut by o_orderdate)? Each file's min/max order-day is the
+    * footer statistic parquet row groups carry; a file is READ iff its
+    * [min, max] overlaps the probe month. The measured argument for
+    * #108's clustering (and this compactor's sort choice): same data,
+    * same predicate — the clustered layout skips nearly everything,
+    * the insertion layout nearly nothing.
+    *
+    * Scale: simulating a layout is a total-order rank — inherent (the
+    * audit IS about physical order) and run offline per layout like
+    * #108; a production audit reads real footer min/max instead of
+    * simulating. The probe join is |files| × 3 literal months,
+    * broadcast.
+    */
+  def layoutSkippingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fileRows = 512
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"))
+    def files(layout: String, ord: Seq[org.apache.spark.sql.Column]) =
+      o.withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+        .withColumn("fid", expr(s"(rn - 1) div $fileRows"))
+        .groupBy("fid")
+        .agg(min("day").as("min_day"), max("day").as("max_day"))
+        .withColumn("layout", lit(layout))
+    val byKey = files("insertion", Seq(col("o_orderkey")))
+    val byDate = files("date_clustered", Seq(col("day"), col("o_orderkey")))
+    val probes = Seq(
+      ("1993-06", 8552L, 8581L), ("1995-03", 9190L, 9220L),
+      ("1997-11", 10166L, 10195L))
+      .toDF("probe", "lo", "hi")
+    byKey.unionByName(byDate)
+      .crossJoin(broadcast(probes))
+      .groupBy("layout", "probe")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_day") >= col("lo") &&
+          col("min_day") <= col("hi"), 1L).otherwise(0L)).as("n_read"))
+      .select(col("layout"), col("probe"), col("n_files"), col("n_read"),
+        r4(lit(1.0) - col("n_read").cast("double") / col("n_files"))
+          .as("skip_frac"))
+      .orderBy("layout", "probe")
+  }
+
+  val layoutSkippingAuditSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+       |      AS BIGINT) AS day
+       |  FROM orders),
+       |byk AS (
+       |  SELECT 'insertion' AS layout,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+       |      // 512 AS fid, day
+       |  FROM o),
+       |byd AS (
+       |  SELECT 'date_clustered' AS layout,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day, o_orderkey) - 1 AS BIGINT)
+       |      // 512 AS fid, day
+       |  FROM o),
+       |f AS (
+       |  SELECT layout, fid, MIN(day) AS min_day, MAX(day) AS max_day
+       |  FROM (SELECT * FROM byk UNION ALL SELECT * FROM byd)
+       |  GROUP BY 1, 2),
+       |p AS (SELECT * FROM (VALUES ('1993-06', 8552, 8581),
+       |  ('1995-03', 9190, 9220), ('1997-11', 10166, 10195))
+       |  AS t(probe, lo, hi))
+       |SELECT layout, probe, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) FILTER (WHERE max_day >= lo AND min_day <= hi)
+       |    AS BIGINT) AS n_read,
+       |  ${r4Sql("1.0 - CAST(COUNT(*) FILTER (WHERE max_day >= lo " +
+                  "AND min_day <= hi) AS DOUBLE) / COUNT(*)")} AS skip_frac
+       |FROM f CROSS JOIN p
+       |GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parts_skyline" -> (partsSkyline _),
     "ts_theil_sen" -> (tsTheilSen _),
     "quality_rule_shapley" -> (qualityRuleShapley _),
-    "mm_image_phash" -> (mmImagePhash _))
+    "mm_image_phash" -> (mmImagePhash _),
+    "layout_partition_advisor" -> (layoutPartitionAdvisor _),
+    "layout_skipping_audit" -> (layoutSkippingAudit _))
 
   val oracles: Map[String, String] = Map(
     "parts_skyline" -> partsSkylineSql,
     "ts_theil_sen" -> tsTheilSenSql,
     "quality_rule_shapley" -> qualityRuleShapleySql,
-    "mm_image_phash" -> mmImagePhashSql)
+    "mm_image_phash" -> mmImagePhashSql,
+    "layout_partition_advisor" -> layoutPartitionAdvisorSql,
+    "layout_skipping_audit" -> layoutSkippingAuditSql)
 }

@@ -70,6 +70,34 @@ class ApexSpec extends GraftSpec {
       s"sum ${shares.sum} vs drop rate $dropRate")
   }
 
+  test("layout_partition_advisor: every candidate accounts for the " +
+      "same row total; skew >= 1") {
+    val rows = Apex.layoutPartitionAdvisor(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("candidate")).sorted.toSeq ==
+      Seq("month", "priority", "status", "year"))
+    val totals = rows.map(_.getAs[Long]("n_rows")).distinct
+    assert(totals.length == 1)
+    assert(totals.head == Tables(spark, sf, "orders").count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("skew") >= 1.0 - 1e-4)
+      assert(r.getAs[Long]("max_rows") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("layout_skipping_audit: the date-clustered layout never skips " +
+      "fewer files than insertion order, file accounting consistent") {
+    val rows = Apex.layoutSkippingAudit(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.groupBy(_.getAs[String]("probe")).foreach { case (p, rs) =>
+      val byLayout = rs.map(r =>
+        r.getAs[String]("layout") -> r.getAs[Double]("skip_frac")).toMap
+      assert(byLayout("date_clustered") >= byLayout("insertion") - 1e-9,
+        s"probe $p")
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_read") <= r.getAs[Long]("n_files")))
+  }
+
   test("mm_image_phash: real-decode signature matches the closed form; " +
       "sparse noise stays within a small hamming radius") {
     val out = Apex.mmImagePhash(spark, sf)

@@ -55,6 +55,40 @@ class CatalogIOSpec extends GraftSpec {
     assert(rows.count(_.getAs[String]("_corrupt") != null) == 1)
   }
 
+  test("orc sink round-trips, partition-prunes, and enforces the read " +
+      "schema") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val indexed = operators.Catalog.idxIndexFiles(spark, sf)
+    CatalogIO.writeOrc(indexed, out)
+    val back = CatalogIO.readOrc(spark, out,
+      StructType.fromDDL(
+        "doc_id BIGINT, path STRING, processing_level STRING"))
+    assert(back.count() == indexed.count())
+    val pruned = back.where(col("processing_level") === "1")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      indexed.where(col("processing_level") === "1").count())
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("processing_level"))
+  }
+
+  test("binaryFile source ingests raw payloads with metadata, glob " +
+      "filters at the listing") {
+    val dir = Files.createTempDirectory("graft_bin")
+    Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("b.bin"), Array[Byte](4, 5))
+    Files.writeString(dir.resolve("skip.txt"), "not media")
+    val rows = CatalogIO.readBinaryFiles(spark, dir.toString,
+      Some("*.bin")).collect()
+    assert(rows.length == 2)
+    val byName = rows.map(r => (
+      r.getAs[String]("path").split('/').last,
+      r.getAs[Array[Byte]]("content"))).toMap
+    assert(byName("a.bin").toSeq == Seq[Byte](1, 2, 3))
+    assert(byName("b.bin").toSeq == Seq[Byte](4, 5))
+    assert(rows.forall(_.getAs[Long]("length") > 0))
+  }
+
   test("schema evolution: mergeSchema unions snapshot generations, old " +
       "rows null-fill added columns") {
     val sp = spark

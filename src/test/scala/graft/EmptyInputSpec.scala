@@ -175,7 +175,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "parts_skyline",        // frontier of no parts
     "ts_theil_sen",         // pairwise slopes of an empty axis
     "quality_rule_shapley", // coalition values of an empty pattern table
-    "mm_image_phash")       // real-pixel signatures of no docs
+    "mm_image_phash",       // real-pixel signatures of no docs
+    "layout_partition_advisor", // grouping sets over no orders
+    "layout_skipping_audit")    // min/max stats of no files
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
