@@ -36,7 +36,13 @@ object AuxBench {
         saturated(s)(operators.Graph.graphTriangles(s, d))),
     "graph_kcore_saturated" ->
       ((s: SparkSession, d: String) =>
-        saturated(s)(operators.Curation.graphKcore(s, d))))
+        saturated(s)(operators.Curation.graphKcore(s, d))),
+    // edge-derivation A/B: per-order collect_set + map-side pair
+    // explosion + plain count vs the registered self-join +
+    // countDistinct
+    "graph_pagerank_setedges" ->
+      ((s: SparkSession, d: String) =>
+        operators.Graph.graphPagerankViaSets(s, d)))
 
   /** Build a plan under the saturated-cluster profile (the conf is
     * consulted at plan-build time, so resetting it after construction

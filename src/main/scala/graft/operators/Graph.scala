@@ -60,6 +60,34 @@ object Graph {
       .select("pa", "pb")
   }
 
+  /** A/B variant of [[undirected]]: ONE shuffle groups lineitem into
+    * per-order part SETS, pairs explode MAP-SIDE from each array
+    * (bounded by (lines/order)², same as the join's fan-out), and the
+    * support count is a plain partial-aggregable `count` — the set
+    * already dedups (order, pa, pb), so no countDistinct expand and no
+    * self-join. Same output contract as [[undirected]].
+    */
+  private[operators] def undirectedViaSets(spark: SparkSession, dir: String,
+      minSupport: Long = 2): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    li.groupBy("o").agg(collect_set("p").as("ps"))
+      // single-part orders yield no pairs; the guard also keeps the
+      // sequence() bounds ascending (sequence(1, 0) is DESCENDING in
+      // Spark — the #267 phantom-frame trap)
+      .where(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 1), i ->
+          |  transform(sequence(i + 1, size(ps)), j ->
+          |    struct(least(element_at(ps, i), element_at(ps, j)) AS pa,
+          |      greatest(element_at(ps, i), element_at(ps, j)) AS pb))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      .where(col("sup") >= minSupport)
+      .select("pa", "pb")
+  }
+
   /** Both directions of [[undirected]]: one row per (src, dst) arc. */
   private def symmetric(spark: SparkSession, dir: String): DataFrame = {
     val u = undirected(spark, dir)
@@ -92,6 +120,17 @@ object Graph {
 
   def graphPagerank(spark: SparkSession, dir: String, iters: Int): DataFrame =
     pagerankFrom(symmetric(spark, dir), iters)
+
+  /** A/B harness form of #99 over the set-derived edge list —
+    * AuxBench measures it against the registered join-derived plan.
+    */
+  def graphPagerankViaSets(spark: SparkSession, dir: String): DataFrame = {
+    val u = undirectedViaSets(spark, dir)
+    pagerankFrom(
+      u.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(u.select(col("pb").as("src"), col("pa").as("dst"))),
+      iters = 3)
+  }
 
   /** PageRank over an arbitrary directed edge list (`src`, `dst`). */
   def pagerankFrom(e: DataFrame, iters: Int): DataFrame = {
