@@ -296,13 +296,16 @@ object Apex {
         val h = img.getHeight
         val bw = w / 8
         val bh = h / 8
+        // bulk raster read — the #285 measured getRGB fix
+        val px = img.getRaster.getSamples(0, 0, w, h, 0,
+          new Array[Int](w * h))
         val sums = new Array[Long](64)
         var total = 0L
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val v = (img.getRGB(x, y) & 0xFF).toLong
+            val v = px(y * w + x).toLong
             sums((y / bh) * 8 + x / bw) += v
             total += v
             x += 1

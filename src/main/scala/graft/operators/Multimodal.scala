@@ -394,14 +394,22 @@ object Multimodal {
     val h = (16L * (1L + (docId * 5 + 1) % 8)).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // write the raster's backing BGR byte array directly — per-pixel
+    // setRGB pays a colorspace conversion per call and dominated the
+    // measured encode cost at the 10× decade
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val base = (3L * x + 5L * y + docId) % 256L
         val v = (if (noisy && (x + y + docId) % 97 == 0) (base + 1) % 256
-                 else base).toInt
-        img.setRGB(x, y, v * 0x010101)
+                 else base).toByte
+        val off = (y * w + x) * 3
+        buf(off) = v
+        buf(off + 1) = v
+        buf(off + 2) = v
         x += 1
       }
       y += 1
@@ -457,16 +465,17 @@ object Multimodal {
       val h = img.getHeight
       val ow = w / 2
       val oh = h / 2
+      // bulk raster read (gray: every band carries v) — per-pixel
+      // getRGB pays a colorspace conversion per call and measured ~10×
+      // slower across the 10× decade
+      val px = img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
       var sum = 0L
       var y = 0
       while (y < oh) {
         var x = 0
         while (x < ow) {
-          val p00 = img.getRGB(2 * x, 2 * y) & 0xFF
-          val p10 = img.getRGB(2 * x + 1, 2 * y) & 0xFF
-          val p01 = img.getRGB(2 * x, 2 * y + 1) & 0xFF
-          val p11 = img.getRGB(2 * x + 1, 2 * y + 1) & 0xFF
-          sum += (p00 + p10 + p01 + p11) / 4
+          sum += (px(2 * y * w + 2 * x) + px(2 * y * w + 2 * x + 1) +
+            px((2 * y + 1) * w + 2 * x) + px((2 * y + 1) * w + 2 * x + 1)) / 4
           x += 1
         }
         y += 1
