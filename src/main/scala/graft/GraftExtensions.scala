@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cms_est", es => graft.functions.CountMinEstimate(es(0), es(1),
       es(2).eval(null).asInstanceOf[Int],
       es(3).eval(null).asInstanceOf[Int]))
+    inject("hll_agg",
+      es => graft.functions.HllSketch(es(0)).toAggregateExpression())
     inject("qdigest_quantile", es => graft.functions.QuantileSketch(es(0),
       es(1).eval(null) match {
         case d: java.lang.Double => d.doubleValue()

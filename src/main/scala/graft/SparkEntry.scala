@@ -35,6 +35,7 @@ object SparkEntry {
     operators.Pinnacle.queries,
     operators.Summit.queries,
     operators.Apex.queries,
+    operators.Crest.queries,
   )
 
   private def oracleModules = Seq(
@@ -62,6 +63,7 @@ object SparkEntry {
     operators.Pinnacle.oracles,
     operators.Summit.oracles,
     operators.Apex.oracles,
+    operators.Crest.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

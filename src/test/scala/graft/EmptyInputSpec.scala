@@ -177,7 +177,15 @@ class EmptyInputSpec extends AnyFunSuite {
     "quality_rule_shapley", // coalition values of an empty pattern table
     "mm_image_phash",       // real-pixel signatures of no docs
     "layout_partition_advisor", // grouping sets over no orders
-    "layout_skipping_audit")    // min/max stats of no files
+    "layout_skipping_audit",    // min/max stats of no files
+    // round-15 additions (#293-299)
+    "agg_hll_distinct",     // HLL registers of no shingles
+    "cdc_time_travel",      // as-of view of an empty base + log
+    "ts_mann_kendall",      // pair signs over an empty daily axis
+    "agg_spearman",         // rank moments of no lineitems
+    "graph_rich_club",      // degree suffix sums of an empty graph
+    "mm_image_hist",        // real codec over no docs
+    "events_seq_support")   // witness probe over no streams
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -234,6 +242,11 @@ class EmptyInputSpec extends AnyFunSuite {
         // global agg: one row of null sums — no 0/0
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.fieldIndex("gini")))
+      } else if (name == "graph_rich_club") {
+        // the 12-row threshold axis survives: zero counts, null phi
+        assert(rows.length == 12)
+        assert(rows.forall(_.getAs[Long]("n_nodes") == 0L))
+        assert(rows.forall(_.isNullAt(rows.head.fieldIndex("phi"))))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

@@ -107,7 +107,11 @@ class NullInputSpec extends AnyFunSuite {
     // round-14: the real-codec legs key off doc_id only — a null text
     // row still plants, encodes and decodes its BMPs; the Shapley
     // gates evaluate null text to all-pass flags (no fabricated fires)
-    "mm_image_resize", "mm_image_phash", "quality_rule_shapley")
+    "mm_image_resize", "mm_image_phash", "quality_rule_shapley",
+    // round-15: the >= 3-token shingle guard drops null text from the
+    // HLL read (split(null) is null, size(null) = -1); the luminance
+    // histogram keys off doc_id only, so a null-text row still decodes
+    "agg_hll_distinct", "mm_image_hist")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
