@@ -36,6 +36,7 @@ object SparkEntry {
     operators.Summit.queries,
     operators.Apex.queries,
     operators.Crest.queries,
+    operators.Keystone.queries,
   )
 
   private def oracleModules = Seq(
@@ -64,6 +65,7 @@ object SparkEntry {
     operators.Summit.oracles,
     operators.Apex.oracles,
     operators.Crest.oracles,
+    operators.Keystone.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -185,7 +185,15 @@ class EmptyInputSpec extends AnyFunSuite {
     "agg_spearman",         // rank moments of no lineitems
     "graph_rich_club",      // degree suffix sums of an empty graph
     "mm_image_hist",        // real codec over no docs
-    "events_seq_support")   // witness probe over no streams
+    "events_seq_support",   // witness probe over no streams
+    // round-16 additions (#300-306)
+    "stats_ks_test",        // CDF sweep of an empty axis
+    "stats_mannwhitney",    // global agg: one row of null moments
+    "stats_welch_t",        // pair frame of an empty moment table
+    "stats_cramers_v",      // global agg: one row of null chi2
+    "stats_benford",        // digit histogram of no cents
+    "ts_max_drawdown",      // running peak over an empty axis
+    "mm_image_edges")       // real codec over no docs
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -242,6 +250,11 @@ class EmptyInputSpec extends AnyFunSuite {
         // global agg: one row of null sums — no 0/0
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.fieldIndex("gini")))
+      } else if (name == "stats_mannwhitney" ||
+          name == "stats_cramers_v") {
+        // global agg over an empty input: one row of null stats
+        assert(rows.length == 1)
+        assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))
       } else if (name == "graph_rich_club") {
         // the 12-row threshold axis survives: zero counts, null phi
         assert(rows.length == 12)

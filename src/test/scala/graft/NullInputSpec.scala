@@ -111,7 +111,9 @@ class NullInputSpec extends AnyFunSuite {
     // round-15: the >= 3-token shingle guard drops null text from the
     // HLL read (split(null) is null, size(null) = -1); the luminance
     // histogram keys off doc_id only, so a null-text row still decodes
-    "agg_hll_distinct", "mm_image_hist")
+    "agg_hll_distinct", "mm_image_hist",
+    // round-16: the Sobel leg keys off doc_id only
+    "mm_image_edges")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
