@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es(3).eval(null).asInstanceOf[Int]))
     inject("hll_agg",
       es => graft.functions.HllSketch(es(0)).toAggregateExpression())
+    inject("hll_regs",
+      es => graft.functions.HllSketch(es(0), emitRegisters = true)
+        .toAggregateExpression())
     inject("qdigest_quantile", es => graft.functions.QuantileSketch(es(0),
       es(1).eval(null) match {
         case d: java.lang.Double => d.doubleValue()

@@ -42,6 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class HllSketch(
     child: Expression,
+    emitRegisters: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] {
@@ -72,23 +73,38 @@ case class HllSketch(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    var s = java.math.BigInteger.ZERO
     var touched = false
     var i = 0
     while (i < HllSketch.M) {
       if (buf(i) != 0) touched = true
-      s = s.add(java.math.BigInteger.ONE.shiftLeft(56 - buf(i)))
       i += 1
     }
     if (!touched) null
-    else Decimal(new java.math.BigDecimal(s), 38, 0)
+    else if (emitRegisters) {
+      // the raw 512-register state (for streamed partials whose
+      // merge-on-read is a register-wise MAX — see StreamingSpec)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.map(_.toInt))
+    } else {
+      var s = java.math.BigInteger.ZERO
+      i = 0
+      while (i < HllSketch.M) {
+        s = s.add(java.math.BigInteger.ONE.shiftLeft(56 - buf(i)))
+        i += 1
+      }
+      Decimal(new java.math.BigDecimal(s), 38, 0)
+    }
   }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
 
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
-  override def dataType: DataType = DecimalType(38, 0)
+  override def dataType: DataType =
+    if (emitRegisters)
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)
+    else DecimalType(38, 0)
   override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
   override protected def withNewChildrenInternal(
@@ -139,10 +155,18 @@ object HllSketch {
     regs.map(r => BigInt(1) << (56 - r)).sum
   }
 
-  /** Register `hll_agg(value)` on the session. */
-  def register(spark: SparkSession): Unit =
+  /** Register `hll_agg(value)` (integer S) and `hll_regs(value)` (the
+    * raw register array, for streamed partials) on the session.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_agg",
       (es: Seq[Expression]) => HllSketch(es(0)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_regs",
+      (es: Seq[Expression]) =>
+        HllSketch(es(0), emitRegisters = true).toAggregateExpression(),
+      "built-in")
+  }
 }

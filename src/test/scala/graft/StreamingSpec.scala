@@ -869,4 +869,57 @@ class StreamingSpec extends GraftSpec {
       }
     }
   }
+
+  test("streaming HyperLogLog: per-batch register partials merged on " +
+      "read (register-wise MAX) == the batch sketch's exact S, " +
+      "idempotent under a replayed batch (#293 streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.HllSketch.register(spark)
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_hll_part").toString
+    val stream = MemoryStream[Ev]
+    // Each micro-batch appends ITS OWN 512-register array per event
+    // type (bounded state: one array row per (batch, type)). The
+    // register algebra is MAX — commutative, associative, IDEMPOTENT —
+    // so merge-on-read is a register-wise max and a redelivered batch
+    // cannot move the sketch (the same lattice argument as the KMV
+    // k-min proof).
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy("event_type")
+          .agg(expr("hll_regs(cast(user_id as string))").as("regs"))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // merge-on-read: register-wise max across batch partials, then the
+    // exact harmonic denominator S from the merged registers
+    val merged = spark.read.parquet(partDir)
+      .select(col("event_type"), posexplode(col("regs")))
+      .groupBy("event_type", "pos").agg(max("col").as("m"))
+      .groupBy("event_type")
+      .agg(sum(expr("shiftleft(1L, 56 - m)")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> BigInt(r.getDecimal(1).toBigInteger))
+      .toMap
+    val batchRef = events.toDF()
+      .groupBy("event_type")
+      .agg(expr("hll_agg(cast(user_id as string))").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> BigInt(r.getDecimal(1).toBigInteger))
+      .toMap
+    assert(merged == batchRef,
+      "streamed register merge must equal the batch sketch exactly")
+  }
 }
