@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Apex.queries,
     operators.Crest.queries,
     operators.Keystone.queries,
+    operators.Lattice.queries,
   )
 
   private def oracleModules = Seq(
@@ -66,6 +67,7 @@ object SparkEntry {
     operators.Apex.oracles,
     operators.Crest.oracles,
     operators.Keystone.oracles,
+    operators.Lattice.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -434,6 +434,13 @@ object Crest {
     * is structure-sized by the support-≥2 floor (Graph.scala:44).
     */
   def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
+    // the edge list is referenced 3× below (twice via the degree
+    // union, once by the min-degree bucket join) and already routes
+    // through the clusterSaturated dial inside Graph.undirected; an
+    // UNCONDITIONAL persist was A/B'd and rejected (sf0.1 6.64 s vs
+    // 5.80 recomputed; 100× 65.8 s vs 63.3 with spill 49 vs 71 GB —
+    // the idle-recompute profile wins on wall, the dial covers the
+    // saturated case; PLANS.md round-16)
     val und = Graph.undirected(spark, dir)
     val deg = und.select(col("pa").as("node"))
       .union(und.select(col("pb").as("node")))

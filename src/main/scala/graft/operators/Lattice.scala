@@ -1,0 +1,493 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
+
+/** Round-17 widening (SURVEY.md §2 #307-312): the experiment-design
+  * half of the stats kit — one-way ANOVA across all groups (#307, the
+  * k-group graduate of #302's pairwise t), minimum detectable effect
+  * and required sample size (#308, the read run BEFORE an experiment;
+  * #300-302 are the reads run after), a Poisson-bootstrap confidence
+  * interval (#309 — THE distributed bootstrap: per-row independent
+  * weights make it one-pass and mergeable, which is why production
+  * metric platforms use it at petabyte scale), CUPED variance
+  * reduction (#310, the industry-standard pre-period adjustment),
+  * Fleiss' κ over the four quality gates as raters (#311, the
+  * multi-rater graduate of #265's pairwise Cohen), and seasonal
+  * strength (#312, the variance-explained summary of #229's
+  * decomposition).
+  *
+  * Cross-engine exactness: integer cents and counts throughout;
+  * DECIMAL(38,0) moments; doubles only in final expression trees over
+  * exact integers (r4'd) or as round-trip E0 literals. The bootstrap
+  * weights are drawn from md5 in INTEGER space (thresholded at
+  * e⁻¹-derived 10⁻⁶ cutoffs), so both engines replicate the identical
+  * resamples — determinism by construction, not by tolerance.
+  */
+object Lattice {
+
+  private val centsExpr = "cast(floor(value * 100.0 + 0.5) as bigint)"
+  private val centsSql = "CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)"
+  private val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  // --------------------------------------------------------------- #307
+  /** #307 one-way ANOVA of event value across all 5 types: F =
+    * (SSB/(k−1))/(SSW/(n−k)) from one scan of exact DECIMAL moments.
+    * Σᵢ Sᵢ²/nᵢ crosses the 5-term sum through sumDec (each term is
+    * one IEEE division of exact decimals); SSB/SSW are then single
+    * expressions over that and the exact totals. The verdict uses the
+    * df₂=∞ critical value 2.3719 for df₁=4 (documented asymptotic —
+    * at n in the thousands the finite-df critical differs in the 3rd
+    * decimal; both engines compare the identical double).
+    */
+  def statsAnova(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr(centsExpr).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s"),
+        sum((col("c") * col("c")).cast(dec)).as("q"))
+    val term = (col("s") * col("s")).cast("double") / col("n").cast("double")
+    val agg = m.agg(
+      count(lit(1)).as("k"),
+      sum("n").as("n"),
+      sum(col("s")).as("st"),
+      sum(col("q")).as("qt"),
+      sumDec(term, 38, 8).as("sb"))
+    val ssb = col("sb") -
+      (col("st") * col("st")).cast("double") / col("n").cast("double")
+    val ssw = col("qt").cast("double") - col("sb")
+    val f = (ssb / (col("k") - 1).cast("double")) /
+      (ssw / (col("n") - col("k")).cast("double"))
+    agg.select(col("k"), col("n"),
+      r4(ssb / lit(10000.0)).as("ssb_dollars2"),
+      r4(ssw / lit(10000.0)).as("ssw_dollars2"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+      r4(f).as("f_stat"),
+      (f > expr("2.3719E0")).as("reject_05_asymp"))
+  }
+
+  val statsAnovaSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(($centsSql)::HUGEINT) AS s,
+       |    SUM(($centsSql)::HUGEINT * ($centsSql)) AS q
+       |  FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(SUM(n) AS BIGINT) AS n,
+       |    SUM(s) AS st, SUM(q) AS qt,
+       |    ${sumDecSql(
+            "CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)", 38, 8)} AS sb
+       |  FROM m),
+       |d AS (
+       |  SELECT k, n,
+       |    sb - CAST(st * st AS DOUBLE) / CAST(n AS DOUBLE) AS ssb,
+       |    CAST(qt AS DOUBLE) - sb AS ssw
+       |  FROM a)
+       |SELECT k, n,
+       |  ${r4Sql("ssb / 10000.0")} AS ssb_dollars2,
+       |  ${r4Sql("ssw / 10000.0")} AS ssw_dollars2,
+       |  k - 1 AS df1, n - k AS df2,
+       |  ${r4Sql("(ssb / CAST(k - 1 AS DOUBLE)) / " +
+                  "(ssw / CAST(n - k AS DOUBLE))")} AS f_stat,
+       |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+       |    > 2.3719E0 AS reject_05_asymp
+       |FROM d""".stripMargin
+
+  // --------------------------------------------------------------- #308
+  /** #308 experiment sizing per type pair: the minimum detectable
+    * effect at the CURRENT sample sizes and the per-arm n required to
+    * detect the OBSERVED effect — both at α=0.05 two-sided, power
+    * 0.8 (z constants 1.959964/0.841621 as round-trip literals).
+    * mde = (z_α + z_β)·√(v₁/n₁ + v₂/n₂); n_req/arm = (z_α+z_β)²·
+    * (v₁+v₂)/δ². The #302 exact-moment scan, re-read for design
+    * instead of inference.
+    */
+  def statsPowerMde(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr(centsExpr).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s"),
+        sum((col("c") * col("c")).cast(dec)).as("q"))
+    def v(p: String): Column = {
+      val n = col(s"$p.n")
+      (n.cast(dec) * col(s"$p.q") - col(s"$p.s") * col(s"$p.s"))
+        .cast("double") / (n.cast(dec) * (n - 1)).cast("double")
+    }
+    val z = expr("1.959964E0 + 0.841621E0")
+    val delta = col("a.s").cast("double") / col("a.n").cast("double") -
+      col("b.s").cast("double") / col("b.n").cast("double")
+    broadcast(m.as("a")).join(broadcast(m.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        r4(delta / lit(100.0)).as("observed_diff"),
+        r4(z * sqrt(v("a") / col("a.n").cast("double") +
+          v("b") / col("b.n").cast("double")) / lit(100.0))
+          .as("mde_dollars"),
+        when(abs(delta) > 1e-9,
+          r4(z * z * (v("a") + v("b")) / (delta * delta)))
+          .as("n_req_per_arm"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val statsPowerMdeSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(($centsSql)::HUGEINT) AS s,
+       |    SUM(($centsSql)::HUGEINT * ($centsSql)) AS q
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.n AS n1, b.n AS n2,
+       |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+       |      - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS delta,
+       |    CAST(a.n::HUGEINT * a.q - a.s * a.s AS DOUBLE) /
+       |      CAST(a.n::HUGEINT * (a.n - 1) AS DOUBLE) AS va,
+       |    CAST(b.n::HUGEINT * b.q - b.s * b.s AS DOUBLE) /
+       |      CAST(b.n::HUGEINT * (b.n - 1) AS DOUBLE) AS vb
+       |  FROM m a JOIN m b ON a.event_type < b.event_type)
+       |SELECT type_a, type_b,
+       |  ${r4Sql("delta / 100.0")} AS observed_diff,
+       |  ${r4Sql("(1.959964E0 + 0.841621E0) * " +
+                  "SQRT(va / CAST(n1 AS DOUBLE) + vb / CAST(n2 AS DOUBLE))" +
+                  " / 100.0")} AS mde_dollars,
+       |  CASE WHEN ABS(delta) > 1e-9 THEN
+       |    ${r4Sql("(1.959964E0 + 0.841621E0) * " +
+                    "(1.959964E0 + 0.841621E0) * (va + vb) / " +
+                    "(delta * delta)")}
+       |  END AS n_req_per_arm
+       |FROM p ORDER BY type_a, type_b""".stripMargin
+
+  // --------------------------------------------------------------- #309
+  /** #309 Poisson-bootstrap 95% CI for the mean purchase value — the
+    * one-pass distributed bootstrap: each row draws an INDEPENDENT
+    * replication weight per resample (≈Poisson(1), truncated at 4),
+    * so the B=40 resamples build in a single scan with map-side
+    * partial aggregation and NO resample-sized shuffles — the reason
+    * this bootstrap (and not index resampling) is what metric
+    * platforms run at petabyte scale.
+    *
+    * Determinism: weights come from md5(event_id ':' b) mod 10⁶
+    * compared against the INTEGER thresholds 367879/735759/919699/
+    * 981012 (cumulative e⁻¹·Σ1/k! rounded to 10⁻⁶ — these integers
+    * ARE the weight distribution, so both engines draw identical
+    * resamples; truncation mass 0.018988 lands on weight 4). CI
+    * bounds are the 2nd and 39th order statistics of the 40 resample
+    * means (ranks ⌈0.025·40⌉ and ⌈0.975·40⌉, low-rank-on-ties via
+    * the mean's exact sums ordering).
+    */
+  def statsBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.eventsUs(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), expr(centsExpr).as("c"))
+    val reps = p
+      .select(col("event_id"), col("c"),
+        explode(expr("sequence(0, 39)")).as("b"))
+      .withColumn("h", expr(
+        """conv(substring(md5(concat(cast(event_id as string), ':',
+          |  cast(b as string))), 1, 15), 16, 10)""".stripMargin)
+        .cast("long") % 1000000L)
+      .withColumn("w",
+        when(col("h") < 367879L, 0L)
+          .when(col("h") < 735759L, 1L)
+          .when(col("h") < 919699L, 2L)
+          .when(col("h") < 981012L, 3L)
+          .otherwise(4L))
+    val means = reps.groupBy("b")
+      .agg(sum((col("w") * col("c")).cast(dec)).as("sw"),
+        sum(col("w")).as("nw"))
+      .where(col("nw") > 0L)
+      .select(col("b"),
+        (col("sw").cast("double") / col("nw").cast("double")).as("mb"),
+        col("sw"), col("nw"))
+    val wrk = Window.orderBy(col("mb"), col("b")) // 40 rows — bounded
+    // both CI bounds off ONE pass of the 40-row rank table (two
+    // filters would recompute the whole resample subtree twice)
+    val ci = means.withColumn("rk", row_number().over(wrk))
+      .agg(max(when(col("rk") === 2, col("mb"))).as("lo"),
+        max(when(col("rk") === 39, col("mb"))).as("hi"))
+    val obs = p.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(dec)).as("s"))
+    obs.crossJoin(broadcast(ci))
+      .select(col("n"), lit(40L).as("n_resamples"),
+        r4(col("s").cast("double") / col("n").cast("double") / 100.0)
+          .as("obs_mean_dollars"),
+        r4(col("lo") / 100.0).as("ci_lo_dollars"),
+        r4(col("hi") / 100.0).as("ci_hi_dollars"))
+  }
+
+  val statsBootstrapCiSql: String =
+    s"""WITH p AS (
+       |  SELECT event_id, $centsSql AS c FROM events
+       |  WHERE event_type = 'purchase'),
+       |reps AS (
+       |  SELECT c, b,
+       |    ('0x' || substr(md5(event_id || ':' || b), 1, 15))::UBIGINT
+       |      % 1000000 AS h
+       |  FROM p, unnest(range(0, 40)) AS u(b)),
+       |w AS (
+       |  SELECT b, c, CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+       |    WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3 ELSE 4 END AS w
+       |  FROM reps),
+       |means AS (
+       |  SELECT b, SUM(w::HUGEINT * c) AS sw,
+       |    CAST(SUM(w) AS BIGINT) AS nw
+       |  FROM w GROUP BY 1 HAVING SUM(w) > 0),
+       |rk AS (
+       |  SELECT CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS mb,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), b) AS rk
+       |  FROM means),
+       |obs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c::HUGEINT) AS s
+       |  FROM p)
+       |SELECT n, CAST(40 AS BIGINT) AS n_resamples,
+       |  ${r4Sql("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0")}
+       |    AS obs_mean_dollars,
+       |  ${r4Sql("(SELECT mb FROM rk WHERE rk = 2) / 100.0")}
+       |    AS ci_lo_dollars,
+       |  ${r4Sql("(SELECT mb FROM rk WHERE rk = 39) / 100.0")}
+       |    AS ci_hi_dollars
+       |FROM obs""".stripMargin
+
+  // --------------------------------------------------------------- #310
+  /** #310 CUPED variance reduction per event type: split the horizon
+    * at the integer midpoint day, per (type, user) sum pre-period x
+    * and post-period y cents, and compute θ = cov(x,y)/var(x) and the
+    * variance reduction ρ² from exact DECIMAL moments over users —
+    * the pre-period adjustment every experimentation platform applies
+    * before reading a movement. Users active in only one period
+    * participate with the natural zero (that IS the estimator — their
+    * pre-exposure signal is zero, not missing).
+    *
+    * Scale: one grouped shuffle to (type, user), one to the per-type
+    * moments; the midpoint attaches by broadcast.
+    */
+  def eventsCuped(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr(s"ts_us div $dayUs").as("d"), expr(centsExpr).as("c"))
+    val mid = e.agg(((min("d") + max("d") + 1L) / 2L).cast("long")
+      .as("mid"))
+    val xy = e.crossJoin(broadcast(mid))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(col("d") < col("mid"), col("c")).otherwise(0L))
+          .as("x"),
+        sum(when(col("d") >= col("mid"), col("c")).otherwise(0L))
+          .as("y"))
+    val m = xy.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    val n = col("n_users").cast(dec)
+    val covN = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vxN = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vyN = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("event_type"), col("n_users"),
+      when(vxN > 0.0, r4(covN / vxN)).as("theta"),
+      when(vxN > 0.0 && vyN > 0.0,
+        r4(covN * covN / (vxN * vyN))).as("var_reduction"))
+      .orderBy("event_type")
+  }
+
+  val eventsCupedSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS d,
+       |    $centsSql AS c
+       |  FROM events),
+       |mid AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM e),
+       |xy AS (
+       |  SELECT event_type, user_id,
+       |    CAST(SUM(CASE WHEN d < mid THEN c ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN d >= mid THEN c ELSE 0 END) AS BIGINT) AS y
+       |  FROM e, mid GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+       |    SUM(x::HUGEINT * x) AS sxx, SUM(y::HUGEINT * y) AS syy,
+       |    SUM(x::HUGEINT * y) AS sxy
+       |  FROM xy GROUP BY 1)
+       |SELECT event_type, n_users,
+       |  CASE WHEN CAST(n_users::HUGEINT * sxx - sx * sx AS DOUBLE) > 0
+       |    THEN ${r4Sql(
+              "CAST(n_users::HUGEINT * sxy - sx * sy AS DOUBLE) / " +
+              "CAST(n_users::HUGEINT * sxx - sx * sx AS DOUBLE)")}
+       |  END AS theta,
+       |  CASE WHEN CAST(n_users::HUGEINT * sxx - sx * sx AS DOUBLE) > 0
+       |    AND CAST(n_users::HUGEINT * syy - sy * sy AS DOUBLE) > 0
+       |    THEN ${r4Sql(
+              "CAST(n_users::HUGEINT * sxy - sx * sy AS DOUBLE) * " +
+              "CAST(n_users::HUGEINT * sxy - sx * sy AS DOUBLE) / " +
+              "(CAST(n_users::HUGEINT * sxx - sx * sx AS DOUBLE) * " +
+              "CAST(n_users::HUGEINT * syy - sy * sy AS DOUBLE))")}
+       |  END AS var_reduction
+       |FROM m ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- #311
+  /** #311 Fleiss' κ over the four #81 quality gates as raters: do the
+    * gates agree on WHICH documents are bad beyond the agreement
+    * their fire rates force? P̄ comes from the exact identity
+    * Σᵢ Σⱼ nᵢⱼ(nᵢⱼ−1) = 2·Σfᵢ² − 8·Σfᵢ + 12N for r=4 binary raters
+    * (fᵢ = #gates firing on doc i), so the whole statistic reduces to
+    * TWO integer sums over one doc scan; Pₑ = p₀² + p₁² from the
+    * marginal fire mass. κ is one r4'd IEEE expression — the
+    * multi-rater graduate of #265's pairwise Cohen κ.
+    */
+  def qualityFleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val f = Pinnacle.ruleFlags(spark, dir)
+      .select((col("f0") + col("f1") + col("f2") + col("f3")).as("fi"))
+    val agg = f.agg(count(lit(1)).as("n"),
+      sum("fi").as("a"),
+      sum(col("fi") * col("fi")).as("b"))
+    val n = col("n").cast("double")
+    val pbar = (col("b") * 2L - col("a") * 8L + col("n") * 12L)
+      .cast("double") / (n * 12.0)
+    val p1 = col("a").cast("double") / (n * 4.0)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(col("n").as("n_docs"), col("a").as("total_fires"),
+      r4(pbar).as("p_bar"), r4(pe).as("p_e"),
+      when(pe < 1.0, r4((pbar - pe) / (lit(1.0) - pe))).as("fleiss_kappa"))
+  }
+
+  val qualityFleissKappaSql: String =
+    s"""WITH ${Pinnacle.ruleFlagsCtesSql},
+       |fi AS (SELECT f0 + f1 + f2 + f3 AS fi FROM fl),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(fi) AS BIGINT) AS a,
+       |    CAST(SUM(fi * fi) AS BIGINT) AS b
+       |  FROM fi),
+       |kd AS (
+       |  SELECT n, a,
+       |    CAST(b * 2 - a * 8 + n * 12 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * 12.0) AS pbar,
+       |    CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * 4.0) AS p1
+       |  FROM agg)
+       |SELECT n AS n_docs, a AS total_fires,
+       |  ${r4Sql("pbar")} AS p_bar,
+       |  ${r4Sql("p1 * p1 + (1.0 - p1) * (1.0 - p1)")} AS p_e,
+       |  CASE WHEN p1 * p1 + (1.0 - p1) * (1.0 - p1) < 1.0 THEN
+       |    ${r4Sql("(pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1))) / " +
+                    "(1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))")}
+       |  END AS fleiss_kappa
+       |FROM kd""".stripMargin
+
+  // --------------------------------------------------------------- #312
+  /** #312 seasonal strength per event type: 1 − Var(residual)/
+    * Var(detrended), the variance-explained summary of #229's
+    * decomposition. Detrending stays INTEGER by working in 7× space
+    * (det7 = 7y − Σ₋₃..₊₃ y over a CALENDAR range frame, full windows
+    * only — gaps in the daily axis can't smear the MA); the weekday
+    * means subtract as one IEEE term per row whose sums cross through
+    * sumDec (exact, order-free; Σ(det−mean_dow) is identically 0 in
+    * exact arithmetic and lands on the same rounded value on both
+    * engines). Strength clamps at 0 (the #218 device).
+    */
+  def tsSeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $dayUs").as("d"))
+      .agg(sum(expr(centsExpr)).as("y"))
+    val wr = Window.partitionBy("event_type").orderBy("d")
+      .rangeBetween(-3, 3)
+    val det = daily
+      .withColumn("cnt", count(lit(1)).over(wr))
+      .withColumn("sum7", sum("y").over(wr))
+      .where(col("cnt") === 7L)
+      .select(col("event_type"), col("d"),
+        (col("y") * 7L - col("sum7")).as("det7"),
+        expr("(d + 4) % 7").as("dow"))
+    val dmeans = det.groupBy("event_type", "dow")
+      .agg(sum(col("det7").cast(dec)).as("sd"),
+        count(lit(1)).as("cd"))
+    val joined = det.join(broadcast(dmeans), Seq("event_type", "dow"))
+      .withColumn("r", col("det7").cast("double") -
+        col("sd").cast("double") / col("cd").cast("double"))
+    val m = joined.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("det7").cast(dec)).as("s1"),
+        sum((col("det7") * col("det7")).cast(dec)).as("s2"),
+        sumDec(col("r"), 38, 6).as("rs1"),
+        sumDec(col("r") * col("r"), 38, 6).as("rs2"))
+    val n = col("n_days").cast("double")
+    val varD = col("s2").cast("double") / n -
+      (col("s1").cast("double") / n) * (col("s1").cast("double") / n)
+    val varR = col("rs2") / n - (col("rs1") / n) * (col("rs1") / n)
+    m.select(col("event_type"), col("n_days"),
+      when(varD > 0.0, r4(greatest(lit(0.0), lit(1.0) - varR / varD)))
+        .as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
+  val tsSeasonalStrengthSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+       |    CAST(SUM($centsSql) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |det AS (
+       |  SELECT event_type, d, y * 7 - sum7 AS det7, (d + 4) % 7 AS dow
+       |  FROM (
+       |    SELECT event_type, d, y,
+       |      COUNT(*) OVER w AS cnt, CAST(SUM(y) OVER w AS BIGINT) AS sum7
+       |    FROM daily
+       |    WINDOW w AS (PARTITION BY event_type ORDER BY d
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+       |  WHERE cnt = 7),
+       |dm AS (
+       |  SELECT event_type, dow, SUM(det7::HUGEINT) AS sd,
+       |    CAST(COUNT(*) AS BIGINT) AS cd
+       |  FROM det GROUP BY 1, 2),
+       |r AS (
+       |  SELECT det.event_type, det7,
+       |    CAST(det7 AS DOUBLE)
+       |      - CAST(sd AS DOUBLE) / CAST(cd AS DOUBLE) AS r
+       |  FROM det JOIN dm ON det.event_type = dm.event_type
+       |    AND det.dow = dm.dow),
+       |m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    SUM(det7::HUGEINT) AS s1, SUM(det7::HUGEINT * det7) AS s2,
+       |    ${sumDecSql("r", 38, 6)} AS rs1,
+       |    ${sumDecSql("r * r", 38, 6)} AS rs2
+       |  FROM r GROUP BY 1),
+       |v AS (
+       |  SELECT event_type, n_days,
+       |    CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))
+       |      * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vd,
+       |    rs2 / CAST(n_days AS DOUBLE)
+       |      - (rs1 / CAST(n_days AS DOUBLE))
+       |      * (rs1 / CAST(n_days AS DOUBLE)) AS vr
+       |  FROM m)
+       |SELECT event_type, n_days,
+       |  CASE WHEN vd > 0 THEN
+       |    ${r4Sql("GREATEST(0.0E0, 1.0E0 - vr / vd)")}
+       |  END AS seasonal_strength
+       |FROM v ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_anova" -> (statsAnova _),
+    "stats_power_mde" -> (statsPowerMde _),
+    "stats_bootstrap_ci" -> (statsBootstrapCi _),
+    "events_cuped" -> (eventsCuped _),
+    "quality_fleiss_kappa" -> (qualityFleissKappa _),
+    "ts_seasonal_strength" -> (tsSeasonalStrength _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_anova" -> statsAnovaSql,
+    "stats_power_mde" -> statsPowerMdeSql,
+    "stats_bootstrap_ci" -> statsBootstrapCiSql,
+    "events_cuped" -> eventsCupedSql,
+    "quality_fleiss_kappa" -> qualityFleissKappaSql,
+    "ts_seasonal_strength" -> tsSeasonalStrengthSql)
+}

@@ -193,7 +193,14 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_cramers_v",      // global agg: one row of null chi2
     "stats_benford",        // digit histogram of no cents
     "ts_max_drawdown",      // running peak over an empty axis
-    "mm_image_edges")       // real codec over no docs
+    "mm_image_edges",       // real codec over no docs
+    // round-17 additions (#307-312)
+    "stats_anova",          // global agg: one row, null F
+    "stats_power_mde",      // pair frame of an empty moment table
+    "stats_bootstrap_ci",   // zero resamples, null CI
+    "events_cuped",         // user moments of no events
+    "quality_fleiss_kappa", // rater agreement over no docs
+    "ts_seasonal_strength") // detrend of an empty axis
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -251,7 +258,8 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.fieldIndex("gini")))
       } else if (name == "stats_mannwhitney" ||
-          name == "stats_cramers_v") {
+          name == "stats_cramers_v" || name == "stats_anova" ||
+          name == "stats_bootstrap_ci" || name == "quality_fleiss_kappa") {
         // global agg over an empty input: one row of null stats
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))

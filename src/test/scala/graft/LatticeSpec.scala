@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Lattice
+
+/** Round-17 operator invariants (#307-312): every statistic pinned
+  * against a direct Scala recomputation from raw rows.
+  */
+class LatticeSpec extends GraftSpec {
+
+  private def p4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  private def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+
+  private lazy val events: Array[(Long, String, Long, Long)] =
+    Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), cents(r.getDouble(2)),
+        r.getLong(3)))
+
+  private def moments(g: Array[Long]): (Long, BigInt, BigInt) =
+    (g.length.toLong, g.map(BigInt(_)).sum, g.map(v => BigInt(v) * v).sum)
+
+  test("stats_anova: F matches an exact-moment recomputation with " +
+      "sumDec-quantized group terms") {
+    val byType = events.groupBy(_._2).map { case (t, g) => t -> g.map(_._3) }
+    val ms = byType.values.map(moments).toSeq
+    val k = ms.length.toLong
+    val n = ms.map(_._1).sum
+    val st = ms.map(_._2).sum
+    val qt = ms.map(_._3).sum
+    val sb = ms.map { case (ni, si, _) =>
+      BigDecimal((si * si).toDouble / ni.toDouble)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val ssb = sb - (st * st).toDouble / n.toDouble
+    val ssw = qt.toDouble - sb
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val r = Lattice.statsAnova(spark, sf).head()
+    assert(r.getAs[Long]("k") == k && r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("df1") == k - 1 && r.getAs[Long]("df2") == n - k)
+    assert(r.getAs[Double]("f_stat") == p4(f))
+    assert(r.getAs[Boolean]("reject_05_asymp") == (f > 2.3719))
+    assert(ssb >= 0 && ssw > 0)
+  }
+
+  test("stats_power_mde: mde and required n match the moment formulas " +
+      "for all 10 pairs") {
+    val byType = events.groupBy(_._2).map { case (t, g) =>
+      t -> moments(g.map(_._3))
+    }
+    val z = 1.959964 + 0.841621
+    val out = Lattice.statsPowerMde(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (n1, s1, q1) = byType(r.getAs[String]("type_a"))
+      val (n2, s2, q2) = byType(r.getAs[String]("type_b"))
+      def v(n: Long, s: BigInt, q: BigInt): Double =
+        (BigInt(n) * q - s * s).toDouble / (BigInt(n) * (n - 1)).toDouble
+      val va = v(n1, s1, q1)
+      val vb = v(n2, s2, q2)
+      val delta = s1.toDouble / n1 - s2.toDouble / n2
+      assert(r.getAs[Double]("observed_diff") == p4(delta / 100.0))
+      assert(r.getAs[Double]("mde_dollars") ==
+        p4(z * math.sqrt(va / n1 + vb / n2) / 100.0))
+      if (math.abs(delta) > 1e-9)
+        assert(r.getAs[Double]("n_req_per_arm") ==
+          p4(z * z * (va + vb) / (delta * delta)))
+      // MDE shrinks as 1/sqrt(n): sanity that it is positive and small
+      // relative to the value scale
+      assert(r.getAs[Double]("mde_dollars") > 0.0)
+    }
+  }
+
+  test("stats_bootstrap_ci: the 40 Poisson resamples, their means, and " +
+      "the rank-2/39 bounds replicate exactly from md5") {
+    val purchases = events.filter(_._2 == "purchase")
+      .map(e => (e._1, e._3))
+    def weight(id: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8"))
+      val hex = md.take(8).map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) % 1000000L
+      if (h < 367879L) 0L else if (h < 735759L) 1L
+      else if (h < 919699L) 2L else if (h < 981012L) 3L else 4L
+    }
+    val means = (0 until 40).flatMap { b =>
+      var sw = BigInt(0); var nw = 0L
+      purchases.foreach { case (id, c) =>
+        val w = weight(id, b); sw += BigInt(w) * c; nw += w
+      }
+      if (nw > 0) Some((b, sw.toDouble / nw.toDouble)) else None
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }
+    val lo = sorted(1)._2
+    val hi = sorted(38)._2
+    val obs = purchases.map(p => BigInt(p._2)).sum.toDouble /
+      purchases.length
+    val r = Lattice.statsBootstrapCi(spark, sf).head()
+    assert(r.getAs[Long]("n") == purchases.length.toLong)
+    assert(r.getAs[Double]("obs_mean_dollars") == p4(obs / 100.0))
+    assert(r.getAs[Double]("ci_lo_dollars") == p4(lo / 100.0))
+    assert(r.getAs[Double]("ci_hi_dollars") == p4(hi / 100.0))
+    assert(lo <= hi)
+    // the observed mean sits inside the 95% bootstrap band on this data
+    assert(lo <= obs && obs <= hi)
+  }
+
+  test("events_cuped: theta and the variance reduction match exact " +
+      "user-moment recomputation per type") {
+    val days = events.map(_._4 / 86400000000L)
+    val mid = (days.min + days.max + 1) / 2
+    val byType = events.groupBy(_._2)
+    val out = Lattice.eventsCuped(spark, sf).collect()
+    assert(out.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    out.foreach { r =>
+      // the shared `events` collect lacks user_id — re-collect per type
+      val rows = Tables.eventsUs(spark, sf)
+        .where(col("event_type") === r.getAs[String]("event_type"))
+        .select(col("user_id"), expr("ts_us div 86400000000").as("d"),
+          expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val byUser = rows.groupBy(_._1).map { case (_, es) =>
+        (es.filter(_._2 < mid).map(_._3).sum,
+          es.filter(_._2 >= mid).map(_._3).sum)
+      }.toSeq
+      val n = BigInt(byUser.length)
+      val sx = byUser.map(u => BigInt(u._1)).sum
+      val sy = byUser.map(u => BigInt(u._2)).sum
+      val sxx = byUser.map(u => BigInt(u._1) * u._1).sum
+      val syy = byUser.map(u => BigInt(u._2) * u._2).sum
+      val sxy = byUser.map(u => BigInt(u._1) * u._2).sum
+      val covN = (n * sxy - sx * sy).toDouble
+      val vxN = (n * sxx - sx * sx).toDouble
+      val vyN = (n * syy - sy * sy).toDouble
+      assert(r.getAs[Long]("n_users") == byUser.length.toLong)
+      if (vxN > 0) {
+        assert(r.getAs[Double]("theta") == p4(covN / vxN))
+        if (vyN > 0) {
+          val vr = r.getAs[Double]("var_reduction")
+          assert(vr == p4(covN * covN / (vxN * vyN)))
+          assert(vr >= 0.0 && vr <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("quality_fleiss_kappa: kappa matches the two-integer-sum " +
+      "identity over the per-doc fire counts") {
+    val fis = operators.Pinnacle.ruleFlags(spark, sf)
+      .select((col("f0") + col("f1") + col("f2") + col("f3")).as("fi"))
+      .collect().map(_.getLong(0))
+    val n = fis.length.toLong
+    val a = fis.sum
+    val b = fis.map(f => f * f).sum
+    val pbar = (b * 2 - a * 8 + n * 12).toDouble / (n * 12.0)
+    val p1 = a.toDouble / (n * 4.0)
+    val pe = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    val r = Lattice.qualityFleissKappa(spark, sf).head()
+    assert(r.getAs[Long]("n_docs") == n)
+    assert(r.getAs[Long]("total_fires") == a)
+    assert(r.getAs[Double]("p_bar") == p4(pbar))
+    assert(r.getAs[Double]("p_e") == p4(pe))
+    if (pe < 1.0)
+      assert(r.getAs[Double]("fleiss_kappa") == p4((pbar - pe) / (1 - pe)))
+    // P-bar is a mean of per-item agreement shares in [0, 1]
+    assert(pbar >= 0.0 && pbar <= 1.0)
+  }
+
+  test("ts_seasonal_strength: matches a direct calendar-window " +
+      "detrend + weekday-mean recomputation") {
+    val daily = events.groupBy(e => (e._2, e._4 / 86400000000L))
+      .map { case ((t, d), g) => (t, d, g.map(_._3).sum) }
+      .groupBy(_._1)
+    val out = Lattice.tsSeasonalStrength(spark, sf).collect()
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val series = daily(t).map(x => x._2 -> x._3).toMap
+      val det = series.keys.toSeq.sorted.flatMap { d =>
+        val win = (d - 3 to d + 3).flatMap(series.get)
+        if (win.length == 7) Some((d, 7 * series(d) - win.sum)) else None
+      }
+      assert(r.getAs[Long]("n_days") == det.length.toLong)
+      if (det.nonEmpty) {
+        val byDow = det.groupBy { case (d, _) => (d + 4) % 7 }
+          .map { case (dw, g) =>
+            dw -> (g.map(x => BigInt(x._2)).sum, g.length.toLong)
+          }
+        def q6(x: Double): BigDecimal =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val rs = det.map { case (d, v) =>
+          val (sd, cd) = byDow((d + 4) % 7)
+          v.toDouble - sd.toDouble / cd.toDouble
+        }
+        val nD = det.length.toDouble
+        val rs1 = rs.map(q6).sum.toDouble
+        val rs2 = rs.map(x => q6(x * x)).sum.toDouble
+        val s1 = det.map(x => BigInt(x._2)).sum
+        val s2 = det.map(x => BigInt(x._2) * x._2).sum
+        val varD = s2.toDouble / nD - (s1.toDouble / nD) * (s1.toDouble / nD)
+        val varR = rs2 / nD - (rs1 / nD) * (rs1 / nD)
+        if (varD > 0) {
+          val strength = math.max(0.0, 1.0 - varR / varD)
+          assert(r.getAs[Double]("seasonal_strength") == p4(strength))
+          assert(strength >= 0.0 && strength <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+}

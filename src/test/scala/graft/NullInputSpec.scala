@@ -113,7 +113,10 @@ class NullInputSpec extends AnyFunSuite {
     // histogram keys off doc_id only, so a null-text row still decodes
     "agg_hll_distinct", "mm_image_hist",
     // round-16: the Sobel leg keys off doc_id only
-    "mm_image_edges")
+    "mm_image_edges",
+    // round-17: rule flags evaluate null text without fabricating
+    // fires, so the rater counts stay consistent
+    "quality_fleiss_kappa")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
