@@ -642,6 +642,67 @@ object Crest {
       |FROM trip GROUP BY 1, 2, 3
       |ORDER BY n_users DESC, t1, t2, t3 LIMIT 25""".stripMargin
 
+  // --------------------------------------------------------------- #313
+  /** #313 vacuum plan over the #294 versioned change log: which
+    * eff-month log segments are safe to physically delete, given the
+    * compaction watermark (#284 folded changes through 1996-06-30)
+    * and a 90-day time-travel retention window. A segment is `folded`
+    * when every change in it is at or before the watermark (the
+    * compactor has applied it to the base), and `vacuumable` when it
+    * is folded AND past the retention horizon — deleting it can no
+    * longer break any AS-OF read the window promises. This is the
+    * third leg of the catalog maintenance triad (merge/compact →
+    * time-travel → vacuum), the Spark answer to Delta VACUUM's
+    * retention check.
+    *
+    * Exactness: pure integer/date logic; months and day bounds emit
+    * as strings (the repo's date-emission contract). Scale: the log
+    * is fact-derived; ONE grouped shuffle to month segments.
+    */
+  def cdcVacuumPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit("1996-06-30"))
+    val horizon = date_sub(cutoff, 90)
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"),
+        col("o_orderdate").cast("date").as("odate"))
+    def leg(modK: Int, days: Int, del: Boolean) =
+      base.where(col("key") % modK === 0)
+        .select(date_add(col("odate"), days).as("eff"),
+          lit(del).as("del"))
+    val log = leg(7, 10, del = false)
+      .unionByName(leg(21, 40, del = false))
+      .unionByName(leg(11, 25, del = true))
+    log.groupBy(date_format(col("eff"), "yyyy-MM").as("seg_month"))
+      .agg(count(lit(1)).as("n_changes"),
+        sum(when(!col("del"), 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_tombstones"),
+        min(date_format(col("eff"), "yyyy-MM-dd")).as("min_eff"),
+        max(date_format(col("eff"), "yyyy-MM-dd")).as("max_eff"),
+        (max(col("eff")) <= cutoff).as("folded"),
+        (max(col("eff")) <= horizon).as("vacuumable"))
+      .orderBy("seg_month")
+  }
+
+  val cdcVacuumPlanSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, CAST(o_orderdate AS DATE) AS odate
+      |  FROM orders),
+      |lg AS (
+      |  SELECT odate + 10 AS eff, FALSE AS del FROM base WHERE key % 7 = 0
+      |  UNION ALL
+      |  SELECT odate + 40, FALSE FROM base WHERE key % 21 = 0
+      |  UNION ALL
+      |  SELECT odate + 25, TRUE FROM base WHERE key % 11 = 0)
+      |SELECT strftime(eff, '%Y-%m') AS seg_month,
+      |  CAST(COUNT(*) AS BIGINT) AS n_changes,
+      |  CAST(COUNT(*) FILTER (WHERE NOT del) AS BIGINT) AS n_updates,
+      |  CAST(COUNT(*) FILTER (WHERE del) AS BIGINT) AS n_tombstones,
+      |  MIN(strftime(eff, '%Y-%m-%d')) AS min_eff,
+      |  MAX(strftime(eff, '%Y-%m-%d')) AS max_eff,
+      |  MAX(eff) <= DATE '1996-06-30' AS folded,
+      |  MAX(eff) <= DATE '1996-06-30' - 90 AS vacuumable
+      |FROM lg GROUP BY 1 ORDER BY seg_month""".stripMargin
+
   /** Test-only access to the shared co-purchase edge list so the
     * rich-club spec can recompute N_k/E_k from the raw edges.
     */
@@ -656,7 +717,8 @@ object Crest {
     "agg_spearman" -> (aggSpearman _),
     "graph_rich_club" -> (graphRichClub _),
     "mm_image_hist" -> (mmImageHist _),
-    "events_seq_support" -> (eventsSeqSupport _))
+    "events_seq_support" -> (eventsSeqSupport _),
+    "cdc_vacuum_plan" -> (cdcVacuumPlan _))
 
   val oracles: Map[String, String] = Map(
     "agg_hll_distinct" -> aggHllDistinctSql,
@@ -665,5 +727,6 @@ object Crest {
     "agg_spearman" -> aggSpearmanSql,
     "graph_rich_club" -> graphRichClubSql,
     "mm_image_hist" -> mmImageHistSql,
-    "events_seq_support" -> eventsSeqSupportSql)
+    "events_seq_support" -> eventsSeqSupportSql,
+    "cdc_vacuum_plan" -> cdcVacuumPlanSql)
 }

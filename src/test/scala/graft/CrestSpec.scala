@@ -173,6 +173,34 @@ class CrestSpec extends GraftSpec {
     }
   }
 
+  test("cdc_vacuum_plan: segments partition the log, vacuumable implies " +
+      "folded, and the flags match the segment's max effective date") {
+    val keys = Tables(spark, sf, "orders")
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expectedLog =
+      keys.count(_ % 7 == 0) + keys.count(_ % 21 == 0) +
+        keys.count(_ % 11 == 0)
+    val out = Crest.cdcVacuumPlan(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_changes")).sum == expectedLog.toLong)
+    out.foreach { r =>
+      val month = r.getAs[String]("seg_month")
+      val minEff = r.getAs[String]("min_eff")
+      val maxEff = r.getAs[String]("max_eff")
+      assert(minEff.startsWith(month) && maxEff.startsWith(month))
+      assert(minEff <= maxEff)
+      assert(r.getAs[Long]("n_updates") + r.getAs[Long]("n_tombstones")
+        == r.getAs[Long]("n_changes"))
+      val folded = r.getAs[Boolean]("folded")
+      val vac = r.getAs[Boolean]("vacuumable")
+      assert(!vac || folded, s"$month vacuumable but not folded")
+      assert(folded == (maxEff <= "1996-06-30"))
+      assert(vac == (maxEff <= "1996-04-01"))
+    }
+    // the watermark splits the timeline: some segments folded, some not
+    assert(out.exists(_.getAs[Boolean]("vacuumable")))
+    assert(out.exists(!_.getAs[Boolean]("folded")))
+  }
+
   test("events_seq_support: top-25 matches a brute-force subsequence " +
       "scan over per-user sorted streams") {
     val events = Tables.eventsUs(spark, sf)

@@ -200,7 +200,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_bootstrap_ci",   // zero resamples, null CI
     "events_cuped",         // user moments of no events
     "quality_fleiss_kappa", // rater agreement over no docs
-    "ts_seasonal_strength") // detrend of an empty axis
+    "ts_seasonal_strength", // detrend of an empty axis
+    "cdc_vacuum_plan")      // segments of an empty log
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

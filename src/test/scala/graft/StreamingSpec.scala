@@ -922,4 +922,82 @@ class StreamingSpec extends GraftSpec {
     assert(merged == batchRef,
       "streamed register merge must equal the batch sketch exactly")
   }
+
+  test("streaming moment partials: per-batch (n, sum, sumsq) tagged by " +
+      "a content-derived batch key, merged on read == batch Welch t " +
+      "exactly, idempotent under a replayed batch (#302 streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_mom_part").toString
+    val stream = MemoryStream[Ev]
+    // Additive DECIMAL moments are the mergeable state behind the
+    // whole inferential kit (#302/#307/#308/#310); like the key-skew
+    // counts they are NOT idempotent, so exactly-once under
+    // at-least-once delivery comes from the merge-on-read dedup per
+    // (src_batch, type).
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch
+          .select(col("event_type"),
+            expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"),
+            col("event_id"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("c").cast(dec38)).as("s"),
+            sum((col("c") * col("c")).cast(dec38)).as("q"))
+          .crossJoin(batch.agg(min("event_id").as("src_batch")))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = spark.read.parquet(partDir)
+      .groupBy("src_batch", "event_type")
+      .agg(max("n").as("n"), max("s").as("s"), max("q").as("q"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s").as("s"), sum("q").as("q"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .toMap
+    val direct = events.toDF()
+      .select(col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c").cast(dec38)).as("s"),
+        sum((col("c") * col("c")).cast(dec38)).as("q"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        BigInt(r.getDecimal(2).toBigInteger),
+        BigInt(r.getDecimal(3).toBigInteger)))
+      .toMap
+    assert(merged == direct,
+      "streamed moment merge must equal batch moments exactly")
+    // and the downstream Welch t built from the merged moments equals
+    // the batch operator's row for one pair
+    def t(a: (Long, BigInt, BigInt), b: (Long, BigInt, BigInt)): Double = {
+      def se2(m: (Long, BigInt, BigInt)): Double =
+        (BigInt(m._1) * m._3 - m._2 * m._2).toDouble /
+          (BigInt(m._1) * m._1 * (m._1 - 1)).toDouble
+      val md = a._2.toDouble / a._1 - b._2.toDouble / b._1
+      md / math.sqrt(se2(a) + se2(b))
+    }
+    val expected = math.floor(
+      t(merged("click"), merged("error")) * 10000.0 + 0.5) / 10000.0
+    val batchRow = operators.Keystone.statsWelchT(spark, sf)
+      .where(col("type_a") === "click" && col("type_b") === "error")
+      .head()
+    assert(batchRow.getAs[Double]("t_stat") == expected)
+  }
 }
