@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Crest.queries,
     operators.Keystone.queries,
     operators.Lattice.queries,
+    operators.Aegis.queries,
   )
 
   private def oracleModules = Seq(
@@ -68,6 +69,7 @@ object SparkEntry {
     operators.Crest.oracles,
     operators.Keystone.oracles,
     operators.Lattice.oracles,
+    operators.Aegis.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

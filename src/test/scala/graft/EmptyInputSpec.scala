@@ -201,7 +201,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "events_cuped",         // user moments of no events
     "quality_fleiss_kappa", // rater agreement over no docs
     "ts_seasonal_strength", // detrend of an empty axis
-    "cdc_vacuum_plan")      // segments of an empty log
+    "cdc_vacuum_plan",      // segments of an empty log
+    // round-18 additions (#314-316)
+    "privacy_k_anonymity",  // cells of an empty table
+    "privacy_l_diversity",  // diversity of no members
+    "sample_neyman")        // allocation over no strata
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
