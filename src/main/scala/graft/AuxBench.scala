@@ -42,7 +42,18 @@ object AuxBench {
     // countDistinct
     "graph_pagerank_setedges" ->
       ((s: SparkSession, d: String) =>
-        operators.Graph.graphPagerankViaSets(s, d)))
+        operators.Graph.graphPagerankViaSets(s, d)),
+    // edge-derivation A/B: dedup (order, part) BEFORE the self-join,
+    // plain count after (no countDistinct expand) vs the registered
+    // join + countDistinct
+    "graph_pagerank_distinctedges" ->
+      ((s: SparkSession, d: String) =>
+        operators.Graph.graphPagerankViaDistinct(s, d)),
+    // the pre-round-18 registered derivation (raw self-join +
+    // countDistinct), kept as the other side of the A/B
+    "graph_pagerank_joinedges" ->
+      ((s: SparkSession, d: String) =>
+        operators.Graph.graphPagerankViaJoin(s, d)))
 
   /** Build a plan under the saturated-cluster profile (the conf is
     * consulted at plan-build time, so resetting it after construction
