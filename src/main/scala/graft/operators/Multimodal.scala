@@ -510,7 +510,128 @@ object Multimodal {
       |  )) % 65536 AS BIGINT) AS checksum
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #317
+  /** Deterministic 8-bit unsigned PCM mono WAV for `doc_id`: n =
+    * 512 + (13·id + 7) mod 512 samples at 8 kHz, sample(i) =
+    * (5i + id) mod 256 — REAL RIFF/fmt/data container bytes written
+    * by the JDK encoder, so the read side exercises a genuine format
+    * parser (header fields, chunk walk, frame size), the audio
+    * analogue of [[plantedBmp]].
+    */
+  def plantedWav(docId: Long): Array[Byte] = {
+    val n = (512L + (docId * 13 + 7) % 512).toInt
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      data(i) = ((5L * i + docId) % 256L).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+      /* signed = */ false, /* bigEndian = */ false)
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** #317 samples-true PCM energy profile — the FIFTH real-codec leg
+    * and the first AUDIO one (the #193/#272 features/VAD legs stay
+    * declared stubs over synthesized payloads; this leg decodes a
+    * REAL WAV container with `javax.sound.sampled`, the same honesty
+    * upgrade #285 made for images). Per doc: decoded sample count,
+    * 128-sample full frames, total and max frame energy
+    * (Σ (s−128)² in exact integer space), the earliest argmax frame,
+    * and zero crossings of the centered signal. The oracle recomputes
+    * the closed-form sample function — a green hash proves the
+    * RIFF-parse→decode path is samples-true.
+    *
+    * Scale: map-side narrow; per-doc work bounded by the ≤1023-sample
+    * clip cap; only the 6-column summary leaves the partition.
+    */
+  def mmAudioPcmEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map { id =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(plantedWav(id)))
+      val s = ais.readAllBytes()
+      val n = s.length
+      val frames = n / 128
+      var totalE = 0L
+      var maxE = -1L
+      var peakFrame = -1L
+      var f = 0
+      while (f < frames) {
+        var e = 0L
+        var i = f * 128
+        val end = i + 128
+        while (i < end) {
+          val c = (s(i) & 0xff) - 128
+          e += c.toLong * c
+          i += 1
+        }
+        totalE += e
+        if (e > maxE) { maxE = e; peakFrame = f.toLong }
+        f += 1
+      }
+      var zc = 0L
+      var i = 1
+      while (i < n) {
+        if (((s(i - 1) & 0xff) < 128) != ((s(i) & 0xff) < 128)) zc += 1
+        i += 1
+      }
+      (id, n.toLong, frames.toLong, totalE, maxE, peakFrame, zc)
+    }).toDF("doc_id", "n_samples", "n_frames", "total_energy",
+      "max_frame_energy", "peak_frame", "zero_crossings")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle evaluates the closed-form sample function s(i) =
+    * (5i + id) mod 256 over n(id) = 512 + (13·id + 7) mod 512 — never
+    * parses a byte (the #285/#290/#298/#306 proof shape).
+    */
+  val mmAudioPcmEnergySql: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 512 + (13 * doc_id + 7) % 512 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, i, (5 * i + doc_id) % 256 - 128 AS c
+      |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims)),
+      |fr AS (
+      |  SELECT doc_id, i // 128 AS f,
+      |    CAST(SUM(c * c) AS BIGINT) AS e
+      |  FROM s WHERE i // 128 < n // 128
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total_energy,
+      |    CAST(MAX(e) AS BIGINT) AS max_frame_energy
+      |  FROM fr GROUP BY 1),
+      |peak AS (
+      |  SELECT doc_id, CAST(f AS BIGINT) AS peak_frame FROM (
+      |    SELECT doc_id, f,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY e DESC, f) AS rn
+      |    FROM fr) WHERE rn = 1),
+      |zc AS (
+      |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS zero_crossings
+      |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  WHERE (a.c < 0) <> (b.c < 0)
+      |  GROUP BY 1)
+      |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+      |  CAST(d.n // 128 AS BIGINT) AS n_frames,
+      |  agg.total_energy, agg.max_frame_energy, peak.peak_frame,
+      |  COALESCE(zc.zero_crossings, 0) AS zero_crossings
+      |FROM dims d
+      |  JOIN agg ON d.doc_id = agg.doc_id
+      |  JOIN peak ON d.doc_id = peak.doc_id
+      |  LEFT JOIN zc ON d.doc_id = zc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_pcm_energy" -> (mmAudioPcmEnergy _),
     "mm_phash_dedup" ->
       ((s: SparkSession, d: String) => mmPhashDedup(s, d)),
     "mm_binary_meta" -> (mmBinaryMeta _),
@@ -520,6 +641,7 @@ object Multimodal {
     "mm_image_resize" -> (mmImageResize _))
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_pcm_energy" -> mmAudioPcmEnergySql,
     "mm_phash_dedup" -> mmPhashDedupSql(),
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_feature_extract" -> mmFeatureExtractSql,

@@ -205,7 +205,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-18 additions (#314-316)
     "privacy_k_anonymity",  // cells of an empty table
     "privacy_l_diversity",  // diversity of no members
-    "sample_neyman")        // allocation over no strata
+    "sample_neyman",        // allocation over no strata
+    "mm_audio_pcm_energy")  // real audio codec over no docs
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

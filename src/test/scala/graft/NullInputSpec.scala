@@ -116,7 +116,9 @@ class NullInputSpec extends AnyFunSuite {
     "mm_image_edges",
     // round-17: rule flags evaluate null text without fabricating
     // fires, so the rater counts stay consistent
-    "quality_fleiss_kappa")
+    "quality_fleiss_kappa",
+    // round-18: the WAV leg keys off doc_id only
+    "mm_audio_pcm_energy")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
