@@ -145,9 +145,13 @@ object Aegis {
       .agg(count(lit(1)).as("n"),
         sum(col("c").cast(dec)).as("s"),
         sum((col("c") * col("c")).cast(dec)).as("q"))
-    val sigma = sqrt(
+    // n=1 strata have undefined sigma (Spark NaN vs DuckDB NULL on
+    // the zero division) — gate to null explicitly; null nh_sigma
+    // drops out of the sumDec denominator on both engines, and
+    // all-degenerate inputs (den = 0) null the shares the same way
+    val sigma = when(col("n") > 1L, sqrt(
       (col("n").cast(dec) * col("q") - col("s") * col("s")).cast("double") /
-        (col("n").cast(dec) * (col("n") - 1)).cast("double"))
+        (col("n").cast(dec) * (col("n") - 1)).cast("double")))
     val weighted = m.select(col("event_type"), col("n"),
       sigma.as("sigma"), (col("n").cast("double") * sigma).as("nh_sigma"))
     val tot = weighted.agg(
@@ -156,10 +160,12 @@ object Aegis {
     weighted.crossJoin(broadcast(tot))
       .select(col("event_type"), col("n"),
         r4(col("sigma") / lit(100.0)).as("sigma_dollars"),
-        r4(col("nh_sigma") / col("den")).as("neyman_share"),
+        when(col("den") > 0.0,
+          r4(col("nh_sigma") / col("den"))).as("neyman_share"),
         r4(col("n").cast("double") / col("n_total").cast("double"))
           .as("proportional_share"),
-        r4(lit(10000.0) * col("nh_sigma") / col("den")).as("alloc_n"))
+        when(col("den") > 0.0,
+          r4(lit(10000.0) * col("nh_sigma") / col("den"))).as("alloc_n"))
       .orderBy("event_type")
   }
 
@@ -173,20 +179,23 @@ object Aegis {
        |  FROM events GROUP BY 1),
        |w AS (
        |  SELECT event_type, n,
-       |    SQRT(CAST(n::HUGEINT * q - s * s AS DOUBLE)
-       |      / CAST(n::HUGEINT * (n - 1) AS DOUBLE)) AS sigma,
-       |    CAST(n AS DOUBLE)
+       |    CASE WHEN n > 1 THEN
+       |      SQRT(CAST(n::HUGEINT * q - s * s AS DOUBLE)
+       |        / CAST(n::HUGEINT * (n - 1) AS DOUBLE)) END AS sigma,
+       |    CASE WHEN n > 1 THEN CAST(n AS DOUBLE)
        |      * SQRT(CAST(n::HUGEINT * q - s * s AS DOUBLE)
-       |        / CAST(n::HUGEINT * (n - 1) AS DOUBLE)) AS nh_sigma
+       |        / CAST(n::HUGEINT * (n - 1) AS DOUBLE)) END AS nh_sigma
        |  FROM m),
        |t AS (SELECT ${sumDecSql("nh_sigma", 38, 6)} AS den,
        |             CAST(SUM(n) AS BIGINT) AS n_total FROM w)
        |SELECT event_type, n,
        |  ${r4Sql("sigma / 100.0")} AS sigma_dollars,
-       |  ${r4Sql("nh_sigma / den")} AS neyman_share,
+       |  CASE WHEN den > 0 THEN ${r4Sql("nh_sigma / den")}
+       |    END AS neyman_share,
        |  ${r4Sql("CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)")}
        |    AS proportional_share,
-       |  ${r4Sql("10000.0 * nh_sigma / den")} AS alloc_n
+       |  CASE WHEN den > 0 THEN ${r4Sql("10000.0 * nh_sigma / den")}
+       |    END AS alloc_n
        |FROM w, t ORDER BY event_type""".stripMargin
 
   // ----------------------------------------------------------------

@@ -384,12 +384,17 @@ object Crest {
         sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
         sum((col("ry") * col("ry")).cast(dec)).as("syy"),
         sum((col("rx") * col("ry")).cast(dec)).as("sxy"))
+    // degenerate-group guard: a constant column makes its rank
+    // variance 0 — Spark would emit NaN (0/0) where DuckDB's double
+    // division by zero yields NULL, so BOTH sides gate to null
+    // explicitly (unreachable in this data; the #295 guard class)
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
     agg.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-      r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-          .cast("double")) *
-         sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-           .cast("double")))).as("spearman_rho"))
+      when(dx > 0 && dy > 0,
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))))
+        .as("spearman_rho"))
       .orderBy("l_returnflag")
   }
 
@@ -411,10 +416,11 @@ object Crest {
        |    SUM(rx::HUGEINT * ry) AS sxy
        |  FROM ranked GROUP BY 1)
        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
        |  ${r4Sql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
                   "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
                   "SQRT(CAST(n * syy - sy * sy AS DOUBLE)))")}
-       |    AS spearman_rho
+       |  END AS spearman_rho
        |FROM m ORDER BY l_returnflag""".stripMargin
 
   // --------------------------------------------------------------- #297

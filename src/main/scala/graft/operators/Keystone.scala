@@ -72,14 +72,18 @@ object Keystone {
       .select(col("c"), col("n1"), col("n2"),
         abs(col("ca") * col("n2") - col("cb") * col("n1")).as("d_num"))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // one-sided-sample guard: n1·n2 = 0 would be Spark NaN vs DuckDB
+    // NULL on the double division — gate both sides explicitly
     dnum.orderBy(desc("d_num"), col("c")).limit(1)
       .select(col("n1"), col("n2"), col("d_num"),
         col("c").as("argmax_cents"),
-        r4(col("d_num").cast("double") /
-          (col("n1") * col("n2")).cast("double")).as("d_stat"),
-        (col("d_num").cast(dec) * col("d_num") * lit(1000000L) >
-          lit(1844164L).cast(dec) * (col("n1") + col("n2")) *
-            col("n1") * col("n2")).as("reject_05"))
+        when(col("n1") > 0L && col("n2") > 0L,
+          r4(col("d_num").cast("double") /
+            (col("n1") * col("n2")).cast("double"))).as("d_stat"),
+        when(col("n1") > 0L && col("n2") > 0L,
+          col("d_num").cast(dec) * col("d_num") * lit(1000000L) >
+            lit(1844164L).cast(dec) * (col("n1") + col("n2")) *
+              col("n1") * col("n2")).as("reject_05"))
   }
 
   val statsKsTestSql: String =
@@ -105,10 +109,13 @@ object Keystone {
        |    CAST(ABS(ca * n2 - cb * n1) AS BIGINT) AS d_num
        |  FROM cum, tot)
        |SELECT n1, n2, d_num, c AS argmax_cents,
-       |  ${r4Sql("CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")}
-       |    AS d_stat,
-       |  d_num::HUGEINT * d_num * 1000000 >
-       |    1844164::HUGEINT * (n1 + n2) * n1 * n2 AS reject_05
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    ${r4Sql("CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)")}
+       |  END AS d_stat,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    d_num::HUGEINT * d_num * 1000000 >
+       |      1844164::HUGEINT * (n1 + n2) * n1 * n2
+       |  END AS reject_05
        |FROM dn ORDER BY d_num DESC, c LIMIT 1""".stripMargin
 
   // --------------------------------------------------------------- #301
@@ -156,14 +163,18 @@ object Keystone {
     val vn = col("n1").cast(dec) * col("n2") *
       (n.cast(dec) * (n.cast(dec) * n - 1) - col("tie3"))
     val dn = n.cast(dec) * (n - 1) * 12L
+    // all-tied guard: vn = 0 (every value identical) would be Spark
+    // NaN (0/0) vs DuckDB NULL — gate both sides explicitly
     agg.select(col("n1"), col("n2"),
       col("r1_2x").cast("long").as("r1_2x"),
       u12x.cast("long").as("u1_2x"),
-      r4((zcc.cast("double") / 2.0) /
-        sqrt(vn.cast("double") / dn.cast("double"))).as("z"),
-      (zcc.cast("double") * zcc.cast("double") * 10000.0 *
-        dn.cast("double") >
-        lit(153664.0) * vn.cast("double")).as("reject_05"))
+      when(vn > 0,
+        r4((zcc.cast("double") / 2.0) /
+          sqrt(vn.cast("double") / dn.cast("double")))).as("z"),
+      when(vn > 0,
+        zcc.cast("double") * zcc.cast("double") * 10000.0 *
+          dn.cast("double") >
+          lit(153664.0) * vn.cast("double")).as("reject_05"))
   }
 
   val statsMannWhitneySql: String =
@@ -201,11 +212,14 @@ object Keystone {
        |  FROM d)
        |SELECT n1, n2, CAST(r1_2x AS BIGINT) AS r1_2x,
        |  CAST(u1_2x AS BIGINT) AS u1_2x,
-       |  ${r4Sql("(CAST(zcc AS DOUBLE) / 2.0) / " +
-                  "SQRT(CAST(vn AS DOUBLE) / CAST(dn AS DOUBLE))")} AS z,
-       |  CAST(zcc AS DOUBLE) * CAST(zcc AS DOUBLE) * 10000.0 *
-       |    CAST(dn AS DOUBLE) > 153664.0 * CAST(vn AS DOUBLE)
-       |    AS reject_05
+       |  CASE WHEN vn > 0 THEN
+       |    ${r4Sql("(CAST(zcc AS DOUBLE) / 2.0) / " +
+                    "SQRT(CAST(vn AS DOUBLE) / CAST(dn AS DOUBLE))")}
+       |  END AS z,
+       |  CASE WHEN vn > 0 THEN
+       |    CAST(zcc AS DOUBLE) * CAST(zcc AS DOUBLE) * 10000.0 *
+       |      CAST(dn AS DOUBLE) > 153664.0 * CAST(vn AS DOUBLE)
+       |  END AS reject_05
        |FROM d2""".stripMargin
 
   // --------------------------------------------------------------- #302
@@ -236,16 +250,20 @@ object Keystone {
     val b = se2("b")
     val meanDiff = col("a.s").cast("double") / col("a.n").cast("double") -
       col("b.s").cast("double") / col("b.n").cast("double")
+    // degenerate guard: n ≤ 1 (variance undefined) or zero pooled
+    // variance would be Spark NaN/Inf vs DuckDB NULL — gate both
+    // sides to null explicitly
+    val ok = col("a.n") > 1L && col("b.n") > 1L && (a + b) > 0.0
     broadcast(m.as("a")).join(broadcast(m.as("b")),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
         col("a.n").as("n1"), col("b.n").as("n2"),
         r4(meanDiff / lit(100.0)).as("mean_diff"),
-        r4(meanDiff / sqrt(a + b)).as("t_stat"),
-        r4((a + b) * (a + b) /
+        when(ok, r4(meanDiff / sqrt(a + b))).as("t_stat"),
+        when(ok, r4((a + b) * (a + b) /
           (a * a / (col("a.n") - 1).cast("double") +
-            b * b / (col("b.n") - 1).cast("double"))).as("df"))
+            b * b / (col("b.n") - 1).cast("double")))).as("df"))
       .orderBy("type_a", "type_b")
   }
 
@@ -267,10 +285,14 @@ object Keystone {
        |  FROM m a JOIN m b ON a.event_type < b.event_type)
        |SELECT type_a, type_b, n1, n2,
        |  ${r4Sql("md / 100.0")} AS mean_diff,
-       |  ${r4Sql("md / SQRT(sa + sb)")} AS t_stat,
-       |  ${r4Sql("(sa + sb) * (sa + sb) / " +
-                  "(sa * sa / CAST(n1 - 1 AS DOUBLE) + " +
-                  "sb * sb / CAST(n2 - 1 AS DOUBLE))")} AS df
+       |  CASE WHEN n1 > 1 AND n2 > 1 AND sa + sb > 0 THEN
+       |    ${r4Sql("md / SQRT(sa + sb)")}
+       |  END AS t_stat,
+       |  CASE WHEN n1 > 1 AND n2 > 1 AND sa + sb > 0 THEN
+       |    ${r4Sql("(sa + sb) * (sa + sb) / " +
+                    "(sa * sa / CAST(n1 - 1 AS DOUBLE) + " +
+                    "sb * sb / CAST(n2 - 1 AS DOUBLE))")}
+       |  END AS df
        |FROM p ORDER BY type_a, type_b""".stripMargin
 
   // --------------------------------------------------------------- #303
@@ -448,10 +470,13 @@ object Keystone {
       .groupBy("event_type", "trough_day", "trough_cents", "peak_cents",
         "max_dd_cents")
       .agg(min("d").as("peak_day"))
+    // zero-peak guard (all-zero daily series): 0/0 is Spark NaN vs
+    // DuckDB NULL — gate both sides explicitly
     peakDay.select(col("event_type"), col("peak_day"), col("trough_day"),
       col("peak_cents"), col("trough_cents"), col("max_dd_cents"),
-      r4(col("max_dd_cents").cast("double") /
-        col("peak_cents").cast("double")).as("dd_frac"))
+      when(col("peak_cents") > 0L,
+        r4(col("max_dd_cents").cast("double") /
+          col("peak_cents").cast("double"))).as("dd_frac"))
       .orderBy("event_type")
   }
 
@@ -479,8 +504,10 @@ object Keystone {
        |  GROUP BY 1, 2, 3, 4, 5)
        |SELECT event_type, peak_day, trough_day, peak_cents, trough_cents,
        |  max_dd_cents,
-       |  ${r4Sql("CAST(max_dd_cents AS DOUBLE) / " +
-                  "CAST(peak_cents AS DOUBLE)")} AS dd_frac
+       |  CASE WHEN peak_cents > 0 THEN
+       |    ${r4Sql("CAST(max_dd_cents AS DOUBLE) / " +
+                    "CAST(peak_cents AS DOUBLE)")}
+       |  END AS dd_frac
        |FROM pk ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------- #306

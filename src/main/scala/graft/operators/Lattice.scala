@@ -62,12 +62,16 @@ object Lattice {
     val ssw = col("qt").cast("double") - col("sb")
     val f = (ssb / (col("k") - 1).cast("double")) /
       (ssw / (col("n") - col("k")).cast("double"))
+    // degenerate guards: one group (k=1), no residual df (n=k), or
+    // zero within-variance would be Spark NaN/Inf vs DuckDB NULL —
+    // gate both sides explicitly
+    val ok = col("k") > 1L && col("n") > col("k") && ssw > 0.0
     agg.select(col("k"), col("n"),
       r4(ssb / lit(10000.0)).as("ssb_dollars2"),
       r4(ssw / lit(10000.0)).as("ssw_dollars2"),
       (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
-      r4(f).as("f_stat"),
-      (f > expr("2.3719E0")).as("reject_05_asymp"))
+      when(ok, r4(f)).as("f_stat"),
+      when(ok, f > expr("2.3719E0")).as("reject_05_asymp"))
   }
 
   val statsAnovaSql: String =
@@ -92,10 +96,14 @@ object Lattice {
        |  ${r4Sql("ssb / 10000.0")} AS ssb_dollars2,
        |  ${r4Sql("ssw / 10000.0")} AS ssw_dollars2,
        |  k - 1 AS df1, n - k AS df2,
-       |  ${r4Sql("(ssb / CAST(k - 1 AS DOUBLE)) / " +
-                  "(ssw / CAST(n - k AS DOUBLE))")} AS f_stat,
-       |  (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
-       |    > 2.3719E0 AS reject_05_asymp
+       |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+       |    ${r4Sql("(ssb / CAST(k - 1 AS DOUBLE)) / " +
+                    "(ssw / CAST(n - k AS DOUBLE))")}
+       |  END AS f_stat,
+       |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+       |    (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))
+       |      > 2.3719E0
+       |  END AS reject_05_asymp
        |FROM d""".stripMargin
 
   // --------------------------------------------------------------- #308
@@ -127,10 +135,12 @@ object Lattice {
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
         r4(delta / lit(100.0)).as("observed_diff"),
-        r4(z * sqrt(v("a") / col("a.n").cast("double") +
-          v("b") / col("b.n").cast("double")) / lit(100.0))
+        // n ≤ 1 guard: variance undefined — Spark NaN vs DuckDB NULL
+        when(col("a.n") > 1L && col("b.n") > 1L,
+          r4(z * sqrt(v("a") / col("a.n").cast("double") +
+            v("b") / col("b.n").cast("double")) / lit(100.0)))
           .as("mde_dollars"),
-        when(abs(delta) > 1e-9,
+        when(col("a.n") > 1L && col("b.n") > 1L && abs(delta) > 1e-9,
           r4(z * z * (v("a") + v("b")) / (delta * delta)))
           .as("n_req_per_arm"))
       .orderBy("type_a", "type_b")
@@ -154,10 +164,12 @@ object Lattice {
        |  FROM m a JOIN m b ON a.event_type < b.event_type)
        |SELECT type_a, type_b,
        |  ${r4Sql("delta / 100.0")} AS observed_diff,
-       |  ${r4Sql("(1.959964E0 + 0.841621E0) * " +
-                  "SQRT(va / CAST(n1 AS DOUBLE) + vb / CAST(n2 AS DOUBLE))" +
-                  " / 100.0")} AS mde_dollars,
-       |  CASE WHEN ABS(delta) > 1e-9 THEN
+       |  CASE WHEN n1 > 1 AND n2 > 1 THEN
+       |    ${r4Sql("(1.959964E0 + 0.841621E0) * " +
+                    "SQRT(va / CAST(n1 AS DOUBLE) + vb / CAST(n2 AS DOUBLE))" +
+                    " / 100.0")}
+       |  END AS mde_dollars,
+       |  CASE WHEN n1 > 1 AND n2 > 1 AND ABS(delta) > 1e-9 THEN
        |    ${r4Sql("(1.959964E0 + 0.841621E0) * " +
                     "(1.959964E0 + 0.841621E0) * (va + vb) / " +
                     "(delta * delta)")}
