@@ -486,6 +486,121 @@ object Lattice {
        |  END AS seasonal_strength
        |FROM v ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #318
+  /** #318 two-regressor OLS (value ~ hour-of-day + weekday, with
+    * intercept) solved in CLOSED FORM: one scan reduces to the nine
+    * exact DECIMAL moments of the normal equations, Cramer's rule on
+    * the 3×3 X'X solves for the coefficients, and R² comes from the
+    * normal-equations identity SSE = Σy² − b·X'y — no iteration, no
+    * gradient, no per-row residual pass. The multivariate graduate of
+    * #142's one-regressor trend; the hour/weekday design doubles as a
+    * seasonality decomposition check against #115/#312.
+    *
+    * Exactness: regressors are pure integer time arithmetic (hour =
+    * (ts_us div 3600·10⁶) mod 24, dow = (day+4) mod 7); ALL moments
+    * accumulate in DECIMAL(38,0); determinants and coefficients are
+    * fixed IEEE trees over the decimal-cast moments (each cast
+    * correctly rounded identically on both engines), r4'd. Guards: a
+    * singular X'X (constant regressor) or zero SST gates to null on
+    * both engines (the x/0 divergence class).
+    *
+    * Scale: ONE map-side-combinable aggregate — the entire regression
+    * is 10 numbers crossing the shuffle, at any corpus size.
+    */
+  def statsOls2var(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.eventsUs(spark, dir)
+      .select(expr(centsExpr).as("y"),
+        expr("(ts_us div 3600000000) % 24").as("x1"),
+        expr("(ts_us div 86400000000 + 4) % 7").as("x2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1").cast(dec)).as("s1"),
+        sum(col("x2").cast(dec)).as("s2"),
+        sum((col("x1") * col("x1")).cast(dec)).as("s11"),
+        sum((col("x2") * col("x2")).cast(dec)).as("s22"),
+        sum((col("x1") * col("x2")).cast(dec)).as("s12"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x1") * col("y")).cast(dec)).as("s1y"),
+        sum((col("x2") * col("y")).cast(dec)).as("s2y"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    def d(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+    val (n, s1, s2, s11, s22, s12, sy, s1y, s2y, syy) =
+      (d("n"), d("s1"), d("s2"), d("s11"), d("s22"), d("s12"),
+        d("sy"), d("s1y"), d("s2y"), d("syy"))
+    def det3(a1: org.apache.spark.sql.Column, a2: org.apache.spark.sql.Column,
+        a3: org.apache.spark.sql.Column, b1: org.apache.spark.sql.Column,
+        b2: org.apache.spark.sql.Column, b3: org.apache.spark.sql.Column,
+        c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column,
+        c3: org.apache.spark.sql.Column) =
+      a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1) +
+        a3 * (b1 * c2 - b2 * c1)
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val b0 = d0 / dd
+    val b1 = d1 / dd
+    val b2 = d2 / dd
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    m.select(col("n").cast("long").as("n"),
+      when(dd =!= 0.0, r4(b0 / lit(100.0))).as("intercept_dollars"),
+      when(dd =!= 0.0, r4(b1 / lit(100.0))).as("beta_hour_dollars"),
+      when(dd =!= 0.0, r4(b2 / lit(100.0))).as("beta_dow_dollars"),
+      when(dd =!= 0.0 && sst > 0.0,
+        r4(lit(1.0) - sse / sst)).as("r_squared"))
+  }
+
+  val statsOls2varSql: String = {
+    val det3 = (a1: String, a2: String, a3: String, b1: String,
+        b2: String, b3: String, c1: String, c2: String, c3: String) =>
+      s"$a1 * ($b2 * $c3 - $b3 * $c2) - $a2 * ($b1 * $c3 - $b3 * $c1)" +
+        s" + $a3 * ($b1 * $c2 - $b2 * $c1)"
+    s"""WITH e AS (
+       |  SELECT $centsSql AS y,
+       |    (epoch_us(ts) // 3600000000) % 24 AS x1,
+       |    (epoch_us(ts) // 86400000000 + 4) % 7 AS x2
+       |  FROM events),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+       |    SUM(x1::HUGEINT) AS s1, SUM(x2::HUGEINT) AS s2,
+       |    SUM(x1::HUGEINT * x1) AS s11, SUM(x2::HUGEINT * x2) AS s22,
+       |    SUM(x1::HUGEINT * x2) AS s12, SUM(y::HUGEINT) AS sy,
+       |    SUM(x1::HUGEINT * y) AS s1y, SUM(x2::HUGEINT * y) AS s2y,
+       |    SUM(y::HUGEINT * y) AS syy
+       |  FROM e),
+       |f AS (
+       |  SELECT nn, CAST(nn AS DOUBLE) AS n,
+       |    CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+       |    CAST(s11 AS DOUBLE) AS s11, CAST(s22 AS DOUBLE) AS s22,
+       |    CAST(s12 AS DOUBLE) AS s12, CAST(sy AS DOUBLE) AS sy,
+       |    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+       |    CAST(syy AS DOUBLE) AS syy
+       |  FROM m),
+       |dets AS (
+       |  SELECT nn, sy, s1y, s2y, syy, n,
+       |    ${det3("n", "s1", "s2", "s1", "s11", "s12",
+                   "s2", "s12", "s22")} AS dd,
+       |    ${det3("sy", "s1", "s2", "s1y", "s11", "s12",
+                   "s2y", "s12", "s22")} AS d0,
+       |    ${det3("n", "sy", "s2", "s1", "s1y", "s12",
+                   "s2", "s2y", "s22")} AS d1,
+       |    ${det3("n", "s1", "sy", "s1", "s11", "s1y",
+                   "s2", "s12", "s2y")} AS d2
+       |  FROM f)
+       |SELECT nn AS n,
+       |  CASE WHEN dd <> 0 THEN ${r4Sql("d0 / dd / 100.0")}
+       |    END AS intercept_dollars,
+       |  CASE WHEN dd <> 0 THEN ${r4Sql("d1 / dd / 100.0")}
+       |    END AS beta_hour_dollars,
+       |  CASE WHEN dd <> 0 THEN ${r4Sql("d2 / dd / 100.0")}
+       |    END AS beta_dow_dollars,
+       |  CASE WHEN dd <> 0 AND syy - sy * sy / n > 0 THEN
+       |    ${r4Sql("1.0E0 - (syy - (d0 / dd) * sy - (d1 / dd) * s1y" +
+                    " - (d2 / dd) * s2y) / (syy - sy * sy / n)")}
+       |  END AS r_squared
+       |FROM dets""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_anova" -> (statsAnova _),
@@ -493,7 +608,8 @@ object Lattice {
     "stats_bootstrap_ci" -> (statsBootstrapCi _),
     "events_cuped" -> (eventsCuped _),
     "quality_fleiss_kappa" -> (qualityFleissKappa _),
-    "ts_seasonal_strength" -> (tsSeasonalStrength _))
+    "ts_seasonal_strength" -> (tsSeasonalStrength _),
+    "stats_ols_2var" -> (statsOls2var _))
 
   val oracles: Map[String, String] = Map(
     "stats_anova" -> statsAnovaSql,
@@ -501,5 +617,6 @@ object Lattice {
     "stats_bootstrap_ci" -> statsBootstrapCiSql,
     "events_cuped" -> eventsCupedSql,
     "quality_fleiss_kappa" -> qualityFleissKappaSql,
-    "ts_seasonal_strength" -> tsSeasonalStrengthSql)
+    "ts_seasonal_strength" -> tsSeasonalStrengthSql,
+    "stats_ols_2var" -> statsOls2varSql)
 }

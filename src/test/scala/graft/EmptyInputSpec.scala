@@ -206,7 +206,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "privacy_k_anonymity",  // cells of an empty table
     "privacy_l_diversity",  // diversity of no members
     "sample_neyman",        // allocation over no strata
-    "mm_audio_pcm_energy")  // real audio codec over no docs
+    "mm_audio_pcm_energy",  // real audio codec over no docs
+    "stats_ols_2var")       // singular normal equations, null betas
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -265,7 +266,8 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.head.isNullAt(rows.head.fieldIndex("gini")))
       } else if (name == "stats_mannwhitney" ||
           name == "stats_cramers_v" || name == "stats_anova" ||
-          name == "stats_bootstrap_ci" || name == "quality_fleiss_kappa") {
+          name == "stats_bootstrap_ci" || name == "quality_fleiss_kappa" ||
+          name == "stats_ols_2var") {
         // global agg over an empty input: one row of null stats
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))

@@ -169,6 +169,59 @@ class LatticeSpec extends GraftSpec {
     assert(pbar >= 0.0 && pbar <= 1.0)
   }
 
+  test("stats_ols_2var: coefficients match a direct normal-equations " +
+      "solve, residuals are orthogonal to the design, and R^2 matches " +
+      "a per-row residual recomputation") {
+    val rows = events.map { e =>
+      val hour = (e._4 / 3600000000L) % 24
+      val dow = (e._4 / 86400000000L + 4) % 7
+      (e._3, hour, dow)
+    }
+    val n = rows.length.toLong
+    def s(f: ((Long, Long, Long)) => BigInt): BigInt = rows.map(f).sum
+    val (s1, s2) = (s(r => BigInt(r._2)), s(r => BigInt(r._3)))
+    val (s11, s22) = (s(r => BigInt(r._2) * r._2), s(r => BigInt(r._3) * r._3))
+    val s12 = s(r => BigInt(r._2) * r._3)
+    val (sy, s1y, s2y) = (s(r => BigInt(r._1)),
+      s(r => BigInt(r._2) * r._1), s(r => BigInt(r._3) * r._1))
+    val syy = s(r => BigInt(r._1) * r._1)
+    def det3(a: Array[Double]): Double =
+      a(0) * (a(4) * a(8) - a(5) * a(7)) -
+        a(1) * (a(3) * a(8) - a(5) * a(6)) +
+        a(2) * (a(3) * a(7) - a(4) * a(6))
+    val (nD, s1D, s2D, s11D, s22D, s12D) = (n.toDouble, s1.toDouble,
+      s2.toDouble, s11.toDouble, s22.toDouble, s12.toDouble)
+    val (syD, s1yD, s2yD, syyD) =
+      (sy.toDouble, s1y.toDouble, s2y.toDouble, syy.toDouble)
+    val dd = det3(Array(nD, s1D, s2D, s1D, s11D, s12D, s2D, s12D, s22D))
+    val b0 = det3(Array(syD, s1D, s2D, s1yD, s11D, s12D, s2yD, s12D, s22D)) / dd
+    val b1 = det3(Array(nD, syD, s2D, s1D, s1yD, s12D, s2D, s2yD, s22D)) / dd
+    val b2 = det3(Array(nD, s1D, syD, s1D, s11D, s1yD, s2D, s12D, s2yD)) / dd
+    // residual orthogonality: X'r ~ 0 (the defining property of OLS)
+    val resid = rows.map { case (y, x1, x2) => y - b0 - b1 * x1 - b2 * x2 }
+    val scale = math.max(1.0, syD.abs)
+    assert(math.abs(resid.sum) / scale < 1e-9)
+    assert(math.abs(rows.zip(resid).map { case (r, e) => r._2 * e }.sum)
+      / scale < 1e-9)
+    // per-row R^2 agrees with the normal-equations identity (to float
+    // tolerance; the operator's value is the identity form r4'd)
+    val sseRow = resid.map(e => e * e).sum
+    val sseIdentity = syyD - b0 * syD - b1 * s1yD - b2 * s2yD
+    val sst = syyD - syD * syD / nD
+    val r = Lattice.statsOls2var(spark, sf).head()
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Double]("intercept_dollars") == p4(b0 / 100.0))
+    assert(r.getAs[Double]("beta_hour_dollars") == p4(b1 / 100.0))
+    assert(r.getAs[Double]("beta_dow_dollars") == p4(b2 / 100.0))
+    val r2 = r.getAs[Double]("r_squared")
+    // the operator emits the identity form EXACTLY (both engines
+    // build the same tree); the per-row form differs by the expected
+    // cancellation error of subtracting ~Σy²-sized terms (~1e-6 rel)
+    assert(r2 == p4(1.0 - sseIdentity / sst))
+    assert(math.abs(sseIdentity - sseRow) / sst < 1e-4)
+    assert(r2 >= -1e-9 && r2 <= 1.0)
+  }
+
   test("ts_seasonal_strength: matches a direct calendar-window " +
       "detrend + weekday-mean recomputation") {
     val daily = events.groupBy(e => (e._2, e._4 / 86400000000L))
