@@ -198,14 +198,144 @@ object Aegis {
        |    END AS alloc_n
        |FROM w, t ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #319
+  /** #319 fuzzy entity resolution with blocking: link a planted DIRTY
+    * re-registration feed back to the customer master — the two-table
+    * record-linkage read (dedup's cross-source sibling, the other
+    * half of a data custodian's identity work). The feed perturbs
+    * every third customer deterministically (name truncated for even
+    * keys, balance bumped $1 for key%7, nation shifted for key%5), so
+    * ground truth is planted and precision/recall are EXACT, not
+    * sampled.
+    *
+    * Blocking: (segment, id digits 4-8 of the name) — chosen so the
+    * key BOTH survives every planted perturbation (truncation only
+    * removes the final digit; nation isn't in the key) AND stays
+    * high-cardinality at any id magnitude (the leading digits are
+    * near-constant zero padding — blocking on them degenerated to
+    * segment-only cells, 150k candidates for 500 records at sf0.01,
+    * caught and fixed by reading the candidate count); the emitted
+    * block_recall measures the survival property. Scoring:
+    * Levenshtein ≤ 1 on names (+2, the #98 parity device), balance
+    * within $1 (+1), nation equal (+1); resolve each dirty record to
+    * its best candidate (score desc, lowest key) and accept at
+    * score ≥ 3.
+    *
+    * Scale: the blocked equi-join shuffles on a HIGH-CARDINALITY key
+    * (id-digit prefixes — block sizes stay bounded as the corpus
+    * grows, never nation/segment-sized quadratic cells); resolution
+    * is one window per dirty id. All counts integer; P/R are r4'd
+    * ratios of exact integers.
+    */
+  def erFuzzyLink(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)").as("bal"))
+    val dirty = clean.where(col("ck") % 3 === 0)
+      .select((col("ck") + lit(1000000000000L)).as("did"),
+        col("ck").as("truth"),
+        when(col("ck") % 2 === 0,
+          expr("substring(nm, 1, length(nm) - 1)")).otherwise(col("nm"))
+          .as("dnm"),
+        when(col("ck") % 5 === 0, (col("nat") + 1) % 25)
+          .otherwise(col("nat")).as("dnat"),
+        col("seg").as("dseg"),
+        (col("bal") + when(col("ck") % 7 === 0, 100L).otherwise(0L))
+          .as("dbal"))
+    val cand = dirty.join(clean,
+      col("dseg") === col("seg") &&
+        expr("substring(dnm, 13, 5)") === expr("substring(nm, 13, 5)"))
+    val scored = cand.select(col("did"), col("truth"), col("ck"),
+      (when(expr("levenshtein(dnm, nm)") <= 1, 2L).otherwise(0L) +
+        when(abs(col("dbal") - col("bal")) <= 100L, 1L).otherwise(0L) +
+        when(col("dnat") === col("nat"), 1L).otherwise(0L)).as("score"))
+    val wd = Window.partitionBy("did")
+      .orderBy(desc("score"), col("ck"))
+    val resolved = scored.withColumn("rn", row_number().over(wd))
+      .where(col("rn") === 1 && col("score") >= 3L)
+    val res = resolved.agg(count(lit(1)).as("n_resolved"),
+      sum(when(col("ck") === col("truth"), 1L).otherwise(0L))
+        .as("n_correct"))
+    val blockRecall = cand.where(col("ck") === col("truth"))
+      .agg(countDistinct("did").as("n_blocked_truth"))
+    val nd = dirty.agg(count(lit(1)).as("n_dirty"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    broadcast(nd).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(res)).crossJoin(broadcast(blockRecall))
+      .select(col("n_dirty"), col("n_candidates"), col("n_resolved"),
+        col("n_correct"),
+        when(col("n_resolved") > 0L,
+          r4(col("n_correct").cast("double") /
+            col("n_resolved").cast("double"))).as("precision"),
+        when(col("n_dirty") > 0L,
+          r4(col("n_correct").cast("double") /
+            col("n_dirty").cast("double"))).as("recall"),
+        when(col("n_dirty") > 0L,
+          r4(col("n_blocked_truth").cast("double") /
+            col("n_dirty").cast("double"))).as("block_recall"))
+  }
+
+  val erFuzzyLinkSql: String =
+    s"""WITH clean AS (
+       |  SELECT c_custkey AS ck, c_name AS nm,
+       |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |    CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+       |  FROM customer),
+       |dirty AS (
+       |  SELECT ck + 1000000000000 AS did, ck AS truth,
+       |    CASE WHEN ck % 2 = 0 THEN substr(nm, 1, length(nm) - 1)
+       |      ELSE nm END AS dnm,
+       |    CASE WHEN ck % 5 = 0 THEN (nat + 1) % 25 ELSE nat END AS dnat,
+       |    seg AS dseg,
+       |    bal + CASE WHEN ck % 7 = 0 THEN 100 ELSE 0 END AS dbal
+       |  FROM clean WHERE ck % 3 = 0),
+       |cand AS (
+       |  SELECT d.did, d.truth, c.ck,
+       |    CASE WHEN levenshtein(d.dnm, c.nm) <= 1 THEN 2 ELSE 0 END
+       |      + CASE WHEN ABS(d.dbal - c.bal) <= 100 THEN 1 ELSE 0 END
+       |      + CASE WHEN d.dnat = c.nat THEN 1 ELSE 0 END AS score
+       |  FROM dirty d JOIN clean c ON d.dseg = c.seg
+       |    AND substr(d.dnm, 13, 5) = substr(c.nm, 13, 5)),
+       |resolved AS (
+       |  SELECT did, truth, ck, score FROM (
+       |    SELECT did, truth, ck, score, ROW_NUMBER() OVER (
+       |      PARTITION BY did ORDER BY score DESC, ck) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1 AND score >= 3),
+       |res AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_resolved,
+       |    CAST(COUNT(*) FILTER (WHERE ck = truth) AS BIGINT)
+       |      AS n_correct
+       |  FROM resolved),
+       |br AS (
+       |  SELECT CAST(COUNT(DISTINCT did) AS BIGINT) AS n_blocked_truth
+       |  FROM cand WHERE ck = truth),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dirty FROM dirty),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+       |SELECT n_dirty, n_candidates, n_resolved, n_correct,
+       |  CASE WHEN n_resolved > 0 THEN
+       |    ${r4Sql("CAST(n_correct AS DOUBLE) / " +
+                    "CAST(n_resolved AS DOUBLE)")} END AS precision,
+       |  CASE WHEN n_dirty > 0 THEN
+       |    ${r4Sql("CAST(n_correct AS DOUBLE) / CAST(n_dirty AS DOUBLE)")}
+       |    END AS recall,
+       |  CASE WHEN n_dirty > 0 THEN
+       |    ${r4Sql("CAST(n_blocked_truth AS DOUBLE) / " +
+                    "CAST(n_dirty AS DOUBLE)")} END AS block_recall
+       |FROM nd, nc, res, br""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
-    "sample_neyman" -> (sampleNeyman _))
+    "sample_neyman" -> (sampleNeyman _),
+    "er_fuzzy_link" -> (erFuzzyLink _))
 
   val oracles: Map[String, String] = Map(
     "privacy_k_anonymity" -> privacyKAnonymitySql,
     "privacy_l_diversity" -> privacyLDiversitySql,
-    "sample_neyman" -> sampleNeymanSql)
+    "sample_neyman" -> sampleNeymanSql,
+    "er_fuzzy_link" -> erFuzzyLinkSql)
 }

@@ -67,6 +67,68 @@ class AegisSpec extends GraftSpec {
     }
   }
 
+  test("er_fuzzy_link: planted truths all survive blocking, resolved " +
+      "links match a brute-force rescore, and P/R are exact ratios") {
+    val clean = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dirty = clean.filter(_._1 % 3 == 0).map { c =>
+      val (ck, nm, nat, seg, bal) = c
+      (ck,
+        if (ck % 2 == 0) nm.dropRight(1) else nm,
+        if (ck % 5 == 0) (nat + 1) % 25 else nat,
+        seg,
+        bal + (if (ck % 7 == 0) 100L else 0L))
+    }
+    var nCand = 0L
+    var nResolved = 0L
+    var nCorrect = 0L
+    dirty.foreach { case (truth, dnm, dnat, dseg, dbal) =>
+      val cands = clean.filter { c =>
+        c._4 == dseg && c._2.slice(12, 17) == dnm.slice(12, 17)
+      }
+      nCand += cands.length
+      val scored = cands.map { c =>
+        val s = (if (lev(dnm, c._2) <= 1) 2 else 0) +
+          (if (math.abs(dbal - c._5) <= 100) 1 else 0) +
+          (if (dnat == c._3) 1 else 0)
+        (c._1, s)
+      }
+      if (scored.nonEmpty) {
+        val best = scored.minBy { case (ck, s) => (-s, ck) }
+        if (best._2 >= 3) {
+          nResolved += 1
+          if (best._1 == truth) nCorrect += 1
+        }
+      }
+    }
+    val r = Aegis.erFuzzyLink(spark, sf).head()
+    assert(r.getAs[Long]("n_dirty") == dirty.length.toLong)
+    assert(r.getAs[Long]("n_candidates") == nCand)
+    assert(r.getAs[Long]("n_resolved") == nResolved)
+    assert(r.getAs[Long]("n_correct") == nCorrect)
+    def p4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.getAs[Double]("precision") ==
+      p4d(nCorrect.toDouble / nResolved))
+    assert(r.getAs[Double]("recall") ==
+      p4d(nCorrect.toDouble / dirty.length))
+    // the blocking key is perturbation-proof by construction
+    assert(r.getAs[Double]("block_recall") == 1.0)
+  }
+
   test("sample_neyman: shares match N_h*sigma_h normalization and sum " +
       "to ~1; high-variance strata are oversampled vs proportional") {
     val byType = Tables.eventsUs(spark, sf)

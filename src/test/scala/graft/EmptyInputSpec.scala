@@ -207,7 +207,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "privacy_l_diversity",  // diversity of no members
     "sample_neyman",        // allocation over no strata
     "mm_audio_pcm_energy",  // real audio codec over no docs
-    "stats_ols_2var")       // singular normal equations, null betas
+    "stats_ols_2var",       // singular normal equations, null betas
+    "er_fuzzy_link")        // linkage of an empty feed
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -267,7 +268,7 @@ class EmptyInputSpec extends AnyFunSuite {
       } else if (name == "stats_mannwhitney" ||
           name == "stats_cramers_v" || name == "stats_anova" ||
           name == "stats_bootstrap_ci" || name == "quality_fleiss_kappa" ||
-          name == "stats_ols_2var") {
+          name == "stats_ols_2var" || name == "er_fuzzy_link") {
         // global agg over an empty input: one row of null stats
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))
