@@ -3,9 +3,9 @@ package graft.functions
 import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog distinct-count sketch as a native
@@ -45,7 +45,15 @@ case class HllSketch(
     emitRegisters: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Array[Byte]] with ExpectsInputTypes {
+
+  // analysis-time contract: update() hashes the UTF8String bytes, so a
+  // non-string child must fail at analysis (clear error), not as a
+  // ClassCastException deep inside execution — callers cast explicitly,
+  // keeping the hashed byte representation deliberate
+  // (covariant narrowing: AbstractDataType is private[sql], DataType
+  // is the public subtype)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def createAggregationBuffer(): Array[Byte] =
     new Array[Byte](HllSketch.M)

@@ -137,10 +137,23 @@ object QuantileSketch {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "qdigest_quantile",
-      (es: Seq[Expression]) => QuantileSketch(es(0),
-        es(1).eval(null) match {
+      (es: Seq[Expression]) => {
+        require(es.length == 2,
+          s"qdigest_quantile(value, q) takes 2 arguments, got ${es.length}")
+        require(es(1).foldable,
+          "qdigest_quantile: q must be a literal (foldable) expression, " +
+            s"got ${es(1).sql}")
+        val q = es(1).eval(null) match {
           case d: java.lang.Double => d.doubleValue()
           case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        }).toAggregateExpression(),
+          case i: java.lang.Integer => i.doubleValue()
+          case l: java.lang.Long => l.doubleValue()
+          case f: java.lang.Float => f.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"qdigest_quantile: q must be numeric, got $other " +
+              s"(${es(1).dataType})")
+        }
+        QuantileSketch(es(0), q).toAggregateExpression()
+      },
       "built-in")
 }

@@ -191,8 +191,10 @@ object Lattice {
     * ARE the weight distribution, so both engines draw identical
     * resamples; truncation mass 0.018988 lands on weight 4). CI
     * bounds are the 2nd and 39th order statistics of the 40 resample
-    * means (ranks ⌈0.025·40⌉ and ⌈0.975·40⌉, low-rank-on-ties via
-    * the mean's exact sums ordering).
+    * means — the symmetric (B+1)-quantile convention: drop the single
+    * lowest and single highest of B=40, i.e. ranks ⌈0.025·(B+1)⌉ = 2
+    * and B+1−2 = 39 (low-rank-on-ties via the mean's exact sums
+    * ordering).
     */
   def statsBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.eventsUs(spark, dir)

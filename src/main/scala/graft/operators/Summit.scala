@@ -694,18 +694,18 @@ object Summit {
       .select(col("event_type"), col("event_id"), col("ts_us"),
         col("value"))
       .withColumn("v", expr("cast(floor(value * 100.0 + 0.5) as bigint)"))
+      // v enters DECIMAL(38,0) BEFORE the product and the window sums
+      // (the #222 device, applied at the accumulation not after it):
+      // a LongType Σv² wraps int64 once |v| ≳ 6e8 cents at w=24 and
+      // v·v wraps at |v| ≳ 3e9, where the oracle's HUGEINT stays
+      // exact — decimal accumulation mirrors the streaming twin's
+      // BigInt bands (EventStream.scala) on any value domain
+      .withColumn("vd", col("v").cast("decimal(38,0)"))
       .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("s1", sum("v").over(w))
-      .withColumn("s2", sum(col("v") * col("v")).over(w))
+      .withColumn("s1d", sum(col("vd")).over(w))
+      .withColumn("s2d", sum(col("vd") * col("vd")).over(w))
       .where(col("cnt") === wSize)
-      // products in DECIMAL(38,0) (the #222 device): s2·w overflows
-      // int64 once |v| exceeds ~3e8 cents, where Spark would wrap
-      // silently while the oracle's HUGEINT sum keeps exact int128 —
-      // decimal keeps the two engines identical on any value domain
-      .withColumn("s1d", col("s1").cast("decimal(38,0)"))
-      .withColumn("s2d", col("s2").cast("decimal(38,0)"))
-      .withColumn("dev",
-        col("v").cast("decimal(38,0)") * wSize - col("s1d"))
+      .withColumn("dev", col("vd") * wSize - col("s1d"))
       .withColumn("band2",
         (col("s2d") * wSize - col("s1d") * col("s1d")) * 4)
       .where(col("dev") * col("dev") > col("band2"))

@@ -117,21 +117,37 @@ object CatalogCompaction {
     val baseTouched = base.where(col(partitionCol).isin(touched: _*))
     val merged = mergeOnRead(baseTouched, logD, keyCol)
 
-    // a touched partition with no surviving rows is not present in the
-    // dynamic overwrite's output — remove its directory explicitly
-    val survivingParts = merged.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0).toString).toSet
-    val removed = touched.filterNot(survivingParts)
-
-    val rowsWritten = writeCompacted(merged, basePath, partitionCol,
-      targetRowsPerFile)
-
+    // Materialize the merged state to a STAGING path before touching
+    // the base: the overwrite's input lineage reads the very files the
+    // overwrite replaces, and a cache()+count() pin is only a hint —
+    // if cached blocks are evicted or an executor dies after the
+    // commit, recomputation would re-read overwritten/deleted files
+    // and corrupt the rewrite on a multi-node cluster. A durable
+    // staging copy cuts the lineage at a real file boundary (the same
+    // reason Delta/Iceberg never rewrite in place). The staging dir is
+    // a SIBLING of basePath so no read of the base ever lists it.
     val fs = new Path(basePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    removed.foreach { v =>
-      fs.delete(new Path(basePath, s"$partitionCol=$v"), true)
-    }
-    CompactStats(touched, removed, rowsWritten)
+    val staging = new Path(basePath + ".compact-staging")
+    fs.delete(staging, true)
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+
+      // a touched partition with no surviving rows is not present in
+      // the dynamic overwrite's output — remove its directory explicitly
+      val survivingParts = staged.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0).toString).toSet
+      val removed = touched.filterNot(survivingParts)
+
+      val rowsWritten = writeCompacted(staged, basePath, partitionCol,
+        targetRowsPerFile)
+
+      removed.foreach { v =>
+        fs.delete(new Path(basePath, s"$partitionCol=$v"), true)
+      }
+      CompactStats(touched, removed, rowsWritten)
+    } finally fs.delete(staging, true)
   }
 
   /** Write the merged state of the touched partitions with dynamic
@@ -139,26 +155,25 @@ object CatalogCompaction {
     * ~rows/target shuffle groups (parallel tasks inside one big
     * partition), `maxRecordsPerFile` is the hard per-file cap.
     */
-  private def writeCompacted(merged: DataFrame, basePath: String,
+  private def writeCompacted(staged: DataFrame, basePath: String,
       partitionCol: String, targetRowsPerFile: Long): Long = {
-    val counted = merged.cache()
-    try {
-      val rows = counted.count()
-      val nBuckets = math.max(1L, (rows + targetRowsPerFile - 1) /
-        targetRowsPerFile).toInt
-      counted
-        .withColumn("_bucket",
-          pmod(hash(col(partitionCol) :: counted.columns.map(col).toList: _*),
-            lit(nBuckets)))
-        .repartition(nBuckets, col(partitionCol), col("_bucket"))
-        .drop("_bucket")
-        .write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", targetRowsPerFile)
-        .partitionBy(partitionCol)
-        .parquet(basePath)
-      rows
-    } finally counted.unpersist()
+    // `staged` is a parquet read of the staging copy, so the count and
+    // the overwrite below re-read durable files — no cache pin needed
+    val rows = staged.count()
+    val nBuckets = math.max(1L, (rows + targetRowsPerFile - 1) /
+      targetRowsPerFile).toInt
+    staged
+      .withColumn("_bucket",
+        pmod(hash(col(partitionCol) :: staged.columns.map(col).toList: _*),
+          lit(nBuckets)))
+      .repartition(nBuckets, col(partitionCol), col("_bucket"))
+      .drop("_bucket")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(basePath)
+    rows
   }
 }
