@@ -468,9 +468,12 @@ object Apex {
     *
     * Scale: simulating a layout is a total-order rank — inherent (the
     * audit IS about physical order) and run offline per layout like
-    * #108; a production audit reads real footer min/max instead of
-    * simulating. The probe join is |files| × 3 literal months,
-    * broadcast.
+    * #108; the PRODUCTION audit is #320 [[layoutFooterAudit]], which
+    * writes the clustered layout partition-parallel (no global sort)
+    * and reads REAL parquet row-group footer min/max. This simulated
+    * variant remains for the two-layout what-if comparison (insertion
+    * vs clustered) that needs no physical write. The probe join is
+    * |files| × 3 literal months, broadcast.
     */
   def layoutSkippingAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -534,13 +537,159 @@ object Apex {
        |FROM f CROSS JOIN p
        |GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
 
+  // --------------------------------------------------------------- #320
+  /** #320 REAL-footer-stats skipping audit — the production-true form
+    * of #292: physically WRITE the date-clustered layout (orders
+    * projected to (key, day), directory-partitioned by month, rows
+    * sorted by (day, key) inside each partition, files capped at 512
+    * records), then read the actual parquet row-group footer
+    * statistics off the committed files and measure how many files a
+    * month-predicate scan skips. No simulation: the min/max per file
+    * comes from `ParquetFileReader` over each footer — the bytes a
+    * real scan planner (Spark's parquet reader, Delta/Iceberg
+    * data-skipping) consults.
+    *
+    * Simulated == real, PROVEN by the oracle: the write is
+    * deterministic — each month hash-routes to exactly one task
+    * (repartition on the partition column), rows inside the task are
+    * totally ordered by (month, day, key) which satisfies the
+    * writer's partition-sort requirement with no extra sort, and
+    * `maxRecordsPerFile` rolls at exactly 512 — so file f of a month
+    * holds sorted-rank rows [512f, 512f+511] and the footer min/max
+    * equals the rank-chunk min/max. The DuckDB oracle recomputes that
+    * closed form (per-month rank div 512); a green hash therefore
+    * proves the REAL footers match the simulation bit-for-bit —
+    * retiring #292's declared global-sort device: this layout write
+    * is partition-parallel (one task per month, the #108 compactor
+    * shape), not one global rank.
+    *
+    * Scale: the write shuffles once on the partition column (a
+    * repartitionByRange on (month, day) is the even-bigger-months
+    * variant; month cells here are task-sized). Footer reads are
+    * metadata-plane — ~8 bytes of stats per column chunk, read
+    * DISTRIBUTED via mapPartitions over the file list (a 100 TB table
+    * has millions of files; the stats frame is file-count-sized,
+    * never row-sized, and the driver only lists paths — the same
+    * listing every parquet scan already does). The probe join is
+    * |files| × 3 literal months, broadcast.
+    */
+  def layoutFooterAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fileRows = 512
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_footer_audit").toString
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("month")
+      .parquet(tmp)
+
+    val fileStats = readFooterDayStats(spark, tmp)
+    val probes = Seq(
+      ("1993-06", 8552L, 8581L), ("1995-03", 9190L, 9220L),
+      ("1997-11", 10166L, 10195L))
+      .toDF("probe", "lo", "hi")
+    fileStats
+      .crossJoin(broadcast(probes))
+      .groupBy("probe")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_day") >= col("lo") &&
+          col("min_day") <= col("hi"), 1L).otherwise(0L)).as("n_read"))
+      .select(col("probe"), col("n_files"), col("n_read"),
+        r4(lit(1.0) - col("n_read").cast("double") / col("n_files"))
+          .as("skip_frac"))
+      .orderBy("probe")
+  }
+
+  /** Per-FILE min/max/count of the `day` column read from REAL parquet
+    * footers under `path` (one row per data file; row-group stats are
+    * folded per file). Listing is driver-side metadata (exactly what
+    * any scan's file index does); footer decoding runs on executors.
+    */
+  def readFooterDayStats(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val month = p.getParent.getName.stripPrefix("month=")
+        files += ((p.toString, month))
+      }
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { part =>
+        part.map { case (p, month) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala
+            val stats = blocks.map { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == "day")
+                .getOrElse(throw new IllegalStateException(
+                  s"no 'day' column chunk in $p"))
+              val st = cc.getStatistics
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                b.getRowCount)
+            }
+            (month, p, stats.map(_._1).min, stats.map(_._2).max,
+              stats.map(_._3).sum)
+          } finally reader.close()
+        }
+      }
+      .toDF("month", "path", "min_day", "max_day", "n_rows")
+  }
+
+  val layoutFooterAuditSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+       |      AS BIGINT) AS day,
+       |    strftime(o_orderdate, '%Y-%m') AS month
+       |  FROM orders),
+       |r AS (
+       |  SELECT month, day,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY month
+       |      ORDER BY day, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM o),
+       |f AS (
+       |  SELECT month, fid, MIN(day) AS min_day, MAX(day) AS max_day
+       |  FROM r GROUP BY 1, 2),
+       |p AS (SELECT * FROM (VALUES ('1993-06', 8552, 8581),
+       |  ('1995-03', 9190, 9220), ('1997-11', 10166, 10195))
+       |  AS t(probe, lo, hi))
+       |SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) FILTER (WHERE max_day >= lo AND min_day <= hi)
+       |    AS BIGINT) AS n_read,
+       |  ${r4Sql("1.0 - CAST(COUNT(*) FILTER (WHERE max_day >= lo " +
+                  "AND min_day <= hi) AS DOUBLE) / COUNT(*)")} AS skip_frac
+       |FROM f CROSS JOIN p
+       |GROUP BY probe ORDER BY probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parts_skyline" -> (partsSkyline _),
     "ts_theil_sen" -> (tsTheilSen _),
     "quality_rule_shapley" -> (qualityRuleShapley _),
     "mm_image_phash" -> (mmImagePhash _),
     "layout_partition_advisor" -> (layoutPartitionAdvisor _),
-    "layout_skipping_audit" -> (layoutSkippingAudit _))
+    "layout_skipping_audit" -> (layoutSkippingAudit _),
+    "layout_footer_audit" -> (layoutFooterAudit _))
 
   val oracles: Map[String, String] = Map(
     "parts_skyline" -> partsSkylineSql,
@@ -548,5 +697,6 @@ object Apex {
     "quality_rule_shapley" -> qualityRuleShapleySql,
     "mm_image_phash" -> mmImagePhashSql,
     "layout_partition_advisor" -> layoutPartitionAdvisorSql,
-    "layout_skipping_audit" -> layoutSkippingAuditSql)
+    "layout_skipping_audit" -> layoutSkippingAuditSql,
+    "layout_footer_audit" -> layoutFooterAuditSql)
 }

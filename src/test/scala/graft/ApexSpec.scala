@@ -126,4 +126,41 @@ class ApexSpec extends GraftSpec {
       assert(r.getAs[Long]("hamming_noise") <= 8, s"doc $id hamming")
     }
   }
+
+  test("layout_footer_audit: REAL parquet footer min/max/count per file " +
+      "equals the simulated rank-chunk closed form, file by file") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_footer_spec").toString
+    val o = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    o.repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 512L)
+      .partitionBy("month")
+      .parquet(tmp)
+    val real = Apex.readFooterDayStats(spark, tmp)
+      .collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Long]("min_day"),
+        r.getAs[Long]("max_day"), r.getAs[Long]("n_rows")))
+      .sorted.toSeq
+    val sim = o
+      .withColumn("fid", expr("(row_number() over (partition by month " +
+        "order by day, o_orderkey) - 1) div 512"))
+      .groupBy("month", "fid")
+      .agg(min("day").as("min_day"), max("day").as("max_day"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => (r.getAs[String]("month"), r.getAs[Long]("min_day"),
+        r.getAs[Long]("max_day"), r.getAs[Long]("n_rows")))
+      .sorted.toSeq
+    assert(real.nonEmpty)
+    assert(real == sim,
+      "real footers diverge from the simulated file cut")
+    // and every file respects the 512-record cap
+    assert(real.forall(_._4 <= 512L))
+  }
 }

@@ -208,7 +208,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_neyman",        // allocation over no strata
     "mm_audio_pcm_energy",  // real audio codec over no docs
     "stats_ols_2var",       // singular normal equations, null betas
-    "er_fuzzy_link")        // linkage of an empty feed
+    "er_fuzzy_link",        // linkage of an empty feed
+    // round-19 additions (#320+)
+    "layout_footer_audit")  // footer stats of a zero-file write
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
