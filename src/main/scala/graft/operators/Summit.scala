@@ -970,40 +970,52 @@ object Summit {
        |ORDER BY u.pa, u.pb""".stripMargin
 
   // --------------------------------------------------------------- #272
-  /** #272 voice-activity segments for audio payloads: 16-byte frames,
-    * frame energy = byte sum, voiced iff energy exceeds 96·frame_len
-    * (mean byte > 96), consecutive voiced frames merged into segments
-    * by the gaps-and-islands device (#147's streaks on the frame
-    * axis). Emits per asset: frames, voiced frames, segment count,
-    * longest run, voiced fraction — the audio-curation pre-step that
-    * decides what to transcribe.
+  /** #272 voice-activity segments for audio payloads — SIXTH
+    * real-codec leg (samples-true, the #317 honesty upgrade applied
+    * to VAD): each asset's planted 8-bit PCM WAV (a REAL RIFF
+    * container, `Multimodal.plantedWav`) is decoded with
+    * `javax.sound.sampled`; 100-sample FULL frames get an exact
+    * integer energy (byte sum of decoded samples), a frame is voiced
+    * iff its mean sample exceeds the 128 midline (energy > 100·128),
+    * and consecutive voiced frames merge into segments by the
+    * gaps-and-islands device (#147's streaks on the frame axis). The
+    * frame length is deliberately COPRIME to the sample function's
+    * 256-residue cycle so frame phases drift and multi-frame voiced
+    * runs actually occur (128-sample frames alternate voiced/unvoiced
+    * every frame, leaving the island merge decorative — measured
+    * longest runs reach 7 at 100).
+    * Emits per asset: frames, voiced frames, segment count, longest
+    * run, voiced fraction — the audio-curation pre-step that decides
+    * what to transcribe.
     *
-    * STUB CODEC (declared, as the whole multimodal family): byte sums
-    * of the text stand-in payload stand in for PCM frame energy; a
-    * real deployment decodes samples first. The Spark shape — frames
-    * explode map-side, only (doc_id, fi, flag) shuffles into the
-    * per-asset windows — is the real thing. ASCII contract as #140.
+    * The oracle never parses a byte: it evaluates the closed-form
+    * sample function s(i) = (5i + id) mod 256 over n(id) =
+    * 512 + (13·id + 7) mod 512 — a green hash proves the
+    * RIFF-parse→decode→frame-energy path is samples-true (the
+    * #285/#317 proof shape), and AudioCodecSpec pins the per-frame
+    * flags against a direct recompute.
     *
-    * Exactness: energy and the threshold compare are pure integers;
-    * the only division is the ONE r4'd voiced fraction.
+    * Scale: the codec runs map-side in mapPartitions (payload bytes
+    * never shuffle); only (doc_id, fi, voiced) frame rows — bounded
+    * per clip — enter the per-asset windows, which partition on the
+    * high-cardinality doc_id. The only division is ONE r4'd fraction.
     */
   def mmAudioVad(spark: SparkSession, dir: String): DataFrame = {
-    val frames = Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      // same n > 0 guard as #267: sequence(0, -1) is descending in
-      // Spark but empty in the oracle's range — drop empty docs first
-      .where(col("n") > 0)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, greatest((n + 15) div 16 - 1, 0))"))
-          .as("fi"))
-      .select(col("doc_id"), col("fi"),
-        expr("substring(text, fi * 16 + 1, 16)").as("sl"))
-      .select(col("doc_id"), col("fi"),
-        expr("""aggregate(transform(sequence(1, length(sl)),
-                 i -> ascii(substr(sl, i, 1))), 0L, (a, x) -> a + x)""")
-          .as("energy"),
-        length(col("sl")).cast("long").as("flen"))
-      .withColumn("voiced", (col("energy") > col("flen") * 96).cast("int"))
+    import spark.implicits._
+    val ids = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val frames = ids.mapPartitions(_.flatMap { id =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.plantedWav(id)))
+      val s = ais.readAllBytes()
+      (0 until s.length / 100).iterator.map { f =>
+        var e = 0L
+        var i = f * 100
+        val end = i + 100
+        while (i < end) { e += (s(i) & 0xff).toLong; i += 1 }
+        (id, f.toLong, if (e > 100L * 128L) 1 else 0)
+      }
+    }).toDF("doc_id", "fi", "voiced")
     val wd = Window.partitionBy("doc_id").orderBy("fi")
     val runs = frames
       .withColumn("rn", row_number().over(wd))
@@ -1027,22 +1039,18 @@ object Summit {
   }
 
   val mmAudioVadSql: String =
-    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
-       |f AS (
-       |  SELECT doc_id, unnest(range(0, (n + 15) // 16)) AS fi, text
-       |  FROM d),
+    s"""WITH dims AS (
+       |  SELECT doc_id, 512 + (13 * doc_id + 7) % 512 AS n
+       |  FROM documents),
        |en AS (
-       |  SELECT doc_id, fi,
-       |    CAST(list_sum(list_transform(range(1,
-       |      len(substr(text, CAST(fi * 16 + 1 AS INT), 16)) + 1),
-       |      i -> ascii(substr(substr(text, CAST(fi * 16 + 1 AS INT), 16),
-       |        CAST(i AS INT), 1)))) AS BIGINT) AS energy,
-       |    CAST(len(substr(text, CAST(fi * 16 + 1 AS INT), 16))
-       |      AS BIGINT) AS flen
-       |  FROM f),
+       |  SELECT doc_id, i // 100 AS fi,
+       |    CAST(SUM((5 * i + doc_id) % 256) AS BIGINT) AS energy
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims)
+       |  WHERE i // 100 < n // 100
+       |  GROUP BY 1, 2),
        |v AS (
        |  SELECT doc_id, fi,
-       |    CASE WHEN energy > flen * 96 THEN 1 ELSE 0 END AS voiced,
+       |    CASE WHEN energy > 100 * 128 THEN 1 ELSE 0 END AS voiced,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS rn
        |  FROM en),
        |runs AS (

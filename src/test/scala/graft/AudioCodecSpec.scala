@@ -67,4 +67,38 @@ class AudioCodecSpec extends GraftSpec {
       }
     }
   }
+
+  test("mm_audio_vad (#272, samples-true): per-doc segments match a " +
+      "direct decoded-sample recomputation, and the corpus exercises " +
+      "REAL multi-frame voiced runs") {
+    val out = graft.operators.Summit.mmAudioVad(spark, sf).collect()
+    assert(out.length == 500)
+    var sawRunGe2 = false
+    var sawUnvoiced = false
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (512L + (id * 13 + 7) % 512).toInt
+      def samp(i: Int): Long = (5L * i + id) % 256L
+      val frames = n / 100
+      val v = (0 until frames).map { f =>
+        (f * 100 until f * 100 + 100).map(samp).sum > 100L * 128L
+      }
+      var cur = 0L; var best = 0L; var nseg = 0L; var prev = false
+      v.foreach { x =>
+        if (x) { cur += 1; best = math.max(best, cur) } else cur = 0
+        if (x && !prev) nseg += 1
+        prev = x
+      }
+      assert(r.getAs[Long]("n_frames") == frames.toLong, s"doc $id frames")
+      assert(r.getAs[Long]("n_voiced") == v.count(identity).toLong,
+        s"doc $id voiced")
+      assert(r.getAs[Long]("n_segments") == nseg, s"doc $id segments")
+      assert(r.getAs[Long]("longest_run") == best, s"doc $id run")
+      if (best >= 2) sawRunGe2 = true
+      if (v.exists(!_)) sawUnvoiced = true
+    }
+    // the island merge must be genuinely exercised, not decorative
+    assert(sawRunGe2, "no doc produced a multi-frame voiced run")
+    assert(sawUnvoiced)
+  }
 }
