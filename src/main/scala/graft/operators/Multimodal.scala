@@ -437,6 +437,53 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Frames in the planted VIDEO for `docId`: 4..8. */
+  def plantedFrameCount(docId: Long): Int = (4 + (3 * docId + 1) % 5).toInt
+
+  /** Pixel-function shift of frame `f`: +1 per within-shot step, +128
+    * at a planted cut (cut before frame f ⟺ (id + f) ≡ 0 mod 3) — a
+    * +1 global shift barely moves the 8×8 block phash (bits compare
+    * block sums to the global mean, and both shift together except at
+    * mod-256 wrap pixels: measured hamming ≤ 3), while a +128 shift
+    * wraps half the pixels and scrambles it (measured hamming ≥ 45),
+    * so threshold 16 separates EXACTLY — planted cuts are ground
+    * truth, detection is provable, not heuristic.
+    */
+  def plantedFrameShift(docId: Long, f: Int): Long = {
+    var s = 0L
+    var g = 1
+    while (g <= f) { s += (if ((docId + g) % 3 == 0) 128L else 1L); g += 1 }
+    s
+  }
+
+  /** Frame `f` of the planted video: a REAL 32×32 24-bit BMP with
+    * pixel (x,y) = (3x + 5y + id + shift(f)) mod 256 — same honesty
+    * contract as [[plantedBmp]] (real container, closed-form pixels).
+    */
+  def plantedFrameBmp(docId: Long, f: Int): Array[Byte] = {
+    val s = plantedFrameShift(docId, f)
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val v = ((3L * x + 5L * y + docId + s) % 256L).toByte
+        val off = (y * 32 + x) * 3
+        buf(off) = v
+        buf(off + 1) = v
+        buf(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
   /** #285 image resize over a REAL codec: the one multimodal leg where
     * the decode is NOT a stub. Each doc carries a planted deterministic
     * 24-bit BMP; the operator decodes it with JDK `ImageIO` (a real

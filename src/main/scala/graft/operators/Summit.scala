@@ -577,41 +577,61 @@ object Summit {
   }
 
   // --------------------------------------------------------------- #267
-  /** #267 shot-boundary detection for media payloads: the #51 frame
-    * chunking composed with the #140 perceptual hash — each 32-byte
-    * frame gets a phash64 signature, consecutive frames within an
-    * asset compare by hamming distance, and a distance > 16 bits
-    * marks a cut. Emits per asset: frame count, shot count, max
-    * inter-frame hamming, mean shot length. The video-curation
-    * pre-step before #51's keyframe sampling (sample per SHOT, not
-    * per fixed stride).
+  /** #267 shot-boundary detection — SEVENTH real-codec leg
+    * (pixels-true, the follow-up the #272 VAD upgrade promised): each
+    * asset is a planted VIDEO of 4..8 REAL 32×32 BMP frames
+    * (`Multimodal.plantedFrameBmp`); every frame is decoded with JDK
+    * `ImageIO` and perceptually hashed over its TRUE pixels (the #290
+    * 8×8 block-mean phash), consecutive frames compare by hamming
+    * distance, and a distance > 16 bits marks a cut. Emits per asset:
+    * frame count, shot count, max inter-frame hamming, mean shot
+    * length — the video-curation pre-step before #51's keyframe
+    * sampling (sample per SHOT, not per fixed stride).
     *
-    * STUB CODEC (declared, same as the rest of the multimodal family):
-    * frames are byte slices of the text stand-in payload and the
-    * signature is the byte-sampling phash64 — a real deployment
-    * decodes frames and phashes pixels; the Spark shape (map-side
-    * slicing + signature, per-asset lag window over 8-byte sigs,
-    * payload bytes never shuffle) is the real thing. ASCII contract
-    * as #140: phash64 samples BYTES, the oracle samples CHARACTERS —
-    * identical on ASCII payloads.
+    * Planted ground truth makes detection PROVABLE: within-shot
+    * frames advance the pixel function by +1 (measured hamming ≤ 3 —
+    * block sums and the global mean shift together except at mod-256
+    * wrap pixels), cuts jump it by +128 (half the pixels wrap;
+    * measured hamming ≥ 45), so threshold 16 recovers the planted
+    * cuts EXACTLY. The oracle recomputes phash bits from the
+    * closed-form pixel function — a green hash proves the
+    * encode→ImageIO-decode→phash path pixels-true on every frame, and
+    * the spec asserts detected cuts == planted cuts per doc.
     *
-    * Scale: frames explode map-side and project to (doc_id, fi, sig)
-    * BEFORE the per-asset window shuffles — only 8-byte signatures
-    * move; the window partitions by asset (scales by width).
+    * Scale: frames decode map-side in mapPartitions (payload bytes
+    * never shuffle) and project to (doc_id, fi, sig) BEFORE the
+    * per-asset window — only 8-byte signatures move; the window
+    * partitions by the high-cardinality asset id.
     */
   def mmShotBoundaries(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.Hashes.register(spark)
-    val frames = Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      // n > 0 guard: Spark's sequence(0, -1) yields a DESCENDING
-      // [0, -1] (two phantom frames) where the oracle's range(0, 0)
-      // yields none — empty docs must emit zero frames on both engines
-      .where(col("n") > 0)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0, greatest((n + 31) div 32 - 1, 0))"))
-          .as("fi"))
-      .select(col("doc_id"), col("fi"),
-        expr("phash64(substring(text, fi * 32 + 1, 32))").as("sig"))
+    import spark.implicits._
+    val ids = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    val frames = ids.mapPartitions(_.flatMap { id =>
+      (0 until Multimodal.plantedFrameCount(id)).iterator.map { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(
+            Multimodal.plantedFrameBmp(id, f)))
+        val px = img.getRaster.getSamples(0, 0, 32, 32,
+          0, new Array[Int](32 * 32))
+        val sums = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < 1024) {
+          val v = px(i).toLong
+          sums(((i / 32) / 4) * 8 + (i % 32) / 4) += v
+          total += v
+          i += 1
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b) * 64 > total) sig |= 1L << b
+          b += 1
+        }
+        (id, f.toLong, sig)
+      }
+    }).toDF("doc_id", "fi", "sig")
     val wd = Window.partitionBy("doc_id").orderBy("fi")
     frames
       .withColumn("prev", lag("sig", 1).over(wd))
@@ -627,33 +647,43 @@ object Summit {
       .orderBy("doc_id")
   }
 
+  /** Oracle recomputes every frame's phash bits from the closed-form
+    * pixel function (3x + 5y + id + shift(f)) mod 256 — never parses
+    * a byte (the #285/#317 proof shape, per FRAME here).
+    */
   val mmShotBoundariesSql: String =
-    s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
-       |f AS (
-       |  SELECT doc_id, unnest(range(0, (n + 31) // 32)) AS fi, text
-       |  FROM d),
-       |sl AS (
+    s"""WITH d AS (
+       |  SELECT doc_id, 4 + (3 * doc_id + 1) % 5 AS nf FROM documents),
+       |fr AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d),
+       |sh AS (
+       |  SELECT doc_id, fi, fi + 127 * COALESCE(list_sum(
+       |    list_transform(range(1, fi + 1),
+       |      g -> CASE WHEN (doc_id + g) % 3 = 0 THEN 1 ELSE 0 END)), 0)
+       |    AS s
+       |  FROM fr),
+       |pv AS (
        |  SELECT doc_id, fi,
-       |    substr(text, CAST(fi * 32 + 1 AS INT), 32) AS s
-       |  FROM f),
-       |t AS (
-       |  SELECT doc_id, fi,
-       |    list_transform(range(0, 64), i -> ascii(substr(s,
-       |      1 + CAST(FLOOR(i * len(s) / 64) AS INT), 1))) AS samples
-       |  FROM sl),
-       |bb AS (
-       |  SELECT doc_id, fi, list_transform(samples,
-       |    v -> CASE WHEN v * 64 > list_sum(samples) THEN 1 ELSE 0 END)
-       |    AS bits
-       |  FROM t),
+       |    ((i // 32) // 4) * 8 + (i % 32) // 4 AS blk,
+       |    (3 * (i % 32) + 5 * (i // 32) + doc_id + s) % 256 AS v
+       |  FROM (SELECT doc_id, fi, s, unnest(range(0, 1024)) AS i
+       |        FROM sh)),
+       |bs AS (
+       |  SELECT doc_id, fi, blk, SUM(v) AS bsum
+       |  FROM pv GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT doc_id, fi, SUM(v) AS total FROM pv GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT bs.doc_id, bs.fi, bs.blk,
+       |    CASE WHEN bs.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+       |  FROM bs JOIN tot t ON bs.doc_id = t.doc_id AND bs.fi = t.fi),
        |hm AS (
-       |  SELECT a.doc_id, a.fi,
-       |    CAST(list_sum(list_transform(range(1, 65),
-       |      i -> abs(a.bits[i] - b.bits[i]))) AS BIGINT) AS hamming
-       |  FROM bb a JOIN bb b ON a.doc_id = b.doc_id AND a.fi = b.fi + 1),
+       |  SELECT x.doc_id, x.fi,
+       |    CAST(SUM(ABS(x.bit - y.bit)) AS BIGINT) AS hamming
+       |  FROM bits x JOIN bits y ON x.doc_id = y.doc_id
+       |    AND x.fi = y.fi + 1 AND x.blk = y.blk
+       |  GROUP BY 1, 2),
        |per AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
-       |  FROM bb GROUP BY 1),
+       |  SELECT doc_id, CAST(nf AS BIGINT) AS n_frames FROM d),
        |hs AS (
        |  SELECT doc_id,
        |    CAST(COUNT(*) FILTER (WHERE hamming > 16) AS BIGINT) AS n_bound,

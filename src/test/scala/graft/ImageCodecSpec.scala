@@ -50,4 +50,41 @@ class ImageCodecSpec extends GraftSpec {
       assert(r.getAs[Long]("checksum") == sum % 65536L, s"doc $id")
     }
   }
+
+  test("mm_shot_boundaries (#267, pixels-true): detected cuts equal " +
+      "the PLANTED cuts exactly, and hammings match a closed-form " +
+      "per-frame phash recompute") {
+    def framePhash(id: Long, f: Int): Array[Int] = {
+      val s = Multimodal.plantedFrameShift(id, f)
+      val bs = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (3L * x + 5L * y + id + s) % 256L
+        bs((y / 4) * 8 + x / 4) += v
+        tot += v
+      }
+      bs.map(b => if (b * 64 > tot) 1 else 0)
+    }
+    val out = graft.operators.Summit.mmShotBoundaries(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nf = Multimodal.plantedFrameCount(id)
+      val plantedCuts = (1 until nf).count(f => (id + f) % 3 == 0)
+      val hams = (1 until nf).map { f =>
+        framePhash(id, f).zip(framePhash(id, f - 1))
+          .count { case (a, b) => a != b }
+      }
+      assert(r.getAs[Long]("n_frames") == nf.toLong, s"doc $id frames")
+      // detection == planted ground truth (separation is total:
+      // within-shot <= 3, cuts >= 45 against the 16 threshold)
+      assert(r.getAs[Long]("n_shots") == plantedCuts + 1L,
+        s"doc $id shots")
+      assert(r.getAs[Long]("max_hamming") == hams.max.toLong,
+        s"doc $id hamming")
+      assert(hams.count(_ > 16) == plantedCuts, s"doc $id separation")
+    }
+    // the corpus plants real multi-shot videos
+    assert(out.exists(_.getAs[Long]("n_shots") >= 3L))
+  }
 }

@@ -86,10 +86,9 @@ class NullInputSpec extends AnyFunSuite {
     // fires); the label-scoped join and SQ8 quantization both see the
     // null embedding (null cosine ranks last, never crashes)
     "quality_rule_overlap", "ann_filtered", "ann_rerank",
-    // round-13: null text yields NO frames (sequence over a null
-    // length explodes to nothing) for the shot-boundary frames; the
-    // VAD leg is samples-true since round 19 and keys off doc_id only
-    // (a null-text row still plants and decodes its WAV); the null
+    // round-13: the shot-boundary and VAD legs are pixels/samples-true
+    // since round 19 and key off doc_id only (a null-text row still
+    // plants and decodes its frames/WAV); the null
     // embedding's null bucket joins out of the kNN graph and a
     // null-embedding query ranks its null cosines last; rule flags
     // evaluate null text to 0 for κ and the cascade pricing; null
