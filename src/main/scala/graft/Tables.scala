@@ -70,26 +70,77 @@ object Tables {
     cached
   }
 
-  /** Saturated-cluster profile dial: `spark.graft.clusterSaturated`
-    * (default false). The graph family's shared edge subplans measured
-    * FASTER recomputed in parallel than persisted on an idle box (the
-    * PLANS.md "Evaluated and rejected" A/Bs: persist 15-30% slower at
-    * 4-7 subtree refs, 1.6× slower even at kcore's 27 refs) — but that
-    * verdict inverts on a saturated cluster, where duplicate subtrees
-    * queue behind real work instead of filling idle cores and
-    * recompute costs genuine throughput. This helper is the promoted
-    * escape hatch: consulted at PLAN BUILD time, it persists the
-    * shared subplan into its bounded [[persistSlot]] when the profile
-    * says the cluster is busy, and leaves the plan untouched (the
-    * measured-faster idle shape) otherwise. Both settings are
-    * oracle-identical (GraphSaturatedSpec pins it); AuxBench carries
-    * the A/B numbers for each.
+  /** Exact row count of `<dir>/<name>.parquet` read from parquet
+    * FOOTER metadata only (block row counts — the same bytes a scan's
+    * planning already lists), memoized per path. Used by the
+    * [[saturatedSlot]] auto profile to size-gate plan shape without
+    * paying a data scan: footers are metadata-plane at any volume.
     */
-  def saturatedSlot(slot: String, df: DataFrame): DataFrame =
-    if (df.sparkSession.conf
-        .get("spark.graft.clusterSaturated", "false").toBoolean)
-      persistSlot(slot, df)
-    else df
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def parquetRowCount(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val cached = rowCountCache.get(path)
+    if (cached != null) return cached.longValue()
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    var total = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try total += reader.getFooter.getBlocks.asScala
+          .map(_.getRowCount).sum
+        finally reader.close()
+      }
+    }
+    rowCountCache.put(path, java.lang.Long.valueOf(total))
+    total
+  }
+
+  /** Saturated-cluster profile dial: `spark.graft.clusterSaturated`
+    * (`true` | `false` | `auto`, default auto). The graph family's
+    * shared edge subplans measured FASTER recomputed in parallel than
+    * persisted on an idle box (the PLANS.md "Evaluated and rejected"
+    * A/Bs: persist 15-30% slower at 4-7 subtree refs, 1.6× slower even
+    * at kcore's 27 refs) — but that verdict inverts under volume
+    * pressure, where duplicate subtrees queue behind real work instead
+    * of filling idle cores and recompute costs genuine throughput
+    * (measured at the 100× replica: rich-club wall 63.3→45.4 s,
+    * graph_hits spill 60→39 GB with the persist ON). This helper is
+    * consulted at PLAN BUILD time: it persists the shared subplan into
+    * its bounded [[persistSlot]] when the profile says so, and leaves
+    * the plan untouched (the measured-faster idle shape) otherwise.
+    *
+    * AUTO (the default since round 19): explicit `true`/`false` is
+    * honored; otherwise the dial flips on the MEASURED fact-table
+    * volume — persist engages when lineitem's footer-metadata row
+    * count crosses `spark.graft.saturatedAutoRows` (default 2·10⁷,
+    * between the 10× replica ~6M rows where interleaved A/Bs showed
+    * recompute winning/washing and the 100× ~60M rows where persist
+    * measurably won) — so the 100× win engages without operator
+    * action while bench-scale plans keep the idle shape. Every
+    * profile is result-identical (GraphSaturatedSpec pins it);
+    * AuxBench carries the per-side A/B numbers.
+    */
+  def saturatedSlot(slot: String, df: DataFrame, dir: String): DataFrame = {
+    val conf = df.sparkSession.conf
+    val saturated = conf.get("spark.graft.clusterSaturated", "auto") match {
+      case "true" => true
+      case "false" => false
+      case _ =>
+        val threshold = conf.get("spark.graft.saturatedAutoRows",
+          (20L * 1000 * 1000).toString).toLong
+        parquetRowCount(df.sparkSession, dir, "lineitem") >= threshold
+    }
+    if (saturated) persistSlot(slot, df) else df
+  }
 
   /** Size-gated broadcast hint for attach-side tables that GROW WITH THE
     * CORPUS (per-doc gram arrays, full doc text, global vocabularies).

@@ -530,7 +530,8 @@ object Curation {
     // recompute it in parallel (measured 1.6× faster — PLANS.md)
     Tables.saturatedSlot("graph_kcore_edges",
       und.select(col("pa").as("src"), col("pb").as("dst"))
-        .union(und.select(col("pb").as("src"), col("pa").as("dst"))))
+        .union(und.select(col("pb").as("src"), col("pa").as("dst"))),
+      dir)
   }
 
   private def graphKcoreOn(edges: DataFrame, k: Int,

@@ -46,7 +46,7 @@ object Graph {
     // persist-free on an idle box (measured faster — PLANS.md), persisted
     // under the spark.graft.clusterSaturated profile (see Tables doc)
     Tables.saturatedSlot("graph.sharedEdges",
-      undirected(spark, dir, minSupport = 2))
+      undirected(spark, dir, minSupport = 2), dir)
 
   private def undirected(spark: SparkSession, dir: String,
       minSupport: Long): DataFrame = {

@@ -943,7 +943,7 @@ object Zenith {
     val e = Tables.saturatedSlot("graph.hitsEdges",
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-        .distinct())
+        .distinct(), dir)
     val a1 = e.groupBy("p").agg(count(lit(1)).as("n_buyers"))
     val h1 = e.join(a1, "p").groupBy("u").agg(sum("n_buyers").as("h1"))
     val a2 = e.join(h1, "u").groupBy("p")

@@ -28,4 +28,42 @@ class GraphSaturatedSpec extends GraftSpec {
       assert(idle.nonEmpty)
       assert(idle == sat)
     }
+
+  test("auto profile (the round-19 default) resolves from MEASURED " +
+      "fact volume and stays result-identical on both sides of the " +
+      "threshold") {
+    val q = SparkEntry.queries("graph_pagerank")
+    spark.conf.set("spark.graft.clusterSaturated", "false")
+    val idle = q(spark, sf).collect().map(_.toString).sorted.toSeq
+    try {
+      val rows = Tables.parquetRowCount(spark, sf, "lineitem")
+      assert(rows > 0L, "footer row count must be readable")
+      spark.conf.set("spark.graft.clusterSaturated", "auto")
+      // side 1: threshold above the measured volume → idle shape
+      // (nothing persisted)
+      spark.conf.set("spark.graft.saturatedAutoRows",
+        (rows + 1L).toString)
+      spark.catalog.clearCache()
+      assert(q(spark, sf).collect().map(_.toString).sorted.toSeq == idle)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "idle side of the auto dial must not persist")
+      // side 2: threshold at/below the measured volume → persist
+      // engages WITHOUT operator action, rows stay identical
+      spark.conf.set("spark.graft.saturatedAutoRows", rows.toString)
+      assert(q(spark, sf).collect().map(_.toString).sorted.toSeq == idle)
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "saturated side of the auto dial must persist the edge subplan")
+    } finally {
+      spark.conf.set("spark.graft.clusterSaturated", "false")
+      spark.conf.unset("spark.graft.saturatedAutoRows")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("parquetRowCount reads exact counts from footers alone and " +
+      "memoizes") {
+    val exact = Tables(spark, sf, "lineitem").count()
+    assert(Tables.parquetRowCount(spark, sf, "lineitem") == exact)
+    assert(Tables.parquetRowCount(spark, sf, "lineitem") == exact)
+  }
 }
