@@ -326,16 +326,199 @@ object Aegis {
                     "CAST(n_dirty AS DOUBLE)")} END AS block_recall
        |FROM nd, nc, res, br""".stripMargin
 
+  // --------------------------------------------------------------- #321
+  /** #321 entity-resolution clusters + golden-record survivorship —
+    * the multi-source graduate of #319: TWO dirty re-registration
+    * feeds (feed A = #319's perturbations at +10¹², feed B = a second
+    * registration wave at +2·10¹² with its own deterministic
+    * perturbations: name truncated for key%8, nation +2 for key%13,
+    * balance +75¢ for key%11) each link to the customer master
+    * through the same blocking + scoring; accepted links form
+    * identity CLUSTERS (connected components — every accepted link
+    * touches its master record, so the component label is the master
+    * key, the #41/#152 min-label device degenerated to one hop by
+    * construction), and customers in BOTH feeds (key%12) collapse
+    * transitively into one 3-member cluster. Per cluster a GOLDEN
+    * record survives by per-field policy: name = most COMPLETE
+    * (longest, tie → lexicographic min — truncated re-registrations
+    * lose), nation and balance = MAJORITY vote with ties broken by
+    * min (the master recovers a 1-1 balance tie because bumps are
+    * positive; a nation tie can mispick when the shifted value wraps
+    * below — deliberately kept, because that is what majority-vote
+    * survivorship really does, and the emitted *_correct flags
+    * measure it against the planted truth exactly).
+    *
+    * Scale: the blocked join is #319's high-cardinality shape; the
+    * member table is link-sized; golden selection is three
+    * cluster-partitioned windows over ≤3-member groups. Everything
+    * emitted is integers/strings/booleans — bit-exact cross-engine.
+    */
+  def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val clean = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)").as("bal"))
+    def feed(modK: Int, idBase: Long, src: String, truncK: Int,
+        natK: Int, natShift: Int, balK: Int, balBump: Long) =
+      clean.where(col("ck") % modK === 0)
+        .select((col("ck") + lit(idBase)).as("did"),
+          col("ck").as("truth"), lit(src).as("src"),
+          when(col("ck") % truncK === 0,
+            expr("substring(nm, 1, length(nm) - 1)")).otherwise(col("nm"))
+            .as("dnm"),
+          when(col("ck") % natK === 0, (col("nat") + natShift) % 25)
+            .otherwise(col("nat")).as("dnat"),
+          col("seg").as("dseg"),
+          (col("bal") + when(col("ck") % balK === 0, balBump)
+            .otherwise(0L)).as("dbal"))
+    val feeds = feed(3, 1000000000000L, "feedA", 2, 5, 1, 7, 100L)
+      .unionByName(feed(4, 2000000000000L, "feedB", 8, 13, 2, 11, 75L))
+    val cand = feeds.join(clean,
+      col("dseg") === col("seg") &&
+        expr("substring(dnm, 13, 5)") === expr("substring(nm, 13, 5)"))
+    val wd = Window.partitionBy("did")
+      .orderBy(desc("score"), col("ck"))
+    val resolved = cand.select(col("did"), col("truth"), col("src"),
+        col("ck"), col("dnm"), col("dnat"), col("dbal"),
+        (when(expr("levenshtein(dnm, nm)") <= 1, 2L).otherwise(0L) +
+          when(abs(col("dbal") - col("bal")) <= 100L, 1L).otherwise(0L) +
+          when(col("dnat") === col("nat"), 1L).otherwise(0L)).as("score"))
+      .withColumn("rn", row_number().over(wd))
+      .where(col("rn") === 1 && col("score") >= 3L)
+    val members = resolved
+      .select(col("ck").as("cluster"), col("src"), col("dnm").as("name"),
+        col("dnat").as("nation"), col("dbal").as("balc"), col("truth"))
+      .unionByName(
+        clean.join(resolved.select(col("ck").as("cluster")).distinct(),
+            col("ck") === col("cluster"))
+          .select(col("cluster"), lit("master").as("src"),
+            col("nm").as("name"), col("nat").as("nation"),
+            col("bal").as("balc"), col("ck").as("truth")))
+    val goldenName = members
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(length(col("name")).desc, col("name"))))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("name").as("golden_name"))
+    def modal(field: String, out: String) = members
+      .groupBy(col("cluster"), col(field))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster")
+          .orderBy(desc("cnt"), col(field))))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col(field).as(out))
+    val stats = members.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct("src").as("n_sources"),
+        sum(when(col("truth") === col("cluster"), 1L).otherwise(0L))
+          .as("n_correct"))
+    stats
+      .join(goldenName, "cluster")
+      .join(modal("nation", "golden_nation"), "cluster")
+      .join(modal("balc", "golden_bal_cents"), "cluster")
+      .join(clean.select(col("ck").as("cluster"), col("nm").as("tnm"),
+        col("nat").as("tnat"), col("bal").as("tbal")), "cluster")
+      .select(col("cluster").as("cluster_ck"), col("n_members"),
+        col("n_sources"), col("n_correct"), col("golden_name"),
+        col("golden_nation"), col("golden_bal_cents"),
+        (col("golden_name") === col("tnm")).as("name_correct"),
+        (col("golden_nation") === col("tnat")).as("nation_correct"),
+        (col("golden_bal_cents") === col("tbal")).as("bal_correct"))
+      .orderBy("cluster_ck")
+  }
+
+  val erGoldenRecordSql: String =
+    """WITH clean AS (
+      |  SELECT c_custkey AS ck, c_name AS nm,
+      |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+      |    CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+      |  FROM customer),
+      |feeds AS (
+      |  SELECT ck + 1000000000000 AS did, ck AS truth, 'feedA' AS src,
+      |    CASE WHEN ck % 2 = 0 THEN substr(nm, 1, length(nm) - 1)
+      |      ELSE nm END AS dnm,
+      |    CASE WHEN ck % 5 = 0 THEN (nat + 1) % 25 ELSE nat END AS dnat,
+      |    seg AS dseg,
+      |    bal + CASE WHEN ck % 7 = 0 THEN 100 ELSE 0 END AS dbal
+      |  FROM clean WHERE ck % 3 = 0
+      |  UNION ALL
+      |  SELECT ck + 2000000000000, ck, 'feedB',
+      |    CASE WHEN ck % 8 = 0 THEN substr(nm, 1, length(nm) - 1)
+      |      ELSE nm END,
+      |    CASE WHEN ck % 13 = 0 THEN (nat + 2) % 25 ELSE nat END,
+      |    seg,
+      |    bal + CASE WHEN ck % 11 = 0 THEN 75 ELSE 0 END
+      |  FROM clean WHERE ck % 4 = 0),
+      |resolved AS (
+      |  SELECT did, truth, src, ck, dnm, dnat, dbal FROM (
+      |    SELECT f.did, f.truth, f.src, c.ck, f.dnm, f.dnat, f.dbal,
+      |      CASE WHEN levenshtein(f.dnm, c.nm) <= 1 THEN 2 ELSE 0 END
+      |        + CASE WHEN ABS(f.dbal - c.bal) <= 100 THEN 1 ELSE 0 END
+      |        + CASE WHEN f.dnat = c.nat THEN 1 ELSE 0 END AS score,
+      |      ROW_NUMBER() OVER (PARTITION BY f.did ORDER BY
+      |        CASE WHEN levenshtein(f.dnm, c.nm) <= 1 THEN 2 ELSE 0 END
+      |        + CASE WHEN ABS(f.dbal - c.bal) <= 100 THEN 1 ELSE 0 END
+      |        + CASE WHEN f.dnat = c.nat THEN 1 ELSE 0 END DESC,
+      |        c.ck) AS rn
+      |    FROM feeds f JOIN clean c ON f.dseg = c.seg
+      |      AND substr(f.dnm, 13, 5) = substr(c.nm, 13, 5))
+      |  WHERE rn = 1 AND score >= 3),
+      |members AS (
+      |  SELECT ck AS cluster, src, dnm AS name, dnat AS nation,
+      |    dbal AS balc, truth
+      |  FROM resolved
+      |  UNION ALL
+      |  SELECT c.ck, 'master', c.nm, c.nat, c.bal, c.ck
+      |  FROM clean c JOIN (SELECT DISTINCT ck FROM resolved) r
+      |    ON c.ck = r.ck),
+      |gname AS (
+      |  SELECT cluster, name AS golden_name FROM (
+      |    SELECT cluster, name, ROW_NUMBER() OVER (PARTITION BY cluster
+      |      ORDER BY length(name) DESC, name) AS rn
+      |    FROM members) WHERE rn = 1),
+      |gnat AS (
+      |  SELECT cluster, nation AS golden_nation FROM (
+      |    SELECT cluster, nation, ROW_NUMBER() OVER (PARTITION BY
+      |      cluster ORDER BY COUNT(*) DESC, nation) AS rn
+      |    FROM members GROUP BY cluster, nation) WHERE rn = 1),
+      |gbal AS (
+      |  SELECT cluster, balc AS golden_bal_cents FROM (
+      |    SELECT cluster, balc, ROW_NUMBER() OVER (PARTITION BY
+      |      cluster ORDER BY COUNT(*) DESC, balc) AS rn
+      |    FROM members GROUP BY cluster, balc) WHERE rn = 1),
+      |stats AS (
+      |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+      |    CAST(COUNT(*) FILTER (WHERE truth = cluster) AS BIGINT)
+      |      AS n_correct
+      |  FROM members GROUP BY cluster)
+      |SELECT s.cluster AS cluster_ck, s.n_members, s.n_sources,
+      |  s.n_correct, gname.golden_name, gnat.golden_nation,
+      |  gbal.golden_bal_cents,
+      |  gname.golden_name = c.nm AS name_correct,
+      |  gnat.golden_nation = c.nat AS nation_correct,
+      |  gbal.golden_bal_cents = c.bal AS bal_correct
+      |FROM stats s
+      |  JOIN gname ON s.cluster = gname.cluster
+      |  JOIN gnat ON s.cluster = gnat.cluster
+      |  JOIN gbal ON s.cluster = gbal.cluster
+      |  JOIN clean c ON s.cluster = c.ck
+      |ORDER BY cluster_ck""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "sample_neyman" -> (sampleNeyman _),
-    "er_fuzzy_link" -> (erFuzzyLink _))
+    "er_fuzzy_link" -> (erFuzzyLink _),
+    "er_golden_record" -> (erGoldenRecord _))
 
   val oracles: Map[String, String] = Map(
     "privacy_k_anonymity" -> privacyKAnonymitySql,
     "privacy_l_diversity" -> privacyLDiversitySql,
     "sample_neyman" -> sampleNeymanSql,
-    "er_fuzzy_link" -> erFuzzyLinkSql)
+    "er_fuzzy_link" -> erFuzzyLinkSql,
+    "er_golden_record" -> erGoldenRecordSql)
 }

@@ -163,4 +163,97 @@ class AegisSpec extends GraftSpec {
     }
     assert(math.abs(shareSum - 1.0) < 1e-3)
   }
+
+  test("er_golden_record: clusters and per-field survivorship match a " +
+      "full brute-force resolution; multi-source collapse and planted " +
+      "survivorship behavior are genuinely present") {
+    case class C(ck: Long, nm: String, nat: Long, seg: String, bal: Long)
+    val master = Tables(spark, sf, "customer").collect().map { r =>
+      C(r.getAs[Number]("c_custkey").longValue(),
+        r.getAs[String]("c_name"),
+        r.getAs[Number]("c_nationkey").longValue(),
+        r.getAs[String]("c_mktsegment"),
+        math.floor(r.getAs[Number]("c_acctbal").doubleValue() * 100.0
+          + 0.5).toLong)
+    }.toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // the two planted feeds
+    case class F(truth: Long, src: String, nm: String, nat: Long,
+        seg: String, bal: Long)
+    val feeds =
+      master.filter(_.ck % 3 == 0).map { c =>
+        F(c.ck, "feedA",
+          if (c.ck % 2 == 0) c.nm.dropRight(1) else c.nm,
+          if (c.ck % 5 == 0) (c.nat + 1) % 25 else c.nat,
+          c.seg, c.bal + (if (c.ck % 7 == 0) 100L else 0L))
+      } ++ master.filter(_.ck % 4 == 0).map { c =>
+        F(c.ck, "feedB",
+          if (c.ck % 8 == 0) c.nm.dropRight(1) else c.nm,
+          if (c.ck % 13 == 0) (c.nat + 2) % 25 else c.nat,
+          c.seg, c.bal + (if (c.ck % 11 == 0) 75L else 0L))
+      }
+    // brute-force best-candidate resolution over the SAME block (the
+    // #319 spec device: the independent check re-derives blocking and
+    // scoring from raw rows, no Spark)
+    val resolved = feeds.flatMap { f =>
+      val scored = master
+        .filter(c => c.seg == f.seg && c.nm.slice(12, 17) ==
+          f.nm.slice(12, 17))
+        .map { c =>
+        val s = (if (lev(f.nm, c.nm) <= 1) 2 else 0) +
+          (if (math.abs(f.bal - c.bal) <= 100) 1 else 0) +
+          (if (f.nat == c.nat) 1 else 0)
+        (c.ck, s)
+      }.filter(_._2 >= 3)
+      if (scored.isEmpty) None
+      else Some((f, scored.minBy { case (ck, s) => (-s, ck) }._1))
+    }
+    val byCluster = resolved.groupBy(_._2)
+    val out = Aegis.erGoldenRecord(spark, sf).collect()
+    assert(out.length == byCluster.size)
+    var saw3Sources = false
+    var sawNationMiss = false
+    out.foreach { r =>
+      val ck = r.getAs[Long]("cluster_ck")
+      val links = byCluster.getOrElse(ck,
+        fail(s"cluster $ck not in brute force"))
+      val c = master.find(_.ck == ck).get
+      val names = links.map(_._1.nm) :+ c.nm
+      val nats = links.map(_._1.nat) :+ c.nat
+      val bals = links.map(_._1.bal) :+ c.bal
+      assert(r.getAs[Long]("n_members") == links.size + 1L)
+      assert(r.getAs[Long]("n_sources") ==
+        (links.map(_._1.src).toSet + "master").size.toLong)
+      assert(r.getAs[Long]("n_correct") ==
+        links.count(_._1.truth == ck) + 1L)
+      // survivorship: name = longest/min-tie, nation/bal = modal/min-tie
+      assert(r.getAs[String]("golden_name") ==
+        names.minBy(n => (-n.length, n)))
+      def modal(vs: Seq[Long]): Long =
+        vs.groupBy(identity).toSeq
+          .minBy { case (v, g) => (-g.size, v) }._1
+      assert(r.getAs[Long]("golden_nation") == modal(nats), s"c $ck nat")
+      assert(r.getAs[Long]("golden_bal_cents") == modal(bals))
+      assert(r.getAs[Boolean]("name_correct") ==
+        (r.getAs[String]("golden_name") == c.nm))
+      if (r.getAs[Long]("n_sources") == 3L) saw3Sources = true
+      if (!r.getAs[Boolean]("nation_correct")) sawNationMiss = true
+      // balance survivorship always recovers truth: bumps are positive
+      // so a 1-1 tie breaks to the master's (minimum) value
+      assert(r.getAs[Boolean]("bal_correct") ||
+        bals.distinct.size > 2)
+    }
+    assert(saw3Sources, "no multi-source transitive collapse present")
+    assert(sawNationMiss,
+      "expected at least one nation tie-mispick (the measured cost " +
+        "of min-tie majority survivorship)")
+  }
 }

@@ -210,7 +210,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_ols_2var",       // singular normal equations, null betas
     "er_fuzzy_link",        // linkage of an empty feed
     // round-19 additions (#320+)
-    "layout_footer_audit")  // footer stats of a zero-file write
+    "layout_footer_audit",  // footer stats of a zero-file write
+    "er_golden_record")     // clusters from an empty master + feeds
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
