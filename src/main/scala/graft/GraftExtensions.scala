@@ -68,6 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case d: java.lang.Double => d.doubleValue()
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
       }).toAggregateExpression())
+    inject("bottomk_sample", es => graft.functions.SampleSketch(
+      es(0), es(1), es(2),
+      es(3).eval(null).asInstanceOf[Int]).toAggregateExpression())
 
     ext.injectPostHocResolutionRule(BroadcastDimTables)
     ext.injectOptimizerRule(ApproxDistinctRewrite)

@@ -39,6 +39,7 @@ object SparkEntry {
     operators.Keystone.queries,
     operators.Lattice.queries,
     operators.Aegis.queries,
+    operators.Forge.queries,
   )
 
   private def oracleModules = Seq(
@@ -70,6 +71,7 @@ object SparkEntry {
     operators.Keystone.oracles,
     operators.Lattice.oracles,
     operators.Aegis.oracles,
+    operators.Forge.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -211,7 +211,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "er_fuzzy_link",        // linkage of an empty feed
     // round-19 additions (#320+)
     "layout_footer_audit",  // footer stats of a zero-file write
-    "er_golden_record")     // clusters from an empty master + feeds
+    "er_golden_record",     // clusters from an empty master + feeds
+    "sample_bottomk")       // bottom-k sketch of no events
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -615,6 +615,62 @@ class StreamingSpec extends GraftSpec {
       assert(merged.getAs[Long]("kth_hv") == direct.getAs[Long]("kth_hv"))
   }
 
+  test("streaming bottom-k sample (#322 streamed): per-batch bottom-k " +
+      "partials merged on read == the batch SampleSketch exemplars, " +
+      "idempotent under a replayed batch (the KMV lattice emitting " +
+      "sample ROWS)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val k = 32
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_bk_part").toString
+    val stream = MemoryStream[Ev]
+    // Each micro-batch appends ITS OWN per-type bottom-k rows
+    // (bounded state: <= k rows per type per batch). Merge-on-read
+    // takes the bottom-k of the union per type — k-min(A ∪ B) =
+    // k-min(k-min(A) ∪ k-min(B)), and the SET of (h, id) keys makes a
+    // replayed batch rewrite identical rows, never new ones.
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h", "event_id")
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("event_type"), col("event_id"),
+            expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+          .withColumn("h",
+            conv(substring(md5(col("event_id").cast("string")), 1, 15),
+              16, 10).cast("long"))
+          .withColumn("rn", row_number().over(wk))
+          .where(col("rn") <= k)
+          .drop("rn")
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    val (b1, rest) = events.splitAt(events.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val merged = spark.read.parquet(partDir)
+      .distinct() // a replayed batch rewrote identical rows
+      .withColumn("rn", row_number().over(wk))
+      .where(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("sample_n"), sum("c").as("sample_sum_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRef = operators.Forge.sampleBottomk(spark, sf)
+      .select("event_type", "sample_n", "sample_sum_cents")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == batchRef,
+      "streamed merge-on-read sample diverged from the batch sketch")
+  }
+
   test("streaming key-skew audit: per-batch additive key-count partials " +
       "keyed by a content-derived batch tag merged on read == batch " +
       "per-key counts, idempotent under a replayed batch (#262 streamed)") {
