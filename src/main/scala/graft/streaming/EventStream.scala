@@ -32,6 +32,13 @@ object EventStream {
   final case class Chg(seq: Long, key: Long, op: String, status: String,
       price: Double)
 
+  /** Catalog change record for the CompactionLoop streamed-maintenance
+    * proof (document-shaped, the CatalogCompaction contract).
+    */
+  final case class CatRec(doc_id: Long, path: String, n_chars: Long,
+      processing_level: String, generated_by: String, op: String,
+      seq: Long)
+
   /** Merge-on-read over an append-only CDC log: collapse exact
     * redeliveries (distinct on the full record — at-least-once
     * delivery becomes exactly-once state), keep the latest seq per

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.EventStream
-import graft.streaming.EventStream.{Chg, Doc, Ev, Session}
+import graft.streaming.{CompactionLoop, EventStream}
+import graft.streaming.EventStream.{CatRec, Chg, Doc, Ev, Session}
 
 /** SURVEY.md §2 #40: streaming/batch equivalence. The same event set fed
   * through the Structured Streaming operators must produce exactly the
@@ -1055,5 +1055,95 @@ class StreamingSpec extends GraftSpec {
       .where(col("type_a") === "click" && col("type_b") === "error")
       .head()
     assert(batchRow.getAs[Double]("t_stat") == expected)
+  }
+
+  test("streaming compaction trigger (family #16): the foreachBatch " +
+      "maintenance loop compacts mid-stream when the pending log " +
+      "crosses the threshold; the merge-on-read view is equivalent at " +
+      "every point, and a replayed already-folded batch cannot regress " +
+      "it (the watermark is the exactly-once boundary)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cloop").toString
+    val baseRows = (0L until 60L).map { i =>
+      (i, s"src${i % 4}/f$i.txt", 100L + i, (i % 3 + 1).toString, "jobA")
+    }
+    graft.sources.CatalogIO.writeCatalog(
+      baseRows.toDF("doc_id", "path", "n_chars", "processing_level",
+        "generated_by"),
+      s"$dir/base")
+
+    def rec(seq: Long, id: Long, chars: Long, lvl: String, op: String) =
+      CatRec(id, s"src${id % 4}/f$id.txt", chars, lvl, "jobB", op, seq)
+    val b1 = Seq(rec(1, 3, 999, "1", "upsert"), rec(2, 6, 106, "3", "upsert"),
+      rec(3, 9, 109, "1", "delete"), rec(4, 12, 212, "1", "upsert"),
+      rec(5, 3, 103, "1", "upsert")) // supersedes seq 1
+    val b2 = Seq(rec(6, 100, 200, "2", "upsert"), rec(7, 15, 215, "2", "upsert"),
+      rec(8, 18, 218, "3", "upsert"), rec(9, 21, 221, "1", "delete"),
+      rec(10, 12, 312, "2", "upsert")) // moves 12, supersedes seq 4
+    val b3 = Seq(rec(11, 24, 324, "1", "upsert"), rec(12, 3, 403, "1", "upsert"),
+      rec(13, 27, 327, "2", "delete"))
+
+    // reference: exactly-once fold of every DISTINCT delivered record
+    val applied = scala.collection.mutable.Set[Long]() // seqs seen
+    val delivered = scala.collection.mutable.ArrayBuffer[CatRec]()
+    def refState(): Set[(Long, String, Long, String, String)] = {
+      val st = scala.collection.mutable.Map[Long,
+        (String, Long, String, String)]()
+      baseRows.foreach { case (id, p, n, l, g) => st(id) = (p, n, l, g) }
+      delivered.distinct.sortBy(_.seq).foreach { c =>
+        if (c.op == "delete") st.remove(c.doc_id)
+        else st(c.doc_id) =
+          (c.path, c.n_chars, c.processing_level, c.generated_by)
+      }
+      st.map { case (id, (p, n, l, g)) => (id, p, n, l, g) }.toSet
+    }
+    def viewState(): Set[(Long, String, Long, String, String)] =
+      CompactionLoop.view(spark, dir).select(col("doc_id"), col("path"),
+          col("n_chars"), col("processing_level").cast("string"),
+          col("generated_by"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSet
+
+    var compactions = 0
+    val stream = MemoryStream[CatRec]
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (CompactionLoop.onBatch(spark, dir,
+            batch.select("doc_id", "path", "n_chars", "processing_level",
+              "generated_by", "op", "seq"),
+            threshold = 8L)) compactions += 1
+        ()
+      }
+      .start()
+    // b1 (5 pending < 8: no compact), b2 (10 >= 8: COMPACT, wm=10),
+    // b1 REPLAYED (all seqs <= wm filter out: no change, no compact),
+    // b3 (3 pending < 8: no compact — served merge-on-read)
+    val plan = Seq(b1, b2, b1, b3)
+    plan.foreach { b =>
+      stream.addData(b)
+      q.processAllAvailable()
+      delivered ++= b
+      assert(viewState() == refState(),
+        "merge-on-read view diverged from the exactly-once fold")
+    }
+    q.stop()
+    assert(compactions == 1, s"expected one mid-stream compaction")
+    assert(CompactionLoop.watermark(spark, dir) == 10L)
+    // the base itself holds the fold through the watermark: pending
+    // after the run is exactly b3
+    val pendingSeqs = CompactionLoop.pendingLog(spark, dir)
+      .select("seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pendingSeqs == Seq(11L, 12L, 13L))
+    // and the replayed b1 rows are IN the log dir but outside the view
+    val logSeqs = spark.read.parquet(s"$dir/log")
+      .groupBy("seq").count().where(col("count") > 1)
+      .select("seq").collect().map(_.getLong(0)).toSet
+    assert(logSeqs == Set(1L, 2L, 3L, 4L, 5L),
+      "the replayed batch should appear twice in the raw log")
   }
 }
