@@ -127,6 +127,153 @@ object Aegis {
        |GROUP BY 1, 2, 3
        |ORDER BY nation, segment, bal_band""".stripMargin
 
+  // --------------------------------------------------------------- #323
+  /** #323 t-closeness audit — the third leg of the privacy triad
+    * (k-anonymity catches small cells, l-diversity catches homogeneous
+    * cells, t-closeness catches cells whose sensitive DISTRIBUTION
+    * diverges from the global one: an attacker learns "this cell skews
+    * URGENT" even when l ≥ 2). Sensitive attribute = the #315
+    * first-order priority, an ORDERED category (its leading digit is
+    * the ordinal), so the right distance is the ordered-category Earth
+    * Mover's Distance of the original paper (Li/Li/Venkatasubramanian
+    * 2007): EMD = Σᵢ |CumP(i) − CumQ(i)| / (m−1) over the m global
+    * values.
+    *
+    * Exactness: the EMD is computed entirely in INTEGER space —
+    * cum_cell(i)·N − cum_global(i)·n per ordinal, absolute-summed, and
+    * divided ONCE (r4'd) by n·N·(m−1); degenerate cells (no carriers)
+    * and a degenerate domain (m < 2) gate to null on both engines.
+    *
+    * Scale: one key-partitioned first-order window (the #315 shape),
+    * one grouped shuffle to (cell, value) counts, then everything is
+    * DOMAIN-sized: cells × m rows for the cumulative walk (a broadcast
+    * cross join of two bounded dims). The audit output is cell-table
+    * sized at any corpus scale.
+    */
+  def privacyTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val firstOrder = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("rn", row_number().over(wo))
+      .where(col("rn") === 1)
+      .select(col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("sensitive"))
+    val carriers = qi(spark, dir)
+      .join(firstOrder, Seq("c_custkey"))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("sensitive"))
+    // global ordered value domain with cumulative counts (m rows)
+    val wv = Window.orderBy("sensitive") // m-row domain walk — bounded
+    val globals = carriers.groupBy("sensitive")
+      .agg(count(lit(1)).as("g"))
+      .withColumn("ord", row_number().over(wv))
+      .withColumn("cum_g", sum("g").over(
+        wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = globals.agg(sum("g").as("big_n"),
+      count(lit(1)).as("m"))
+    val cells = carriers.groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("n_sensitive"))
+    val cellCounts = carriers
+      .groupBy("nation", "segment", "bal_band", "sensitive")
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("nation", "segment", "bal_band")
+      .orderBy("ord")
+    val walk = cells
+      .crossJoin(broadcast(globals.select("sensitive", "ord", "cum_g")))
+      .join(cellCounts, Seq("nation", "segment", "bal_band", "sensitive"),
+        "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum_c", sum("c").over(
+        wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val emd = walk
+      .crossJoin(broadcast(totals))
+      .where(col("ord") < col("m")) // the m-th cumulative is always equal
+      .groupBy(col("nation"), col("segment"), col("bal_band"),
+        col("n_sensitive"), col("big_n"), col("m"))
+      .agg(sum(abs(col("cum_c") * col("big_n") -
+        col("cum_g") * col("n_sensitive"))).as("terms"))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        col("n_sensitive"),
+        when(col("m") >= 2L, r4(col("terms").cast("double") /
+          (col("n_sensitive").cast("double") * col("big_n").cast("double")
+            * (col("m") - 1L).cast("double")))).as("emd"))
+    qi(spark, dir)
+      .groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .join(emd, Seq("nation", "segment", "bal_band"), "left")
+      .select(col("nation"), col("segment"), col("bal_band"), col("n"),
+        coalesce(col("n_sensitive"), lit(0L)).as("n_sensitive"),
+        col("emd"),
+        coalesce(col("emd") > 0.2, lit(false)).as("t_violation"))
+      .orderBy("nation", "segment", "bal_band")
+  }
+
+  val privacyTClosenessSql: String =
+    s"""WITH q AS (
+       |  $qiSql),
+       |fo AS (
+       |  SELECT o_custkey AS c_custkey, o_orderpriority AS sensitive
+       |  FROM (
+       |    SELECT o_custkey, o_orderpriority, ROW_NUMBER() OVER (
+       |      PARTITION BY o_custkey
+       |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS rn
+       |    FROM orders)
+       |  WHERE rn = 1),
+       |carriers AS (
+       |  SELECT nation, segment, bal_band, sensitive
+       |  FROM q JOIN fo USING (c_custkey)),
+       |globals AS (
+       |  SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS g,
+       |    ROW_NUMBER() OVER (ORDER BY sensitive) AS ord,
+       |    CAST(SUM(COUNT(*)) OVER (ORDER BY sensitive
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g
+       |  FROM carriers GROUP BY sensitive),
+       |tot AS (
+       |  SELECT CAST(SUM(g) AS BIGINT) AS big_n,
+       |    CAST(COUNT(*) AS BIGINT) AS m FROM globals),
+       |cells AS (
+       |  SELECT nation, segment, bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sensitive
+       |  FROM carriers GROUP BY 1, 2, 3),
+       |cc AS (
+       |  SELECT nation, segment, bal_band, sensitive,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM carriers GROUP BY 1, 2, 3, 4),
+       |walk AS (
+       |  SELECT cells.nation, cells.segment, cells.bal_band,
+       |    cells.n_sensitive, globals.ord, globals.cum_g,
+       |    CAST(SUM(COALESCE(cc.c, 0)) OVER (PARTITION BY cells.nation,
+       |      cells.segment, cells.bal_band ORDER BY globals.ord
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+       |  FROM cells CROSS JOIN globals
+       |    LEFT JOIN cc ON cc.nation = cells.nation
+       |      AND cc.segment = cells.segment
+       |      AND cc.bal_band = cells.bal_band
+       |      AND cc.sensitive = globals.sensitive),
+       |emd AS (
+       |  SELECT nation, segment, bal_band, n_sensitive,
+       |    CASE WHEN m >= 2 THEN
+       |      ${r4Sql("CAST(SUM(ABS(cum_c * big_n - cum_g * n_sensitive))" +
+                      " AS DOUBLE) / (CAST(n_sensitive AS DOUBLE) " +
+                      "* CAST(big_n AS DOUBLE) * CAST(m - 1 AS DOUBLE))")}
+       |      END AS emd
+       |  FROM walk CROSS JOIN tot
+       |  WHERE ord < m
+       |  GROUP BY nation, segment, bal_band, n_sensitive, big_n, m)
+       |SELECT q2.nation, q2.segment, q2.bal_band, q2.n,
+       |  COALESCE(emd.n_sensitive, 0) AS n_sensitive, emd.emd,
+       |  COALESCE(emd.emd > 0.2, FALSE) AS t_violation
+       |FROM (
+       |  SELECT nation, segment, bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM q GROUP BY 1, 2, 3) q2
+       |  LEFT JOIN emd ON q2.nation = emd.nation
+       |    AND q2.segment = emd.segment AND q2.bal_band = emd.bal_band
+       |ORDER BY q2.nation, q2.segment, q2.bal_band""".stripMargin
+
   // --------------------------------------------------------------- #316
   /** #316 Neyman optimal allocation across event-type strata for a
     * 10,000-row sample budget: n_h ∝ N_h·σ_h minimizes the variance
@@ -513,12 +660,14 @@ object Aegis {
     "privacy_l_diversity" -> (privacyLDiversity _),
     "sample_neyman" -> (sampleNeyman _),
     "er_fuzzy_link" -> (erFuzzyLink _),
-    "er_golden_record" -> (erGoldenRecord _))
+    "er_golden_record" -> (erGoldenRecord _),
+    "privacy_t_closeness" -> (privacyTCloseness _))
 
   val oracles: Map[String, String] = Map(
     "privacy_k_anonymity" -> privacyKAnonymitySql,
     "privacy_l_diversity" -> privacyLDiversitySql,
     "sample_neyman" -> sampleNeymanSql,
     "er_fuzzy_link" -> erFuzzyLinkSql,
-    "er_golden_record" -> erGoldenRecordSql)
+    "er_golden_record" -> erGoldenRecordSql,
+    "privacy_t_closeness" -> privacyTClosenessSql)
 }

@@ -256,4 +256,60 @@ class AegisSpec extends GraftSpec {
       "expected at least one nation tie-mispick (the measured cost " +
         "of min-tie majority survivorship)")
   }
+
+  test("privacy_t_closeness: ordered-EMD matches a direct cumulative " +
+      "recomputation per cell, and the triad catches what l-diversity " +
+      "misses (diverse-but-skewed cells)") {
+    // sensitive = first-order priority per customer (the #315 pick)
+    val firstPriority = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getAs[Number]("o_custkey").longValue(),
+        (r.getAs[java.sql.Date]("d").toString,
+          r.getAs[Number]("o_orderkey").longValue(),
+          r.getAs[String]("o_orderpriority"))))
+      .groupBy(_._1)
+      .map { case (ck, g) => ck -> g.map(_._2).min._3 }
+    val cells = Tables(spark, sf, "customer").collect().map { r =>
+      val ck = r.getAs[Number]("c_custkey").longValue()
+      val cell = (r.getAs[Number]("c_nationkey").longValue(),
+        r.getAs[String]("c_mktsegment"),
+        math.floor(r.getAs[Number]("c_acctbal").doubleValue() / 5000.0)
+          .toLong)
+      (cell, firstPriority.get(ck))
+    }
+    val carriers = cells.collect { case (cell, Some(s)) => (cell, s) }
+    val values = carriers.map(_._2).distinct.sorted
+    val m = values.length
+    val bigN = carriers.length.toLong
+    val globalCum = values.map(v =>
+      carriers.count(_._2 <= v).toLong)
+    val out = operators.Aegis.privacyTCloseness(spark, sf).collect()
+    assert(out.length == cells.map(_._1).distinct.length)
+    var sawDiverseViolation = false
+    out.foreach { r =>
+      val cell = (r.getAs[Long]("nation"), r.getAs[String]("segment"),
+        r.getAs[Long]("bal_band"))
+      val mine = carriers.filter(_._1 == cell).map(_._2)
+      assert(r.getAs[Long]("n_sensitive") == mine.length.toLong)
+      if (mine.nonEmpty && m >= 2) {
+        val n = mine.length.toLong
+        val terms = (0 until m - 1).map { i =>
+          val cumC = mine.count(_ <= values(i)).toLong
+          math.abs(cumC * bigN - globalCum(i) * n)
+        }.sum
+        val expected = math.floor(terms.toDouble /
+          (n.toDouble * bigN.toDouble * (m - 1).toDouble) * 10000.0
+          + 0.5) / 10000.0
+        assert(r.getAs[Double]("emd") == expected, s"cell $cell emd")
+        assert(r.getAs[Boolean]("t_violation") == (expected > 0.2))
+        if (expected > 0.2 && mine.distinct.length >= 2)
+          sawDiverseViolation = true
+      } else assert(r.isNullAt(r.fieldIndex("emd")))
+    }
+    assert(sawDiverseViolation,
+      "expected a cell that is l-diverse yet t-violating — the skew " +
+        "attack the third leg exists to catch")
+  }
 }

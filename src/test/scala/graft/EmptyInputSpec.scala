@@ -212,7 +212,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-19 additions (#320+)
     "layout_footer_audit",  // footer stats of a zero-file write
     "er_golden_record",     // clusters from an empty master + feeds
-    "sample_bottomk")       // bottom-k sketch of no events
+    "sample_bottomk",       // bottom-k sketch of no events
+    "privacy_t_closeness")  // EMD over an empty cell table
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
