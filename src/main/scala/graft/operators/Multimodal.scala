@@ -85,133 +85,210 @@ object Multimodal {
       |  MIN(height) AS min_h, MAX(height) AS max_h
       |FROM m GROUP BY format ORDER BY format""".stripMargin
 
-  /** Typed feature record from the (stub) per-payload featurizer. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, mean_byte: Double, frac_high: Double,
-      collision_prob: Double)
 
-  /** STUB FEATURIZER — byte-level statistics standing in for a real
-    * embedding/feature model: mean byte value, high-bit fraction, and
-    * the byte-histogram collision probability Σ(count/total)² (an
-    * entropy proxy that stays in rational arithmetic — no log, so the
-    * oracle reproduces it bit-for-bit).
-    */
-  private def fakeFeaturize(d: BinaryDoc): MediaFeatures = {
-    val n = d.payload.length
-    val hist = new Array[Long](256)
-    var sum = 0L
-    var high = 0L
-    var i = 0
-    while (i < n) {
-      val b = java.lang.Byte.toUnsignedInt(d.payload(i))
-      hist(b) += 1
-      sum += b
-      if (b >= 128) high += 1
-      i += 1
-    }
-    // integer numerator keeps the value exact regardless of summation
-    // order, so the oracle's different iteration order can't drift
-    var collNum = 0L
-    var k = 0
-    while (k < 256) { collNum += hist(k) * hist(k); k += 1 }
-    MediaFeatures(d.doc_id, n.toLong, sum.toDouble / n,
-      high.toDouble / n, collNum.toDouble / (n.toLong * n))
-  }
-
-  /** #50 feature extraction over binary payloads: partition-batched
-    * stub featurizer to a typed feature Dataset, summarized per source.
+  /** #50 feature extraction — EIGHTH real-codec leg (pixels-true
+    * since round 19, retiring the byte-stub featurizer): each asset's
+    * planted BMP (`plantedBmp`, the #285 device) is decoded with JDK
+    * `ImageIO` and featurized over its TRUE pixels — mean pixel,
+    * high-pixel fraction, and the pixel-value histogram collision
+    * probability Σ(c_v/n)² (the entropy proxy that stays in rational
+    * arithmetic — no log, so the oracle reproduces it bit-for-bit
+    * from the closed-form pixel function). These are the cheap
+    * screening features a curation pass computes before any learned
+    * embedding: brightness, contrast class, and degenerate-image
+    * detection (a constant image has collision_prob 1).
+    *
+    * Exactness: sums/counts/collision numerators are exact integers;
+    * each emitted double is ONE r4'd division. Scale: map-side narrow
+    * in mapPartitions, per-doc work bounded by the 128×128 dim cap;
+    * only the 7-column summary leaves the partition.
     */
   def mmFeatureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.Exprs.r4
-    val bin = graft.Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[BinaryDoc]
-    bin.mapPartitions(_.map(fakeFeaturize)).toDF()
-      .select(col("doc_id"),
-        col("n_bytes"),
-        r4(col("mean_byte")).as("mean_byte"),
+    val ids = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map { id =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(plantedBmp(id)))
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = img.getRaster.getSamples(0, 0, w, h, 0,
+        new Array[Int](w * h))
+      val n = (w * h).toLong
+      val hist = new Array[Long](256)
+      var sum = 0L
+      var high = 0L
+      var i = 0
+      while (i < px.length) {
+        val v = px(i)
+        hist(v) += 1
+        sum += v
+        if (v >= 128) high += 1
+        i += 1
+      }
+      var collNum = 0L
+      var k = 0
+      while (k < 256) { collNum += hist(k) * hist(k); k += 1 }
+      (id, w.toLong, h.toLong, n, sum.toDouble / n, high.toDouble / n,
+        collNum.toDouble / (n * n))
+    }).toDF("doc_id", "width", "height", "n_px", "mean_px", "frac_high",
+      "collision_prob")
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        r4(col("mean_px")).as("mean_px"),
         r4(col("frac_high")).as("frac_high"),
         r4(col("collision_prob")).as("collision_prob"))
       .orderBy("doc_id")
   }
 
-  /** The corpus is ASCII, so byte i == ascii(substr(text, i, 1)) and
-    * the oracle can rebuild the byte stream with string ops. The
-    * per-byte fold order differs from the JVM histogram loop only in
-    * EXACT integer space (counts), so the doubles agree.
+  /** Oracle evaluates the closed-form pixel function — never parses a
+    * byte (the #285 proof shape): a green hash proves the decode path
+    * featurized the TRUE pixels.
     */
   val mmFeatureExtractSql: String = {
     import graft.Exprs.r4Sql
-    s"""WITH b AS (
-       |  SELECT doc_id, length(text) AS n,
-       |    list_transform(range(1, length(text) + 1),
-       |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    16 * (1 + (doc_id * 7 + 3) % 8) AS w,
+       |    16 * (1 + (doc_id * 5 + 1) % 8) AS h
        |  FROM documents),
-       |h AS (
-       |  SELECT doc_id, n,
-       |    CAST(list_sum(bytes) AS DOUBLE) / n AS mean_byte,
-       |    CAST(len(list_filter(bytes, x -> x >= 128)) AS DOUBLE) / n
+       |b AS (
+       |  SELECT doc_id, w, h, w * h AS n,
+       |    list_transform(range(0, w * h),
+       |      i -> (3 * (i % w) + 5 * (i // w) + doc_id) % 256) AS px
+       |  FROM d),
+       |f AS (
+       |  SELECT doc_id, w, h, n,
+       |    CAST(list_sum(px) AS DOUBLE) / n AS mean_px,
+       |    CAST(len(list_filter(px, x -> x >= 128)) AS DOUBLE) / n
        |      AS frac_high,
-       |    CAST(list_sum(list_transform(list_distinct(bytes),
-       |      v -> len(list_filter(bytes, x -> x = v))
-       |        * len(list_filter(bytes, x -> x = v)))) AS DOUBLE)
+       |    CAST(list_sum(list_transform(list_distinct(px),
+       |      v -> len(list_filter(px, x -> x = v))
+       |        * len(list_filter(px, x -> x = v)))) AS DOUBLE)
        |      / (CAST(n AS BIGINT) * n) AS collision_prob
        |  FROM b)
-       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-       |  ${r4Sql("mean_byte")} AS mean_byte,
+       |SELECT doc_id, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height, CAST(n AS BIGINT) AS n_px,
+       |  ${r4Sql("mean_px")} AS mean_px,
        |  ${r4Sql("frac_high")} AS frac_high,
        |  ${r4Sql("collision_prob")} AS collision_prob
-       |FROM h ORDER BY doc_id""".stripMargin
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
-  /** One sampled "frame" (fixed-size chunk) of a payload. */
-  final case class Frame(doc_id: Long, frame_idx: Long, n_bytes: Long,
-      checksum: Long)
-
-  /** #51 frame sampling: split each payload into 64-byte frames, keep
-    * every 4th (the video-keyframe access pattern), emit per-frame
-    * checksums. Partition-batched; frames never shuffle — only the
-    * small per-frame metadata does.
+  /** #51 keyframe sampling — NINTH real-codec leg (pixels-true since
+    * round 19, retiring the every-4th-byte-chunk stub): sample one
+    * KEYFRAME PER SHOT, which is the access pattern the #267
+    * doc-comment promised ("sample per SHOT, not per fixed stride" —
+    * a fixed stride over a long static shot wastes decode budget and
+    * can miss a short shot entirely). Each asset's planted video
+    * (`plantedFrameBmp`) is decoded frame-by-frame with `ImageIO`;
+    * shot starts are DETECTED (frame 0, or block-phash hamming > 16
+    * against the previous frame — the #267 detector, not the planted
+    * truth), and the first frame of every shot is emitted with its
+    * true-pixel checksum (Σ pixels mod 65536 — the decode proof).
+    *
+    * Oracle: recomputes phash bits, hammings, shot segmentation and
+    * pixel checksums from the closed-form pixel function — a green
+    * hash proves the per-frame decode→detect→sample path pixels-true
+    * end to end.
+    *
+    * Scale: everything runs map-side inside one mapPartitions pass
+    * (decode, phash, hamming chain, shot walk); payload bytes never
+    * shuffle — only (doc_id, shot_idx, frame_idx, checksum) rows do.
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bin = graft.Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[BinaryDoc]
-    bin.mapPartitions(_.flatMap { d =>
-      val n = d.payload.length
-      (0 until (n + 63) / 64).iterator
-        .filter(_ % 4 == 0)
-        .map { idx =>
-          val start = idx * 64
-          val end = math.min(start + 64, n)
-          var sum = 0L
-          var i = start
-          while (i < end) {
-            sum += java.lang.Byte.toUnsignedInt(d.payload(i)); i += 1
-          }
-          Frame(d.doc_id, idx.toLong, (end - start).toLong, sum % 65536L)
+    val ids = graft.Tables.spread(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.flatMap { id =>
+      val nf = plantedFrameCount(id)
+      var prevSig = 0L
+      var shot = -1L
+      (0 until nf).iterator.flatMap { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(plantedFrameBmp(id, f)))
+        val px = img.getRaster.getSamples(0, 0, 32, 32,
+          0, new Array[Int](32 * 32))
+        val sums = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < 1024) {
+          val v = px(i).toLong
+          sums(((i / 32) / 4) * 8 + (i % 32) / 4) += v
+          total += v
+          i += 1
         }
-    }).toDF()
-      .orderBy("doc_id", "frame_idx")
+        var sig = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b) * 64 > total) sig |= 1L << b
+          b += 1
+        }
+        val isStart =
+          f == 0 || java.lang.Long.bitCount(sig ^ prevSig) > 16
+        prevSig = sig
+        if (isStart) {
+          shot += 1
+          Some((id, shot, f.toLong, total % 65536L))
+        } else None
+      }
+    }).toDF("doc_id", "shot_idx", "frame_idx", "checksum")
+      .orderBy("doc_id", "shot_idx")
   }
 
+  /** Oracle mirrors the #267 phash/hamming closed form, segments
+    * shots by the detected cuts, and checksums the keyframes' true
+    * pixels — never parsing a byte.
+    */
   val mmFrameSampleSql: String =
-    """WITH f AS (
-      |  SELECT doc_id, length(text) AS n,
-      |    unnest(range(0, (length(text) + 63) // 64)) AS frame_idx,
-      |    text
-      |  FROM documents)
-      |SELECT doc_id, frame_idx,
-      |  CAST(least(64, n - frame_idx * 64) AS BIGINT) AS n_bytes,
-      |  CAST(list_sum(list_transform(
-      |    range(CAST(frame_idx * 64 + 1 AS INT),
-      |      CAST(least(frame_idx * 64 + 64, n) + 1 AS INT)),
-      |    i -> ascii(substr(text, CAST(i AS INT), 1)))) % 65536 AS BIGINT)
-      |    AS checksum
-      |FROM f WHERE frame_idx % 4 = 0
-      |ORDER BY doc_id, frame_idx""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, 4 + (3 * doc_id + 1) % 5 AS nf FROM documents),
+      |fr AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM d),
+      |sh AS (
+      |  SELECT doc_id, fi, fi + 127 * COALESCE(list_sum(
+      |    list_transform(range(1, fi + 1),
+      |      g -> CASE WHEN (doc_id + g) % 3 = 0 THEN 1 ELSE 0 END)), 0)
+      |    AS s
+      |  FROM fr),
+      |pv AS (
+      |  SELECT doc_id, fi,
+      |    ((i // 32) // 4) * 8 + (i % 32) // 4 AS blk,
+      |    (3 * (i % 32) + 5 * (i // 32) + doc_id + s) % 256 AS v
+      |  FROM (SELECT doc_id, fi, s, unnest(range(0, 1024)) AS i
+      |        FROM sh)),
+      |bs AS (
+      |  SELECT doc_id, fi, blk, SUM(v) AS bsum
+      |  FROM pv GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT doc_id, fi, CAST(SUM(v) AS BIGINT) AS total
+      |  FROM pv GROUP BY 1, 2),
+      |bits AS (
+      |  SELECT bs.doc_id, bs.fi, bs.blk,
+      |    CASE WHEN bs.bsum * 64 > t.total THEN 1 ELSE 0 END AS bit
+      |  FROM bs JOIN tot t ON bs.doc_id = t.doc_id AND bs.fi = t.fi),
+      |hm AS (
+      |  SELECT x.doc_id, x.fi,
+      |    CAST(SUM(ABS(x.bit - y.bit)) AS BIGINT) AS hamming
+      |  FROM bits x JOIN bits y ON x.doc_id = y.doc_id
+      |    AND x.fi = y.fi + 1 AND x.blk = y.blk
+      |  GROUP BY 1, 2),
+      |starts AS (
+      |  SELECT f.doc_id, f.fi,
+      |    CASE WHEN f.fi = 0 OR hm.hamming > 16 THEN 1 ELSE 0 END
+      |      AS is_start
+      |  FROM fr f LEFT JOIN hm ON f.doc_id = hm.doc_id
+      |    AND f.fi = hm.fi),
+      |seg AS (
+      |  SELECT doc_id, fi, is_start,
+      |    CAST(SUM(is_start) OVER (PARTITION BY doc_id ORDER BY fi
+      |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS shot_idx
+      |  FROM starts)
+      |SELECT seg.doc_id, seg.shot_idx, CAST(seg.fi AS BIGINT)
+      |    AS frame_idx,
+      |  CAST(t.total % 65536 AS BIGINT) AS checksum
+      |FROM seg JOIN tot t ON seg.doc_id = t.doc_id AND seg.fi = t.fi
+      |WHERE seg.is_start = 1
+      |ORDER BY seg.doc_id, seg.shot_idx""".stripMargin
 
   /** One resized payload's summary. */
   final case class Resized(doc_id: Long, width: Long, height: Long,

@@ -213,7 +213,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "layout_footer_audit",  // footer stats of a zero-file write
     "er_golden_record",     // clusters from an empty master + feeds
     "sample_bottomk",       // bottom-k sketch of no events
-    "privacy_t_closeness")  // EMD over an empty cell table
+    "privacy_t_closeness",  // EMD over an empty cell table
+    "mm_feature_extract",   // pixels-true features of no assets
+    "mm_frame_sample")      // keyframes of no videos
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -87,4 +87,69 @@ class ImageCodecSpec extends GraftSpec {
     // the corpus plants real multi-shot videos
     assert(out.exists(_.getAs[Long]("n_shots") >= 3L))
   }
+
+  test("mm_feature_extract (#50, pixels-true): features match a " +
+      "closed-form pixel recomputation on sampled docs") {
+    val out = Multimodal.mmFeatureExtract(spark, sf)
+      .where(col("doc_id") % 25 === 0).collect()
+    assert(out.nonEmpty)
+    def p4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = (16L * (1L + (id * 7 + 3) % 8)).toInt
+      val h = (16L * (1L + (id * 5 + 1) % 8)).toInt
+      val n = (w * h).toLong
+      val hist = new Array[Long](256)
+      var sum = 0L
+      var high = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((3L * x + 5L * y + id) % 256L).toInt
+        hist(v) += 1; sum += v; if (v >= 128) high += 1
+      }
+      val coll = hist.map(c => c * c).sum
+      assert(r.getAs[Long]("n_px") == n)
+      assert(r.getAs[Double]("mean_px") == p4d(sum.toDouble / n))
+      assert(r.getAs[Double]("frac_high") == p4d(high.toDouble / n))
+      assert(r.getAs[Double]("collision_prob") ==
+        p4d(coll.toDouble / (n * n)), s"doc $id collision")
+    }
+  }
+
+  test("mm_frame_sample (#51, pixels-true): exactly one keyframe per " +
+      "DETECTED shot — which equals the planted shot structure — with " +
+      "true-pixel checksums; sampling is per-shot, not fixed-stride") {
+    val out = graft.operators.Multimodal.mmFrameSample(spark, sf)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(out.size == 500)
+    var sawUnevenSpacing = false
+    out.foreach { case (id, rows) =>
+      val nf = Multimodal.plantedFrameCount(id)
+      // planted shot starts: frame 0 plus every (id + f) % 3 == 0 cut
+      val expectedStarts = 0L +:
+        (1 until nf).collect {
+          case f if (id + f) % 3 == 0 => f.toLong
+        }
+      val got = rows.sortBy(_.getAs[Long]("shot_idx"))
+      assert(got.map(_.getAs[Long]("frame_idx")).toSeq ==
+        expectedStarts, s"doc $id keyframes")
+      assert(got.map(_.getAs[Long]("shot_idx")).toSeq ==
+        expectedStarts.indices.map(_.toLong), s"doc $id shot ids")
+      got.foreach { r =>
+        val f = r.getAs[Long]("frame_idx").toInt
+        val s = Multimodal.plantedFrameShift(id, f)
+        var total = 0L
+        for (y <- 0 until 32; x <- 0 until 32)
+          total += (3L * x + 5L * y + id + s) % 256L
+        assert(r.getAs[Long]("checksum") == total % 65536L,
+          s"doc $id frame $f checksum")
+      }
+      val gaps = expectedStarts.sliding(2).collect {
+        case Seq(a, b) => b - a
+      }.toSeq
+      if (gaps.distinct.size > 1) sawUnevenSpacing = true
+    }
+    assert(sawUnevenSpacing,
+      "keyframe spacing should follow shots, not a fixed stride")
+  }
 }
