@@ -607,6 +607,57 @@ object Apex {
       .orderBy("probe")
   }
 
+  /** Per-(file, column) min/max/count of integer columns read from
+    * REAL parquet footers under `path` — the general form of
+    * [[readFooterDayStats]] for multi-dimension audits (#324): one row
+    * per (data file, stat column), long format so callers pivot with
+    * ordinary aggregation. Listing is driver-side metadata; footer
+    * decoding runs distributed on executors.
+    */
+  def readFooterLongStats(spark: SparkSession, path: String,
+      statCols: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) files += f.toString
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val colsB = statCols
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { part =>
+        part.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            colsB.map { c =>
+              val stats = blocks.map { b =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == c)
+                  .getOrElse(throw new IllegalStateException(
+                    s"no '$c' column chunk in $p"))
+                val st = cc.getStatistics
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                  b.getRowCount)
+              }
+              (p, c, stats.map(_._1).min, stats.map(_._2).max,
+                stats.map(_._3).sum)
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("path", "stat_col", "min_v", "max_v", "n_rows")
+  }
+
   /** Per-FILE min/max/count of the `day` column read from REAL parquet
     * footers under `path` (one row per data file; row-group stats are
     * folded per file). Listing is driver-side metadata (exactly what

@@ -99,10 +99,165 @@ object Forge {
        |FROM ex JOIN samp ON ex.event_type = samp.event_type
        |ORDER BY ex.event_type""".stripMargin
 
+  // --------------------------------------------------------------- #324
+  /** Bit-interleave two 6-bit values (`a` into odd bit positions, `b`
+    * into even) as a SQL expression string — the Morton/Z-value the
+    * #108/#324 layouts cluster by. `shr` abstracts the engines' shift
+    * syntax (Spark `shiftright(x, i)`, DuckDB `x >> i`).
+    */
+  private def zInterleave(a: String, b: String,
+      shr: (String, Int) => String): String =
+    (0 until 6).map { i =>
+      s"((${shr(a, i)} & 1) * ${1L << (2 * i + 1)} + " +
+        s"(${shr(b, i)} & 1) * ${1L << (2 * i)})"
+    }.mkString("(", " + ", ")")
+
+  /** #324 Z-ORDER skipping audit with REAL footers — the measured
+    * argument for multi-dimension clustering (#108 computes z-values;
+    * this PROVES what they buy): physically write the same orders
+    * projection under TWO layouts — date-clustered (the #320 layout:
+    * month directories, day-sorted) and Z-ORDERED (Morton-interleaved
+    * 6-bit day-quantile × 6-bit customer-bucket, top-6-bits
+    * directories, z-sorted) — then read the ACTUAL parquet footer
+    * min/max of BOTH dimensions off every file and measure what a
+    * day-range probe, a customer-bucket probe, and the combined probe
+    * each skip. The date layout skips on day and reads ~everything
+    * for the customer probe; z-order skips on BOTH (each file spans
+    * ~1/64 of either dimension's range) — the reason warehouse
+    * OPTIMIZE orders multi-predicate tables by z-value instead of a
+    * single sort key, here with real bytes instead of a slide.
+    *
+    * Deterministic == oracle-checkable (the #320 argument, twice):
+    * both writes hash-route one directory to one task, sort totally
+    * within it, and roll files at exactly 512 records, so file f of a
+    * directory holds sorted-rank rows [512f, 512f+511] and the DuckDB
+    * oracle recomputes every file's per-dimension min/max from the
+    * rank-cut closed form. Day quantization uses FIXED literal bounds
+    * (not data-dependent min/max) so both engines derive identical
+    * z-values.
+    *
+    * Scale: two partition-parallel writes (one shuffle each), footer
+    * reads distributed and metadata-plane; the audit output is
+    * 6 rows.
+    */
+  def layoutZorderFooter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fileRows = 512
+    val shrSpark = (x: String, i: Int) => s"shiftright($x, $i)"
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        (col("o_custkey") % 64).cast("long").as("cb"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .withColumn("db", expr(
+        "least(63L, greatest(0L, (day - 8000) * 64 div 2000))"))
+      .withColumn("z", expr(zInterleave("db", "cb", shrSpark)))
+      .withColumn("zb", expr("z div 64"))
+    val tmpD = java.nio.file.Files
+      .createTempDirectory("graft_zorder_date").toString
+    val tmpZ = java.nio.file.Files
+      .createTempDirectory("graft_zorder_z").toString
+    o.repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("month").parquet(tmpD)
+    o.repartition(col("zb"))
+      .sortWithinPartitions("zb", "z", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("zb").parquet(tmpZ)
+
+    def fileStats(path: String, layout: String) =
+      Apex.readFooterLongStats(spark, path, Seq("day", "cb"))
+        .groupBy("path")
+        .agg(min(when(col("stat_col") === "day", col("min_v")))
+            .as("min_day"),
+          max(when(col("stat_col") === "day", col("max_v")))
+            .as("max_day"),
+          min(when(col("stat_col") === "cb", col("min_v"))).as("min_cb"),
+          max(when(col("stat_col") === "cb", col("max_v"))).as("max_cb"))
+        .withColumn("layout", lit(layout))
+    val stats = fileStats(tmpD, "date_clustered")
+      .unionByName(fileStats(tmpZ, "zorder"))
+    // probes: day range only, customer bucket only, combined.
+    // Sentinel bounds make "no constraint" explicit per dimension.
+    val probes = Seq(
+      ("day_1995-03", 9190L, 9220L, 0L, 63L),
+      ("cust_bucket_7", 0L, 1000000L, 7L, 7L),
+      ("combined", 9190L, 9220L, 7L, 7L))
+      .toDF("probe", "d_lo", "d_hi", "c_lo", "c_hi")
+    stats.crossJoin(broadcast(probes))
+      .groupBy("layout", "probe")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_day") >= col("d_lo") &&
+          col("min_day") <= col("d_hi") &&
+          col("max_cb") >= col("c_lo") &&
+          col("min_cb") <= col("c_hi"), 1L).otherwise(0L)).as("n_read"))
+      .select(col("layout"), col("probe"), col("n_files"), col("n_read"),
+        r4(lit(1.0) - col("n_read").cast("double") / col("n_files"))
+          .as("skip_frac"))
+      .orderBy("layout", "probe")
+  }
+
+  val layoutZorderFooterSql: String = {
+    val shrDuck = (x: String, i: Int) => s"($x >> $i)"
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+       |      AS BIGINT) AS day,
+       |    CAST(o_custkey % 64 AS BIGINT) AS cb,
+       |    strftime(o_orderdate, '%Y-%m') AS month
+       |  FROM orders),
+       |z AS (
+       |  SELECT *,
+       |    least(63, greatest(0, (day - 8000) * 64 // 2000)) AS db
+       |  FROM o),
+       |zz AS (
+       |  SELECT *, ${zInterleave("db", "cb", shrDuck)} AS zv FROM z),
+       |zb AS (SELECT *, zv // 64 AS zbk FROM zz),
+       |rd AS (
+       |  SELECT month, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY month
+       |      ORDER BY day, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM zb),
+       |rz AS (
+       |  SELECT zbk, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY zbk
+       |      ORDER BY zv, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM zb),
+       |f AS (
+       |  SELECT 'date_clustered' AS layout, month AS part, fid,
+       |    MIN(day) AS min_day, MAX(day) AS max_day,
+       |    MIN(cb) AS min_cb, MAX(cb) AS max_cb
+       |  FROM rd GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'zorder', CAST(zbk AS VARCHAR), fid,
+       |    MIN(day), MAX(day), MIN(cb), MAX(cb)
+       |  FROM rz GROUP BY 2, 3),
+       |p AS (SELECT * FROM (VALUES
+       |  ('day_1995-03', 9190, 9220, 0, 63),
+       |  ('cust_bucket_7', 0, 1000000, 7, 7),
+       |  ('combined', 9190, 9220, 7, 7))
+       |  AS t(probe, d_lo, d_hi, c_lo, c_hi))
+       |SELECT layout, probe, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) FILTER (WHERE max_day >= d_lo AND min_day <= d_hi
+       |    AND max_cb >= c_lo AND min_cb <= c_hi) AS BIGINT) AS n_read,
+       |  ${r4Sql("1.0 - CAST(COUNT(*) FILTER (WHERE max_day >= d_lo " +
+                  "AND min_day <= d_hi AND max_cb >= c_lo " +
+                  "AND min_cb <= c_hi) AS DOUBLE) / COUNT(*)")}
+       |    AS skip_frac
+       |FROM f CROSS JOIN p
+       |GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sample_bottomk" -> (sampleBottomk _))
+    "sample_bottomk" -> (sampleBottomk _),
+    "layout_zorder_footer" -> (layoutZorderFooter _))
 
   val oracles: Map[String, String] = Map(
-    "sample_bottomk" -> sampleBottomkSql)
+    "sample_bottomk" -> sampleBottomkSql,
+    "layout_zorder_footer" -> layoutZorderFooterSql)
 }

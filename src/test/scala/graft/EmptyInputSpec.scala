@@ -215,7 +215,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_bottomk",       // bottom-k sketch of no events
     "privacy_t_closeness",  // EMD over an empty cell table
     "mm_feature_extract",   // pixels-true features of no assets
-    "mm_frame_sample")      // keyframes of no videos
+    "mm_frame_sample",      // keyframes of no videos
+    "layout_zorder_footer") // two zero-file writes, no probes read
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
