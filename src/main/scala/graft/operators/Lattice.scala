@@ -604,7 +604,95 @@ object Lattice {
   }
 
   // ----------------------------------------------------------------
+  // --------------------------------------------------------------- #325
+  /** #325 two-proportion z-test on conversion — the RATE counterpart
+    * of #302's Welch t on means, closing the experimentation kit's
+    * most-used read (most A/B decisions are conversion decisions):
+    * unit = user, exposed = any event, converted = ≥1 HIGH-VALUE
+    * purchase (value > 200 — plain "any purchase" saturates at 100%
+    * conversion in this event stream and the test degenerates),
+    * variant = the #112 user-parity split. z uses the pooled standard
+    * error, z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with
+    * p̂ = (x_a+x_b)/(n_a+n_b).
+    *
+    * Exactness: the four counts are exact integers; every emitted
+    * double is IEEE over those integers, identically evaluated on
+    * both engines (the stats-kit discipline), r4'd at the edge. The
+    * significance flag compares the UNROUNDED |z| to 1.96 — the same
+    * IEEE value both sides, so the boolean is exact too. Degenerate
+    * designs (an empty arm, p̂ ∈ {0,1} zeroing the pooled variance)
+    * gate z and the flag to null on both engines.
+    *
+    * Scale: one user-grouped shuffle to per-user conversion flags,
+    * then a 2-row variant rollup — map-side combinable throughout.
+    */
+  def statsTwoProportion(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.eventsUs(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 200.0, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val s = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("converted").as("x"))
+    val wide = s.agg(
+      max(when(col("variant") === "A", col("n"))).as("na"),
+      max(when(col("variant") === "B", col("n"))).as("nb"),
+      max(when(col("variant") === "A", col("x"))).as("xa"),
+      max(when(col("variant") === "B", col("x"))).as("xb"))
+    val pa = col("xa").cast("double") / col("na").cast("double")
+    val pb = col("xb").cast("double") / col("nb").cast("double")
+    val pPool = (col("xa") + col("xb")).cast("double") /
+      (col("na") + col("nb")).cast("double")
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("na").cast("double") +
+        lit(1.0) / col("nb").cast("double")))
+    val zCol = (pb - pa) / se
+    val ok = col("na").isNotNull && col("nb").isNotNull &&
+      col("na") > 0L && col("nb") > 0L &&
+      (col("xa") + col("xb")) > 0L &&
+      (col("xa") + col("xb")) < (col("na") + col("nb"))
+    wide.select(
+      col("na").as("users_a"), col("nb").as("users_b"),
+      col("xa").as("conv_a"), col("xb").as("conv_b"),
+      r4(pa).as("rate_a"), r4(pb).as("rate_b"),
+      when(ok, r4(zCol)).as("z"),
+      when(ok, abs(zCol) > 1.96).as("significant_95"))
+  }
+
+  val statsTwoProportionSql: String = {
+    val pa = "CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+    val pb = "CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)"
+    val pp = "CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE)"
+    val z = s"($pb - $pa) / SQRT(($pp) * (1.0 - ($pp)) " +
+      "* (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))"
+    val ok = "na IS NOT NULL AND nb IS NOT NULL AND na > 0 AND nb > 0 " +
+      "AND xa + xb > 0 AND xa + xb < na + nb"
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 200.0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+       |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id),
+       |s AS (
+       |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(converted) AS BIGINT) AS x
+       |  FROM pu GROUP BY variant),
+       |w AS (
+       |  SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+       |    MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+       |    MAX(CASE WHEN variant = 'A' THEN x END) AS xa,
+       |    MAX(CASE WHEN variant = 'B' THEN x END) AS xb
+       |  FROM s)
+       |SELECT na AS users_a, nb AS users_b, xa AS conv_a, xb AS conv_b,
+       |  ${r4Sql(pa)} AS rate_a, ${r4Sql(pb)} AS rate_b,
+       |  CASE WHEN $ok THEN ${r4Sql(z)} END AS z,
+       |  CASE WHEN $ok THEN ABS($z) > 1.96 END AS significant_95
+       |FROM w""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_two_proportion" -> (statsTwoProportion _),
     "stats_anova" -> (statsAnova _),
     "stats_power_mde" -> (statsPowerMde _),
     "stats_bootstrap_ci" -> (statsBootstrapCi _),
@@ -614,6 +702,7 @@ object Lattice {
     "stats_ols_2var" -> (statsOls2var _))
 
   val oracles: Map[String, String] = Map(
+    "stats_two_proportion" -> statsTwoProportionSql,
     "stats_anova" -> statsAnovaSql,
     "stats_power_mde" -> statsPowerMdeSql,
     "stats_bootstrap_ci" -> statsBootstrapCiSql,

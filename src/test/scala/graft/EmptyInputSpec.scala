@@ -216,7 +216,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "privacy_t_closeness",  // EMD over an empty cell table
     "mm_feature_extract",   // pixels-true features of no assets
     "mm_frame_sample",      // keyframes of no videos
-    "layout_zorder_footer") // two zero-file writes, no probes read
+    "layout_zorder_footer", // two zero-file writes, no probes read
+    "stats_two_proportion") // empty arms, null z
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -276,7 +277,8 @@ class EmptyInputSpec extends AnyFunSuite {
       } else if (name == "stats_mannwhitney" ||
           name == "stats_cramers_v" || name == "stats_anova" ||
           name == "stats_bootstrap_ci" || name == "quality_fleiss_kappa" ||
-          name == "stats_ols_2var" || name == "er_fuzzy_link") {
+          name == "stats_ols_2var" || name == "er_fuzzy_link" ||
+          name == "stats_two_proportion") {
         // global agg over an empty input: one row of null stats
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))

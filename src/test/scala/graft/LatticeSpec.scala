@@ -262,4 +262,33 @@ class LatticeSpec extends GraftSpec {
       }
     }
   }
+
+  test("stats_two_proportion: counts, rates, pooled z, and the " +
+      "significance flag match a direct per-user recomputation") {
+    val users = Tables.eventsUs(spark, sf)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, g) =>
+        (u, g.exists(e => e._2 == "purchase" && e._3 > 200.0))
+      }
+    val (a, b) = users.partition(_._1 % 2 == 0)
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    val (xa, xb) = (a.count(_._2).toLong, b.count(_._2).toLong)
+    val r = operators.Lattice.statsTwoProportion(spark, sf).head()
+    assert(r.getAs[Long]("users_a") == na)
+    assert(r.getAs[Long]("users_b") == nb)
+    assert(r.getAs[Long]("conv_a") == xa)
+    assert(r.getAs[Long]("conv_b") == xb)
+    def p4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val pa = xa.toDouble / na
+    val pb = xb.toDouble / nb
+    val pp = (xa + xb).toDouble / (na + nb)
+    val z = (pb - pa) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Double]("rate_a") == p4d(pa))
+    assert(r.getAs[Double]("rate_b") == p4d(pb))
+    assert(r.getAs[Double]("z") == p4d(z))
+    assert(r.getAs[Boolean]("significant_95") == (math.abs(z) > 1.96))
+  }
 }
