@@ -38,7 +38,12 @@ object ScaleProbe {
 
   private val KD = 10000000L // doc_id / vec_id stride
   private val KO = 100000000L // orderkey stride
-  private val KC = 10000000L // custkey stride
+  // custkey stride: the +10 tail is LOAD-BEARING — it lands replica
+  // variation inside name digits 4-8 (the ER blocking key renders the
+  // shifted key into the name), keeping ER block sizes constant as K
+  // grows; a clean 10^7 stride leaves digits 4-8 replica-invariant
+  // and blocks fatten K× (the measured round-19 spill)
+  private val KC = 10000100L
   private val KP = 10000000L // partkey stride
   private val KS = 1000000L // suppkey stride
   private val KE = 100000000L // event_id stride
@@ -66,8 +71,28 @@ object ScaleProbe {
       Tables(spark, src, n).write.mode("overwrite")
         .parquet(s"$out/$n.parquet")
     }
+    // replica i>0 customers are genuinely DIFFERENT PEOPLE, not key-
+    // shifted clones: the name's digit block re-renders from the
+    // SHIFTED key (KC's +10 tail pushes replica variation into name
+    // digits 4-8 — the ER family's blocking key — so blocks stay
+    // original-sized at any K instead of fattening K×), the balance
+    // shifts by i·$2.01 (outside the ER $1 rule, so cross-replica
+    // pairs fail the balance score), and the nation rotates by i
+    // (cross-replica nation equality then needs |i−j| ≥ 25, whose
+    // ≥250 name-digit gap is always lev ≥ 2 — killing every
+    // cross-replica lev-1 twin). Without this, a 100× replica is 100
+    // lev-0/1 twins per customer with identical balances — the
+    // measured 59 GB er_golden_record spill and a quadratic candidate
+    // blowup that violates this generator's own never-cross-replicas
+    // contract (PLANS.md round-19).
     replicate("customer")((df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * KC)))
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * KC))
+        .withColumn("c_name", concat(lit("Customer#"),
+          lpad(col("c_custkey").cast("string"), 9, "0")))
+        .withColumn("c_acctbal", col("c_acctbal") + lit(i * 2.01))
+        .withColumn("c_nationkey",
+          ((col("c_nationkey") + lit(i)) % 25).cast(
+            df.schema("c_nationkey").dataType)))
     replicate("supplier")((df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * KS)))
     replicate("part")((df, i) =>

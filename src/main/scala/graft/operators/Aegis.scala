@@ -345,6 +345,36 @@ object Aegis {
        |    END AS alloc_n
        |FROM w, t ORDER BY event_type""".stripMargin
 
+  /** The ER family's master projection (shared by #319/#321). */
+  private def erMaster(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)").as("bal"))
+
+  /** Block purging (the ER scale guard): drop master records whose
+    * (segment, name-digits-4-8) block exceeds 256 members BEFORE the
+    * candidate join. A degenerate blocking key must cost recall on its
+    * collisions, never a quadratic join — the measured lesson of the
+    * round-19 100× probe (59 GB spill from K×-fattened blocks before
+    * the cap). No-op on sane distributions; one master-side window.
+    */
+  private def purgedMaster(master: DataFrame): DataFrame = {
+    val wb = Window.partitionBy(col("seg"),
+      expr("substring(nm, 13, 5)"))
+    master.withColumn("_bn", count(lit(1)).over(wb))
+      .where(col("_bn") <= 256L)
+      .drop("_bn")
+  }
+
+  private val purgedMasterSql: String =
+    """SELECT ck, nm, nat, seg, bal FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY seg, substr(nm, 13, 5))
+      |      AS bn
+      |    FROM clean)
+      |  WHERE bn <= 256""".stripMargin
+
   // --------------------------------------------------------------- #319
   /** #319 fuzzy entity resolution with blocking: link a planted DIRTY
     * re-registration feed back to the customer master — the two-table
@@ -370,16 +400,20 @@ object Aegis {
     *
     * Scale: the blocked equi-join shuffles on a HIGH-CARDINALITY key
     * (id-digit prefixes — block sizes stay bounded as the corpus
-    * grows, never nation/segment-sized quadratic cells); resolution
-    * is one window per dirty id. All counts integer; P/R are r4'd
-    * ratios of exact integers.
+    * grows, never nation/segment-sized quadratic cells), and BLOCK
+    * PURGING (round 19) hard-caps the worst case: blocks holding more
+    * than 256 master records are dropped before the join — the
+    * standard ER discipline (a degenerate blocking key must cost
+    * recall on its collisions, never a quadratic join; the 100×
+    * replica probe measured exactly that blowup, 59 GB of spill,
+    * before the cap — PLANS.md round-19). The cap is a no-op on sane
+    * key distributions (blocks here are ≤ ~10 at every sf).
+    * Resolution is one window per dirty id. All counts integer; P/R
+    * are r4'd ratios of exact integers.
     */
   def erFuzzyLink(spark: SparkSession, dir: String): DataFrame = {
-    val clean = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
-        col("c_nationkey").cast("long").as("nat"),
-        col("c_mktsegment").as("seg"),
-        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)").as("bal"))
+    val clean = erMaster(spark, dir)
+    val cleanB = purgedMaster(clean)
     val dirty = clean.where(col("ck") % 3 === 0)
       .select((col("ck") + lit(1000000000000L)).as("did"),
         col("ck").as("truth"),
@@ -391,7 +425,7 @@ object Aegis {
         col("seg").as("dseg"),
         (col("bal") + when(col("ck") % 7 === 0, 100L).otherwise(0L))
           .as("dbal"))
-    val cand = dirty.join(clean,
+    val cand = dirty.join(cleanB,
       col("dseg") === col("seg") &&
         expr("substring(dnm, 13, 5)") === expr("substring(nm, 13, 5)"))
     val scored = cand.select(col("did"), col("truth"), col("ck"),
@@ -438,12 +472,14 @@ object Aegis {
        |    seg AS dseg,
        |    bal + CASE WHEN ck % 7 = 0 THEN 100 ELSE 0 END AS dbal
        |  FROM clean WHERE ck % 3 = 0),
+       |cleanp AS (
+       |  $purgedMasterSql),
        |cand AS (
        |  SELECT d.did, d.truth, c.ck,
        |    CASE WHEN levenshtein(d.dnm, c.nm) <= 1 THEN 2 ELSE 0 END
        |      + CASE WHEN ABS(d.dbal - c.bal) <= 100 THEN 1 ELSE 0 END
        |      + CASE WHEN d.dnat = c.nat THEN 1 ELSE 0 END AS score
-       |  FROM dirty d JOIN clean c ON d.dseg = c.seg
+       |  FROM dirty d JOIN cleanp c ON d.dseg = c.seg
        |    AND substr(d.dnm, 13, 5) = substr(c.nm, 13, 5)),
        |resolved AS (
        |  SELECT did, truth, ck, score FROM (
@@ -501,11 +537,8 @@ object Aegis {
     * emitted is integers/strings/booleans — bit-exact cross-engine.
     */
   def erGoldenRecord(spark: SparkSession, dir: String): DataFrame = {
-    val clean = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
-        col("c_nationkey").cast("long").as("nat"),
-        col("c_mktsegment").as("seg"),
-        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)").as("bal"))
+    val clean = erMaster(spark, dir)
+    val cleanB = purgedMaster(clean) // the #319 block-purge scale guard
     def feed(modK: Int, idBase: Long, src: String, truncK: Int,
         natK: Int, natShift: Int, balK: Int, balBump: Long) =
       clean.where(col("ck") % modK === 0)
@@ -521,7 +554,7 @@ object Aegis {
             .otherwise(0L)).as("dbal"))
     val feeds = feed(3, 1000000000000L, "feedA", 2, 5, 1, 7, 100L)
       .unionByName(feed(4, 2000000000000L, "feedB", 8, 13, 2, 11, 75L))
-    val cand = feeds.join(clean,
+    val cand = feeds.join(cleanB,
       col("dseg") === col("seg") &&
         expr("substring(dnm, 13, 5)") === expr("substring(nm, 13, 5)"))
     val wd = Window.partitionBy("did")
@@ -577,7 +610,7 @@ object Aegis {
   }
 
   val erGoldenRecordSql: String =
-    """WITH clean AS (
+    s"""WITH clean AS (
       |  SELECT c_custkey AS ck, c_name AS nm,
       |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
       |    CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
@@ -598,6 +631,8 @@ object Aegis {
       |    seg,
       |    bal + CASE WHEN ck % 11 = 0 THEN 75 ELSE 0 END
       |  FROM clean WHERE ck % 4 = 0),
+      |cleanp AS (
+      |  $purgedMasterSql),
       |resolved AS (
       |  SELECT did, truth, src, ck, dnm, dnat, dbal FROM (
       |    SELECT f.did, f.truth, f.src, c.ck, f.dnm, f.dnat, f.dbal,
@@ -609,7 +644,7 @@ object Aegis {
       |        + CASE WHEN ABS(f.dbal - c.bal) <= 100 THEN 1 ELSE 0 END
       |        + CASE WHEN f.dnat = c.nat THEN 1 ELSE 0 END DESC,
       |        c.ck) AS rn
-      |    FROM feeds f JOIN clean c ON f.dseg = c.seg
+      |    FROM feeds f JOIN cleanp c ON f.dseg = c.seg
       |      AND substr(f.dnm, 13, 5) = substr(c.nm, 13, 5))
       |  WHERE rn = 1 AND score >= 3),
       |members AS (

@@ -217,7 +217,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "mm_feature_extract",   // pixels-true features of no assets
     "mm_frame_sample",      // keyframes of no videos
     "layout_zorder_footer", // two zero-file writes, no probes read
-    "stats_two_proportion") // empty arms, null z
+    "stats_two_proportion", // empty arms, null z
+    "quality_profile",      // 5 profile rows, all stats null
+    "quality_constraints")  // 7 checks, null verdicts (can't assert)
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -282,6 +284,20 @@ class EmptyInputSpec extends AnyFunSuite {
         // global agg over an empty input: one row of null stats
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.schema.fieldNames.length - 1))
+      } else if (name == "quality_profile") {
+        // the 5-column report survives with zero counts, null stats
+        assert(rows.length == 5)
+        assert(rows.forall(_.getAs[Long]("n_rows") == 0L))
+        assert(rows.forall(_.isNullAt(
+          rows.head.fieldIndex("completeness"))))
+        assert(rows.forall(_.isNullAt(
+          rows.head.fieldIndex("approx_distinct"))))
+      } else if (name == "quality_constraints") {
+        // the 7-check suite survives; verdicts are NULL (a check over
+        // nothing is unknowable, never a fabricated pass)
+        assert(rows.length == 7)
+        assert(rows.forall(_.isNullAt(rows.head.fieldIndex("passed"))))
+        assert(rows.forall(_.isNullAt(rows.head.fieldIndex("metric"))))
       } else if (name == "graph_rich_club") {
         // the 12-row threshold axis survives: zero counts, null phi
         assert(rows.length == 12)

@@ -25,4 +25,99 @@ class ForgeSpec extends GraftSpec {
     assert(rows(("zorder", "cust_bucket_7")) >
       rows(("date_clustered", "cust_bucket_7")) + 0.3)
   }
+
+  private def p4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  test("quality_profile: every per-column metric matches a direct " +
+      "recomputation, including the KMV estimate from reference " +
+      "hashes — EXACT below k, ~1/sqrt(k) above") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").collect()
+    def hash64u(s: String): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      BigInt(1, d.take(8)) // unsigned 64-bit
+    }
+    def kmvEst(values: Seq[String]): Double = {
+      val hs = values.map(hash64u).distinct.sorted
+      if (hs.length < 256) hs.length.toDouble
+      else 255.0 / (hs(255).toDouble / 1.8446744073709552E19)
+    }
+    val out = Forge.qualityProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.keySet ==
+      Set("doc_id", "lang", "source", "n_chars", "text"))
+    def strOf(v: Any): String = v.toString
+    Seq("doc_id", "lang", "source", "n_chars").foreach { c =>
+      val vals = docs.map(_.getAs[Any](c)).filter(_ != null)
+      val r = out(c)
+      assert(r.getAs[Long]("n_rows") == docs.length.toLong)
+      assert(r.getAs[Long]("n_nulls") == (docs.length - vals.length).toLong)
+      assert(r.getAs[Double]("completeness") ==
+        p4(vals.length.toDouble / docs.length))
+      assert(r.getAs[Double]("approx_distinct") ==
+        p4(kmvEst(vals.map(strOf))), s"col $c kmv")
+      // estimate quality: exact below k, ~1/sqrt(k) above
+      val exact = vals.map(strOf).distinct.size.toDouble
+      if (exact < 256)
+        assert(r.getAs[Double]("approx_distinct") == exact,
+          s"col $c must be EXACT below k")
+      else
+        assert(math.abs(r.getAs[Double]("approx_distinct") - exact) <=
+          0.25 * exact, s"col $c est quality")
+      val ord = vals.map(strOf)
+      c match {
+        case "doc_id" | "n_chars" =>
+          val nums = vals.map(_.asInstanceOf[Long])
+          assert(r.getAs[String]("min_repr") == nums.min.toString)
+          assert(r.getAs[String]("max_repr") == nums.max.toString)
+        case _ =>
+          assert(r.getAs[String]("min_repr") == ord.min)
+          assert(r.getAs[String]("max_repr") == ord.max)
+      }
+    }
+    val texts = docs.map(_.getAs[String]("text")).filter(_ != null)
+    val rt = out("text")
+    assert(rt.getAs[String]("min_repr") ==
+      texts.map(_.length).min.toString)
+    assert(rt.getAs[String]("max_repr") ==
+      texts.map(_.length).max.toString)
+  }
+
+  test("quality_constraints: the suite evaluates in one pass, verdicts " +
+      "match a direct recomputation, and BOTH outcomes occur (the " +
+      "min-length floor fails on this corpus)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents").collect()
+    val out = Forge.qualityConstraints(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    assert(out.size == 7)
+    val n = docs.length.toLong
+    val ids = docs.map(_.getAs[Any]("doc_id")).filter(_ != null)
+    assert(out("completeness_doc_id").getAs[Boolean]("passed") ==
+      (ids.length.toLong == n))
+    assert(out("uniqueness_doc_id").getAs[Boolean]("passed") ==
+      (ids.distinct.length == ids.length))
+    val langs = docs.map(_.getAs[String]("lang")).filter(_ != null)
+    assert(out("containment_lang").getAs[Boolean]("passed") ==
+      langs.forall(Set("en", "de", "fr", "es", "zh")))
+    val cons = docs.count { r =>
+      val t = r.getAs[String]("text")
+      t != null && !r.isNullAt(r.fieldIndex("n_chars")) &&
+        r.getAs[Long]("n_chars") == t.length.toLong
+    }
+    val both = docs.count { r =>
+      r.getAs[String]("text") != null &&
+        !r.isNullAt(r.fieldIndex("n_chars"))
+    }
+    assert(out("consistency_n_chars").getAs[Boolean]("passed") ==
+      (cons == both))
+    val minNc = docs.map(_.getAs[Long]("n_chars")).min
+    assert(out("min_length_floor").getAs[Double]("metric") ==
+      minNc.toDouble)
+    assert(!out("min_length_floor").getAs[Boolean]("passed"),
+      "the floor check should FAIL on this corpus")
+    assert(out("max_length_cap").getAs[Boolean]("passed"))
+    assert(out.values.count(_.getAs[Boolean]("passed")) == 6)
+  }
 }
