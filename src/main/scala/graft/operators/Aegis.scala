@@ -354,7 +354,7 @@ object Aegis {
         expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)").as("bal"))
 
   /** Block purging (the ER scale guard): drop master records whose
-    * (segment, name-digits-4-8) block exceeds 256 members BEFORE the
+    * (segment, name-digits-1-8) block exceeds 256 members BEFORE the
     * candidate join. A degenerate blocking key must cost recall on its
     * collisions, never a quadratic join — the measured lesson of the
     * round-19 100× probe (59 GB spill from K×-fattened blocks before
@@ -362,7 +362,7 @@ object Aegis {
     */
   private def purgedMaster(master: DataFrame): DataFrame = {
     val wb = Window.partitionBy(col("seg"),
-      expr("substring(nm, 13, 5)"))
+      expr("substring(nm, 10, 8)"))
     master.withColumn("_bn", count(lit(1)).over(wb))
       .where(col("_bn") <= 256L)
       .drop("_bn")
@@ -370,7 +370,7 @@ object Aegis {
 
   private val purgedMasterSql: String =
     """SELECT ck, nm, nat, seg, bal FROM (
-      |    SELECT *, COUNT(*) OVER (PARTITION BY seg, substr(nm, 13, 5))
+      |    SELECT *, COUNT(*) OVER (PARTITION BY seg, substr(nm, 10, 8))
       |      AS bn
       |    FROM clean)
       |  WHERE bn <= 256""".stripMargin
@@ -385,14 +385,18 @@ object Aegis {
     * ground truth is planted and precision/recall are EXACT, not
     * sampled.
     *
-    * Blocking: (segment, id digits 4-8 of the name) — chosen so the
-    * key BOTH survives every planted perturbation (truncation only
-    * removes the final digit; nation isn't in the key) AND stays
-    * high-cardinality at any id magnitude (the leading digits are
-    * near-constant zero padding — blocking on them degenerated to
-    * segment-only cells, 150k candidates for 500 records at sf0.01,
-    * caught and fixed by reading the candidate count); the emitted
-    * block_recall measures the survival property. Scoring:
+    * Blocking: (segment, id digits 1-8 of the name) — the MAXIMAL
+    * perturbation-proof key (truncation only removes digit 9; nation
+    * isn't in the key), round-19-widened from digits 4-8 after the
+    * 100× probe measured the narrower key's ceiling: a k-digit block
+    * key has FIXED cardinality, so blocks must fatten linearly once
+    * the corpus outgrows 10^k cells (pigeonhole — 59 GB of join spill
+    * at the 100× replica). Digits 1-8 cut blocks to ~one key-decade
+    * (≈10 ids) at ANY corpus size; at bench scales digits 1-3 are
+    * zero padding, so results are bit-identical to the old key. (The
+    * round-7 lesson still stands the other way: blocking on the
+    * LEADING digits alone degenerated to segment-sized cells.) The
+    * emitted block_recall measures the survival property. Scoring:
     * Levenshtein ≤ 1 on names (+2, the #98 parity device), balance
     * within $1 (+1), nation equal (+1); resolve each dirty record to
     * its best candidate (score desc, lowest key) and accept at
@@ -427,7 +431,7 @@ object Aegis {
           .as("dbal"))
     val cand = dirty.join(cleanB,
       col("dseg") === col("seg") &&
-        expr("substring(dnm, 13, 5)") === expr("substring(nm, 13, 5)"))
+        expr("substring(dnm, 10, 8)") === expr("substring(nm, 10, 8)"))
     val scored = cand.select(col("did"), col("truth"), col("ck"),
       (when(expr("levenshtein(dnm, nm)") <= 1, 2L).otherwise(0L) +
         when(abs(col("dbal") - col("bal")) <= 100L, 1L).otherwise(0L) +
@@ -480,7 +484,7 @@ object Aegis {
        |      + CASE WHEN ABS(d.dbal - c.bal) <= 100 THEN 1 ELSE 0 END
        |      + CASE WHEN d.dnat = c.nat THEN 1 ELSE 0 END AS score
        |  FROM dirty d JOIN cleanp c ON d.dseg = c.seg
-       |    AND substr(d.dnm, 13, 5) = substr(c.nm, 13, 5)),
+       |    AND substr(d.dnm, 10, 8) = substr(c.nm, 10, 8)),
        |resolved AS (
        |  SELECT did, truth, ck, score FROM (
        |    SELECT did, truth, ck, score, ROW_NUMBER() OVER (
@@ -556,7 +560,7 @@ object Aegis {
       .unionByName(feed(4, 2000000000000L, "feedB", 8, 13, 2, 11, 75L))
     val cand = feeds.join(cleanB,
       col("dseg") === col("seg") &&
-        expr("substring(dnm, 13, 5)") === expr("substring(nm, 13, 5)"))
+        expr("substring(dnm, 10, 8)") === expr("substring(nm, 10, 8)"))
     val wd = Window.partitionBy("did")
       .orderBy(desc("score"), col("ck"))
     val resolved = cand.select(col("did"), col("truth"), col("src"),
@@ -645,7 +649,7 @@ object Aegis {
       |        + CASE WHEN f.dnat = c.nat THEN 1 ELSE 0 END DESC,
       |        c.ck) AS rn
       |    FROM feeds f JOIN cleanp c ON f.dseg = c.seg
-      |      AND substr(f.dnm, 13, 5) = substr(c.nm, 13, 5))
+      |      AND substr(f.dnm, 10, 8) = substr(c.nm, 10, 8))
       |  WHERE rn = 1 AND score >= 3),
       |members AS (
       |  SELECT ck AS cluster, src, dnm AS name, dnat AS nation,

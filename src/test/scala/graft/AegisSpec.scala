@@ -98,7 +98,7 @@ class AegisSpec extends GraftSpec {
     var nCorrect = 0L
     dirty.foreach { case (truth, dnm, dnat, dseg, dbal) =>
       val cands = clean.filter { c =>
-        c._4 == dseg && c._2.slice(12, 17) == dnm.slice(12, 17)
+        c._4 == dseg && c._2.slice(9, 17) == dnm.slice(9, 17)
       }
       nCand += cands.length
       val scored = cands.map { c =>
@@ -205,8 +205,8 @@ class AegisSpec extends GraftSpec {
     // scoring from raw rows, no Spark)
     val resolved = feeds.flatMap { f =>
       val scored = master
-        .filter(c => c.seg == f.seg && c.nm.slice(12, 17) ==
-          f.nm.slice(12, 17))
+        .filter(c => c.seg == f.seg && c.nm.slice(9, 17) ==
+          f.nm.slice(9, 17))
         .map { c =>
         val s = (if (lev(f.nm, c.nm) <= 1) 2 else 0) +
           (if (math.abs(f.bal - c.bal) <= 100) 1 else 0) +
