@@ -389,16 +389,24 @@ object Forge {
         .as("consistent"),
       min(col("n_chars")).as("min_nc"),
       max(col("n_chars")).as("max_nc"))
+    // every ratio is GATED before it is computed: under ANSI (the
+    // Spark 4 default) 0/0 throws, and an empty table must yield null
+    // verdicts, not a crashed audit
     val checks = wide.select(col("*"),
-      r4(col("p_doc").cast("double") / col("n")).as("m1"),
+      when(col("n") > 0L,
+        r4(col("p_doc").cast("double") / col("n"))).as("m1"),
       (col("p_doc") === col("n")).as("ok1"),
-      r4(col("d_doc").cast("double") / col("p_doc")).as("m2"),
+      when(col("p_doc") > 0L,
+        r4(col("d_doc").cast("double") / col("p_doc"))).as("m2"),
       (col("d_doc") === col("p_doc")).as("ok2"),
-      r4(col("p_text").cast("double") / col("n")).as("m3"),
+      when(col("n") > 0L,
+        r4(col("p_text").cast("double") / col("n"))).as("m3"),
       (col("p_text") * 100L >= col("n") * 99L).as("ok3"),
-      r4(col("lang_in").cast("double") / col("p_lang")).as("m4"),
+      when(col("p_lang") > 0L,
+        r4(col("lang_in").cast("double") / col("p_lang"))).as("m4"),
       (col("lang_in") === col("p_lang")).as("ok4"),
-      r4(col("consistent").cast("double") / col("both")).as("m5"),
+      when(col("both") > 0L,
+        r4(col("consistent").cast("double") / col("both"))).as("m5"),
       (col("consistent") === col("both")).as("ok5"),
       col("min_nc").cast("double").as("m6"),
       (col("min_nc") >= 100L).as("ok6"),
