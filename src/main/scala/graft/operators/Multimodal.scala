@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-cached image streams — a temp file under
+  // java.io.tmpdir per read/write call, even for in-memory byte-array
+  // payloads like every planted codec leg here. That temp-file churn
+  // is pure overhead AND couples codec throughput to the machine's
+  // page-cache state (measured: the whole ImageIO family drifting
+  // 3-6× between idle sweeps). Memory-cached streams are strictly
+  // better for our small in-memory images; set once per JVM at class
+  // load (executors initialize this object when the decode lambdas
+  // deserialize, so the setting reaches every JVM on a real cluster).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One "media file": opaque bytes + the id. */
   final case class BinaryDoc(doc_id: Long, payload: Array[Byte])
 

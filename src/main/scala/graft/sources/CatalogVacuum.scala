@@ -6,8 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical vacuum executor — the third leg of the catalog maintenance
-  * triad (merge/compact → time-travel → vacuum), executing what the
-  * #313 `cdc_vacuum_plan` operator only PLANS: actually delete change-
+  * triad (merge/compact → time-travel → vacuum; the Spark answer to
+  * the reference store's in-place record lifecycle,
+  * /root/reference/reactor.py:136 — a parquet catalog appends + folds
+  * + eventually DELETES history instead of mutating), executing what
+  * the #313 `cdc_vacuum_plan` operator only PLANS: actually delete change-
   * log segments (and superseded snapshots) that no retained as-of read
   * can ever need, and make reads before the vacuum floor REFUSE with a
   * clear error — the Delta `versionAsOf` contract (you can time-travel
