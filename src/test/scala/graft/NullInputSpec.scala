@@ -127,4 +127,31 @@ class NullInputSpec extends AnyFunSuite {
       // the base corpus is intact underneath, so output never collapses
       assert(rows.nonEmpty, s"$name returned nothing on the nulled corpus")
     }
+
+  test("quality_profile COUNTS the planted nulls (null accounting is " +
+      "the profiler's job, not just survival)") {
+    val rows = SparkEntry.queries("quality_profile")(spark, nulledDir)
+      .collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val t = rows("text")
+    assert(t.getAs[Long]("n_nulls") == 2L)
+    assert(t.getAs[Double]("completeness") < 1.0)
+    // null text never reaches the sketch: approx_distinct counts only
+    // present values
+    assert(rows("doc_id").getAs[Long]("n_nulls") == 0L)
+  }
+
+  test("quality_constraints flags the planted null texts: the " +
+      "completeness_text metric drops below 1.0 but stays above the " +
+      "0.99 floor at 2/502 nulls") {
+    val rows = SparkEntry.queries("quality_constraints")(spark, nulledDir)
+      .collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    val ct = rows("completeness_text")
+    assert(ct.getAs[Double]("metric") < 1.0)
+    assert(ct.getAs[Boolean]("passed"), "2/502 is above the 0.99 floor")
+    // consistency check only judges rows where BOTH sides exist —
+    // null text rows don't fabricate inconsistencies
+    assert(rows("consistency_n_chars").getAs[Boolean]("passed"))
+  }
 }
