@@ -68,9 +68,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case d: java.lang.Double => d.doubleValue()
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
       }).toAggregateExpression())
-    inject("bottomk_sample", es => graft.functions.SampleSketch(
-      es(0), es(1), es(2),
-      es(3).eval(null).asInstanceOf[Int]).toAggregateExpression())
+    // same argument contract as SampleSketch.register — a BIGINT k or
+    // wrong arity must fail with the registration-path error message,
+    // not a ClassCastException/IndexOutOfBounds from the cast chain
+    inject("bottomk_sample", es => {
+      require(es.length == 4,
+        "bottomk_sample(hash, id, value, k) takes 4 arguments, got " +
+          es.length)
+      require(es(3).foldable, "bottomk_sample: k must be a literal")
+      val k = es(3).eval(null) match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => throw new IllegalArgumentException(
+          s"bottomk_sample: k must be integral, got $other")
+      }
+      require(k > 0, s"bottomk_sample: k must be positive, got $k")
+      graft.functions.SampleSketch(es(0), es(1), es(2), k)
+        .toAggregateExpression()
+    })
 
     ext.injectPostHocResolutionRule(BroadcastDimTables)
     ext.injectOptimizerRule(ApproxDistinctRewrite)

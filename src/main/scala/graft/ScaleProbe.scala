@@ -61,6 +61,17 @@ object ScaleProbe {
   }
 
   def build(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    // the customer name re-render is lpad(custkey, 9, '0'): a shifted
+    // key above 10^9-1 would silently TRUNCATE to 9 digits, colliding
+    // names and breaking both the ER blocking key and the generator's
+    // never-cross-replicas contract — fail loudly instead of
+    // corrupting (the bound admits the standing 100x probe exactly)
+    val maxCust = Tables(spark, src, "customer")
+      .agg(max(col("c_custkey"))).head.getLong(0)
+    require((k - 1).toLong * KC + maxCust <= 999999999L,
+      s"replication k=$k overflows the 9-digit customer-name block " +
+        s"(max shifted custkey ${(k - 1).toLong * KC + maxCust} > " +
+        "999999999); widen the name render before probing past this")
     def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables(spark, src, name)
       val all = (0 until k).map(i => shift(base, i)).reduce(_ unionAll _)

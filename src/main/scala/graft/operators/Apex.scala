@@ -590,7 +590,12 @@ object Apex {
       .partitionBy("month")
       .parquet(tmp)
 
-    val fileStats = readFooterDayStats(spark, tmp)
+    // localCheckpoint materializes the file-count-sized stats frame
+    // NOW (it's ~80 rows), so the temp layout copy of orders can be
+    // deleted before returning — repeated sweeps/tests must not leak
+    // full-table parquet copies under java.io.tmpdir
+    val fileStats = readFooterDayStats(spark, tmp).localCheckpoint()
+    deleteTempLayout(spark, tmp)
     val probes = Seq(
       ("1993-06", 8552L, 8581L), ("1995-03", 9190L, 9220L),
       ("1997-11", 10166L, 10195L))
@@ -605,6 +610,17 @@ object Apex {
         r4(lit(1.0) - col("n_read").cast("double") / col("n_files"))
           .as("skip_frac"))
       .orderBy("probe")
+  }
+
+  /** Recursively delete a temp layout directory once its footer stats
+    * have been materialized (layout audits write full parquet copies;
+    * leaving them would leak unbounded disk across bench sweeps).
+    */
+  private[operators] def deleteTempLayout(spark: SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
   }
 
   /** Per-(file, column) min/max/count of integer columns read from

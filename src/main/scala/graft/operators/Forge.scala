@@ -78,7 +78,7 @@ object Forge {
        |rk AS (
        |  SELECT event_type, c, ROW_NUMBER() OVER (
        |    PARTITION BY event_type ORDER BY h, event_id) AS rn
-       |  FROM e),
+       |  FROM e WHERE c IS NOT NULL),
        |samp AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sample_n,
        |    CAST(SUM(c) AS BIGINT) AS sample_sum_cents
@@ -179,8 +179,14 @@ object Forge {
           min(when(col("stat_col") === "cb", col("min_v"))).as("min_cb"),
           max(when(col("stat_col") === "cb", col("max_v"))).as("max_cb"))
         .withColumn("layout", lit(layout))
+    // materialize the (files × 2 layouts)-sized stats NOW, then drop
+    // both temp layout copies (see Apex.deleteTempLayout — sweeps must
+    // not leak full-table parquet under java.io.tmpdir)
     val stats = fileStats(tmpD, "date_clustered")
       .unionByName(fileStats(tmpZ, "zorder"))
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmpD)
+    Apex.deleteTempLayout(spark, tmpZ)
     // probes: day range only, customer bucket only, combined.
     // Sentinel bounds make "no constraint" explicit per dimension.
     val probes = Seq(

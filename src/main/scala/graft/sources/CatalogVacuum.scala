@@ -35,16 +35,35 @@ import org.apache.spark.sql.functions._
   * Vacuum safety argument (why deleting loses nothing retained):
   * month segments partition time, so "max eff ≤ some bound" selects a
   * PREFIX of months. Let horizon = latest watermark − retention and
-  * w_cov = the latest snapshot ≤ horizon. A segment with
-  * max_eff ≤ w_cov is folded into snapshot w_cov and into every later
-  * snapshot; any cutoff ≥ w_cov picks w* ≥ w_cov, and the latest
-  * surviving change ≤ cutoff for a key is the true latest (a vacuumed
-  * month holds no change NEWER than a surviving month's — prefix
-  * property), so the fold is unchanged. Cutoffs < w_cov would need
-  * the deleted months (or a pre-w_cov snapshot) — exactly the reads
-  * the `_vacuum_floor` marker refuses afterwards. Snapshots strictly
-  * older than w_cov are superseded for every retained cutoff and are
-  * deleted too.
+  * w_cov = the latest snapshot ≤ horizon. A segment PROVABLY FOLDED
+  * into snapshot w_cov is folded into every later snapshot; any
+  * cutoff ≥ w_cov picks w* ≥ w_cov, and the latest surviving change
+  * ≤ cutoff for a key is the true latest (a vacuumed month holds no
+  * change NEWER than a surviving month's — prefix property), so the
+  * fold is unchanged. Cutoffs < w_cov would need the deleted months
+  * (or a pre-w_cov snapshot) — exactly the reads the `_vacuum_floor`
+  * marker refuses afterwards. Snapshots strictly older than w_cov are
+  * superseded for every retained cutoff and are deleted too.
+  *
+  * "Provably folded" is a COVERAGE RECEIPT, not an eff bound alone:
+  * max_eff ≤ w_cov does NOT prove folding, because a BACKDATED append
+  * (eff ≤ w_cov, written AFTER the w_cov checkpoint) also satisfies
+  * it yet is absent from the snapshot — deleting its segment would
+  * silently change retained reads. So [[checkpoint]] records, in a
+  * `_coverage/w=<watermark>` sidecar scanned BEFORE the snapshot
+  * write (so a concurrent append can only make the snapshot fold MORE
+  * than recorded — the safe direction), the per-segment row count of
+  * changes with eff ≤ watermark it folded. [[vacuum]] deletes a
+  * segment only when max_eff ≤ w_cov AND its CURRENT row count equals
+  * the receipt of EVERY surviving snapshot ≥ w_cov — not w_cov alone,
+  * because asOf picks the LATEST snapshot ≤ cutoff: a backdated
+  * change folded into a re-issued w_cov but absent from a later stale
+  * snapshot would still vanish for cutoffs landing on that snapshot.
+  * Any post-checkpoint backdated append inflates the count past some
+  * receipt and the segment is KEPT (retained as-of reads then replay
+  * it over w*, which stays correct) until every snapshot ≥ w_cov has
+  * been re-checkpointed. No append-order precondition is required of
+  * [[appendLog]].
   *
   * Scale: vacuum's data plane is a per-segment max(eff) — one
   * column-pruned grouped scan of the log (a production catalog keeps
@@ -62,6 +81,7 @@ object CatalogVacuum {
 
   private val metaCols = Seq("op", "seq", "eff")
   private val floorMarker = "_vacuum_floor"
+  private val coverageDir = "_coverage"
 
   private def fs(spark: SparkSession, tablePath: String) =
     new Path(tablePath).getFileSystem(
@@ -69,12 +89,56 @@ object CatalogVacuum {
 
   /** Initialize the versioned table: `base` becomes the origin
     * snapshot (the state as of `originWatermark`, before any logged
-    * change).
+    * change — its coverage receipt is therefore empty).
     */
   def init(spark: SparkSession, tablePath: String, base: DataFrame,
-      originWatermark: String): Unit =
+      originWatermark: String): Unit = {
     base.write.mode(SaveMode.Overwrite)
       .parquet(s"$tablePath/snapshot=$originWatermark")
+    writeCoverage(spark, tablePath, originWatermark, Map.empty)
+  }
+
+  /** Atomically persist the per-segment folded-row-count receipt for
+    * snapshot `watermark` (one `seg<TAB>count` line per segment).
+    */
+  private def writeCoverage(spark: SparkSession, tablePath: String,
+      watermark: String, counts: Map[String, Long]): Unit = {
+    val f = fs(spark, tablePath)
+    val dir = new Path(tablePath, coverageDir)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val target = new Path(dir, s"w=$watermark")
+    val tmp = new Path(dir, s"w=$watermark.tmp")
+    val out = f.create(tmp, true)
+    try {
+      val body = counts.toSeq.sorted
+        .map { case (s, c) => s"$s\t$c" }.mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    f.delete(target, false)
+    if (!f.rename(tmp, target)) throw new IllegalStateException(
+      s"coverage receipt rename $tmp -> $target failed")
+  }
+
+  /** The coverage receipt for snapshot `watermark`; None when the
+    * snapshot predates the receipt protocol (vacuum then refuses to
+    * delete anything it cannot prove folded).
+    */
+  private def readCoverage(spark: SparkSession, tablePath: String,
+      watermark: String): Option[Map[String, Long]] = {
+    val f = fs(spark, tablePath)
+    val p = new Path(new Path(tablePath, coverageDir), s"w=$watermark")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val body = scala.io.Source.fromInputStream(in).mkString
+        Some(body.split("\n").filter(_.nonEmpty).map { line =>
+          val Array(s, c) = line.split("\t")
+          s -> c.toLong
+        }.toMap)
+      } finally in.close()
+    }
+  }
 
   /** Append change records (data cols + op ∈ upsert|delete, monotone
     * seq, eff DATE) into month segments.
@@ -168,6 +232,18 @@ object CatalogVacuum {
     */
   def checkpoint(spark: SparkSession, tablePath: String,
       watermark: String, keyCol: String = "doc_id"): Unit = {
+    // coverage receipt FIRST (collect forces the scan before the
+    // snapshot write): per-segment count of changes with
+    // eff ≤ watermark this snapshot will fold — an append racing the
+    // checkpoint can only make the snapshot fold MORE than recorded,
+    // which keeps its segment vacuum-safe (kept, replayed)
+    val folded: Map[String, Long] =
+      if (segments(spark, tablePath).isEmpty) Map.empty
+      else spark.read.parquet(s"$tablePath/log")
+        .where(col("eff") <= to_date(lit(watermark)))
+        .groupBy(col("seg_month")).count()
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val target = s"$tablePath/snapshot=$watermark"
     val staging = new Path(target + ".staging")
     val f = fs(spark, tablePath)
@@ -177,6 +253,7 @@ object CatalogVacuum {
     f.delete(new Path(target), true)
     if (!f.rename(staging, new Path(target)))
       throw new IllegalStateException(s"rename $staging -> $target failed")
+    writeCoverage(spark, tablePath, watermark, folded)
   }
 
   /** Physically delete every month segment no retained as-of read can
@@ -202,18 +279,41 @@ object CatalogVacuum {
     }
     val wCov = covered.max
 
-    // per-segment max(eff): the one data-plane scan (column-pruned;
-    // production keeps this in segment metadata)
+    // per-segment (max(eff), count): the one data-plane scan
+    // (column-pruned; production keeps this in segment metadata)
     val segs = segments(spark, tablePath)
-    val segMax: Map[String, String] =
+    val segStats: Map[String, (String, Long)] =
       if (segs.isEmpty) Map.empty
       else spark.read.parquet(s"$tablePath/log")
         .groupBy(col("seg_month"))
-        .agg(max(date_format(col("eff"), "yyyy-MM-dd")).as("max_eff"))
+        .agg(max(date_format(col("eff"), "yyyy-MM-dd")).as("max_eff"),
+          count(lit(1)).as("n"))
         .collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
 
-    val vacuumable = segs.filter(s => segMax.get(s).exists(_ <= wCov))
+    // a segment is deletable only when PROVABLY folded into EVERY
+    // surviving snapshot an as-of read might pick (all w ≥ w_cov —
+    // asOf chooses the latest ≤ cutoff, so a backdated change folded
+    // into w_cov but absent from a LATER stale snapshot would still
+    // be lost): max_eff ≤ w_cov AND the segment's current row count
+    // equals each such snapshot's coverage receipt (a backdated
+    // append after any of those checkpoints inflates the count →
+    // segment kept until every stale snapshot is re-checkpointed). A
+    // missing receipt (pre-protocol snapshot) proves nothing → that
+    // snapshot vetoes all deletion.
+    val receipts: Seq[Map[String, Long]] = snaps.filter(_ >= wCov)
+      .map(w => readCoverage(spark, tablePath, w))
+      .map {
+        case Some(m) => m
+        case None => return VacuumStats(
+          vacuumFloor(spark, tablePath).getOrElse(snaps.min),
+          Nil, Nil, segs)
+      }
+    val vacuumable = segs.filter { s =>
+      segStats.get(s).exists { case (maxEff, n) =>
+        maxEff <= wCov && receipts.forall(_.getOrElse(s, 0L) == n)
+      }
+    }
     vacuumable.foreach { s =>
       f.delete(new Path(s"$tablePath/log/seg_month=$s"), true)
     }

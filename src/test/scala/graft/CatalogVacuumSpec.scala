@@ -150,6 +150,70 @@ class CatalogVacuumSpec extends GraftSpec {
     }
   }
 
+  test("a BACKDATED append after the covering checkpoint survives " +
+      "vacuum (coverage receipt keeps its segment), retained reads " +
+      "include it, and a re-checkpoint makes it deletable") {
+    val s = spark
+    import s.implicits._
+    val dir = buildTable()
+    CatalogVacuum.checkpoint(spark, dir, "1996-03-31")
+    CatalogVacuum.checkpoint(spark, dir, "1996-06-30")
+    // backdated: eff lands in month 1996-02 (inside what w_cov =
+    // 1996-03-31 WOULD cover by eff alone) but is appended AFTER both
+    // checkpoints — absent from every snapshot
+    val late = Seq((20L, 888L, "2", "upsert", 8L, "1996-02-10"))
+      .toDF("doc_id", "n_chars", "processing_level", "op", "seq", "eff")
+      .withColumn("eff", to_date(col("eff")))
+    CatalogVacuum.appendLog(spark, dir, late)
+
+    val retained = Seq("1996-03-31", "1996-05-01", "1996-07-01")
+    val before = retained.map(c =>
+      c -> stateOf(CatalogVacuum.asOf(spark, dir, c))).toMap
+    // the backdated upsert is visible at every retained cutoff
+    retained.foreach { c =>
+      assert(before(c).contains((20L, 888L, "2")), s"backdate at $c")
+    }
+
+    // horizon 1996-04-01, w_cov = 1996-03-31: months 01 and 03 are
+    // provably folded (receipt counts match) and go; month 02 now has
+    // 2 rows vs the receipt's 1 — an eff-only rule would DELETE it and
+    // silently lose the backdated change; the receipt keeps it
+    val stats = CatalogVacuum.vacuum(spark, dir, 90)
+    assert(stats.vacuumedSegments == Seq("1996-01", "1996-03"))
+    assert(stats.keptSegments ==
+      Seq("1996-02", "1996-04", "1996-05", "1996-06"))
+    retained.foreach { c =>
+      assert(stateOf(CatalogVacuum.asOf(spark, dir, c)) == before(c),
+        s"asOf($c) changed across vacuum with a backdated segment")
+    }
+
+    // re-checkpointing w_cov ALONE is not enough: asOf at late
+    // cutoffs picks the stale 1996-06-30 snapshot, which still lacks
+    // the backdated change — vacuum must keep the segment until EVERY
+    // snapshot ≥ w_cov carries a matching receipt
+    CatalogVacuum.checkpoint(spark, dir, "1996-03-31")
+    val partial = CatalogVacuum.vacuum(spark, dir, 90)
+    assert(partial.vacuumedSegments.isEmpty,
+      "w_cov receipt alone must not license deletion under a stale " +
+        "later snapshot")
+    retained.foreach { c =>
+      assert(stateOf(CatalogVacuum.asOf(spark, dir, c)) == before(c))
+    }
+
+    // full repair: re-checkpoint the stale later snapshot too; the
+    // segment is then provably folded everywhere and the next vacuum
+    // deletes it — with reads still bit-identical
+    CatalogVacuum.checkpoint(spark, dir, "1996-06-30")
+    val again = CatalogVacuum.vacuum(spark, dir, 90)
+    assert(again.vacuumedSegments == Seq("1996-02"))
+    assert(CatalogVacuum.segments(spark, dir) ==
+      Seq("1996-04", "1996-05", "1996-06"))
+    retained.foreach { c =>
+      assert(stateOf(CatalogVacuum.asOf(spark, dir, c)) == before(c),
+        s"asOf($c) changed after the repair checkpoint + vacuum")
+    }
+  }
+
   test("vacuum with no covering snapshot inside the horizon deletes " +
       "nothing — never strands a retained cutoff") {
     val dir = buildTable()
