@@ -871,6 +871,243 @@ object Corpus {
        |ORDER BY iter, rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- #328
+  /** Learn the first `nMerges` BPE merges over the distinct-word
+    * vocabulary — the #159 training loop (Sennrich et al.) extracted
+    * so the ENCODER below can apply what the trainer learned. Each
+    * iteration aggregates corpus-weighted adjacent symbol pairs
+    * (vocabulary-sized, map-side combined), takes the (count desc,
+    * pair asc) winner — a 1-row TakeOrdered, the k-means-style
+    * fixpoint scalar — and folds the merge through every word's
+    * symbol array. `localCheckpoint` cuts lineage per iteration.
+    * Stops early when no pair remains (degenerate corpora).
+    */
+  private def bpeSqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
+  private def bpeMergeFoldExpr(a: String, b: String): String =
+    s"""aggregate(syms, cast(array() as array<string>),
+       |  (acc, s) -> CASE WHEN size(acc) > 0
+       |      AND element_at(acc, -1) = '$a' AND s = '$b'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('$a$b'))
+       |    ELSE concat(acc, array(s)) END)""".stripMargin
+
+  private[graft] def bpeLearnMerges(spark: SparkSession, dir: String,
+      nMerges: Int): Seq[(String, String)] = {
+    var vocab = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .where(length(col("w")) >= 2)
+      .select(col("cw"), split(col("w"), "").as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    var it = 0
+    while (it < nMerges && !exhausted) {
+      it += 1
+      // size guard: a fully-merged word (1 symbol) must not reach
+      // sequence(1, 0), which Spark renders DESCENDING, not empty
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("cw"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> concat_ws(' ', slice(syms, i, 2)))""".stripMargin))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cw").as("n"))
+        .orderBy(desc("n"), col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val parts = top.head.getAs[String]("pair").split(' ')
+        merges += ((parts(0), parts(1)))
+        if (it < nMerges) {
+          vocab = vocab.withColumn("syms", expr(bpeMergeFoldExpr(
+            bpeSqlLit(parts(0)), bpeSqlLit(parts(1)))))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Per-document REAL token counts: encode every distinct word once
+    * by applying the learned merges in rank order (each a greedy
+    * left-to-right fold — rank order is sufficient because a rank-k
+    * merge's operands are built only from merges of rank < k, so a
+    * later merge can never create an earlier merge's pair), then join
+    * counts back to the corpus word stream. The encode table is
+    * vocabulary-sized (sub-linear in corpus bytes at any scale); the
+    * join is AQE-broadcastable at bench scale and a plain shuffle
+    * join on `w` when a web-scale vocabulary outgrows that; the
+    * per-doc rollup is one keyed agg with map-side combine.
+    */
+  private[graft] def bpeDocTokens(spark: SparkSession, dir: String,
+      nMerges: Int = 8): DataFrame = {
+    val merges = bpeLearnMerges(spark, dir, nMerges)
+    val words = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+    var enc = words.select("w").distinct()
+      .withColumn("syms", split(col("w"), ""))
+    merges.foreach { case (a, b) =>
+      enc = enc.withColumn("syms",
+        expr(bpeMergeFoldExpr(bpeSqlLit(a), bpeSqlLit(b))))
+    }
+    val wtok = enc.select(col("w"), size(col("syms")).cast("long").as("nt"))
+    words.join(wtok, "w")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_words"), sum("nt").as("n_bpe_tokens"))
+  }
+
+  /** #328 tokenizer-true encoding: per-document BPE token counts from
+    * the merge table #159 LEARNS but nothing previously APPLIED —
+    * every real budget/packing/mixture decision is made in tokenizer
+    * units, not whitespace words. Emits per doc the word count, the
+    * encoded token count, and tokens/word (the compression the merges
+    * bought). The DuckDB oracle re-runs the full learn+encode loop
+    * via boundary-space replace, so a green hash proves the Spark
+    * fold IS Sennrich encoding, end to end.
+    */
+  def corpusBpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeDocTokens(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        r4(col("n_bpe_tokens") / col("n_words")).as("tokens_per_word"))
+      .orderBy("doc_id")
+
+  /** Shared DuckDB CTE block: learn `nMerges` merges (the #159 loop,
+    * winner-only), encode ALL distinct words by applying each merge's
+    * boundary-space replace in rank order (7 nested passes handle
+    * chained occurrences — see textBpeMergesSql), and roll up per-doc
+    * word/token counts as `doc_tokens(doc_id, source, n_words,
+    * n_bpe_tokens)`. `m_i` is COALESCE-guarded to one no-op row
+    * (chr(1) never occurs in text) so a pair-exhausted iteration
+    * can't empty the pipeline — mirroring the Scala early-stop.
+    */
+  private def bpeOracleCtes(nMerges: Int): String = {
+    def rep7(inner: String): String =
+      (1 to 7).foldLeft(inner)((s, _) => s"replace($s, pat, rep)")
+    def pairsOf(v: String): String =
+      s"""SELECT cw, unnest(list_transform(
+         |    range(1, len(string_split(s, ' '))),
+         |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i + 1]))
+         |    AS pair
+         |  FROM $v""".stripMargin
+    val iters = (1 to nMerges).map { i =>
+      val vPrev = s"v${i - 1}"
+      val merged =
+        s"""SELECT cw, trim(${rep7("' ' || s || ' '")}) AS s
+           |  FROM $vPrev CROSS JOIN m$i""".stripMargin
+      s"""p$i AS (
+         |  SELECT pair, CAST(SUM(cw) AS BIGINT) AS c FROM (
+         |  ${pairsOf(vPrev)})
+         |  GROUP BY pair),
+         |m$i AS (
+         |  SELECT COALESCE(MAX(pat), chr(1)) AS pat,
+         |    COALESCE(MAX(rep), chr(1)) AS rep
+         |  FROM (
+         |    SELECT ' ' || pair || ' ' AS pat,
+         |      ' ' || replace(pair, ' ', '') || ' ' AS rep
+         |    FROM p$i ORDER BY c DESC, pair LIMIT 1)),
+         |v$i AS (
+         |  $merged)""".stripMargin
+    }.mkString(",\n")
+    val encodes = (1 to nMerges).map { i =>
+      s"""e$i AS (
+         |  SELECT w, trim(${rep7("' ' || s || ' '")}) AS s
+         |  FROM e${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (
+       |  SELECT w, COUNT(*) AS cw FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w HAVING len(w) >= 2),
+       |v0 AS (
+       |  SELECT cw, array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS s
+       |  FROM words),
+       |$iters,
+       |aw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |e0 AS (
+       |  SELECT w, array_to_string(
+       |    list_transform(range(1, len(w) + 1), i -> w[i]), ' ') AS s
+       |  FROM aw),
+       |$encodes,
+       |wt AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+       |  FROM e$nMerges),
+       |dw AS (SELECT doc_id, source,
+       |  unnest(string_split(text, ' ')) AS w FROM documents),
+       |doc_tokens AS (
+       |  SELECT dw.doc_id, dw.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(wt.nt) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN wt USING (w) GROUP BY 1, 2)""".stripMargin
+  }
+
+  val corpusBpeEncodeSql: String =
+    s"""WITH ${bpeOracleCtes(8)}
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  ${r4Sql("n_bpe_tokens / CAST(n_words AS DOUBLE)")}
+       |    AS tokens_per_word
+       |FROM doc_tokens ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #329
+  /** #329 the #70 budget gate re-pointed at REAL tokens: every source
+    * gets an equal slice of a global BPE-token budget; docs admit in
+    * doc_id order while their source's cumulative ENCODED token count
+    * fits. Same single cum-sum window shape as #70 — only the unit
+    * changed, which changes which documents are admitted (the point).
+    */
+  def corpusTokenBudgetTokened(spark: SparkSession, dir: String,
+      totalBudget: Long = 30000L): DataFrame = {
+    val dt = bpeDocTokens(spark, dir)
+    val nSources = dt.select("source").distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dt.withColumn("cum_tokens", sum("n_bpe_tokens").over(w))
+      .join(broadcast(nSources), lit(true))
+      .where(col("cum_tokens") <= expr(s"${totalBudget}L div n_sources"))
+      .select("source", "doc_id", "n_bpe_tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
+  val corpusTokenBudgetTokenedSql: String =
+    s"""WITH ${bpeOracleCtes(8)},
+       |n AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_bpe_tokens,
+       |    CAST(SUM(n_bpe_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM doc_tokens)
+       |SELECT source, doc_id, n_bpe_tokens, cum_tokens
+       |FROM c, n WHERE cum_tokens <= 30000 // n_sources
+       |ORDER BY source, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #330
+  /** #330 the #66 packing layout re-pointed at REAL tokens: each doc
+    * tagged with the fixed-size training chunk where it starts, with
+    * chunk fill measured in ENCODED tokens — the unit the GPU batch
+    * actually sees. One cum-sum window per source stream.
+    */
+  def packSequencesTokened(spark: SparkSession, dir: String,
+      chunkTokens: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeDocTokens(spark, dir)
+      .withColumn("cum_after", sum("n_bpe_tokens").over(w))
+      .select(col("source"), col("doc_id"), col("n_bpe_tokens"),
+        floor((col("cum_after") - col("n_bpe_tokens")) / chunkTokens)
+          .as("chunk"))
+      .orderBy("source", "doc_id")
+  }
+
+  val packSequencesTokenedSql: String =
+    s"""WITH ${bpeOracleCtes(8)}
+       |SELECT source, doc_id, n_bpe_tokens,
+       |  CAST(FLOOR((SUM(n_bpe_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_bpe_tokens)
+       |    / 2048.0) AS BIGINT) AS chunk
+       |FROM doc_tokens ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_val" -> (splitTrainVal _),
     "corpus_domain_drift" ->
@@ -893,7 +1130,12 @@ object Corpus {
       ((s: SparkSession, d: String) => dedupSubstrings(s, d)),
     "text_oov_rate" -> ((s: SparkSession, d: String) => textOovRate(s, d)),
     "corpus_token_budget" ->
-      ((s: SparkSession, d: String) => corpusTokenBudget(s, d)))
+      ((s: SparkSession, d: String) => corpusTokenBudget(s, d)),
+    "corpus_bpe_encode" -> (corpusBpeEncode _),
+    "corpus_token_budget_tokened" ->
+      ((s: SparkSession, d: String) => corpusTokenBudgetTokened(s, d)),
+    "pack_sequences_tokened" ->
+      ((s: SparkSession, d: String) => packSequencesTokened(s, d)))
 
   val oracles: Map[String, String] = Map(
     "split_train_val" -> splitTrainValSql,
@@ -912,5 +1154,8 @@ object Corpus {
     "dedup_passages" -> dedupPassagesSql,
     "dedup_substrings" -> dedupSubstringsSql,
     "text_oov_rate" -> textOovRateSql,
-    "corpus_token_budget" -> corpusTokenBudgetSql)
+    "corpus_token_budget" -> corpusTokenBudgetSql,
+    "corpus_bpe_encode" -> corpusBpeEncodeSql,
+    "corpus_token_budget_tokened" -> corpusTokenBudgetTokenedSql,
+    "pack_sequences_tokened" -> packSequencesTokenedSql)
 }

@@ -155,6 +155,107 @@ class CorpusSpec extends GraftSpec {
         "an d" -> 1L, "d an" -> 1L))
   }
 
+  test("corpus_bpe_encode equals a plain-Scala Sennrich reference " +
+      "(learn + greedy rank-order encode), incl. chained merges and " +
+      "1-char words") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "banana banana banana bandana", "srcA"),
+      (2L, "aaaa aa banana", "srcA"), // chained occurrences of (a,a)
+      (3L, "bandana band an a", "srcB")) // "a": encode-only, not learned
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc")
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+
+    // ---- plain-Scala reference: Sennrich learn + greedy L2R encode
+    def greedyMerge(syms: Vector[String], m: (String, String)):
+        Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == m._1 && s == m._2)
+          acc.dropRight(1) :+ (m._1 + m._2)
+        else acc :+ s
+      }
+    val allWords: Seq[(String, Long)] = docs
+      .flatMap(_._2.split(' ')).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }.toSeq
+    var vocab: Seq[(Vector[String], Long)] = allWords
+      .filter(_._1.length >= 2)
+      .map { case (w, c) => w.split("").toVector -> c }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    var stop = false
+    while (merges.size < 8 && !stop) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2)
+          .foreach(p => pc((p(0), p(1))) += c)
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val best = pc.toSeq
+          .minBy { case ((a, b), c) => (-c, s"$a $b") }._1
+        merges += best
+        vocab = vocab.map { case (s, c) => greedyMerge(s, best) -> c }
+      }
+    }
+    def encode(w: String): Int =
+      merges.foldLeft(w.split("").toVector)(greedyMerge).size
+    val expected = docs.map { case (id, text, _) =>
+      val ws = text.split(' ')
+      (id, ws.length.toLong, ws.map(encode(_).toLong).sum)
+    }.sortBy(_._1)
+
+    val got = operators.Corpus.corpusBpeEncode(spark, dir.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"))).toSeq.sortBy(_._1)
+    assert(got == expected)
+    // the merges must have genuinely compressed: fewer tokens than
+    // chars, at least one token per word
+    got.zip(docs.sortBy(_._1)).foreach { case ((_, nw, nt), (_, t, _)) =>
+      assert(nt >= nw && nt < t.replace(" ", "").length)
+    }
+  }
+
+  test("tokened budget/pack twins are the cum-sum of corpus_bpe_encode " +
+      "counts — unit swapped, admission logic unchanged") {
+    val enc = operators.Corpus.bpeDocTokens(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_bpe_tokens")))
+    val bySource = enc.groupBy(_._2)
+    val nSources = bySource.size.toLong
+    val slice = 30000L / nSources
+    val admitted = bySource.values.flatMap { rows =>
+      val sorted = rows.sortBy(_._1)
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zip(cums).takeWhile(_._2 <= slice).map(_._1._1)
+    }.toSet
+    val gotBudget = operators.Corpus
+      .corpusTokenBudgetTokened(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotBudget == admitted && admitted.nonEmpty)
+
+    val chunks = bySource.values.flatMap { rows =>
+      val sorted = rows.sortBy(_._1)
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.zip(cums).map { case ((id, _, nt), cum) =>
+        id -> (cum - nt) / 2048L
+      }
+    }.toMap
+    val gotPack = operators.Corpus.packSequencesTokened(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk")).toMap
+    assert(gotPack == chunks)
+    // the unit change is MATERIAL: some chunk boundary differs from
+    // the whitespace-word packing (else the twin is a rename)
+    val wordPack = operators.Corpus.packSequences(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk")).toMap
+    assert(gotPack != wordPack)
+  }
+
   test("text_oov_rate: vocab tokens cover total minus OOV, bounds hold") {
     val oov = operators.Corpus.textOovRate(spark, sf)
     val rows = oov.collect()
