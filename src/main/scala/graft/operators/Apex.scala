@@ -616,7 +616,7 @@ object Apex {
     * have been materialized (layout audits write full parquet copies;
     * leaving them would leak unbounded disk across bench sweeps).
     */
-  private[operators] def deleteTempLayout(spark: SparkSession,
+  private[graft] def deleteTempLayout(spark: SparkSession,
       path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

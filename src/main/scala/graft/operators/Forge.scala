@@ -140,11 +140,14 @@ object Forge {
     * reads distributed and metadata-plane; the audit output is
     * 6 rows.
     */
-  def layoutZorderFooter(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val fileRows = 512
+  /** The shared layout projection: orders with day (epoch days), a
+    * 64-bucket customer hash `cb`, the fixed-bound 6-bit day quantile
+    * `db`, the Morton value `z` and its 64-directory bucket `zb` —
+    * the frame #324/#331/#332 write under competing physical layouts.
+    */
+  private[graft] def ordersZFrame(spark: SparkSession, dir: String): DataFrame = {
     val shrSpark = (x: String, i: Int) => s"shiftright($x, $i)"
-    val o = Tables(spark, dir, "orders")
+    Tables(spark, dir, "orders")
       .select(col("o_orderkey"),
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
           .as("day"),
@@ -154,6 +157,12 @@ object Forge {
         "least(63L, greatest(0L, (day - 8000) * 64 div 2000))"))
       .withColumn("z", expr(zInterleave("db", "cb", shrSpark)))
       .withColumn("zb", expr("z div 64"))
+  }
+
+  def layoutZorderFooter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fileRows = 512
+    val o = ordersZFrame(spark, dir)
     val tmpD = java.nio.file.Files
       .createTempDirectory("graft_zorder_date").toString
     val tmpZ = java.nio.file.Files
@@ -169,31 +178,17 @@ object Forge {
       .option("maxRecordsPerFile", fileRows.toLong)
       .partitionBy("zb").parquet(tmpZ)
 
-    def fileStats(path: String, layout: String) =
-      Apex.readFooterLongStats(spark, path, Seq("day", "cb"))
-        .groupBy("path")
-        .agg(min(when(col("stat_col") === "day", col("min_v")))
-            .as("min_day"),
-          max(when(col("stat_col") === "day", col("max_v")))
-            .as("max_day"),
-          min(when(col("stat_col") === "cb", col("min_v"))).as("min_cb"),
-          max(when(col("stat_col") === "cb", col("max_v"))).as("max_cb"))
-        .withColumn("layout", lit(layout))
     // materialize the (files × 2 layouts)-sized stats NOW, then drop
     // both temp layout copies (see Apex.deleteTempLayout — sweeps must
     // not leak full-table parquet under java.io.tmpdir)
-    val stats = fileStats(tmpD, "date_clustered")
-      .unionByName(fileStats(tmpZ, "zorder"))
+    val stats = footerTwoDimStats(spark, tmpD, "date_clustered")
+      .unionByName(footerTwoDimStats(spark, tmpZ, "zorder"))
       .localCheckpoint()
     Apex.deleteTempLayout(spark, tmpD)
     Apex.deleteTempLayout(spark, tmpZ)
     // probes: day range only, customer bucket only, combined.
     // Sentinel bounds make "no constraint" explicit per dimension.
-    val probes = Seq(
-      ("day_1995-03", 9190L, 9220L, 0L, 63L),
-      ("cust_bucket_7", 0L, 1000000L, 7L, 7L),
-      ("combined", 9190L, 9220L, 7L, 7L))
-      .toDF("probe", "d_lo", "d_hi", "c_lo", "c_hi")
+    val probes = layoutProbes.toDF("probe", "d_lo", "d_hi", "c_lo", "c_hi")
     stats.crossJoin(broadcast(probes))
       .groupBy("layout", "probe")
       .agg(count(lit(1)).as("n_files"),
@@ -256,6 +251,269 @@ object Forge {
        |    AS skip_frac
        |FROM f CROSS JOIN p
        |GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #331
+  /** Unrolled Hilbert xy2d (Wikipedia's iterative form, s-1
+    * reflection variant) for the 64×64 (db, cb) grid: six
+    * (quadrant, d, rotate/reflect) steps, each a (column, SQL text)
+    * pair using only `&`, `*`, `+`, `-` and CASE — so the SAME text
+    * runs verbatim on Spark (withColumn chain) and DuckDB (lateral
+    * column aliases). The quadrant value (3·rx)⊕ry is enumerated as a
+    * CASE instead of XOR (DuckDB's `^` is power; its xor() is a
+    * function — CASE sidesteps the engine split). ForgeSpec proves
+    * the curve property directly: bijection over 0..4095 and
+    * unit-step grid adjacency of consecutive d.
+    */
+  private[graft] def hilbertSteps(xCol: String,
+      yCol: String): (Seq[(String, String)], String) = {
+    val steps = Seq.newBuilder[(String, String)]
+    var x = xCol; var y = yCol; var d = "0"
+    Seq(32, 16, 8, 4, 2, 1).zipWithIndex.foreach { case (s, i) =>
+      val (q, nx, ny, nd) = (s"h_q$i", s"h_x$i", s"h_y$i", s"h_d$i")
+      steps += q -> (s"CASE WHEN ($x & $s) = 0 AND ($y & $s) = 0 THEN 0 " +
+        s"WHEN ($x & $s) = 0 THEN 1 WHEN ($y & $s) > 0 THEN 2 ELSE 3 END")
+      steps += nd -> s"$d + ${s.toLong * s} * $q"
+      steps += nx -> (s"CASE WHEN ($y & $s) = 0 THEN (CASE WHEN " +
+        s"($x & $s) > 0 THEN $s - 1 - $y ELSE $y END) ELSE $x END")
+      steps += ny -> (s"CASE WHEN ($y & $s) = 0 THEN (CASE WHEN " +
+        s"($x & $s) > 0 THEN $s - 1 - $x ELSE $x END) ELSE $y END")
+      x = nx; y = ny; d = nd
+    }
+    (steps.result(), d)
+  }
+
+  /** Pivot [[Apex.readFooterLongStats]]'s long-format (file, column)
+    * rows to one row per file with both dimensions' min/max, tagged
+    * with the layout under audit.
+    */
+  private[graft] def footerTwoDimStats(spark: SparkSession, path: String,
+      layout: String): DataFrame =
+    Apex.readFooterLongStats(spark, path, Seq("day", "cb"))
+      .groupBy("path")
+      .agg(min(when(col("stat_col") === "day", col("min_v")))
+          .as("min_day"),
+        max(when(col("stat_col") === "day", col("max_v")))
+          .as("max_day"),
+        min(when(col("stat_col") === "cb", col("min_v"))).as("min_cb"),
+        max(when(col("stat_col") === "cb", col("max_v"))).as("max_cb"))
+      .withColumn("layout", lit(layout))
+
+  private val layoutProbes = Seq(
+    ("day_1995-03", 9190L, 9220L, 0L, 63L),
+    ("cust_bucket_7", 0L, 1000000L, 7L, 7L),
+    ("combined", 9190L, 9220L, 7L, 7L))
+
+  /** #331 Hilbert vs Morton, measured off REAL footers — the classic
+    * warehouse follow-up to #324: at the SAME bit budget (6+6 bits,
+    * 64 directories, 512-row files), the Hilbert curve's unit-step
+    * continuity keeps each file's (day, cb) footprint tighter than
+    * Morton's quadrant jumps, so range probes should skip at least as
+    * many files. Both layouts are physically written (one shuffle
+    * each, partition-parallel, in-task sorts), footers are read
+    * distributed, and the same three #324 probes are scored — 6 rows.
+    * Cross-check with #324's output ranks date vs z-order vs Hilbert.
+    * The oracle recomputes both layouts' per-file min/max from the
+    * rank-cut closed form (deterministic write == oracle-checkable).
+    */
+  def layoutHilbertFooter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fileRows = 512
+    val (steps, dFinal) = hilbertSteps("db", "cb")
+    val o = steps.foldLeft(ordersZFrame(spark, dir)) {
+        case (df, (c, e)) => df.withColumn(c, expr(e))
+      }
+      .withColumn("hd", col(dFinal).cast("long"))
+      .withColumn("hb", expr("hd div 64"))
+      .select("o_orderkey", "day", "cb", "z", "zb", "hd", "hb")
+    val tmpZ = java.nio.file.Files
+      .createTempDirectory("graft_hilbert_z").toString
+    val tmpH = java.nio.file.Files
+      .createTempDirectory("graft_hilbert_h").toString
+    o.repartition(col("zb"))
+      .sortWithinPartitions("zb", "z", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("zb").parquet(tmpZ)
+    o.repartition(col("hb"))
+      .sortWithinPartitions("hb", "hd", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("hb").parquet(tmpH)
+    val stats = footerTwoDimStats(spark, tmpZ, "zorder")
+      .unionByName(footerTwoDimStats(spark, tmpH, "hilbert"))
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmpZ)
+    Apex.deleteTempLayout(spark, tmpH)
+    val probes = layoutProbes.toDF("probe", "d_lo", "d_hi", "c_lo", "c_hi")
+    stats.crossJoin(broadcast(probes))
+      .groupBy("layout", "probe")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("max_day") >= col("d_lo") &&
+          col("min_day") <= col("d_hi") &&
+          col("max_cb") >= col("c_lo") &&
+          col("min_cb") <= col("c_hi"), 1L).otherwise(0L)).as("n_read"))
+      .select(col("layout"), col("probe"), col("n_files"), col("n_read"),
+        r4(lit(1.0) - col("n_read").cast("double") / col("n_files"))
+          .as("skip_frac"))
+      .orderBy("layout", "probe")
+  }
+
+  val layoutHilbertFooterSql: String = {
+    val shrDuck = (x: String, i: Int) => s"($x >> $i)"
+    val (steps, dFinal) = hilbertSteps("db", "cb")
+    val lateral = steps.map { case (c, e) => s"$e AS $c" }
+      .mkString(",\n    ")
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+       |      AS BIGINT) AS day,
+       |    CAST(o_custkey % 64 AS BIGINT) AS cb
+       |  FROM orders),
+       |z AS (
+       |  SELECT *,
+       |    least(63, greatest(0, (day - 8000) * 64 // 2000)) AS db
+       |  FROM o),
+       |zz AS (
+       |  SELECT *, ${zInterleave("db", "cb", shrDuck)} AS zv FROM z),
+       |hh AS (
+       |  SELECT *,
+       |    $lateral
+       |  FROM zz),
+       |hb AS (SELECT *, zv // 64 AS zbk,
+       |  CAST($dFinal AS BIGINT) AS hd,
+       |  CAST($dFinal AS BIGINT) // 64 AS hbk FROM hh),
+       |rz AS (
+       |  SELECT zbk, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY zbk
+       |      ORDER BY zv, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM hb),
+       |rh AS (
+       |  SELECT hbk, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY hbk
+       |      ORDER BY hd, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM hb),
+       |f AS (
+       |  SELECT 'zorder' AS layout, zbk AS part, fid,
+       |    MIN(day) AS min_day, MAX(day) AS max_day,
+       |    MIN(cb) AS min_cb, MAX(cb) AS max_cb
+       |  FROM rz GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'hilbert', hbk, fid,
+       |    MIN(day), MAX(day), MIN(cb), MAX(cb)
+       |  FROM rh GROUP BY 2, 3),
+       |p AS (SELECT * FROM (VALUES
+       |  ('day_1995-03', 9190, 9220, 0, 63),
+       |  ('cust_bucket_7', 0, 1000000, 7, 7),
+       |  ('combined', 9190, 9220, 7, 7))
+       |  AS t(probe, d_lo, d_hi, c_lo, c_hi))
+       |SELECT layout, probe, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(COUNT(*) FILTER (WHERE max_day >= d_lo AND min_day <= d_hi
+       |    AND max_cb >= c_lo AND min_cb <= c_hi) AS BIGINT) AS n_read,
+       |  ${r4Sql("1.0 - CAST(COUNT(*) FILTER (WHERE max_day >= d_lo " +
+                  "AND min_day <= d_hi AND max_cb >= c_lo " +
+                  "AND min_cb <= c_hi) AS DOUBLE) / COUNT(*)")}
+       |    AS skip_frac
+       |FROM f CROSS JOIN p
+       |GROUP BY layout, probe ORDER BY layout, probe""".stripMargin
+  }
+
+  // --------------------------------------------------------------- #332
+  /** #332 the pruned-scan EXECUTOR: #320/#324 measure what footer
+    * stats COULD skip; this operator actually skips — it consults the
+    * REAL footers of a freshly written z-order layout, drops every
+    * file whose [min,max] on either dimension excludes the combined
+    * probe, physically reads ONLY the survivors (plus the row-level
+    * residual filter — footer pruning is file-granular), and returns
+    * the probe's aggregate WITH the file accounting. The DuckDB
+    * oracle computes the same aggregate over the FULL table (pruning
+    * must be invisible to results — that's the identity being
+    * hash-checked) and the file counts from the rank-cut closed form.
+    *
+    * Scale: the survivor list is file-count-sized metadata (exactly
+    * the file index every parquet scan builds; a production reader
+    * gets it from table-format manifests instead of footers) — the
+    * DATA plane touches only surviving files, which is the entire
+    * point of the layout program: at 100 TB the combined probe reads
+    * ~1.5% of the files instead of all of them.
+    */
+  def layoutPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val fileRows = 512
+    val (dLo, dHi, cV) = (9190L, 9220L, 7L)
+    val o = ordersZFrame(spark, dir)
+    val tmpZ = java.nio.file.Files
+      .createTempDirectory("graft_pruned_scan").toString
+    o.repartition(col("zb"))
+      .sortWithinPartitions("zb", "z", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("zb").parquet(tmpZ)
+    val stats = footerTwoDimStats(spark, tmpZ, "zorder").collect()
+    val survivors = stats.filter { r =>
+      r.getAs[Long]("max_day") >= dLo && r.getAs[Long]("min_day") <= dHi &&
+        r.getAs[Long]("max_cb") >= cV && r.getAs[Long]("min_cb") <= cV
+    }.map(_.getAs[String]("path"))
+    val pruned =
+      if (survivors.isEmpty) spark.read.parquet(tmpZ).where(lit(false))
+      else spark.read.option("basePath", tmpZ).parquet(survivors.toSeq: _*)
+    val out = pruned
+      .where(col("day").between(dLo, dHi) && col("cb") === cV)
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("long").as("sum_orderkey"),
+        min("day").as("min_day_read"), max("day").as("max_day_read"))
+      .withColumn("files_total", lit(stats.length.toLong))
+      .withColumn("files_read", lit(survivors.length.toLong))
+      .select(col("files_total"), col("files_read"),
+        r4(lit(1.0) - col("files_read").cast("double")
+          / col("files_total")).as("skip_frac"),
+        col("n_rows"), col("sum_orderkey"),
+        col("min_day_read"), col("max_day_read"))
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmpZ)
+    out
+  }
+
+  val layoutPrunedScanSql: String = {
+    val shrDuck = (x: String, i: Int) => s"($x >> $i)"
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+       |      AS BIGINT) AS day,
+       |    CAST(o_custkey % 64 AS BIGINT) AS cb
+       |  FROM orders),
+       |z AS (
+       |  SELECT *,
+       |    least(63, greatest(0, (day - 8000) * 64 // 2000)) AS db
+       |  FROM o),
+       |zz AS (
+       |  SELECT *, ${zInterleave("db", "cb", shrDuck)} AS zv FROM z),
+       |zb AS (SELECT *, zv // 64 AS zbk FROM zz),
+       |rz AS (
+       |  SELECT zbk, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY zbk
+       |      ORDER BY zv, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM zb),
+       |f AS (
+       |  SELECT zbk, fid,
+       |    MIN(day) AS min_day, MAX(day) AS max_day,
+       |    MIN(cb) AS min_cb, MAX(cb) AS max_cb
+       |  FROM rz GROUP BY 1, 2),
+       |acc AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS files_total,
+       |    CAST(COUNT(*) FILTER (WHERE max_day >= 9190
+       |      AND min_day <= 9220 AND max_cb >= 7 AND min_cb <= 7)
+       |      AS BIGINT) AS files_read
+       |  FROM f),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       |    MIN(day) AS min_day_read, MAX(day) AS max_day_read
+       |  FROM zb WHERE day BETWEEN 9190 AND 9220 AND cb = 7)
+       |SELECT files_total, files_read,
+       |  ${r4Sql("1.0 - CAST(files_read AS DOUBLE) / files_total")}
+       |    AS skip_frac,
+       |  n_rows, sum_orderkey, min_day_read, max_day_read
+       |FROM acc CROSS JOIN agg""".stripMargin
   }
 
   // --------------------------------------------------------------- #326
@@ -479,12 +737,16 @@ object Forge {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bottomk" -> (sampleBottomk _),
     "layout_zorder_footer" -> (layoutZorderFooter _),
+    "layout_hilbert_footer" -> (layoutHilbertFooter _),
+    "layout_pruned_scan" -> (layoutPrunedScan _),
     "quality_profile" -> (qualityProfile _),
     "quality_constraints" -> (qualityConstraints _))
 
   val oracles: Map[String, String] = Map(
     "sample_bottomk" -> sampleBottomkSql,
     "layout_zorder_footer" -> layoutZorderFooterSql,
+    "layout_hilbert_footer" -> layoutHilbertFooterSql,
+    "layout_pruned_scan" -> layoutPrunedScanSql,
     "quality_profile" -> qualityProfileSql,
     "quality_constraints" -> qualityConstraintsSql)
 }

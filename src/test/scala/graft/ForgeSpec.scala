@@ -120,4 +120,87 @@ class ForgeSpec extends GraftSpec {
     assert(out("max_length_cap").getAs[Boolean]("passed"))
     assert(out.values.count(_.getAs[Boolean]("passed")) == 6)
   }
+
+  test("hilbertSteps IS a Hilbert curve: the shared SQL text evaluates " +
+      "to a bijection over 0..4095 with unit-step grid adjacency") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong, y.toLong))).toDF("db", "cb")
+    val (steps, dFinal) = Forge.hilbertSteps("db", "cb")
+    val cells = steps.foldLeft(grid) { case (df, (c, e)) =>
+        df.withColumn(c, expr(e)) }
+      .select(col("db"), col("cb"), col(dFinal).cast("long").as("hd"))
+      .collect()
+      .map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1))).toMap
+    assert(cells.keySet == (0L until 4096L).toSet, "bijection")
+    (0L until 4095L).foreach { d =>
+      val (x1, y1) = cells(d); val (x2, y2) = cells(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"consecutive d=$d,$d+1 not grid-adjacent")
+    }
+  }
+
+  test("layout_pruned_scan executor: the footer-pruned read is " +
+      "row-IDENTICAL to the full scan on BOTH layouts, and genuinely " +
+      "reads fewer files") {
+    import org.apache.spark.sql.functions._
+    val fileRows = 512
+    // wider day band than the operator's probe: sf0.001 has ~1500
+    // orders and the 31-day band × 1/64 bucket is empty there — the
+    // identity must be checked on a NON-vacuous match set
+    val (dLo, dHi, cV) = (9000L, 9400L, 7L)
+    val o = Forge.ordersZFrame(spark, sf)
+    def prunedEqualsFull(write: org.apache.spark.sql.DataFrame => String)
+        : (Long, Long) = {
+      val tmp = write(o)
+      val stats = Forge.footerTwoDimStats(spark, tmp, "t").collect()
+      val survivors = stats.filter { r =>
+        r.getAs[Long]("max_day") >= dLo &&
+          r.getAs[Long]("min_day") <= dHi &&
+          r.getAs[Long]("max_cb") >= cV && r.getAs[Long]("min_cb") <= cV
+      }.map(_.getAs[String]("path"))
+      val residual = (df: org.apache.spark.sql.DataFrame) => df
+        .where(col("day").between(dLo, dHi) && col("cb") === cV)
+        .select("o_orderkey", "day", "cb")
+      val full = residual(spark.read.parquet(tmp)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pruned = residual(spark.read.option("basePath", tmp)
+        .parquet(survivors.toSeq: _*)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pruned == full,
+        "footer pruning changed the visible rows — stats untruthful " +
+          "or prune predicate wrong")
+      assert(full.nonEmpty, "probe matched nothing — vacuous identity")
+      org.apache.spark.sql.functions.lit(1) // keep imports used
+      operators.Apex.deleteTempLayout(spark, tmp)
+      (survivors.length.toLong, stats.length.toLong)
+    }
+    val (zRead, zTotal) = prunedEqualsFull { df =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_prune_z").toString
+      df.repartition(col("zb"))
+        .sortWithinPartitions("zb", "z", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", fileRows.toLong)
+        .partitionBy("zb").parquet(t)
+      t
+    }
+    val (dRead, dTotal) = prunedEqualsFull { df =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_prune_d").toString
+      df.repartition(col("month"))
+        .sortWithinPartitions("month", "day", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", fileRows.toLong)
+        .partitionBy("month").parquet(t)
+      t
+    }
+    // the executor must actually skip — on the z-order layout the
+    // combined probe reads a small fraction of the files
+    assert(zRead < zTotal && zRead.toDouble / zTotal <= 0.5,
+      s"z-order pruned read $zRead/$zTotal files — no real skipping")
+    assert(dRead <= dTotal)
+  }
 }
