@@ -502,7 +502,8 @@ object Similarity {
     "ann_ivf" -> (annIvf _),
     "ann_sq8" -> (annSq8 _),
     "ann_multiprobe" -> (annMultiprobe _),
-    "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)))
+    "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)),
+    "ann_ivf_incremental" -> (annIvfIncremental _))
 
   /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
     * bits from the same sequential ±component sums, then the
@@ -639,6 +640,166 @@ object Similarity {
       |SELECT q_id, rank, c_id,
       |  FLOOR(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine
       |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- #333
+  /** Per-cell decimal-exact centroids (the #55 construction, shared):
+    * order-independent per-dimension means, so the table is bit-equal
+    * under any partitioning and oracle-reproducible.
+    */
+  private[graft] def ivfCentroids(df: DataFrame): DataFrame = df
+    .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+    .groupBy("label", "d")
+    .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
+      .cast("double").as("c"))
+    .groupBy("label")
+    .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
+      .as("centroid"))
+
+  /** Argmin assignment of `newWave` vectors to the FROZEN centroids of
+    * `initial` (cosine desc, cell asc — a total order): the write path
+    * of an incrementally-maintained IVF index. Broadcast centroid
+    * table, map-side scoring, one row_number per vector.
+    */
+  private[graft] def ivfAssign(initial: DataFrame,
+      newWave: DataFrame): DataFrame = {
+    val frozen = ivfCentroids(initial)
+      .select(col("label").as("cell"), col("centroid"))
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(desc("c_sim"), col("cell"))
+    newWave.join(broadcast(frozen), lit(true))
+      .withColumn("c_sim", expr(
+        "cosine_f32(embedding, transform(centroid, x -> cast(x as float)))"))
+      .withColumn("rk", row_number().over(wA))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("label").as("native"), col("cell"))
+  }
+
+  /** #333 incremental IVF index maintenance — the ANN-shaped sibling
+    * of #150's append-only dedup contract: the corpus's second wave
+    * (vec_id % 4 == 3) arrives AFTER the index was built, so its
+    * vectors are argmin-ASSIGNED to the frozen centroids instead of
+    * triggering a rebuild. The report is the maintenance readout a
+    * production index owner watches: per cell, the initial member
+    * count, new arrivals, how many arrivals a FRESH rebuild would
+    * have placed elsewhere (n_moved — native label ≠ assigned cell),
+    * the squared L2 drift between the frozen centroid and the
+    * updated one (recomputed over initial ∪ assigned members), and
+    * the RECLUSTER TRIGGER (moved fraction > 25%) that schedules the
+    * rebuild. SimilaritySpec plants a genuinely drifted wave and
+    * proves the trigger fires exactly where planted, plus measures
+    * recall of the incremental index vs the fresh rebuild; the
+    * streamed twin (EventStream.ivfAssignStream) proves the
+    * assignment path batch-equivalent and redelivery-idempotent.
+    *
+    * Scale: centroids are a (cells × dims) aggregate; assignment is a
+    * broadcast + map-side argmin (no shuffle of the wave beyond its
+    * scan); the updated-centroid pass is the same (cells × dims)
+    * aggregate over the union — nothing here is corpus-quadratic, and
+    * the wave never joins the initial corpus row-to-row.
+    */
+  def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    val initial = v.where(col("vec_id") % 4 =!= 3)
+    val newWave = v.where(col("vec_id") % 4 === 3)
+    val frozen = ivfCentroids(initial)
+    val assigned = ivfAssign(initial, newWave)
+    val members = initial
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(assigned
+        .select(col("vec_id"), col("embedding"),
+          col("cell").as("label")))
+    val updated = ivfCentroids(members)
+      .select(col("label"), col("centroid").as("updated"))
+    val nInit = initial.groupBy("label")
+      .agg(count(lit(1)).as("n_initial"))
+    val stats = assigned.groupBy(col("cell").as("label"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("native") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_moved"))
+    frozen
+      .join(nInit, Seq("label"))
+      .join(stats, Seq("label"), "left")
+      .join(updated, Seq("label"))
+      .na.fill(0L, Seq("n_new", "n_moved"))
+      .select(col("label").cast("long").as("label"), col("n_initial"),
+        col("n_new"), col("n_moved"),
+        r4(expr(
+          """aggregate(zip_with(centroid, updated,
+            |  (a, b) -> (a - b) * (a - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin))
+          .as("centroid_shift"),
+        (col("n_moved") > col("n_new") * 0.25).as("recluster"))
+      .orderBy("label")
+  }
+
+  /** Oracle mirror: frozen/updated centroids from the decimal-exact
+    * dimension means, the probe-cosine float32 round-trip device for
+    * the argmin, then the per-cell rollup.
+    */
+  val annIvfIncrementalSql: String =
+    """WITH init AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE vec_id % 4 <> 3),
+      |nw AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings WHERE vec_id % 4 = 3),
+      |fdim AS (
+      |  SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(28,12)))
+      |      / COUNT(*) AS DOUBLE) AS c
+      |  FROM init, range(1, 65) t(d) GROUP BY label, d),
+      |froz AS (
+      |  SELECT label, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c)
+      |    AS centroid
+      |  FROM fdim GROUP BY label),
+      |assign AS (
+      |  SELECT vec_id, native, cell, embedding FROM (
+      |    SELECT nw.vec_id, nw.label AS native, froz.label AS cell,
+      |      nw.embedding,
+      |      ROW_NUMBER() OVER (PARTITION BY nw.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> nw.embedding[i]::DOUBLE
+      |            * froz.centroid[i]::FLOAT::DOUBLE))
+      |        / (nw.nrm * sqrt(list_sum(list_transform(froz.centroid,
+      |            x -> x::FLOAT::DOUBLE * x::FLOAT::DOUBLE)))) DESC,
+      |        froz.label) AS rk
+      |    FROM nw CROSS JOIN froz)
+      |  WHERE rk = 1),
+      |members AS (
+      |  SELECT label, embedding FROM init
+      |  UNION ALL SELECT cell AS label, embedding FROM assign),
+      |udim AS (
+      |  SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(28,12)))
+      |      / COUNT(*) AS DOUBLE) AS c
+      |  FROM members, range(1, 65) t(d) GROUP BY label, d),
+      |upd AS (
+      |  SELECT label, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c)
+      |    AS updated
+      |  FROM udim GROUP BY label),
+      |ni AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_initial
+      |  FROM init GROUP BY label),
+      |st AS (
+      |  SELECT cell AS label, CAST(COUNT(*) AS BIGINT) AS n_new,
+      |    CAST(COUNT(*) FILTER (WHERE native <> cell) AS BIGINT)
+      |      AS n_moved
+      |  FROM assign GROUP BY 1)
+      |SELECT CAST(f.label AS BIGINT) AS label, ni.n_initial,
+      |  COALESCE(st.n_new, 0) AS n_new,
+      |  COALESCE(st.n_moved, 0) AS n_moved,
+      |  FLOOR(list_sum(list_transform(range(1, 65),
+      |    i -> (f.centroid[i] - u.updated[i])
+      |      * (f.centroid[i] - u.updated[i]))) * 10000.0 + 0.5)
+      |    / 10000.0 AS centroid_shift,
+      |  COALESCE(st.n_moved, 0) > COALESCE(st.n_new, 0) * 0.25
+      |    AS recluster
+      |FROM froz f JOIN ni USING (label) LEFT JOIN st USING (label)
+      |JOIN upd u USING (label)
+      |ORDER BY label""".stripMargin
 
   // --------------------------------------------------------------- #101
   /** #101 Lloyd k-means, fixed 2 iterations, k=8 (the training loop
@@ -925,5 +1086,6 @@ object Similarity {
     "ann_ivf" -> annIvfSql,
     "ann_sq8" -> annSq8Sql,
     "ann_multiprobe" -> annMultiprobeSql,
-    "ann_knn_graph" -> annKnnGraphSql)
+    "ann_knn_graph" -> annKnnGraphSql,
+    "ann_ivf_incremental" -> annIvfIncrementalSql)
 }

@@ -375,6 +375,40 @@ object EventStream {
   }
 
   /** A near-dup candidate pair surfaced by the streaming LSH index. */
+  final case class Vec(vec_id: Long, label: Long, embedding: Seq[Float])
+
+  /** #333 streamed twin of the incremental IVF write path: arriving
+    * embeddings are argmin-assigned to a FROZEN centroid table (the
+    * index built before the stream started). The centroid table is
+    * structure-sized (cells × dims), so it folds into the row
+    * expression as an array literal and the assignment is STATELESS
+    * map-side work — the only state is `dropDuplicates(vec_id)`, the
+    * at-least-once redelivery suppressor. The fold visits cells in
+    * ascending id with a strict `>`, so ties keep the LOWEST cell —
+    * exactly the batch argmin's (cosine desc, cell asc) order
+    * (`Similarity.ivfAssign`), which StreamingSpec pins equal.
+    */
+  def ivfAssignStream(vecs: Dataset[Vec],
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val centsExpr = centroids.sortBy(_._1).map { case (cell, c) =>
+      s"named_struct('cell', ${cell}L, 'c', " +
+        c.map(d => s"cast(${d}d as double)")
+          .mkString("array(", ", ", ")") + ")"
+    }.mkString("array(", ", ", ")")
+    vecs.toDF()
+      .dropDuplicates("vec_id")
+      .withColumn("a", expr(
+        s"""aggregate($centsExpr,
+           |  named_struct('best', cast(-2.0 as double), 'cell', -1L),
+           |  (acc, s) -> CASE WHEN cosine_f32(embedding,
+           |      transform(s.c, x -> cast(x as float))) > acc.best
+           |    THEN named_struct('best', cosine_f32(embedding,
+           |      transform(s.c, x -> cast(x as float))), 'cell', s.cell)
+           |    ELSE acc END)""".stripMargin))
+      .select(col("vec_id"), col("label").as("native"),
+        col("a.cell").as("cell"))
+  }
+
   final case class CandPair(id_a: Long, id_b: Long)
 
   /** Streaming MinHash-LSH near-dup candidate generation — the

@@ -79,4 +79,78 @@ class SimilaritySpec extends GraftSpec {
       assert(e <= 1.0001 && e >= -1.0001)
     }
   }
+
+  test("ann_ivf_incremental: a planted drifted wave fires the " +
+      "recluster trigger exactly where planted; the clean cell stays " +
+      "quiet") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.Hashes.register(spark)
+    // two clean cells along e1/e2; wave ids are ≡3 (mod 4) so the
+    // operator's split picks them up. Cell 0's arrivals are native
+    // and near its centroid; cell 1's arrivals are mislabeled 0 but
+    // LOCATED at cell 1 — a fresh rebuild would place them under
+    // label 0, so they count as moved and must trip the trigger.
+    def v(id: Long, label: Long, e: Seq[Float]) = (id, label, e)
+    val init = (0 until 8).flatMap { i =>
+      Seq(v(4L * i, 0L, Seq(1f, 0.01f * i, 0f, 0f)),
+        v(4L * i + 1, 1L, Seq(0.01f * i, 1f, 0f, 0f)))
+    }
+    val clean = (0 until 4).map(i =>
+      v(4L * i + 3, 0L, Seq(1f, 0f, 0.02f * i, 0f)))
+    val drifted = (0 until 4).map(i =>
+      v(4L * i + 19, 0L, Seq(0f, 1f, 0f, 0.02f * i)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_inc").toString
+    (init ++ clean ++ drifted).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = operators.Similarity.annIvfIncremental(spark, dir)
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L).getAs[Long]("n_initial") == 8 &&
+      out(0L).getAs[Long]("n_new") == 4 &&
+      out(0L).getAs[Long]("n_moved") == 0 &&
+      !out(0L).getAs[Boolean]("recluster"),
+      s"clean cell misreported: ${out(0L)}")
+    assert(out(1L).getAs[Long]("n_initial") == 8 &&
+      out(1L).getAs[Long]("n_new") == 4 &&
+      out(1L).getAs[Long]("n_moved") == 4 &&
+      out(1L).getAs[Boolean]("recluster"),
+      s"drifted cell misreported: ${out(1L)}")
+    // both cells absorbed arrivals, so both centroids move — but the
+    // drifted cell must move at least as much as the clean one
+    assert(out(1L).getAs[Double]("centroid_shift") >=
+      out(0L).getAs[Double]("centroid_shift"))
+  }
+
+  test("incremental IVF recall drift vs a fresh rebuild, measured " +
+      "against brute-force truth") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding")
+    val q = operators.Similarity.evalQueries(spark, sf)
+    val truth = operators.Similarity.annBruteforceFrom(v, q, k = 3)
+      .select("q_id", "c_id")
+    val nTruth = truth.count()
+    assert(nTruth > 0)
+    val initial = v.where(col("vec_id") % 4 =!= 3)
+    val wave = v.where(col("vec_id") % 4 === 3)
+    val assigned = operators.Similarity.ivfAssign(initial, wave)
+    val incCorpus = initial.unionByName(assigned
+      .select(col("vec_id"), col("cell").as("label"), col("embedding")))
+    def recall(index: org.apache.spark.sql.DataFrame): Double =
+      truth.join(operators.Similarity.annIvfFrom(index, q, k = 3,
+          nprobe = 2).select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_semi").count().toDouble / nTruth
+    val rFresh = recall(v)
+    val rInc = recall(incCorpus)
+    // the measurement exists and is sane; at this corpus the argmin
+    // re-assignment tightens cells (same-direction members), so the
+    // incremental index must stay within 0.5 absolute of the rebuild
+    assert(rFresh >= 0.0 && rFresh <= 1.0 && rInc >= 0.0 && rInc <= 1.0)
+    assert(math.abs(rFresh - rInc) <= 0.5,
+      s"recall drifted implausibly: fresh=$rFresh incremental=$rInc")
+  }
 }

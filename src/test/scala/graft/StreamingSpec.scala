@@ -1057,6 +1057,48 @@ class StreamingSpec extends GraftSpec {
     assert(batchRow.getAs[Double]("t_stat") == expected)
   }
 
+  test("streaming IVF assignment to FROZEN centroids (family #17) == " +
+      "batch argmin, idempotent under redelivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Hashes.register(spark)
+    val v = Tables(spark, sf, "embeddings")
+    val initial = v.where(col("vec_id") % 4 =!= 3)
+    val newWave = v.where(col("vec_id") % 4 === 3)
+    val cents = operators.Similarity.ivfCentroids(initial).collect()
+      .map(r => (r.getAs[Number]("label").longValue(),
+        r.getSeq[Double](r.fieldIndex("centroid")).toSeq)).toSeq
+    val vecs = newWave.select("vec_id", "label", "embedding").collect()
+      .map(r => EventStream.Vec(r.getLong(0),
+        r.getAs[Number](1).longValue(),
+        r.getSeq[Float](2).toSeq))
+      .sortBy(_.vec_id).toSeq
+    assert(vecs.nonEmpty)
+    val stream = MemoryStream[EventStream.Vec]
+    val q = EventStream.ivfAssignStream(stream.toDS(), cents)
+      .writeStream.format("memory").queryName("ivf_assign_out")
+      .outputMode("append").start()
+    // two batches, then REDELIVER the first: the vec_id dedup state
+    // must suppress every replayed assignment
+    val (b1, b2) = vecs.splitAt(vecs.size / 2)
+    Seq(b1, b2, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("ivf_assign_out").collect()
+    val streamed = rows.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    assert(rows.length == vecs.size && streamed.size == vecs.size,
+      s"redelivery leaked: ${rows.length} rows for ${vecs.size} vectors")
+    val batch = operators.Similarity.ivfAssign(initial, newWave)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(5)}, " +
+        s"batch-only: ${batch.diff(streamed).take(5)}")
+  }
+
   test("streaming compaction trigger (family #16): the foreachBatch " +
       "maintenance loop compacts mid-stream when the pending log " +
       "crosses the threshold; the merge-on-read view is equivalent at " +
