@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Exprs.{sumDec, sumDecSql}
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Indexer/catalog domain (SURVEY.md §2 #1-6): the reference system's
   * own surface re-expressed as Spark plans.
@@ -249,13 +249,170 @@ object Catalog {
        |  MIN(filename) AS first_file
        |FROM meta GROUP BY extension ORDER BY extension""".stripMargin
 
+  // --------------------------------------------------------------- #334
+  /** Deterministic raw-URL synthesis (the `pathed` device, web-shaped):
+    * every group of three consecutive doc_ids spells the SAME logical
+    * page three different ways — clean; upper-cased scheme/host with a
+    * `www.` prefix, tracking query and fragment; percent-encoded
+    * ('%61' = 'a', the reference's unquote TODO graduated —
+    * reactor.py:106-114) with a `/extra/../` dot segment. A correct
+    * canonicalizer must collapse each group to one canonical URL.
+    */
+  private def rawUrlExpr(di: (String, Int) => String): String = {
+    val gid = di("doc_id", 3)
+    // host derives from the GROUP id (not source — sources cycle per
+    // doc, which would split every 3-doc variant group across hosts
+    // and kill the planted collisions)
+    val host = s"'cdn' || CAST(($gid % 7) AS STRING) || '.site' || " +
+      s"CAST(($gid % 20) AS STRING) || '.com'"
+    val page = s"CAST($gid AS STRING)"
+    // NOTE: continuation lines must not START with '||' — stripMargin
+    // eats the first pipe as the margin marker
+    s"CASE CAST(doc_id % 3 AS INT) " +
+      s"WHEN 0 THEN 'https://' || $host || '/docs/page-' || $page || " +
+      s"'.html' " +
+      s"WHEN 1 THEN 'HTTPS://WWW.' || upper($host) || '/docs/page-' || " +
+      s"$page || '.html?utm_source=feed&ref=x#frag' " +
+      s"ELSE 'https://' || $host || '/docs/extra/../p%61ge-' || " +
+      s"$page || '.html' END"
+  }
+
+  /** Canonicalization pipeline as (column, expr-text) steps shared by
+    * both engines (`rr` abstracts the one divergence: DuckDB's
+    * regexp_replace needs an explicit 'g' flag where Spark is global
+    * by default; patterns use bracket classes instead of backslash
+    * escapes so the literal text parses identically). Steps: strip
+    * query+fragment → lowercase scheme+host (path case is
+    * significant!) → strip `www.` → percent-decode unreserved
+    * lowercase letters (both hex spellings, a generated 52-entry
+    * replace table) → resolve `/./` and one-level `/seg/../` dot
+    * segments.
+    */
+  private def urlCanonSteps(rr: (String, String, String) => String,
+      di: (String, Int) => String): Seq[(String, String)] = {
+    val decode = ('a' to 'z').foldLeft("u3") { (acc, c) =>
+      val h = Integer.toHexString(c.toInt)
+      s"replace(replace($acc, '%$h', '$c'), '%${h.toUpperCase}', '$c')"
+    }
+    Seq(
+      "u_raw" -> rawUrlExpr(di),
+      "u1" -> rr("u_raw", "[?#].*$", ""),
+      "u2" -> (s"lower(regexp_extract(u1, '^([^/]*//[^/]*)', 1)) || " +
+        rr("u1", "^[^/]*//[^/]*", "")),
+      "u3" -> "replace(u2, '://www.', '://')",
+      "u4" -> decode,
+      "canonical_url" ->
+        rr(rr("u4", "/[.]/", "/"), "/[^/]+/[.][.]/", "/"))
+  }
+
+  private val rrSpark = (s: String, p: String, r: String) =>
+    s"regexp_replace($s, '$p', '$r')"
+  private val rrDuck = (s: String, p: String, r: String) =>
+    s"regexp_replace($s, '$p', '$r', 'g')"
+  private val diSpark = (a: String, b: Int) => s"($a div $b)"
+  private val diDuck = (a: String, b: Int) => s"($a // $b)"
+
+  private[graft] def canonicalized(spark: SparkSession,
+      dir: String): DataFrame =
+    urlCanonSteps(rrSpark, diSpark)
+      .foldLeft(Tables.spread(spark, dir, "documents")) {
+        case (df, (c, e)) => df.withColumn(c, expr(e))
+      }
+
+  private def canonCteSql: String = {
+    val lateral = urlCanonSteps(rrDuck, diDuck)
+      .map { case (c, e) => s"$e AS $c" }.mkString(",\n    ")
+    s"""c AS (
+       |  SELECT doc_id, source, text, n_chars,
+       |    $lateral
+       |  FROM documents)""".stripMargin
+  }
+
+  /** #334 URL canonicalization: collapse the raw spelling variants to
+    * canonical page identities — the normalization every web-scale
+    * corpus runs before URL-level dedup, host rollups, or robots
+    * accounting. Emits one row per canonical URL with the raw count,
+    * distinct-spelling count, and exemplar doc. Entirely map-side
+    * until one keyed agg (map-side combinable); the canonicalizer is
+    * a fixed expression chain inside whole-stage codegen — no UDF.
+    */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    canonicalized(spark, dir)
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("u_raw")).as("n_variants"),
+        min("doc_id").as("exemplar_doc"))
+      .orderBy("canonical_url")
+
+  val urlCanonicalizeSql: String =
+    s"""WITH $canonCteSql
+       |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       |  CAST(COUNT(DISTINCT u_raw) AS BIGINT) AS n_variants,
+       |  MIN(doc_id) AS exemplar_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- #335
+  /** #335 host-level curation gate: roll canonical URLs up to their
+    * host and emit the per-host signals a crawl curator gates on —
+    * doc count, distinct pages, URL-duplication rate (raw spellings
+    * per page), text-duplication rate (exact md5 collisions), mean
+    * length — plus the keep verdict. Host extraction is one regex off
+    * the canonical form; the rollup is one keyed agg. At 100 TB the
+    * host key is the natural partition: a few million hosts, heavy
+    * hitters handled by the same map-side combine as any power-law
+    * key (no host ever needs its rows co-located — all signals are
+    * algebraic).
+    */
+  def urlHostRollup(spark: SparkSession, dir: String): DataFrame =
+    canonicalized(spark, dir)
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^https://([^/]+)", 1))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_pages"),
+        countDistinct(md5(col("text"))).as("n_texts"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("host"), col("n_docs"), col("n_pages"),
+        r4(lit(1.0) - col("n_pages").cast("double") / col("n_docs"))
+          .as("url_dup_rate"),
+        r4(lit(1.0) - col("n_texts").cast("double") / col("n_docs"))
+          .as("text_dup_rate"),
+        r4(col("sum_chars").cast("double") / col("n_docs"))
+          .as("avg_chars"),
+        (col("n_pages").cast("double") / col("n_docs") >= 0.3 &&
+          col("sum_chars").cast("double") / col("n_docs") >= 295.0)
+          .as("keep"))
+      .orderBy("host")
+
+  val urlHostRollupSql: String =
+    s"""WITH $canonCteSql,
+       |h AS (
+       |  SELECT regexp_extract(canonical_url, '^https://([^/]+)', 1)
+       |      AS host,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_pages,
+       |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM c GROUP BY 1)
+       |SELECT host, n_docs, n_pages,
+       |  ${r4Sql("1.0 - CAST(n_pages AS DOUBLE) / n_docs")}
+       |    AS url_dup_rate,
+       |  ${r4Sql("1.0 - CAST(n_texts AS DOUBLE) / n_docs")}
+       |    AS text_dup_rate,
+       |  ${r4Sql("CAST(sum_chars AS DOUBLE) / n_docs")} AS avg_chars,
+       |  (CAST(n_pages AS DOUBLE) / n_docs >= 0.3
+       |    AND CAST(sum_chars AS DOUBLE) / n_docs >= 295.0) AS keep
+       |FROM h ORDER BY host""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "idx_index_files" -> (idxIndexFiles _),
     "idx_job_states" -> (idxJobStates _),
     "idx_event_history" -> (idxEventHistory _),
     "idx_level_rollup" -> (idxLevelRollup _),
     "idx_lineage" -> (idxLineage _),
-    "idx_path_meta" -> (idxPathMeta _))
+    "idx_path_meta" -> (idxPathMeta _),
+    "url_canonicalize" -> (urlCanonicalize _),
+    "url_host_rollup" -> (urlHostRollup _))
 
   val oracles: Map[String, String] = Map(
     "idx_index_files" -> idxIndexFilesSql,
@@ -263,5 +420,7 @@ object Catalog {
     "idx_event_history" -> idxEventHistorySql,
     "idx_level_rollup" -> idxLevelRollupSql,
     "idx_lineage" -> idxLineageSql,
-    "idx_path_meta" -> idxPathMetaSql)
+    "idx_path_meta" -> idxPathMetaSql,
+    "url_canonicalize" -> urlCanonicalizeSql,
+    "url_host_rollup" -> urlHostRollupSql)
 }
