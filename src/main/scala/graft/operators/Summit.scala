@@ -724,15 +724,19 @@ object Summit {
       .select(col("event_type"), col("event_id"), col("ts_us"),
         col("value"))
       .withColumn("v", expr("cast(floor(value * 100.0 + 0.5) as bigint)"))
-      // v enters DECIMAL(38,0) BEFORE the product and the window sums
-      // (the #222 device, applied at the accumulation not after it):
-      // a LongType Σv² wraps int64 once |v| ≳ 6e8 cents at w=24 and
-      // v·v wraps at |v| ≳ 3e9, where the oracle's HUGEINT stays
-      // exact — decimal accumulation mirrors the streaming twin's
-      // BigInt bands (EventStream.scala) on any value domain
+      // ONLY the square-sum accumulates in DECIMAL(38,0) (the #222
+      // device at the accumulation): a LongType Σv² wraps int64 once
+      // |v| ≳ 6e8 cents at w=24 and v·v wraps at |v| ≳ 3e9 — but the
+      // LINEAR window sum Σv wraps only at |v| ≈ 3.8e17 cents over 24
+      // rows, nine orders beyond any cents domain, so s1 stays a LONG
+      // window sum and enters decimal per-ROW afterwards for the
+      // exact s1² product (the r8-verdict claw-back: the decimal
+      // WINDOW sum was the 2.5× cost, the per-row cast is free;
+      // measured 2.31 → 1.63 s at sf0.1, result domain identical —
+      // the streaming twin's BigInt bands are unchanged)
       .withColumn("vd", col("v").cast("decimal(38,0)"))
       .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("s1d", sum(col("vd")).over(w))
+      .withColumn("s1d", sum(col("v")).over(w).cast("decimal(38,0)"))
       .withColumn("s2d", sum(col("vd") * col("vd")).over(w))
       .where(col("cnt") === wSize)
       .withColumn("dev", col("vd") * wSize - col("s1d"))

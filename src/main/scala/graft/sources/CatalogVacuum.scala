@@ -52,10 +52,11 @@ import org.apache.spark.sql.functions._
   * silently change retained reads. So [[checkpoint]] records, in a
   * `_coverage/w=<watermark>` sidecar scanned BEFORE the snapshot
   * write (so a concurrent append can only make the snapshot fold MORE
-  * than recorded — the safe direction), the per-segment row count of
-  * changes with eff ≤ watermark it folded. [[vacuum]] deletes a
-  * segment only when max_eff ≤ w_cov AND its CURRENT row count equals
-  * the receipt of EVERY surviving snapshot ≥ w_cov — not w_cov alone,
+  * than recorded — the safe direction), the per-segment (row count,
+  * max seq) of changes with eff ≤ watermark it folded. [[vacuum]]
+  * deletes a segment only when max_eff ≤ w_cov AND its CURRENT
+  * (count, max seq) equals the receipt of EVERY surviving snapshot
+  * ≥ w_cov — not w_cov alone,
   * because asOf picks the LATEST snapshot ≤ cutoff: a backdated
   * change folded into a re-issued w_cov but absent from a later stale
   * snapshot would still vanish for cutoffs landing on that snapshot.
@@ -98,11 +99,20 @@ object CatalogVacuum {
     writeCoverage(spark, tablePath, originWatermark, Map.empty)
   }
 
-  /** Atomically persist the per-segment folded-row-count receipt for
-    * snapshot `watermark` (one `seg<TAB>count` line per segment).
+  /** Atomically persist the per-segment folded (row count, max seq)
+    * receipt for snapshot `watermark` (one `seg<TAB>count<TAB>maxSeq`
+    * line per segment). The max-seq component is what keeps the
+    * receipt sound AFTER a vacuum deletes a segment: a month
+    * resurrected by a replayed batch carries the SAME seqs (genuinely
+    * folded — deletable again), while a genuinely NEW backdated
+    * change carries a fresh, higher seq and can never collide with a
+    * receipt by count alone. Assumes seqs are unique and issued
+    * increasing — the identity contract of a change log's sequence
+    * number (the fold itself is ambiguous without it); eff order is
+    * NOT assumed.
     */
   private def writeCoverage(spark: SparkSession, tablePath: String,
-      watermark: String, counts: Map[String, Long]): Unit = {
+      watermark: String, counts: Map[String, (Long, Long)]): Unit = {
     val f = fs(spark, tablePath)
     val dir = new Path(tablePath, coverageDir)
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -110,8 +120,8 @@ object CatalogVacuum {
     val tmp = new Path(dir, s"w=$watermark.tmp")
     val out = f.create(tmp, true)
     try {
-      val body = counts.toSeq.sorted
-        .map { case (s, c) => s"$s\t$c" }.mkString("\n")
+      val body = counts.toSeq.sortBy(_._1)
+        .map { case (s, (c, m)) => s"$s\t$c\t$m" }.mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
     f.delete(target, false)
@@ -124,7 +134,7 @@ object CatalogVacuum {
     * delete anything it cannot prove folded).
     */
   private def readCoverage(spark: SparkSession, tablePath: String,
-      watermark: String): Option[Map[String, Long]] = {
+      watermark: String): Option[Map[String, (Long, Long)]] = {
     val f = fs(spark, tablePath)
     val p = new Path(new Path(tablePath, coverageDir), s"w=$watermark")
     if (!f.exists(p)) None
@@ -133,8 +143,8 @@ object CatalogVacuum {
       try {
         val body = scala.io.Source.fromInputStream(in).mkString
         Some(body.split("\n").filter(_.nonEmpty).map { line =>
-          val Array(s, c) = line.split("\t")
-          s -> c.toLong
+          val Array(s, c, m) = line.split("\t")
+          s -> (c.toLong, m.toLong)
         }.toMap)
       } finally in.close()
     }
@@ -237,13 +247,14 @@ object CatalogVacuum {
     // eff ≤ watermark this snapshot will fold — an append racing the
     // checkpoint can only make the snapshot fold MORE than recorded,
     // which keeps its segment vacuum-safe (kept, replayed)
-    val folded: Map[String, Long] =
+    val folded: Map[String, (Long, Long)] =
       if (segments(spark, tablePath).isEmpty) Map.empty
       else spark.read.parquet(s"$tablePath/log")
         .where(col("eff") <= to_date(lit(watermark)))
-        .groupBy(col("seg_month")).count()
+        .groupBy(col("seg_month"))
+        .agg(count(lit(1)).as("n"), max("seq").as("mx"))
         .collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val target = s"$tablePath/snapshot=$watermark"
     val staging = new Path(target + ".staging")
     val f = fs(spark, tablePath)
@@ -279,29 +290,33 @@ object CatalogVacuum {
     }
     val wCov = covered.max
 
-    // per-segment (max(eff), count): the one data-plane scan
-    // (column-pruned; production keeps this in segment metadata)
+    // per-segment (max(eff), count, max(seq)): the one data-plane
+    // scan (column-pruned; production keeps this in segment metadata)
     val segs = segments(spark, tablePath)
-    val segStats: Map[String, (String, Long)] =
+    val segStats: Map[String, (String, Long, Long)] =
       if (segs.isEmpty) Map.empty
       else spark.read.parquet(s"$tablePath/log")
         .groupBy(col("seg_month"))
         .agg(max(date_format(col("eff"), "yyyy-MM-dd")).as("max_eff"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"), max("seq").as("mx"))
         .collect()
-        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+        .map(r => r.getString(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
 
     // a segment is deletable only when PROVABLY folded into EVERY
     // surviving snapshot an as-of read might pick (all w ≥ w_cov —
     // asOf chooses the latest ≤ cutoff, so a backdated change folded
     // into w_cov but absent from a LATER stale snapshot would still
-    // be lost): max_eff ≤ w_cov AND the segment's current row count
-    // equals each such snapshot's coverage receipt (a backdated
-    // append after any of those checkpoints inflates the count →
-    // segment kept until every stale snapshot is re-checkpointed). A
-    // missing receipt (pre-protocol snapshot) proves nothing → that
-    // snapshot vetoes all deletion.
-    val receipts: Seq[Map[String, Long]] = snaps.filter(_ >= wCov)
+    // be lost): max_eff ≤ w_cov AND the segment's current
+    // (count, max seq) equals each such snapshot's coverage receipt —
+    // a backdated append after any of those checkpoints inflates the
+    // count/seq → segment kept until every stale snapshot is
+    // re-checkpointed; a month RESURRECTED by a replayed batch matches
+    // exactly (same folded records, deletable again) while a new
+    // change's fresh seq can never collide by count alone. A missing
+    // receipt (pre-protocol snapshot) proves nothing → that snapshot
+    // vetoes all deletion.
+    val receipts: Seq[Map[String, (Long, Long)]] = snaps.filter(_ >= wCov)
       .map(w => readCoverage(spark, tablePath, w))
       .map {
         case Some(m) => m
@@ -310,8 +325,9 @@ object CatalogVacuum {
           Nil, Nil, segs)
       }
     val vacuumable = segs.filter { s =>
-      segStats.get(s).exists { case (maxEff, n) =>
-        maxEff <= wCov && receipts.forall(_.getOrElse(s, 0L) == n)
+      segStats.get(s).exists { case (maxEff, n, mx) =>
+        maxEff <= wCov &&
+          receipts.forall(_.get(s).contains((n, mx)))
       }
     }
     vacuumable.foreach { s =>

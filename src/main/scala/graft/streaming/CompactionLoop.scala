@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.CatalogCompaction
+import graft.sources.{CatalogCompaction, CatalogVacuum}
 
 /** Streamed compaction trigger: the foreachBatch maintenance loop that
   * keeps a CDC-fed catalog read-optimized WHILE the stream runs.
@@ -100,5 +100,45 @@ object CompactionLoop {
       keyCol, partitionCol)
     writeWatermark(spark, tableDir, maxSeq)
     true
+  }
+
+  /** Mid-stream VACUUM — the triad's third leg running INSIDE the
+    * stream loop: process one micro-batch of DATED change records
+    * (data cols + op + seq + eff DATE) into a [[CatalogVacuum]]
+    * versioned table — append into month segments, and when the
+    * pending log (eff beyond the latest snapshot) crosses `threshold`
+    * rows, CHECKPOINT at the log's max eff and VACUUM with
+    * `retentionDays`. Returns the vacuum stats when maintenance ran.
+    *
+    * Replay safety ACROSS the vacuum (StreamingSpec family #18): a
+    * replayed batch re-appends duplicate records — the (eff, seq)
+    * fold is idempotent by value, so retained reads never change; if
+    * the replay RECREATES an already-vacuumed month, that segment's
+    * row count no longer matches any snapshot's coverage receipt, so
+    * the next vacuum provably KEEPS it (no deletion without proof of
+    * folding) until a fresh checkpoint covers it. The receipt
+    * protocol (CatalogVacuum scaladoc) is exactly what makes vacuum
+    * safe under at-least-once delivery — no append-order or
+    * no-replay precondition on the stream.
+    */
+  def onVersionedBatch(spark: SparkSession, tablePath: String,
+      batch: DataFrame, threshold: Long, retentionDays: Int,
+      keyCol: String = "doc_id"): Option[CatalogVacuum.VacuumStats] = {
+    CatalogVacuum.appendLog(spark, tablePath, batch)
+    val snaps = CatalogVacuum.snapshots(spark, tablePath)
+    require(snaps.nonEmpty,
+      s"CatalogVacuum.init the table at $tablePath before streaming")
+    val latest = snaps.max
+    val log = spark.read.parquet(s"$tablePath/log")
+    // duplicates from replayed batches count once toward the trigger
+    val pending = log.where(col("eff") > to_date(lit(latest)))
+      .distinct().count()
+    if (pending < threshold) None
+    else {
+      val wm = log.agg(max(date_format(col("eff"), "yyyy-MM-dd")))
+        .head().getString(0)
+      CatalogVacuum.checkpoint(spark, tablePath, wm, keyCol)
+      Some(CatalogVacuum.vacuum(spark, tablePath, retentionDays))
+    }
   }
 }

@@ -377,6 +377,14 @@ object EventStream {
   /** A near-dup candidate pair surfaced by the streaming LSH index. */
   final case class Vec(vec_id: Long, label: Long, embedding: Seq[Float])
 
+  /** Dated change record for the versioned-table stream (family #18:
+    * mid-stream vacuum). `eff` is a yyyy-MM-dd string at the stream
+    * boundary; the loop converts to DATE before the month-segment
+    * append.
+    */
+  final case class VChg(doc_id: Long, n_chars: Long,
+      processing_level: String, op: String, seq: Long, eff: String)
+
   /** #333 streamed twin of the incremental IVF write path: arriving
     * embeddings are argmin-assigned to a FROZEN centroid table (the
     * index built before the stream started). The centroid table is

@@ -1099,6 +1099,119 @@ class StreamingSpec extends GraftSpec {
         s"batch-only: ${batch.diff(streamed).take(5)}")
   }
 
+  test("mid-stream VACUUM (family #18): the foreachBatch loop " +
+      "checkpoints + vacuums the versioned table while the stream " +
+      "runs; retained reads stay bit-identical across the vacuum AND " +
+      "across a replayed batch straddling it; below-floor reads " +
+      "refuse; a resurrected month cannot be wrongly re-deleted") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.sources.CatalogVacuum
+    import graft.streaming.EventStream.VChg
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_vloop").toString + "/t"
+    val baseRows = (0L until 40L).map(i =>
+      (i, 100L + i, (i % 3 + 1).toString))
+    CatalogVacuum.init(spark,
+      dir, baseRows.toDF("doc_id", "n_chars", "processing_level"),
+      "1995-12-31")
+
+    val changes = Seq(
+      VChg(3L, 500L, "1", "upsert", 1L, "1996-01-10"),
+      VChg(6L, 106L, "3", "upsert", 2L, "1996-01-20"),
+      VChg(9L, 109L, "1", "delete", 3L, "1996-02-05"),
+      VChg(3L, 520L, "1", "upsert", 4L, "1996-03-15"),
+      VChg(100L, 700L, "2", "upsert", 5L, "1996-04-10"),
+      VChg(9L, 900L, "1", "upsert", 6L, "1996-05-20"),
+      VChg(12L, 112L, "1", "delete", 7L, "1996-06-25"),
+      VChg(5L, 805L, "2", "upsert", 8L, "1996-07-05"),
+      VChg(14L, 914L, "3", "upsert", 9L, "1996-07-15"),
+      VChg(30L, 930L, "1", "delete", 10L, "1996-07-25"))
+    val Seq(b1, b2, b3, b4) = Seq(
+      changes.slice(0, 3), changes.slice(3, 5),
+      changes.slice(5, 7), changes.slice(7, 10))
+
+    // reference: exactly-once (eff, seq) fold of DISTINCT deliveries
+    val delivered = scala.collection.mutable.ArrayBuffer[VChg]()
+    def refState(cutoff: String): Set[(Long, Long, String)] = {
+      val st = scala.collection.mutable.Map[Long, (Long, String)]()
+      baseRows.foreach { case (id, n, l) => st(id) = (n, l) }
+      delivered.distinct.filter(_.eff <= cutoff)
+        .sortBy(c => (c.eff, c.seq)).foreach { c =>
+          if (c.op == "delete") st.remove(c.doc_id)
+          else st(c.doc_id) = (c.n_chars, c.processing_level)
+        }
+      st.map { case (id, (n, l)) => (id, n, l) }.toSet
+    }
+    def readState(cutoff: String): Set[(Long, Long, String)] =
+      CatalogVacuum.asOf(spark, dir, cutoff)
+        .select(col("doc_id"), col("n_chars"),
+          col("processing_level").cast("string"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    val maint = scala.collection.mutable
+      .ArrayBuffer[CatalogVacuum.VacuumStats]()
+    val stream = MemoryStream[VChg]
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CompactionLoop.onVersionedBatch(spark, dir,
+          batch.withColumn("eff", to_date(col("eff"))),
+          threshold = 3L, retentionDays = 90).foreach(maint += _)
+        ()
+      }
+      .start()
+
+    def push(b: Seq[VChg], retainedCutoffs: Seq[String]): Unit = {
+      stream.addData(b); q.processAllAvailable()
+      delivered ++= b
+      retainedCutoffs.foreach { c =>
+        assert(readState(c) == refState(c), s"asOf($c) diverged")
+      }
+    }
+
+    // b1: 3 pending >= 3 -> checkpoint 1996-02-05 + vacuum (horizon
+    // predates every snapshot: deletes nothing)
+    push(b1, Seq("1996-02-05", "1996-07-01"))
+    assert(maint.size == 1 && maint.last.vacuumedSegments.isEmpty)
+    // b2: 2 pending < 3 -> no maintenance
+    push(b2, Seq("1996-02-05", "1996-04-01", "1996-07-01"))
+    assert(maint.size == 1)
+    // b3: 4 pending -> checkpoint 1996-06-25 + vacuum: w_cov =
+    // 1996-02-05 covers months 01-02 (receipts match) -> DELETED,
+    // origin snapshot superseded, floor advances
+    push(b3, Seq("1996-02-05", "1996-04-01", "1996-07-01"))
+    assert(maint.size == 2)
+    assert(maint.last.vacuumedSegments == Seq("1996-01", "1996-02"))
+    assert(maint.last.vacuumedSnapshots == Seq("1995-12-31"))
+    assert(maint.last.floor == "1996-02-05")
+    val e = intercept[IllegalStateException] {
+      CatalogVacuum.asOf(spark, dir, "1996-01-15")
+    }
+    assert(e.getMessage.contains("1996-02-05"))
+
+    // REPLAY b1 STRADDLING the vacuum: months 01-02 are resurrected
+    // with the SAME records; no trigger (their eff is behind the
+    // latest snapshot); every retained read is bit-identical
+    push(b1, Seq("1996-02-05", "1996-04-01", "1996-07-01"))
+    assert(maint.size == 2)
+    assert(CatalogVacuum.segments(spark, dir).contains("1996-01"))
+
+    // b4: triggers checkpoint 1996-07-25 + vacuum at the same w_cov.
+    // The resurrected months carry exactly the folded records (same
+    // count AND max seq), so deleting them again is PROVABLY safe —
+    // and reads stay identical either way
+    push(b4, Seq("1996-02-05", "1996-04-01", "1996-08-01"))
+    assert(maint.size == 3)
+    assert(maint.last.vacuumedSegments == Seq("1996-01", "1996-02"),
+      "resurrected folded months are provably re-deletable")
+    push(Seq.empty[VChg],
+      Seq("1996-02-05", "1996-04-01", "1996-07-01", "1996-08-01"))
+    q.stop()
+  }
+
   test("streaming compaction trigger (family #16): the foreachBatch " +
       "maintenance loop compacts mid-stream when the pending log " +
       "crosses the threshold; the merge-on-read view is equivalent at " +
