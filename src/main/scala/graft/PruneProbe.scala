@@ -55,6 +55,38 @@ object PruneProbe {
       s""""files_total":${stats.length},"files_read":${survivors.length},""" +
       s""""speedup":${tFull / tPruned},"sf":"$sfDir"}""")
     operators.Apex.deleteTempLayout(spark, tmp)
+
+    // #337 row-group granularity: same discipline on the year-per-file
+    // multi-row-group date layout — time decoding EVERY row group of
+    // the kept files vs ONLY the surviving ones, through the identical
+    // record-assembly reader (so the delta is purely the groups
+    // skipped, not vectorized-vs-row codepaths).
+    val (rLo, rHi) = (9190L, 9196L)
+    val tmpRg = operators.Forge.writeRowGroupDateLayout(spark, sfDir)
+    val rg = operators.Apex.readFooterRowGroupStats(spark, tmpRg, "day")
+      .collect()
+    val byFile = rg.groupBy(_.getAs[String]("path"))
+    val surv = rg.filter(r => r.getAs[Long]("max_v") >= rLo &&
+      r.getAs[Long]("min_v") <= rHi)
+    val survByFile = surv.groupBy(_.getAs[String]("path"))
+    def rgSel(sel: Map[String, Array[org.apache.spark.sql.Row]]) =
+      operators.Apex.readSelectedRowGroups(spark,
+        sel.map { case (p, rows) =>
+          (p, rows.map(_.getAs[Int]("rg_idx")).sorted.toSeq) }.toSeq)
+        .where(col("day").between(rLo, rHi))
+        .agg(count(lit(1)), sum("o_orderkey"), min("day"), max("day"))
+    // all row groups of KEPT files (what file-level pruning alone reads)
+    val keptAll = byFile.view.filterKeys(survByFile.keySet).toMap
+    rgSel(keptAll).collect()
+    val tFileLevel = time(rgSel(keptAll))
+    val tRgLevel = time(rgSel(survByFile))
+    val rgTotalKept = keptAll.values.map(_.length).sum
+    val rgRead = survByFile.values.map(_.length).sum
+    println(s"""{"metric":"rowgroup_scan_read","unit":"sec",""" +
+      s""""kept_files_all_groups":$tFileLevel,"surviving_groups":$tRgLevel,""" +
+      s""""rg_total_kept_files":$rgTotalKept,"rg_read":$rgRead,""" +
+      s""""speedup":${tFileLevel / tRgLevel},"sf":"$sfDir"}""")
+    operators.Apex.deleteTempLayout(spark, tmpRg)
     spark.stop()
   }
 }

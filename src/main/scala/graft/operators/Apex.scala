@@ -623,6 +623,109 @@ object Apex {
       .delete(p, true)
   }
 
+  /** Per-(file, ROW GROUP) min/max/count of an integer column read
+    * from REAL parquet footers under `path` — the row-group-granular
+    * form of [[readFooterDayStats]] for the #337 executor: one row per
+    * (data file, row-group ordinal). Row groups are the unit parquet
+    * actually skips at (a reader can drop a row group of a file it
+    * must otherwise open); file-level stats are just the fold of
+    * these. Listing is driver-side metadata; footer decoding runs
+    * distributed on executors.
+    */
+  def readFooterRowGroupStats(spark: SparkSession, path: String,
+      statCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) files += f.toString
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val c = statCol
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { part =>
+        part.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map {
+              case (b, i) =>
+                val cc = b.getColumns.asScala
+                  .find(_.getPath.toDotString == c)
+                  .getOrElse(throw new IllegalStateException(
+                    s"no '$c' column chunk in $p"))
+                val st = cc.getStatistics
+                (p, i,
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                  b.getRowCount)
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("path", "rg_idx", "min_v", "max_v", "n_rows")
+  }
+
+  /** Physically read ONLY the named row groups of each file —
+    * the data plane of the #337 row-group-pruned scan. Non-surviving
+    * row groups are passed over with `skipNextRowGroup()` (footer-only
+    * seek, no page I/O); surviving ones decode through the parquet
+    * record-assembly stack. Emits the two scan columns of the layout
+    * frame. Distributed: each (file, row-group set) pair is one unit
+    * of executor work, exactly like a native scan's file splits.
+    */
+  private[graft] def readSelectedRowGroups(spark: SparkSession,
+      survivors: Seq[(String, Seq[Int])]): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    if (survivors.isEmpty)
+      return spark.range(0).select(col("id").as("o_orderkey"),
+        col("id").as("day"))
+    spark.createDataset(survivors)
+      .repartition(math.max(1, math.min(survivors.size, 32)))
+      .mapPartitions { part =>
+        part.flatMap { case (p, idxs) =>
+          val want = idxs.toSet
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            val nBlocks = reader.getFooter.getBlocks.size
+            val colIO = new org.apache.parquet.io.ColumnIOFactory()
+              .getColumnIO(schema)
+            var i = 0
+            while (i < nBlocks) {
+              if (want(i)) {
+                val pages = reader.readNextRowGroup()
+                val rr = colIO.getRecordReader(pages,
+                  new org.apache.parquet.example.data.simple.convert
+                    .GroupRecordConverter(schema))
+                var r = 0L
+                while (r < pages.getRowCount) {
+                  val g = rr.read()
+                  out += ((g.getLong("o_orderkey", 0), g.getLong("day", 0)))
+                  r += 1
+                }
+              } else reader.skipNextRowGroup()
+              i += 1
+            }
+          } finally reader.close()
+          out
+        }
+      }
+      .toDF("o_orderkey", "day")
+  }
+
   /** Per-(file, column) min/max/count of integer columns read from
     * REAL parquet footers under `path` — the general form of
     * [[readFooterDayStats]] for multi-dimension audits (#324): one row

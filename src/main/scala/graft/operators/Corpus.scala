@@ -1108,6 +1108,45 @@ object Corpus {
        |    / 2048.0) AS BIGINT) AS chunk
        |FROM doc_tokens ORDER BY source, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #336
+  /** #336 the #67 mixture re-pointed at REAL tokens: downsample every
+    * source to the smallest source's ENCODED token mass, not its doc
+    * count — a long-document source must shed more documents for the
+    * same token share, which is the entire reason mixtures are
+    * specified in tokenizer units. Same deterministic md5 draw as #67
+    * (rerunnable, no RNG state, kept set stable under other sources'
+    * growth); per-source token masses are a tiny broadcast; the draw
+    * is map-side over the per-doc encoded counts, so the mixture
+    * costs one vocab-sized encode + one keyed agg at any corpus size.
+    */
+  def mixDomainsTokened(spark: SparkSession, dir: String): DataFrame = {
+    val dt = bpeDocTokens(spark, dir)
+    val rates = dt.groupBy("source")
+      .agg(sum("n_bpe_tokens").as("tok_source"))
+      .withColumn("tok_min", min("tok_source").over(Window.partitionBy()))
+      .select(col("source"),
+        (col("tok_min") / col("tok_source")).as("p_keep"))
+    dt.join(broadcast(rates), "source")
+      .withColumn("u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0)
+      .where(col("u") < col("p_keep"))
+      .select("source", "doc_id", "n_bpe_tokens")
+      .orderBy("source", "doc_id")
+  }
+
+  val mixDomainsTokenedSql: String =
+    s"""WITH ${bpeOracleCtes(8)},
+       |r AS (
+       |  SELECT source, CAST(SUM(n_bpe_tokens) AS BIGINT) AS tok_source,
+       |    MIN(CAST(SUM(n_bpe_tokens) AS BIGINT)) OVER () AS tok_min
+       |  FROM doc_tokens GROUP BY source)
+       |SELECT d.source, d.doc_id, d.n_bpe_tokens
+       |FROM doc_tokens d JOIN r USING (source)
+       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |    / 4294967296.0 < r.tok_min / CAST(r.tok_source AS DOUBLE)
+       |ORDER BY d.source, d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_val" -> (splitTrainVal _),
     "corpus_domain_drift" ->
@@ -1135,7 +1174,8 @@ object Corpus {
     "corpus_token_budget_tokened" ->
       ((s: SparkSession, d: String) => corpusTokenBudgetTokened(s, d)),
     "pack_sequences_tokened" ->
-      ((s: SparkSession, d: String) => packSequencesTokened(s, d)))
+      ((s: SparkSession, d: String) => packSequencesTokened(s, d)),
+    "mix_domains_tokened" -> (mixDomainsTokened _))
 
   val oracles: Map[String, String] = Map(
     "split_train_val" -> splitTrainValSql,
@@ -1157,5 +1197,6 @@ object Corpus {
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_bpe_encode" -> corpusBpeEncodeSql,
     "corpus_token_budget_tokened" -> corpusTokenBudgetTokenedSql,
-    "pack_sequences_tokened" -> packSequencesTokenedSql)
+    "pack_sequences_tokened" -> packSequencesTokenedSql,
+    "mix_domains_tokened" -> mixDomainsTokenedSql)
 }

@@ -516,6 +516,99 @@ object Forge {
        |FROM acc CROSS JOIN agg""".stripMargin
   }
 
+  // --------------------------------------------------------------- #337
+  /** #337 ROW-GROUP-granular pruned scan — the skipping unit #331
+    * stops short of: a production parquet reader prunes row groups
+    * INSIDE files it must open, not just whole files. The date
+    * layout is written with a deliberately small `parquet.block.size`
+    * so every year file rolls many row groups (day-sorted, so each
+    * row group's footer [min,max] is a tight day slice); the scan
+    * then reads per-ROW-GROUP stats off the real footers, keeps only
+    * row groups whose [min,max] overlaps a one-week probe, and
+    * physically decodes ONLY those (`skipNextRowGroup()` passes the
+    * rest without page I/O — [[Apex.readSelectedRowGroups]]), with the
+    * row-level residual filter on top.
+    *
+    * Oracle device: row-group BOUNDARIES are writer-memory-estimated
+    * (not closed-form), so — unlike the file-level #331 — boundary-
+    * dependent counts stay OUT of the hashed result: the emitted row
+    * is the probe aggregate (which pruning must not change — that
+    * identity is what the hash compare proves) plus the file count
+    * (one file per year by construction). The row-group accounting
+    * (groups skipped inside kept files, rows never decoded) is
+    * ForgeSpec's job, pinned against the same footers.
+    *
+    * Scale: at 100 TB a clustering-unit file is many GB; file-level
+    * pruning alone still reads the whole file for a one-week probe —
+    * the row-group cut is what turns that into ~week/year of the
+    * bytes.
+    */
+  def layoutRowgroupScan(spark: SparkSession, dir: String): DataFrame = {
+    val (dLo, dHi) = (9190L, 9196L)
+    val tmp = writeRowGroupDateLayout(spark, dir)
+    val rg = Apex.readFooterRowGroupStats(spark, tmp, "day").collect()
+    val survivors = rg.toSeq
+      .filter(r => r.getAs[Long]("max_v") >= dLo &&
+        r.getAs[Long]("min_v") <= dHi)
+      .groupBy(_.getAs[String]("path"))
+      .map { case (p, rows) => (p, rows.map(_.getAs[Int]("rg_idx")).sorted) }
+      .toSeq
+    val nFiles = rg.map(_.getAs[String]("path")).distinct.length.toLong
+    val out = Apex.readSelectedRowGroups(spark, survivors)
+      .where(col("day").between(dLo, dHi))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("o_orderkey").cast("long").as("sum_orderkey"),
+        min("day").as("min_day_read"), max("day").as("max_day_read"))
+      .withColumn("files_total", lit(nFiles))
+      .select(col("files_total"), col("n_rows"), col("sum_orderkey"),
+        col("min_day_read"), col("max_day_read"))
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmp)
+    out
+  }
+
+  /** Write the date-clustered orders layout with multi-row-group
+    * files: one file per YEAR (the year's rows hash to one task, no
+    * record cap — months are too small at bench sf to outgrow even a
+    * small row group), rows (day, key)-sorted inside it, and a 1 KiB
+    * `parquet.block.size` so the writer rolls a row group every ~100
+    * records (the writer's minimum memory-check interval) — the
+    * sub-file structure #337 prunes against. Returns the temp root
+    * (caller deletes).
+    */
+  private[graft] def writeRowGroupDateLayout(spark: SparkSession,
+      dir: String): String = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_rg_scan").toString
+    ordersZFrame(spark, dir)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("day"), substring(col("month"), 1, 4).as("year"))
+      .repartition(col("year"))
+      .sortWithinPartitions("year", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "1024")
+      .partitionBy("year").parquet(tmp)
+    tmp
+  }
+
+  val layoutRowgroupScanSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+      |      AS BIGINT) AS day,
+      |    strftime(o_orderdate, '%Y') AS year
+      |  FROM orders),
+      |acc AS (
+      |  SELECT CAST(COUNT(DISTINCT year) AS BIGINT) AS files_total
+      |  FROM o),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+      |    MIN(day) AS min_day_read, MAX(day) AS max_day_read
+      |  FROM o WHERE day BETWEEN 9190 AND 9196)
+      |SELECT files_total, n_rows, sum_orderkey, min_day_read, max_day_read
+      |FROM acc CROSS JOIN agg""".stripMargin
+
   // --------------------------------------------------------------- #326
   private val profileCols = Seq("doc_id", "lang", "source", "n_chars")
 
@@ -739,6 +832,7 @@ object Forge {
     "layout_zorder_footer" -> (layoutZorderFooter _),
     "layout_hilbert_footer" -> (layoutHilbertFooter _),
     "layout_pruned_scan" -> (layoutPrunedScan _),
+    "layout_rowgroup_scan" -> (layoutRowgroupScan _),
     "quality_profile" -> (qualityProfile _),
     "quality_constraints" -> (qualityConstraints _))
 
@@ -747,6 +841,7 @@ object Forge {
     "layout_zorder_footer" -> layoutZorderFooterSql,
     "layout_hilbert_footer" -> layoutHilbertFooterSql,
     "layout_pruned_scan" -> layoutPrunedScanSql,
+    "layout_rowgroup_scan" -> layoutRowgroupScanSql,
     "quality_profile" -> qualityProfileSql,
     "quality_constraints" -> qualityConstraintsSql)
 }

@@ -347,6 +347,10 @@ object EventStream {
   /** One incoming document on the stream. */
   final case class Doc(doc_id: Long, text: String)
 
+  /** Full-width document row for the streamed profiler (family #19). */
+  final case class PDoc(doc_id: Long, lang: String, source: String,
+      n_chars: Long, text: String)
+
   /** Streaming exact dedup: emit a document only the first time its
     * content hash is seen (the streaming form of `dedup_exact`'s
     * keep-min semantics under arrival order). State is one boolean per

@@ -256,6 +256,37 @@ class CorpusSpec extends GraftSpec {
     assert(gotPack != wordPack)
   }
 
+  test("mix_domains_tokened keeps exactly the docs whose md5 draw beats " +
+      "the token-mass rate; token-mass rates differ from doc-count rates") {
+    val enc = operators.Corpus.bpeDocTokens(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_bpe_tokens")))
+    val tokBySource = enc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tokMin = tokBySource.values.min
+    def draw(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expect = enc.filter { case (id, src, _) =>
+      draw(id) < tokMin.toDouble / tokBySource(src)
+    }.map(_._1).toSet
+    val got = operators.Corpus.mixDomainsTokened(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expect && got.nonEmpty)
+    // material unit change: some source's token-mass keep rate differs
+    // from its doc-count keep rate (else the twin is a rename)
+    val nBySource = enc.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nMin = nBySource.values.min
+    assert(tokBySource.keys.exists(s =>
+      math.abs(tokMin.toDouble / tokBySource(s) -
+        nMin.toDouble / nBySource(s)) > 1e-9))
+    // and every kept doc's source is represented (no source starves)
+    val keptSources = enc.filter(e => got.contains(e._1)).map(_._2).toSet
+    assert(keptSources == tokBySource.keySet)
+  }
+
   test("text_oov_rate: vocab tokens cover total minus OOV, bounds hold") {
     val oov = operators.Corpus.textOovRate(spark, sf)
     val rows = oov.collect()

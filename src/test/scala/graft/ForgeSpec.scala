@@ -203,4 +203,45 @@ class ForgeSpec extends GraftSpec {
       s"z-order pruned read $zRead/$zTotal files — no real skipping")
     assert(dRead <= dTotal)
   }
+
+  test("layout_rowgroup_scan: multi-row-group files roll, row groups " +
+      "are genuinely skipped INSIDE kept files, and the selective " +
+      "row-group read is row-identical to the full scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = Forge.writeRowGroupDateLayout(spark, sf)
+    try {
+      val rg = operators.Apex.readFooterRowGroupStats(spark, tmp, "day")
+        .collect()
+      val perFile = rg.groupBy(_.getAs[String]("path"))
+      // the 4 KiB block size genuinely rolls many row groups per file
+      assert(perFile.values.exists(_.length >= 3),
+        "no multi-row-group file — parquet.block.size not honored")
+      val (dLo, dHi) = (9190L, 9196L)
+      val surviving = rg.filter(r => r.getAs[Long]("max_v") >= dLo &&
+        r.getAs[Long]("min_v") <= dHi)
+      assert(surviving.nonEmpty, "probe week empty at this sf")
+      // the point of the leg: a KEPT file still skips most of its own
+      // row groups (file-level pruning alone would decode all of them)
+      val survByFile = surviving.groupBy(_.getAs[String]("path"))
+      assert(survByFile.exists { case (p, s) =>
+        s.length < perFile(p).length },
+        "no sub-file skipping — every kept file fully decoded")
+      val decoded = surviving.map(_.getAs[Long]("n_rows")).sum
+      val total = rg.map(_.getAs[Long]("n_rows")).sum
+      assert(decoded < total,
+        s"decoded $decoded of $total rows — nothing skipped")
+      // identity: selective read + residual filter == full scan + filter
+      val survivors = survByFile.map { case (p, rows) =>
+        (p, rows.map(_.getAs[Int]("rg_idx")).sorted.toSeq) }.toSeq
+      val got = operators.Apex.readSelectedRowGroups(spark, survivors)
+        .where(col("day").between(dLo, dHi))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = spark.read.parquet(tmp)
+        .where(col("day").between(dLo, dHi))
+        .select(col("o_orderkey").cast("long"), col("day"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == full && got.nonEmpty,
+        "row-group-pruned read diverged from the full scan")
+    } finally operators.Apex.deleteTempLayout(spark, tmp)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.{CompactionLoop, EventStream}
-import graft.streaming.EventStream.{CatRec, Chg, Doc, Ev, Session}
+import graft.streaming.EventStream.{CatRec, Chg, Doc, Ev, PDoc, Session}
 
 /** SURVEY.md §2 #40: streaming/batch equivalence. The same event set fed
   * through the Structured Streaming operators must produce exactly the
@@ -1300,5 +1300,121 @@ class StreamingSpec extends GraftSpec {
       .select("seq").collect().map(_.getLong(0)).toSet
     assert(logSeqs == Set(1L, 2L, 3L, 4L, 5L),
       "the replayed batch should appear twice in the raw log")
+  }
+
+  test("streaming column profiler (family #19): per-batch count/bound/" +
+      "k-min partials tagged by a content-derived batch key, merged on " +
+      "read == batch quality_profile exactly, idempotent under a " +
+      "replayed batch (#326 streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Hashes.register(spark)
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .collect()
+      .map(r => PDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+      .toSeq
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_prof_part").toString
+    val stream = MemoryStream[PDoc]
+    val K = 256
+    // Per micro-batch ONE wide partial row: row/present counts, TYPED
+    // min/max per column (merging string representations would order
+    // "10" < "9" — bounds must merge in the column's own type and
+    // stringify once at read), and each column's k-min set of
+    // sign-flipped full-64-bit md5 hashes (≤ K longs appended per
+    // column — the #326 KMV lattice; collect_set keeps the partial
+    // expressible in one agg at spec scale, the native KmvSketch is
+    // the k-sized-working-state production path). Counts and bounds
+    // are NOT idempotent under redelivery; the content-derived
+    // src_batch tag + merge-on-read dedup restore exactly-once, while
+    // the k-min union needs no dedup at all (idempotent lattice).
+    def kminOf(c: String) = slice(array_sort(collect_set(
+      when(col(c).isNotNull,
+        expr(s"ngram_md5_hashes(array(cast($c as string)), 1)[0]")
+          .bitwiseXOR(lit(Long.MinValue))))), 1, K).as(s"km_$c")
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.agg(
+          count(lit(1)).as("n"), min("doc_id").as("src_batch"),
+          count(col("doc_id")).as("p_doc_id"),
+          min("doc_id").as("lo_doc_id"), max("doc_id").as("hi_doc_id"),
+          kminOf("doc_id"),
+          count(col("lang")).as("p_lang"),
+          min("lang").as("lo_lang"), max("lang").as("hi_lang"),
+          kminOf("lang"),
+          count(col("source")).as("p_source"),
+          min("source").as("lo_source"), max("source").as("hi_source"),
+          kminOf("source"),
+          count(col("n_chars")).as("p_n_chars"),
+          min("n_chars").as("lo_n_chars"), max("n_chars").as("hi_n_chars"),
+          kminOf("n_chars"),
+          count(col("text")).as("p_text"),
+          min(length(col("text"))).as("lo_text"),
+          max(length(col("text"))).as("hi_text"),
+          kminOf("text"))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    val (b1, rest) = docs.splitAt(docs.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    Seq(b2, b1, b3, b1).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val parts = spark.read.parquet(partDir)
+      .dropDuplicates("src_batch").collect()
+    assert(parts.length == 3, "replayed batch must dedup to one partial")
+    val nRows = parts.map(_.getAs[Long]("n")).sum
+    def mergedKm(c: String): Seq[Long] =
+      parts.flatMap(_.getAs[scala.collection.Seq[Long]](s"km_$c"))
+        .distinct.sorted.take(K).toSeq
+    // replicate KmvSketch.eval over the merged k-mins: the union of
+    // per-batch k-min supersets contains the global k-min, so the
+    // merged k-th smallest IS the batch sketch's k-th smallest
+    def est(c: String): Double = {
+      val keys = mergedKm(c)
+      if (keys.size < K) keys.size.toDouble
+      else {
+        val hk = keys(K - 1) ^ Long.MinValue
+        val u = if (hk >= 0) hk.toDouble
+          else hk.toDouble + 1.8446744073709552E19
+        (K - 1).toDouble / (u / 1.8446744073709552E19)
+      }
+    }
+    def r4d(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val batchProf = operators.Forge.qualityProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    def check(c: String, loS: => String, hiS: => String): Unit = {
+      val r = batchProf(c)
+      val p = parts.map(_.getAs[Long](s"p_$c")).sum
+      assert(r.getAs[Long]("n_rows") == nRows, s"$c n_rows")
+      assert(r.getAs[Long]("n_nulls") == nRows - p, s"$c n_nulls")
+      assert(r.getAs[Double]("completeness") ==
+        r4d(p.toDouble / nRows), s"$c completeness")
+      assert(r.getAs[Double]("approx_distinct") == r4d(est(c)),
+        s"$c approx_distinct")
+      assert(r.getAs[String]("min_repr") == loS, s"$c min_repr")
+      assert(r.getAs[String]("max_repr") == hiS, s"$c max_repr")
+    }
+    check("doc_id",
+      parts.map(_.getAs[Long]("lo_doc_id")).min.toString,
+      parts.map(_.getAs[Long]("hi_doc_id")).max.toString)
+    check("lang",
+      parts.map(_.getAs[String]("lo_lang")).min,
+      parts.map(_.getAs[String]("hi_lang")).max)
+    check("source",
+      parts.map(_.getAs[String]("lo_source")).min,
+      parts.map(_.getAs[String]("hi_source")).max)
+    check("n_chars",
+      parts.map(_.getAs[Long]("lo_n_chars")).min.toString,
+      parts.map(_.getAs[Long]("hi_n_chars")).max.toString)
+    check("text",
+      parts.map(_.getAs[Int]("lo_text")).min.toString,
+      parts.map(_.getAs[Int]("hi_text")).max.toString)
   }
 }
