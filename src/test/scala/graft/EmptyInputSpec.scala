@@ -219,7 +219,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "layout_zorder_footer", // two zero-file writes, no probes read
     "stats_two_proportion", // empty arms, null z
     "quality_profile",      // 5 profile rows, all stats null
-    "quality_constraints")  // 7 checks, null verdicts (can't assert)
+    "quality_constraints",  // 7 checks, null verdicts (can't assert)
+    // round-20 additions (#328+)
+    "corpus_bpe_encode",    // learn loop exhausts on an empty corpus
+    "mix_domains_tokened",  // rates of no sources, empty kept set
+    "ann_ivf_incremental",  // frozen centroids of no vectors
+    "url_host_rollup",      // host gate over no canonicals
+    "layout_rowgroup_scan") // zero-file write, zero surviving groups
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -303,6 +309,12 @@ class EmptyInputSpec extends AnyFunSuite {
         assert(rows.length == 12)
         assert(rows.forall(_.getAs[Long]("n_nodes") == 0L))
         assert(rows.forall(_.isNullAt(rows.head.fieldIndex("phi"))))
+      } else if (name == "layout_rowgroup_scan") {
+        // global agg: zero files written, zero rows decoded, null bounds
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Long]("files_total") == 0L)
+        assert(rows.head.getAs[Long]("n_rows") == 0L)
+        assert(rows.head.isNullAt(rows.head.fieldIndex("min_day_read")))
       } else assert(rows.isEmpty, s"$name emitted ${rows.length} rows")
     }
 }

@@ -119,7 +119,14 @@ class NullInputSpec extends AnyFunSuite {
     // fires, so the rater counts stay consistent
     "quality_fleiss_kappa",
     // round-18: the WAV leg keys off doc_id only
-    "mm_audio_pcm_energy")
+    "mm_audio_pcm_energy",
+    // round-20: split(null) explodes away in the BPE word stream, so
+    // encode/budget/mixture twins simply omit the null doc; URL
+    // synthesis keys off source/doc_id (null text only moves the
+    // host's text-dup rate); the null embedding joins out of the
+    // frozen-centroid assignment
+    "corpus_bpe_encode", "mix_domains_tokened", "url_host_rollup",
+    "ann_ivf_incremental")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
