@@ -693,6 +693,165 @@ object Aegis {
       |  JOIN clean c ON s.cluster = c.ck
       |ORDER BY cluster_ck""".stripMargin
 
+  // --------------------------------------------------------------- #338
+  /** The five candidate blocking keys #338 scores, as (name, dirty-side
+    * SQL expr, master-side SQL expr) — every key rendered to a STRING
+    * so one long-format union covers them all. The lineup spans the
+    * design space a real ER build walks:
+    *   - `a_seg_only`       coarse natural key: full recall, block =
+    *                        whole segment (the quadratic trap);
+    *   - `b_bal_dollar`     attribute-derived key that the planted
+    *                        balance bump perturbs across its boundary
+    *                        (recall loss on exactly the key%7 records);
+    *   - `c_digits_2_9`     positional key overlapping the TRUNCATED
+    *                        digit: every even-key (truncated) feed row
+    *                        blocks apart from its master;
+    *   - `d_seg_digits_4_8` the round-7..18 production key — full
+    *                        recall, but FIXED 10⁵-cell cardinality
+    *                        (the pigeonhole ceiling the 100× probe
+    *                        measured);
+    *   - `e_seg_digits_1_8` the current production key (~one
+    *                        key-decade per block at any scale).
+    * Dollar banding uses floor(cents / 100.0) — IEEE division + floor,
+    * identical on both engines (integer `div`/`//` disagree on
+    * NEGATIVE balances: Spark truncates toward zero, DuckDB floors).
+    */
+  private val blockingKeys: Seq[(String, String, String)] = Seq(
+    ("a_seg_only", "dseg", "seg"),
+    ("b_bal_dollar",
+      "cast(cast(floor(cast(dbal as double) / 100.0) as bigint) as string)",
+      "cast(cast(floor(cast(bal as double) / 100.0) as bigint) as string)"),
+    ("c_digits_2_9", "substring(dnm, 11, 8)", "substring(nm, 11, 8)"),
+    ("d_seg_digits_4_8", "concat(dseg, substring(dnm, 13, 5))",
+      "concat(seg, substring(nm, 13, 5))"),
+    ("e_seg_digits_1_8", "concat(dseg, substring(dnm, 10, 8))",
+      "concat(seg, substring(nm, 10, 8))"))
+
+  /** #338 blocking-key design evaluation — the decision the 100×
+    * probe forced on #319 (PLANS.md round-19), turned into an
+    * operator: score candidate blocking keys on the planted ER truth
+    * BEFORE committing the candidate join to one. Per key:
+    * `n_truth` / `n_hit` / `recall` (exact — the planted feed gives
+    * every dirty record a known master, and a truth pair survives
+    * blocking iff both sides render the same key, checked on the 1:1
+    * truth join), `n_candidates` = Σ_b |feed_b|·|master_b| (the
+    * comparison mass the scorer would pay, computed from GROUP COUNTS
+    * joined on the key — never by materializing the candidate join,
+    * so a degenerate key costs a multiplication here instead of a
+    * 59 GB spill), and `max_block_masters` (the skew ceiling purge
+    * would clip). The eval is the ER analogue of #188's
+    * dedup-threshold sweep: recall alone never picks the key —
+    * `a_seg_only` recalls 1.0 at ~10⁵× the comparison mass of
+    * `e_seg_digits_1_8`, and the two positional keys split exactly on
+    * whether they overlap the perturbed digit.
+    *
+    * Scale: three key-cardinality-sized aggregates and one linear 1:1
+    * join; nothing here grows faster than the corpus at any key
+    * degeneracy — that is the operator's own design point.
+    */
+  def erBlockingEval(spark: SparkSession, dir: String): DataFrame = {
+    val clean = erMaster(spark, dir)
+    val dirty = clean.where(col("ck") % 3 === 0)
+      .select(col("ck").as("truth"),
+        when(col("ck") % 2 === 0,
+          expr("substring(nm, 1, length(nm) - 1)")).otherwise(col("nm"))
+          .as("dnm"),
+        col("seg").as("dseg"),
+        (col("bal") + when(col("ck") % 7 === 0, 100L).otherwise(0L))
+          .as("dbal"))
+    def longForm(df: DataFrame, exprs: Seq[(String, String)]): DataFrame =
+      df.select(expr("stack(" + exprs.size + ", " + exprs.map {
+        case (n, e) => s"'$n', $e"
+      }.mkString(", ") + ") as (key_name, k)"))
+    val mLong = longForm(clean, blockingKeys.map { case (n, _, m) => (n, m) })
+    val dLong = longForm(dirty, blockingKeys.map { case (n, d, _) => (n, d) })
+    val mc = mLong.groupBy("key_name", "k").agg(count(lit(1)).as("nm"))
+    val dc = dLong.groupBy("key_name", "k").agg(count(lit(1)).as("nd"))
+    val cand = mc.join(dc, Seq("key_name", "k"))
+      .groupBy("key_name")
+      .agg(sum(col("nm") * col("nd")).as("n_candidates"))
+    val maxB = mc.groupBy("key_name")
+      .agg(max(col("nm")).as("max_block_masters"))
+    val hits = dirty.join(clean, col("truth") === col("ck"))
+      .select(expr("stack(" + blockingKeys.size + ", " + blockingKeys.map {
+        case (n, d, m) =>
+          s"'$n', cast(($d) = ($m) as long)"
+      }.mkString(", ") + ") as (key_name, hit)"))
+      .groupBy("key_name")
+      .agg(count(lit(1)).as("n_truth"), sum("hit").as("n_hit"))
+    hits.join(cand, "key_name").join(maxB, "key_name")
+      .select(col("key_name"), col("n_truth"), col("n_hit"),
+        r4(col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        col("n_candidates"), col("max_block_masters"))
+      .orderBy("key_name")
+  }
+
+  val erBlockingEvalSql: String = {
+    def dk(e: String) = e
+      .replace("substring(", "substr(")
+      .replace("cast(floor(cast(dbal as double) / 100.0) as bigint)",
+        "CAST(FLOOR(CAST(dbal AS DOUBLE) / 100.0) AS BIGINT)")
+      .replace("cast(floor(cast(bal as double) / 100.0) as bigint)",
+        "CAST(FLOOR(CAST(bal AS DOUBLE) / 100.0) AS BIGINT)")
+      .replace("cast(", "CAST(").replace(" as string)", " AS VARCHAR)")
+    val mUnion = blockingKeys.map { case (n, _, m) =>
+      s"SELECT '$n' AS key_name, ${dk(m)} AS k FROM clean"
+    }.mkString("\n  UNION ALL ")
+    val dUnion = blockingKeys.map { case (n, d, _) =>
+      s"SELECT '$n' AS key_name, ${dk(d)} AS k FROM dirty"
+    }.mkString("\n  UNION ALL ")
+    val hitCases = blockingKeys.map { case (n, d, m) =>
+      s"SELECT '$n' AS key_name, " +
+        s"CASE WHEN (${dk(d)}) = (${dk(m)}) THEN 1 ELSE 0 END AS hit " +
+        "FROM truthj"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH clean AS (
+       |  SELECT c_custkey AS ck, c_name AS nm,
+       |    CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |    CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal
+       |  FROM customer),
+       |dirty AS (
+       |  SELECT ck AS truth,
+       |    CASE WHEN ck % 2 = 0 THEN substr(nm, 1, length(nm) - 1)
+       |      ELSE nm END AS dnm,
+       |    seg AS dseg,
+       |    bal + CASE WHEN ck % 7 = 0 THEN 100 ELSE 0 END AS dbal
+       |  FROM clean WHERE ck % 3 = 0),
+       |ml AS (
+       |  $mUnion),
+       |dl AS (
+       |  $dUnion),
+       |mc AS (SELECT key_name, k, CAST(COUNT(*) AS BIGINT) AS nm
+       |  FROM ml GROUP BY 1, 2),
+       |dc AS (SELECT key_name, k, CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM dl GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT mc.key_name, CAST(SUM(mc.nm * dc.nd) AS BIGINT)
+       |    AS n_candidates
+       |  FROM mc JOIN dc ON mc.key_name = dc.key_name AND mc.k = dc.k
+       |  GROUP BY 1),
+       |maxb AS (SELECT key_name, MAX(nm) AS max_block_masters
+       |  FROM mc GROUP BY 1),
+       |truthj AS (
+       |  SELECT d.truth, d.dnm, d.dseg, d.dbal, c.nm, c.seg, c.bal
+       |  FROM dirty d JOIN clean c ON d.truth = c.ck),
+       |hl AS (
+       |  $hitCases),
+       |hits AS (
+       |  SELECT key_name, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hit
+       |  FROM hl GROUP BY 1)
+       |SELECT h.key_name, h.n_truth, h.n_hit,
+       |  ${r4Sql("CAST(h.n_hit AS DOUBLE) / CAST(h.n_truth AS DOUBLE)")}
+       |    AS recall,
+       |  c.n_candidates, x.max_block_masters
+       |FROM hits h
+       |  JOIN cand c ON h.key_name = c.key_name
+       |  JOIN maxb x ON h.key_name = x.key_name
+       |ORDER BY h.key_name""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (privacyKAnonymity _),
@@ -700,6 +859,7 @@ object Aegis {
     "sample_neyman" -> (sampleNeyman _),
     "er_fuzzy_link" -> (erFuzzyLink _),
     "er_golden_record" -> (erGoldenRecord _),
+    "er_blocking_eval" -> (erBlockingEval _),
     "privacy_t_closeness" -> (privacyTCloseness _))
 
   val oracles: Map[String, String] = Map(
@@ -708,5 +868,6 @@ object Aegis {
     "sample_neyman" -> sampleNeymanSql,
     "er_fuzzy_link" -> erFuzzyLinkSql,
     "er_golden_record" -> erGoldenRecordSql,
+    "er_blocking_eval" -> erBlockingEvalSql,
     "privacy_t_closeness" -> privacyTClosenessSql)
 }

@@ -1048,6 +1048,82 @@ object Corpus {
        |    AS tokens_per_word
        |FROM doc_tokens ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #341
+  /** #341 tokenizer-design compression curve: encode the corpus at
+    * merge budgets 0 / 2 / 4 / 8 and report, per budget, the symbol
+    * vocabulary in use, total stream words, total encoded tokens and
+    * tokens/word — the tokens-vs-vocab trade a tokenizer build sweeps
+    * BEFORE committing to a merge count (every extra merge grows the
+    * embedding table by one row and shrinks every future training
+    * batch; this is the curve that prices that trade). Budget 0 is
+    * the character baseline; the rank-order argument (#328) makes
+    * PREFIX application exact — encoding with the first k of 8
+    * learned merges IS the k-merge tokenizer, so one learn pass
+    * serves all four budgets.
+    *
+    * Scale: the learn loop is #159's vocabulary-sized iteration; the
+    * four encode branches share one distinct-word frame (re-folding a
+    * ≤8-step expression chain per branch — vocab-sized, never corpus-
+    * sized); stream totals join encoded token counts back through the
+    * same AQE-broadcastable vocab join as #328. Empty corpus → zero
+    * rows (grouped aggregates, not global ones, on both engines).
+    */
+  def corpusBpeVocabSweep(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearnMerges(spark, dir, 8)
+    val wc = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .withColumn("syms", split(col("w"), ""))
+    val depths = Seq(0, 2, 4, 8)
+    def encAt(k: Int): DataFrame =
+      merges.take(k).foldLeft(wc) { case (df, (a, b)) =>
+        df.withColumn("syms",
+          expr(bpeMergeFoldExpr(bpeSqlLit(a), bpeSqlLit(b))))
+      }.withColumn("n_merges", lit(k.toLong))
+    val tagged = depths.map(encAt).reduce(_ unionByName _)
+    val tot = tagged.groupBy("n_merges")
+      .agg(sum("cw").as("total_words"),
+        sum(col("cw") * size(col("syms")).cast("long"))
+          .as("total_tokens"))
+    val vs = tagged.select(col("n_merges"), explode(col("syms")).as("sym"))
+      .groupBy("n_merges").agg(countDistinct("sym").as("vocab_size"))
+    tot.join(vs, "n_merges")
+      .select(col("n_merges"), col("vocab_size"), col("total_words"),
+        col("total_tokens"),
+        r4(col("total_tokens").cast("double") /
+          col("total_words").cast("double")).as("tokens_per_word"))
+      .orderBy("n_merges")
+  }
+
+  val corpusBpeVocabSweepSql: String = {
+    val branches = Seq(0, 2, 4, 8).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS n_merges, w, s FROM e$k"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeOracleCtes(8)},
+       |wcall AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |alld AS (
+       |  $branches),
+       |tot AS (
+       |  SELECT n_merges, CAST(SUM(cw) AS BIGINT) AS total_words,
+       |    CAST(SUM(cw * len(string_split(s, ' '))) AS BIGINT)
+       |      AS total_tokens
+       |  FROM alld JOIN wcall USING (w) GROUP BY 1),
+       |vs AS (
+       |  SELECT n_merges, CAST(COUNT(DISTINCT sym) AS BIGINT)
+       |    AS vocab_size
+       |  FROM (SELECT n_merges, unnest(string_split(s, ' ')) AS sym
+       |    FROM alld)
+       |  GROUP BY 1)
+       |SELECT t.n_merges, v.vocab_size, t.total_words, t.total_tokens,
+       |  ${r4Sql("CAST(t.total_tokens AS DOUBLE) / " +
+                  "CAST(t.total_words AS DOUBLE)")} AS tokens_per_word
+       |FROM tot t JOIN vs v ON t.n_merges = v.n_merges
+       |ORDER BY t.n_merges""".stripMargin
+  }
+
   // --------------------------------------------------------------- #329
   /** #329 the #70 budget gate re-pointed at REAL tokens: every source
     * gets an equal slice of a global BPE-token budget; docs admit in
@@ -1171,6 +1247,7 @@ object Corpus {
     "corpus_token_budget" ->
       ((s: SparkSession, d: String) => corpusTokenBudget(s, d)),
     "corpus_bpe_encode" -> (corpusBpeEncode _),
+    "corpus_bpe_vocab_sweep" -> (corpusBpeVocabSweep _),
     "corpus_token_budget_tokened" ->
       ((s: SparkSession, d: String) => corpusTokenBudgetTokened(s, d)),
     "pack_sequences_tokened" ->
@@ -1196,6 +1273,7 @@ object Corpus {
     "text_oov_rate" -> textOovRateSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "corpus_bpe_encode" -> corpusBpeEncodeSql,
+    "corpus_bpe_vocab_sweep" -> corpusBpeVocabSweepSql,
     "corpus_token_budget_tokened" -> corpusTokenBudgetTokenedSql,
     "pack_sequences_tokened" -> packSequencesTokenedSql,
     "mix_domains_tokened" -> mixDomainsTokenedSql)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Exprs.{r4, r4Sql}
@@ -826,11 +827,156 @@ object Forge {
        |  CASE WHEN n > 0 THEN passed END AS passed
        |FROM c ORDER BY check_name""".stripMargin
 
+  // --------------------------------------------------------------- #340
+  /** #340 clustering-health metric off REAL footers: the interval-
+    * OVERLAP DEPTH of each layout's per-file [min,max] ranges — the
+    * manifest-only number that predicts what #324/#332's probes
+    * measure, without running a probe. For every point of a
+    * dimension's domain, depth(x) = how many files' footer ranges
+    * contain x; a perfectly clustered layout has depth 1 everywhere
+    * (any point probe reads one file), an unclustered one has depth ≈
+    * n_files (every probe reads everything). This is the statistic a
+    * warehouse OPTIMIZE scheduler watches to decide WHEN to recluster
+    * (the audits say what a layout buys; the depth says when it has
+    * decayed) — computable from table-format manifests alone,
+    * metadata-plane at any data scale.
+    *
+    * Computed exactly by the #259 sweep-line device over file
+    * endpoints: +1 at min, −1 at max+1, running sum ordered by the
+    * (unique, post-grouped) position = depth over each inter-endpoint
+    * segment; `avg_depth` is the segment-length-weighted mean over
+    * the covered domain and `max_depth` the worst point — integers
+    * until the one final r4'd division. The date layout clusters
+    * `day` (depth→1) and ignores `cb` (depth→n_files); z-order holds
+    * BOTH dimensions' depth at ~n_files/64 — the 4-row table ranks
+    * the layouts per dimension in one read.
+    *
+    * Both writes are the #324 deterministic layouts, so the DuckDB
+    * oracle recomputes every file's ranges from the rank-cut closed
+    * form and runs the same sweep — a green hash proves real footers
+    * == simulation THROUGH the depth algebra. Temp layouts deleted
+    * after the file stats materialize (the #324 discipline).
+    */
+  def layoutOverlapDepth(spark: SparkSession, dir: String): DataFrame = {
+    val fileRows = 512
+    val o = ordersZFrame(spark, dir)
+    val tmpD = java.nio.file.Files
+      .createTempDirectory("graft_depth_date").toString
+    val tmpZ = java.nio.file.Files
+      .createTempDirectory("graft_depth_z").toString
+    o.repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("month").parquet(tmpD)
+    o.repartition(col("zb"))
+      .sortWithinPartitions("zb", "z", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", fileRows.toLong)
+      .partitionBy("zb").parquet(tmpZ)
+    val stats = footerTwoDimStats(spark, tmpD, "date_clustered")
+      .unionByName(footerTwoDimStats(spark, tmpZ, "zorder"))
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmpD)
+    Apex.deleteTempLayout(spark, tmpZ)
+    val iv = stats.select(col("layout"), expr(
+      "stack(2, 'day', min_day, max_day, 'cb', min_cb, max_cb) " +
+        "as (dim, lo, hi)"))
+    val ev = iv.select(col("layout"), col("dim"),
+      expr("stack(2, lo, 1L, hi + 1L, -1L) as (pos, delta)"))
+    val w = Window.partitionBy("layout", "dim").orderBy("pos")
+    val seg = ev.groupBy("layout", "dim", "pos")
+      .agg(sum("delta").as("d"))
+      .withColumn("depth", sum("d").over(w))
+      .withColumn("np", lead("pos", 1).over(w))
+      .where(col("np").isNotNull && col("depth") > 0L)
+      .withColumn("len", col("np") - col("pos"))
+    val nf = iv.groupBy("layout", "dim").agg(count(lit(1)).as("n_files"))
+    seg.groupBy("layout", "dim")
+      .agg(sum("len").as("domain_len"), max("depth").as("max_depth"),
+        sum(col("depth") * col("len")).as("dl"))
+      .join(nf, Seq("layout", "dim"))
+      .select(col("layout"), col("dim"), col("n_files"),
+        col("domain_len"), col("max_depth"),
+        r4(col("dl").cast("double") / col("domain_len").cast("double"))
+          .as("avg_depth"))
+      .orderBy("layout", "dim")
+  }
+
+  val layoutOverlapDepthSql: String = {
+    val shrDuck = (x: String, i: Int) => s"($x >> $i)"
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+       |      AS BIGINT) AS day,
+       |    CAST(o_custkey % 64 AS BIGINT) AS cb,
+       |    strftime(o_orderdate, '%Y-%m') AS month
+       |  FROM orders),
+       |z AS (
+       |  SELECT *,
+       |    least(63, greatest(0, (day - 8000) * 64 // 2000)) AS db
+       |  FROM o),
+       |zz AS (
+       |  SELECT *, ${zInterleave("db", "cb", shrDuck)} AS zv FROM z),
+       |zb AS (SELECT *, zv // 64 AS zbk FROM zz),
+       |rd AS (
+       |  SELECT month, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY month
+       |      ORDER BY day, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM zb),
+       |rz AS (
+       |  SELECT zbk, day, cb,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY zbk
+       |      ORDER BY zv, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+       |  FROM zb),
+       |f AS (
+       |  SELECT 'date_clustered' AS layout, month AS part, fid,
+       |    MIN(day) AS min_day, MAX(day) AS max_day,
+       |    MIN(cb) AS min_cb, MAX(cb) AS max_cb
+       |  FROM rd GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'zorder', CAST(zbk AS VARCHAR), fid,
+       |    MIN(day), MAX(day), MIN(cb), MAX(cb)
+       |  FROM rz GROUP BY 2, 3),
+       |iv AS (
+       |  SELECT layout, 'day' AS dim, min_day AS lo, max_day AS hi
+       |  FROM f
+       |  UNION ALL
+       |  SELECT layout, 'cb', min_cb, max_cb FROM f),
+       |ev AS (
+       |  SELECT layout, dim, lo AS pos, 1 AS delta FROM iv
+       |  UNION ALL
+       |  SELECT layout, dim, hi + 1, -1 FROM iv),
+       |g AS (
+       |  SELECT layout, dim, pos, SUM(delta) AS d
+       |  FROM ev GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *,
+       |    SUM(d) OVER (PARTITION BY layout, dim ORDER BY pos) AS depth,
+       |    LEAD(pos) OVER (PARTITION BY layout, dim ORDER BY pos) AS np
+       |  FROM g),
+       |seg AS (
+       |  SELECT layout, dim, depth, np - pos AS len
+       |  FROM r WHERE np IS NOT NULL AND depth > 0),
+       |nf AS (
+       |  SELECT layout, dim, CAST(COUNT(*) AS BIGINT) AS n_files
+       |  FROM iv GROUP BY 1, 2)
+       |SELECT s.layout, s.dim, nf.n_files,
+       |  CAST(SUM(s.len) AS BIGINT) AS domain_len,
+       |  CAST(MAX(s.depth) AS BIGINT) AS max_depth,
+       |  ${r4Sql("CAST(SUM(s.depth * s.len) AS DOUBLE) / " +
+                  "CAST(SUM(s.len) AS DOUBLE)")} AS avg_depth
+       |FROM seg s JOIN nf ON s.layout = nf.layout AND s.dim = nf.dim
+       |GROUP BY s.layout, s.dim, nf.n_files
+       |ORDER BY s.layout, s.dim""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bottomk" -> (sampleBottomk _),
     "layout_zorder_footer" -> (layoutZorderFooter _),
     "layout_hilbert_footer" -> (layoutHilbertFooter _),
+    "layout_overlap_depth" -> (layoutOverlapDepth _),
     "layout_pruned_scan" -> (layoutPrunedScan _),
     "layout_rowgroup_scan" -> (layoutRowgroupScan _),
     "quality_profile" -> (qualityProfile _),
@@ -840,6 +986,7 @@ object Forge {
     "sample_bottomk" -> sampleBottomkSql,
     "layout_zorder_footer" -> layoutZorderFooterSql,
     "layout_hilbert_footer" -> layoutHilbertFooterSql,
+    "layout_overlap_depth" -> layoutOverlapDepthSql,
     "layout_pruned_scan" -> layoutPrunedScanSql,
     "layout_rowgroup_scan" -> layoutRowgroupScanSql,
     "quality_profile" -> qualityProfileSql,

@@ -691,7 +691,124 @@ object Lattice {
        |FROM w""".stripMargin
   }
 
+  // --------------------------------------------------------------- #339
+  /** #339 χ² homogeneity drift gate: is the event-type mix of the
+    * stream's SECOND half the same distribution as the first? The
+    * classic two-sample test a feed monitor runs batch-over-batch
+    * before a mixture/curation decision trusts fresh data (#137/#246
+    * watch specific signals drift; this is the distribution-level
+    * significance test over the categorical mix itself). Window split
+    * at the fixed literal day 19738 (2024-01-16 — mid-stream).
+    *
+    * χ² = Σ_cells (o − e)²/e with e = n_half·c_type/N. Every cell
+    * reduces to ONE IEEE division of exact integers: (o·N − n_h·c_t)²
+    * accumulates in DECIMAL(38,0) (o·N reaches 2.25·10¹³ at the 100×
+    * replica — its square needs 27 digits), the denominator is the
+    * explicitly-parenthesized double product (n_h·c_t)·N (3·10²⁰
+    * overflows int64 — the double product of exact integers is
+    * correctly rounded identically on both engines). Cell terms cross
+    * the final sum through sumDec; the α=0.05 verdict compares the
+    * UNROUNDED total to 9.488 (df = (2−1)(5−1) = 4). Emits one row
+    * per type (half counts + its χ² contribution) with the total/df/
+    * verdict alongside — the per-type contributions ARE the read
+    * (which type drifted), not just whether.
+    *
+    * Scale: one map-side-combinable (half, type) count shuffle; the
+    * 10-cell frame does windows and the verdict. On this synthetic
+    * stream the verdict is (correctly) no-drift; LatticeSpec plants a
+    * drifted feed and proves the gate fires.
+    */
+  def eventsDriftChi2(spark: SparkSession, dir: String): DataFrame =
+    driftChi2From(Tables.eventsUs(spark, dir)
+      .select(col("event_type"),
+        when(expr("ts_us div 86400000000") < 19738L, lit("a"))
+          .otherwise(lit("b")).as("half")))
+
+  /** The #339 test over an arbitrary (event_type, half) frame — the
+    * spec drives a planted-drift feed through the identical plan.
+    */
+  private[graft] def driftChi2From(labeled: DataFrame): DataFrame =
+    driftChi2FromCells(labeled.groupBy("event_type", "half")
+      .agg(count(lit(1)).as("o")))
+
+  /** The #339 algebra from pre-aggregated (event_type, half, o) cells —
+    * the streamed twin merges per-batch count partials into exactly
+    * this shape (counts are additive and the merge-on-read dedups
+    * redelivery, the #262-streamed device), so stream == batch is an
+    * identity of the downstream expression tree.
+    */
+  private[graft] def driftChi2FromCells(cells: DataFrame): DataFrame = {
+    val wh = Window.partitionBy("half")
+    val wt = Window.partitionBy("event_type")
+    val wAll = Window.partitionBy()
+    val withM = cells
+      .withColumn("nh", sum("o").over(wh))
+      .withColumn("ct", sum("o").over(wt))
+      .withColumn("nn", sum("o").over(wAll))
+    val dnum = (col("o") * col("nn") - col("nh") * col("ct")).cast(dec)
+    val term = (dnum * dnum).cast("double") /
+      ((col("nh").cast("double") * col("ct").cast("double")) *
+        col("nn").cast("double"))
+    val perType = withM.groupBy("event_type")
+      .agg(sum(when(col("half") === "a", col("o")).otherwise(0L))
+          .as("n_a"),
+        sum(when(col("half") === "b", col("o")).otherwise(0L)).as("n_b"),
+        sum(term.cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+          .as("contrib_dec"))
+    val total = perType.agg(
+      sum("contrib_dec").as("chi2_dec"),
+      (count(lit(1)) - 1L).as("df"))
+    perType.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r4(col("contrib_dec").cast("double")).as("contrib"),
+        r4(col("chi2_dec").cast("double")).as("chi2"), col("df"),
+        when(col("df") === 4L,
+          col("chi2_dec").cast("double") > lit(9.488)).as("drift_05"))
+      .orderBy("event_type")
+  }
+
+  val eventsDriftChi2Sql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type,
+       |    CASE WHEN epoch_us(ts) // 86400000000 < 19738
+       |      THEN 'a' ELSE 'b' END AS half,
+       |    CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT *,
+       |    SUM(o) OVER (PARTITION BY half) AS nh,
+       |    SUM(o) OVER (PARTITION BY event_type) AS ct,
+       |    SUM(o) OVER () AS nn
+       |  FROM cells),
+       |t AS (
+       |  SELECT *,
+       |    CAST(CAST(o * nn - nh * ct AS DECIMAL(38,0))
+       |        * CAST(o * nn - nh * ct AS DECIMAL(38,0)) AS DOUBLE)
+       |      / ((CAST(nh AS DOUBLE) * CAST(ct AS DOUBLE))
+       |        * CAST(nn AS DOUBLE)) AS term
+       |  FROM m),
+       |pt AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN half = 'a' THEN o ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(CASE WHEN half = 'b' THEN o ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    SUM(CAST(term AS DECIMAL(38,8))) AS contrib_dec
+       |  FROM t GROUP BY 1),
+       |tot AS (
+       |  SELECT SUM(contrib_dec) AS chi2_dec,
+       |    CAST(COUNT(*) - 1 AS BIGINT) AS df
+       |  FROM pt)
+       |SELECT event_type, n_a, n_b,
+       |  ${r4Sql("CAST(contrib_dec AS DOUBLE)")} AS contrib,
+       |  ${r4Sql("CAST(chi2_dec AS DOUBLE)")} AS chi2, df,
+       |  CASE WHEN df = 4
+       |    THEN CAST(chi2_dec AS DOUBLE) > 9.488 END AS drift_05
+       |FROM pt CROSS JOIN tot
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_drift_chi2" -> (eventsDriftChi2 _),
     "stats_two_proportion" -> (statsTwoProportion _),
     "stats_anova" -> (statsAnova _),
     "stats_power_mde" -> (statsPowerMde _),
@@ -702,6 +819,7 @@ object Lattice {
     "stats_ols_2var" -> (statsOls2var _))
 
   val oracles: Map[String, String] = Map(
+    "events_drift_chi2" -> eventsDriftChi2Sql,
     "stats_two_proportion" -> statsTwoProportionSql,
     "stats_anova" -> statsAnovaSql,
     "stats_power_mde" -> statsPowerMdeSql,

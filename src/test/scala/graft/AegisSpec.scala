@@ -312,4 +312,66 @@ class AegisSpec extends GraftSpec {
       "expected a cell that is l-diverse yet t-violating — the skew " +
         "attack the third leg exists to catch")
   }
+
+  test("er_blocking_eval: per-key recall / candidate mass / max block " +
+      "match a plain-Scala recompute, and the lineup ranks as designed") {
+    case class M(ck: Long, nm: String, seg: String, bal: Long)
+    val master = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal * 100.0 + 0.5) as bigint)"))
+      .collect()
+      .map(r => M(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    case class D(truth: Long, dnm: String, dseg: String, dbal: Long)
+    val dirty = master.filter(_.ck % 3 == 0).map { m =>
+      D(m.ck,
+        if (m.ck % 2 == 0) m.nm.dropRight(1) else m.nm,
+        m.seg,
+        m.bal + (if (m.ck % 7 == 0) 100L else 0L))
+    }
+    // SQL substring(s, p, l) == Scala slice(p-1, p-1+l) (length-safe)
+    def dollar(c: Long): String = math.floor(c.toDouble / 100.0).toLong.toString
+    val mKeys: Map[String, M => String] = Map(
+      "a_seg_only" -> (m => m.seg),
+      "b_bal_dollar" -> (m => dollar(m.bal)),
+      "c_digits_2_9" -> (m => m.nm.slice(10, 18)),
+      "d_seg_digits_4_8" -> (m => m.seg + m.nm.slice(12, 17)),
+      "e_seg_digits_1_8" -> (m => m.seg + m.nm.slice(9, 17)))
+    val dKeys: Map[String, D => String] = Map(
+      "a_seg_only" -> (d => d.dseg),
+      "b_bal_dollar" -> (d => dollar(d.dbal)),
+      "c_digits_2_9" -> (d => d.dnm.slice(10, 18)),
+      "d_seg_digits_4_8" -> (d => d.dseg + d.dnm.slice(12, 17)),
+      "e_seg_digits_1_8" -> (d => d.dseg + d.dnm.slice(9, 17)))
+    val byCk = master.map(m => m.ck -> m).toMap
+    val out = operators.Aegis.erBlockingEval(spark, sf).collect()
+    assert(out.length == 5)
+    val rows = out.map(r => r.getAs[String]("key_name") -> r).toMap
+    mKeys.keys.foreach { k =>
+      val r = rows(k)
+      val hits = dirty.count(d => dKeys(k)(d) == mKeys(k)(byCk(d.truth)))
+      val mc = master.groupBy(mKeys(k)).map { case (kk, g) =>
+        kk -> g.length.toLong }
+      val dc = dirty.groupBy(dKeys(k)).map { case (kk, g) =>
+        kk -> g.length.toLong }
+      val cand = dc.collect { case (kk, nd) if mc.contains(kk) =>
+        mc(kk) * nd }.sum
+      assert(r.getAs[Long]("n_truth") == dirty.length.toLong, k)
+      assert(r.getAs[Long]("n_hit") == hits.toLong, k)
+      assert(r.getAs[Double]("recall") ==
+        p4(hits.toDouble / dirty.length.toDouble), k)
+      assert(r.getAs[Long]("n_candidates") == cand, k)
+      assert(r.getAs[Long]("max_block_masters") == mc.values.max, k)
+    }
+    // the design story: the production key keeps FULL recall; the key
+    // overlapping the truncated digit loses ~half; the dollar band
+    // loses the bumped records; the coarse key pays orders of
+    // magnitude more comparisons for the same recall
+    assert(rows("e_seg_digits_1_8").getAs[Double]("recall") == 1.0)
+    assert(rows("d_seg_digits_4_8").getAs[Double]("recall") == 1.0)
+    assert(rows("c_digits_2_9").getAs[Double]("recall") < 0.7)
+    assert(rows("b_bal_dollar").getAs[Double]("recall") < 1.0)
+    assert(rows("a_seg_only").getAs[Long]("n_candidates") >
+      5L * rows("e_seg_digits_1_8").getAs[Long]("n_candidates"))
+  }
 }

@@ -219,6 +219,74 @@ class CorpusSpec extends GraftSpec {
     }
   }
 
+  test("corpus_bpe_vocab_sweep equals the plain-Scala reference at " +
+      "every budget — prefix application IS the k-merge tokenizer — " +
+      "and the compression curve is monotone") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "banana banana banana bandana", "srcA"),
+      (2L, "aaaa aa banana", "srcA"),
+      (3L, "bandana band an a", "srcB"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_sweep")
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+
+    def greedyMerge(syms: Vector[String], m: (String, String)):
+        Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == m._1 && s == m._2)
+          acc.dropRight(1) :+ (m._1 + m._2)
+        else acc :+ s
+      }
+    val allWords: Seq[(String, Long)] = docs
+      .flatMap(_._2.split(' ')).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }.toSeq
+    var vocab: Seq[(Vector[String], Long)] = allWords
+      .filter(_._1.length >= 2)
+      .map { case (w, c) => w.split("").toVector -> c }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
+    var stop = false
+    while (merges.size < 8 && !stop) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2)
+          .foreach(p => pc((p(0), p(1))) += c)
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val best = pc.toSeq
+          .minBy { case ((a, b), c) => (-c, s"$a $b") }._1
+        merges += best
+        vocab = vocab.map { case (s, c) => greedyMerge(s, best) -> c }
+      }
+    }
+    def encodeAt(w: String, k: Int): Vector[String] =
+      merges.take(k).foldLeft(w.split("").toVector)(greedyMerge)
+    val expected = Seq(0, 2, 4, 8).map { k =>
+      val enc = allWords.map { case (w, c) => (encodeAt(w, k), c) }
+      val vs = enc.flatMap(_._1).distinct.size.toLong
+      val tw = enc.map(_._2).sum
+      val tt = enc.map { case (s, c) => s.size * c }.sum
+      (k.toLong, vs, tw, tt,
+        math.floor(tt.toDouble / tw.toDouble * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = operators.Corpus.corpusBpeVocabSweep(spark, dir.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("n_merges"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("total_words"), r.getAs[Long]("total_tokens"),
+        r.getAs[Double]("tokens_per_word"))).toSeq
+    assert(got == expected)
+    // tokens/word is non-increasing in the merge budget (a merge can
+    // only shrink encodings) and total_words is budget-invariant
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 <= a._5 && a._3 == b._3)
+    }
+    assert(got.head._4 > got.last._4, "8 merges must genuinely compress")
+  }
+
   test("tokened budget/pack twins are the cum-sum of corpus_bpe_encode " +
       "counts — unit swapped, admission logic unchanged") {
     val enc = operators.Corpus.bpeDocTokens(spark, sf)

@@ -225,7 +225,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "mix_domains_tokened",  // rates of no sources, empty kept set
     "ann_ivf_incremental",  // frozen centroids of no vectors
     "url_host_rollup",      // host gate over no canonicals
-    "layout_rowgroup_scan") // zero-file write, zero surviving groups
+    "layout_rowgroup_scan", // zero-file write, zero surviving groups
+    // round-20 batch 2 (#338-341)
+    "er_blocking_eval",     // five keys scored over an empty master
+    "events_drift_chi2",    // no cells -> no per-type rows (never 0/0)
+    "layout_overlap_depth", // two zero-file writes, no intervals
+    "corpus_bpe_vocab_sweep") // four budgets of an empty vocabulary
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

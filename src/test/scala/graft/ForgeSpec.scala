@@ -244,4 +244,73 @@ class ForgeSpec extends GraftSpec {
         "row-group-pruned read diverged from the full scan")
     } finally operators.Apex.deleteTempLayout(spark, tmp)
   }
+
+  test("layout_overlap_depth: every metric equals the rank-cut " +
+      "closed-form sweep recomputed in Scala off raw orders — real " +
+      "footers == simulation THROUGH the depth algebra — and the " +
+      "layouts rank as the clustering story predicts") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"),
+        (col("o_custkey") % 64).cast("long"),
+        date_format(col("o_orderdate"), "yyyy-MM"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def z(day: Long, cb: Long): Long = {
+      val db = math.min(63L, math.max(0L, (day - 8000L) * 64L / 2000L))
+      (0 until 6).map { i =>
+        ((db >> i) & 1L) * (1L << (2 * i + 1)) +
+          ((cb >> i) & 1L) * (1L << (2 * i))
+      }.sum
+    }
+    // files of a layout: group by directory, total-sort, cut at 512
+    def files(group: ((Long, Long, Long, String)) => String,
+        ord: ((Long, Long, Long, String)) => (Long, Long))
+        : Seq[(Long, Long, Long, Long)] =
+      orders.groupBy(group).toSeq.flatMap { case (_, g) =>
+        g.sortBy(ord).grouped(512).map { f =>
+          (f.map(_._2).min, f.map(_._2).max,
+            f.map(_._3).min, f.map(_._3).max)
+        }
+      }
+    val layouts = Map(
+      "date_clustered" -> files(_._4, r => (r._2, r._1)),
+      "zorder" -> files(r => (z(r._2, r._3) / 64L).toString,
+        r => (z(r._2, r._3), r._1)))
+    def sweep(iv: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+      val ev = iv.flatMap { case (lo, hi) => Seq(lo -> 1L, (hi + 1L) -> -1L) }
+        .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      var depth = 0L; var dl = 0L; var len = 0L; var maxD = 0L
+      ev.zip(ev.tail).foreach { case ((p, d), (np, _)) =>
+        depth += d
+        if (depth > 0) {
+          dl += depth * (np - p); len += np - p
+          maxD = math.max(maxD, depth)
+        }
+      }
+      (iv.size.toLong, len, maxD, p4(dl.toDouble / len.toDouble))
+    }
+    val expected = layouts.flatMap { case (l, fs) =>
+      Seq((l, "day") -> sweep(fs.map(f => (f._1, f._2))),
+        (l, "cb") -> sweep(fs.map(f => (f._3, f._4))))
+    }
+    val out = Forge.layoutOverlapDepth(spark, sf).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val k = (r.getAs[String]("layout"), r.getAs[String]("dim"))
+      val (nf, len, maxD, avg) = expected(k)
+      assert(r.getAs[Long]("n_files") == nf, k)
+      assert(r.getAs[Long]("domain_len") == len, k)
+      assert(r.getAs[Long]("max_depth") == maxD, k)
+      assert(r.getAs[Double]("avg_depth") == avg, k)
+    }
+    val avg = out.map(r => (r.getAs[String]("layout"),
+      r.getAs[String]("dim")) -> r.getAs[Double]("avg_depth")).toMap
+    // date clusters day (low depth) and ignores cb (files stack to
+    // near n_files deep); z-order holds BOTH at intermediate depth
+    assert(avg(("date_clustered", "day")) < avg(("zorder", "day")))
+    assert(avg(("zorder", "cb")) < avg(("date_clustered", "cb")))
+  }
 }

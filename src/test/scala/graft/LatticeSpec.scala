@@ -291,4 +291,80 @@ class LatticeSpec extends GraftSpec {
     assert(r.getAs[Double]("z") == p4d(z))
     assert(r.getAs[Boolean]("significant_95") == (math.abs(z) > 1.96))
   }
+
+  /** BigDecimal-quantized χ² recompute mirroring the sumDec path:
+    * per-cell term as one IEEE expression over exact integers, each
+    * quantized to 8 dp before summation.
+    */
+  private def chi2Of(cells: Map[(String, String), Long])
+      : (Map[String, BigDecimal], BigDecimal) = {
+    val nh = cells.groupBy(_._1._2).map { case (h, g) => h -> g.values.sum }
+    val ct = cells.groupBy(_._1._1).map { case (t, g) => t -> g.values.sum }
+    val nn = cells.values.sum
+    val perType = cells.groupBy(_._1._1).map { case (t, g) =>
+      t -> g.map { case ((_, h), o) =>
+        val dnum = BigInt(o) * nn - BigInt(nh(h)) * ct(t)
+        val den = (nh(h).toDouble * ct(t).toDouble) * nn.toDouble
+        BigDecimal((dnum * dnum).toDouble / den)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    }
+    (perType, perType.values.sum)
+  }
+
+  test("events_drift_chi2: per-type contributions and the total match " +
+      "the exact-integer recompute; the undrifted stream reads no-drift") {
+    val cells = events.groupBy { e =>
+      (e._2, if (e._4 / 86400000000L < 19738L) "a" else "b")
+    }.map { case (k, g) => k -> g.length.toLong }
+    val (perType, total) = chi2Of(cells)
+    val out = operators.Lattice.eventsDriftChi2(spark, sf).collect()
+    assert(out.length == perType.size)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_a") == cells.getOrElse((t, "a"), 0L))
+      assert(r.getAs[Long]("n_b") == cells.getOrElse((t, "b"), 0L))
+      assert(r.getAs[Double]("contrib") == p4(perType(t).toDouble))
+      assert(r.getAs[Double]("chi2") == p4(total.toDouble))
+      assert(r.getAs[Long]("df") == perType.size.toLong - 1)
+      assert(r.getAs[Boolean]("drift_05") == (total.toDouble > 9.488))
+    }
+    // the synthetic mix is time-stationary — a correct monitor must
+    // NOT fire here (the planted-drift leg below proves it CAN)
+    assert(!out.head.getAs[Boolean]("drift_05"))
+  }
+
+  test("events_drift_chi2: a planted drifted feed fires the gate, and " +
+      "the fired statistic still matches the recompute") {
+    val sp = spark
+    import sp.implicits._
+    // half a: uniform mix; half b: type X doubles at Y's expense
+    val rows =
+      Seq.fill(200)(("X", "a")) ++ Seq.fill(200)(("Y", "a")) ++
+        Seq.fill(200)(("Z", "a")) ++
+        Seq.fill(320)(("X", "b")) ++ Seq.fill(80)(("Y", "b")) ++
+        Seq.fill(200)(("Z", "b"))
+    val out = operators.Lattice
+      .driftChi2From(rows.toDF("event_type", "half")).collect()
+    val cells = rows.groupBy(identity).map { case (k, g) =>
+      k -> g.length.toLong }
+    val (perType, total) = chi2Of(cells)
+    assert(total.toDouble > 9.488 * 5,
+      "the planted shift must be unambiguous")
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Double]("contrib") == p4(perType(t).toDouble))
+      // df = 2 here (3 types) -> the df=4 critical row gates to null
+      assert(r.getAs[Long]("df") == 2L)
+      assert(r.isNullAt(r.fieldIndex("drift_05")))
+    }
+    // re-run with 5 types so the df=4 verdict column engages and fires
+    val rows5 = rows ++ Seq.fill(100)(("W", "a")) ++
+      Seq.fill(100)(("W", "b")) ++ Seq.fill(100)(("V", "a")) ++
+      Seq.fill(100)(("V", "b"))
+    val out5 = operators.Lattice
+      .driftChi2From(rows5.toDF("event_type", "half")).collect()
+    assert(out5.forall(_.getAs[Boolean]("drift_05")))
+    assert(out5.forall(_.getAs[Long]("df") == 4L))
+  }
 }

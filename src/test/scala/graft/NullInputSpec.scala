@@ -126,7 +126,10 @@ class NullInputSpec extends AnyFunSuite {
     // host's text-dup rate); the null embedding joins out of the
     // frozen-centroid assignment
     "corpus_bpe_encode", "mix_domains_tokened", "url_host_rollup",
-    "ann_ivf_incremental")
+    "ann_ivf_incremental",
+    // round-20 batch 2: split(null) drops the null doc from every
+    // sweep budget's word stream (totals just shrink, never null)
+    "corpus_bpe_vocab_sweep")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

@@ -1417,4 +1417,50 @@ class StreamingSpec extends GraftSpec {
       parts.map(_.getAs[Int]("lo_text")).min.toString,
       parts.map(_.getAs[Int]("hi_text")).max.toString)
   }
+
+  test("streaming drift χ² monitor (family #20): per-batch (half, type) " +
+      "count partials tagged by a content-derived batch key, merged on " +
+      "read into the identical #339 algebra == batch events_drift_chi2, " +
+      "idempotent under a replayed batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = loadEvents()
+    val partDir = java.nio.file.Files
+      .createTempDirectory("graft_drift_part").toString
+    val stream = MemoryStream[Ev]
+    // the #262-streamed device: additive count partials are NOT
+    // idempotent, so each batch's cells carry a content-derived batch
+    // key (min event_id) and merge-on-read dedups per
+    // (src_batch, type, half) before summing — a redelivered batch
+    // rewrites identical rows, never double-counts, and the monitor
+    // downstream of the merged cells is the PURE #339 expression tree,
+    // so stream == batch is exact equality, not approximation.
+    val q = stream.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("event_type"),
+            when(expr("ts_us div 86400000000") < 19738L, lit("a"))
+              .otherwise(lit("b")).as("half"))
+          .groupBy("event_type", "half").agg(count(lit(1)).as("o"))
+          .crossJoin(batch.agg(min("event_id").as("src_batch")))
+          .write.mode("append").parquet(partDir)
+        ()
+      }
+      .start()
+    val (b1, rest) = events.splitAt(events.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b1, b3).foreach { b => // b1 fully redelivered
+      stream.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val cells = spark.read.parquet(partDir)
+      .groupBy("src_batch", "event_type", "half").agg(max("o").as("o"))
+      .groupBy("event_type", "half").agg(sum("o").as("o"))
+    val streamed = graft.operators.Lattice.driftChi2FromCells(cells)
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.operators.Lattice.eventsDriftChi2(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == direct)
+  }
 }
