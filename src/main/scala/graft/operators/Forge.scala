@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Exprs.{r4, r4Sql}
+import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Round-19 widening (SURVEY.md §2 #322+): the sample-emitting face
   * of the sketch family — bottom-k deterministic group samples
@@ -971,12 +971,189 @@ object Forge {
        |ORDER BY s.layout, s.dim""".stripMargin
   }
 
+  // --------------------------------------------------------------- #342
+  /** #342 sequential Poisson PPS sampling (Ohlsson): per event type,
+    * the k=50 rows with smallest ξᵢ = uᵢ/wᵢ form a probability-
+    * proportional-to-size sample — the estimator-grade upgrade of the
+    * uniform samplers (#44/#316 allocate BETWEEN strata; this weights
+    * WITHIN one): big-value events are near-certain draws, so a
+    * value-weighted total is estimated from k rows with far less
+    * variance than uniform sampling, which is how production metric
+    * pipelines sample pennies-to-millions payment streams. uᵢ is the
+    * #67 md5 uniform — deterministic, rerunnable, stable under other
+    * rows' arrival (a row's ξ never changes, the bottom-k property
+    * #322 proved mergeable). The eval emits the PPS estimate of the
+    * population COUNT (Σ 1/pᵢ over the sample, pᵢ = k·wᵢ/W — for the
+    * count target, PPS is deliberately mis-matched weighting, so the
+    * estimate is unbiased but visibly noisier on skewed types; the
+    * per-type relative error IS the read) next to the exact count,
+    * plus the exact integer sample-value sum as the membership proof
+    * (the #322 device).
+    *
+    * Scale: ranking is a per-type bottom-k (WindowGroupLimit pushes
+    * the rank filter map-side, partial top-k per partition before the
+    * shuffle); everything emitted is one grouped agg over ≤ k·types
+    * rows. Every double is one IEEE expression over exact integers,
+    * sumDec-summed.
+    */
+  def samplePps(spark: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)").as("c"))
+      .where(col("c") > 0L)
+    val tot = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("w_total_cents"))
+    val xi = (conv(substring(md5(col("event_id").cast("string")), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)) / col("c").cast("double")
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("xi"), col("event_id"))
+    val s = e.withColumn("xi", xi)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+    val term = col("w_total_cents").cast("double") /
+      (lit(k.toDouble) * col("c").cast("double"))
+    s.join(broadcast(tot), "event_type")
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("w_total_cents").as("w_total_cents"),
+        count(lit(1)).as("k_taken"), sum("c").as("sample_w_cents"),
+        sumDec(term, 38, 8).as("n_est_raw"))
+      .select(col("event_type"), col("n"), col("w_total_cents"),
+        col("k_taken"), col("sample_w_cents"),
+        r4(col("n_est_raw")).as("n_est"),
+        r4(abs(col("n_est_raw") - col("n").cast("double")) /
+          col("n").cast("double")).as("err_rel"))
+      .orderBy("event_type")
+  }
+
+  val samplePpsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) > 0),
+       |tot AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS w_total_cents
+       |  FROM e GROUP BY 1),
+       |s AS (
+       |  SELECT event_type, event_id, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY (('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+       |        1, 8))::UBIGINT / 4294967296.0) / CAST(c AS DOUBLE),
+       |        event_id) AS rn
+       |    FROM e)
+       |  WHERE rn <= 50),
+       |j AS (
+       |  SELECT s.event_type, s.c, t.n, t.w_total_cents
+       |  FROM s JOIN tot t ON s.event_type = t.event_type),
+       |agg AS (
+       |  SELECT event_type, MAX(n) AS n,
+       |    MAX(w_total_cents) AS w_total_cents,
+       |    CAST(COUNT(*) AS BIGINT) AS k_taken,
+       |    CAST(SUM(c) AS BIGINT) AS sample_w_cents,
+       |    ${sumDecSql("CAST(w_total_cents AS DOUBLE) / " +
+                        "(50.0 * CAST(c AS DOUBLE))", 38, 8)} AS n_est_raw
+       |  FROM j GROUP BY 1)
+       |SELECT event_type, n, w_total_cents, k_taken, sample_w_cents,
+       |  ${r4Sql("n_est_raw")} AS n_est,
+       |  ${r4Sql("ABS(n_est_raw - CAST(n AS DOUBLE)) / " +
+                  "CAST(n AS DOUBLE)")} AS err_rel
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- #343
+  /** #343 small-file compaction executor — the OTHER half of the
+    * OPTIMIZE loop #340's depth metric schedules: the date layout is
+    * first written with a 512-row file cap (the planted small-file
+    * problem every streaming ingest accumulates), then READ BACK and
+    * rewritten under the identical clustering with an 8× cap, and
+    * REAL footers of both trees supply the per-month accounting —
+    * row counts (before == after is part of the hashed result: a
+    * compactor that loses rows is not a compactor), file counts, the
+    * ceil(n/512)→ceil(n/4096) collapse and the r4'd reduction. Both
+    * writes are the #320 deterministic layout, so the DuckDB oracle
+    * recomputes everything from per-month row counts alone — the
+    * green hash proves the physical rewrite preserved cardinality and
+    * rolled files exactly at the caps.
+    *
+    * Scale: compaction is one partition-parallel shuffle + in-task
+    * sort (same cost class as the ingest that made the mess); footer
+    * reads are metadata-plane. At 100 TB the read-side payoff is
+    * #331's: fewer, larger files mean fewer footers, fewer seeks, and
+    * row groups that actually reach parquet.block.size.
+    */
+  def layoutCompactFiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = ordersZFrame(spark, dir)
+    val tmpS = java.nio.file.Files
+      .createTempDirectory("graft_compact_small").toString
+    val tmpC = java.nio.file.Files
+      .createTempDirectory("graft_compact_big").toString
+    o.repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 512L)
+      .partitionBy("month").parquet(tmpS)
+    // explicit schema: a zero-row upstream writes zero files and
+    // schema INFERENCE would throw — the compactor must no-op instead
+    spark.read.schema(o.schema).parquet(tmpS)
+      .repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 4096L)
+      .partitionBy("month").parquet(tmpC)
+    def monthStats(path: String): DataFrame =
+      Apex.readFooterLongStats(spark, path, Seq("day"))
+        .withColumn("month", regexp_extract(col("path"),
+          "month=([^/]+)", 1))
+    val before = monthStats(tmpS).groupBy("month")
+      .agg(count(lit(1)).as("files_before"), sum("n_rows").as("n_rows"))
+      .localCheckpoint()
+    val after = monthStats(tmpC).groupBy("month")
+      .agg(count(lit(1)).as("files_after"),
+        sum("n_rows").as("n_rows_after"),
+        max("n_rows").as("max_file_rows_after"))
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmpS)
+    Apex.deleteTempLayout(spark, tmpC)
+    before.join(after, "month")
+      .select(col("month"), col("n_rows"), col("files_before"),
+        col("files_after"),
+        (col("n_rows") === col("n_rows_after")).as("rows_preserved"),
+        col("max_file_rows_after"),
+        r4(lit(1.0) - col("files_after").cast("double") /
+          col("files_before").cast("double")).as("file_reduction"))
+      .orderBy("month")
+  }
+
+  val layoutCompactFilesSql: String =
+    s"""WITH m AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |c AS (
+       |  SELECT month, n AS n_rows,
+       |    CAST((n + 511) // 512 AS BIGINT) AS files_before,
+       |    CAST((n + 4095) // 4096 AS BIGINT) AS files_after,
+       |    TRUE AS rows_preserved,
+       |    CAST(CASE WHEN n % 4096 = 0 THEN 4096
+       |      WHEN n < 4096 THEN n
+       |      WHEN n % 4096 >= 1 THEN 4096 END AS BIGINT)
+       |      AS max_file_rows_after
+       |  FROM m)
+       |SELECT month, n_rows, files_before, files_after, rows_preserved,
+       |  max_file_rows_after,
+       |  ${r4Sql("1.0 - CAST(files_after AS DOUBLE) / " +
+                  "CAST(files_before AS DOUBLE)")} AS file_reduction
+       |FROM c ORDER BY month""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_bottomk" -> (sampleBottomk _),
     "layout_zorder_footer" -> (layoutZorderFooter _),
     "layout_hilbert_footer" -> (layoutHilbertFooter _),
     "layout_overlap_depth" -> (layoutOverlapDepth _),
+    "sample_pps" -> (samplePps _),
+    "layout_compact_files" -> (layoutCompactFiles _),
     "layout_pruned_scan" -> (layoutPrunedScan _),
     "layout_rowgroup_scan" -> (layoutRowgroupScan _),
     "quality_profile" -> (qualityProfile _),
@@ -987,6 +1164,8 @@ object Forge {
     "layout_zorder_footer" -> layoutZorderFooterSql,
     "layout_hilbert_footer" -> layoutHilbertFooterSql,
     "layout_overlap_depth" -> layoutOverlapDepthSql,
+    "sample_pps" -> samplePpsSql,
+    "layout_compact_files" -> layoutCompactFilesSql,
     "layout_pruned_scan" -> layoutPrunedScanSql,
     "layout_rowgroup_scan" -> layoutRowgroupScanSql,
     "quality_profile" -> qualityProfileSql,

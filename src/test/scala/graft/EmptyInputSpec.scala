@@ -230,7 +230,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "er_blocking_eval",     // five keys scored over an empty master
     "events_drift_chi2",    // no cells -> no per-type rows (never 0/0)
     "layout_overlap_depth", // two zero-file writes, no intervals
-    "corpus_bpe_vocab_sweep") // four budgets of an empty vocabulary
+    "corpus_bpe_vocab_sweep", // four budgets of an empty vocabulary
+    "sample_pps",           // bottom-k of no weighted rows
+    "layout_compact_files") // compacting zero files is a no-op
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -313,4 +313,77 @@ class ForgeSpec extends GraftSpec {
     assert(avg(("date_clustered", "day")) < avg(("zorder", "day")))
     assert(avg(("zorder", "cb")) < avg(("date_clustered", "cb")))
   }
+
+  test("sample_pps: the bottom-k-by-xi sample, its exact membership " +
+      "sum, and the PPS count estimate all match a plain-Scala " +
+      "recompute; big-value rows are genuinely oversampled") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(floor(value * 100.0 + 0.5) as bigint)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0L)
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val out = Forge.samplePps(spark, sf).collect()
+    val byType = events.groupBy(_._2)
+    assert(out.length == byType.size)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val g = byType(t)
+      val n = g.length.toLong
+      val w = g.map(_._3).sum
+      val sample = g.sortBy(e => (u(e._1) / e._3.toDouble, e._1)).take(50)
+      assert(r.getAs[Long]("n") == n, t)
+      assert(r.getAs[Long]("w_total_cents") == w, t)
+      assert(r.getAs[Long]("k_taken") == math.min(50, g.length).toLong, t)
+      assert(r.getAs[Long]("sample_w_cents") == sample.map(_._3).sum, t)
+      val raw = sample.map { e =>
+        BigDecimal(w.toDouble / (50.0 * e._3.toDouble))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(r.getAs[Double]("n_est") == p4(raw), t)
+      assert(r.getAs[Double]("err_rel") ==
+        p4(math.abs(raw - n.toDouble) / n.toDouble), t)
+      // PPS inclusion ∝ value: the sample's mean value must exceed
+      // the universe's (that is what "proportional to size" buys)
+      val meanS = sample.map(_._3).sum.toDouble / sample.length
+      val meanU = w.toDouble / n
+      assert(meanS > meanU, s"$t: PPS sample not value-skewed")
+    }
+  }
+
+  test("layout_compact_files: per-month accounting matches the " +
+      "ceil(n/cap) closed form off REAL footers, rows survive, and " +
+      "files genuinely collapse") {
+    import org.apache.spark.sql.functions._
+    val monthCounts = Tables(spark, sf, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Forge.layoutCompactFiles(spark, sf).collect()
+    assert(out.length == monthCounts.size)
+    out.foreach { r =>
+      val m = r.getAs[String]("month")
+      val n = monthCounts(m)
+      assert(r.getAs[Long]("n_rows") == n, m)
+      assert(r.getAs[Boolean]("rows_preserved"), m)
+      assert(r.getAs[Long]("files_before") == (n + 511) / 512, m)
+      assert(r.getAs[Long]("files_after") == (n + 4095) / 4096, m)
+      assert(r.getAs[Long]("max_file_rows_after") <= 4096L, m)
+      assert(r.getAs[Long]("files_after") <=
+        r.getAs[Long]("files_before"), m)
+    }
+    // at sf >= 0.001 some month has > 512 rows... or not — either way
+    // the TOTAL must collapse when any month rolled multiple files
+    val before = out.map(_.getAs[Long]("files_before")).sum
+    val after = out.map(_.getAs[Long]("files_after")).sum
+    assert(after <= before)
+    if (monthCounts.values.exists(_ > 512L)) assert(after < before)
+  }
 }
