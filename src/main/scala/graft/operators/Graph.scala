@@ -444,15 +444,172 @@ object Graph {
        |JOIN deg db ON b = db.src
        |ORDER BY a, b""".stripMargin
 
+  // --------------------------------------------------------------- #344
+  /** #344 seed-sampled TRUNCATED BRANDES betweenness — the
+    * centrality the whole graph family still lacked: PageRank (#99)
+    * scores where mass ACCUMULATES, closeness (#199) who is NEAR
+    * everything; betweenness scores who shortest paths PASS THROUGH —
+    * the broker/bottleneck read (which hub part bridges two product
+    * communities; which host carries the traffic between clusters).
+    * Exact all-pairs Brandes is O(V·E) — at any real scale one runs
+    * it from a SEED SAMPLE with a HOP HORIZON, which is precisely
+    * this operator: the 5 smallest-id landmark sources (#180's set),
+    * BFS truncated at 4 hops, dependencies accumulated down the
+    * shortest-path DAG.
+    *
+    * Forward (per seed, all seeds at once): level L+1 = neighbors of
+    * level L not yet reached (anti-join against the reach set);
+    * σ(v) = Σ σ(pred) over all level-L predecessors — path counts in
+    * exact int64. Backward: δ(v) = Σ_{w ∈ succ(v)} (σ_v/σ_w)(1+δ_w),
+    * levels processed deepest-first with level-4 nodes as truncation
+    * leaves; each level's δ-sum crosses through DECIMAL(38,12)
+    * quantization (the sumDec device) so the accumulation is
+    * order-insensitive and bit-identical cross-engine — the σ ratio
+    * and the (1+δ) product are single IEEE expressions over exact
+    * ints and already-quantized doubles. bc(v) = Σ_seeds δ over the
+    * interior levels 1-3 (a level-4 node is a truncation leaf: its
+    * onward dependency is out of horizon by construction).
+    *
+    * Scale: every round is one structure-sized (support-floored)
+    * edge-list join keyed the same way (AQE lines the Exchanges up);
+    * state is ≤ |seeds|·|nodes| rows. Each level frame feeds BOTH the
+    * next forward round and two backward joins, so levels are
+    * localCheckpoint-materialized (the #152 lineage cut — tiny
+    * frames, re-derived subplans otherwise multiply exponentially
+    * through the 8-join DAG).
+    */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirected(spark, dir)
+    val edges = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(5).select(col("node").as("seed"))
+    betweennessFrom(edges, seeds)
+  }
+
+  /** #344 over an arbitrary directed edge list (`src`, `dst` —
+    * symmetric for undirected graphs) and seed set (`seed`) — the
+    * spec drives pencil-and-paper graphs through the identical plan.
+    */
+  private[graft] def betweennessFrom(edges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    import graft.Exprs.sumDec
+    val f0 = seeds.select(col("seed"), col("seed").as("node"),
+      lit(1L).as("sigma")).localCheckpoint(true)
+    val fs = scala.collection.mutable.ArrayBuffer(f0)
+    var reach = f0.select("seed", "node")
+    for (_ <- 1 to 4) {
+      val prev = fs.last
+      val next = prev
+        .join(edges, prev("node") === edges("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum("sigma").as("sigma"))
+        .withColumnRenamed("dst", "node")
+        .join(reach, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(true)
+      fs += next
+      reach = reach.unionByName(next.select("seed", "node"))
+    }
+    // backward: deepest level is a truncation leaf (δ = 0)
+    var deltas = List(fs(4).select(col("seed"), col("node"),
+      lit(0.0).as("delta")).localCheckpoint(true))
+    for (l <- 3 to 1 by -1) {
+      val fl = fs(l)
+      val wInfo = fs(l + 1)
+        .join(deltas.head.withColumnRenamed("node", "wn")
+            .withColumnRenamed("seed", "ws"),
+          fs(l + 1)("seed") === col("ws") && fs(l + 1)("node") === col("wn"))
+        .select(col("ws").as("w_seed"), col("wn").as("w_node"),
+          col("sigma").as("w_sigma"), col("delta").as("w_delta"))
+      val term = (col("sigma").cast("double") /
+        col("w_sigma").cast("double")) * (lit(1.0) + col("w_delta"))
+      val acc = fl.join(edges, fl("node") === edges("src"))
+        .join(wInfo,
+          col("seed") === col("w_seed") && col("dst") === col("w_node"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sumDec(term, 38, 12).as("dsum"))
+      val dl = fl.select(col("seed"), col("node"))
+        .join(acc, Seq("seed", "node"), "left_outer")
+        .select(col("seed"), col("node"),
+          coalesce(col("dsum"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      deltas = dl :: deltas
+    }
+    deltas.dropRight(1).reduce(_ unionByName _) // levels 1..3
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_seeds"),
+        sumDec(col("delta"), 38, 12).as("bc_raw"))
+      .select(col("node"), col("n_seeds"),
+        graft.Exprs.r4(col("bc_raw")).as("betweenness"))
+      .orderBy("node")
+  }
+
+  val graphBetweennessSql: String = {
+    def fwd(l: Int): String = {
+      val p = s"f${l - 1}"
+      s"""f$l AS (
+         |  SELECT x.seed, x.node, CAST(SUM(x.sigma) AS BIGINT) AS sigma
+         |  FROM (
+         |    SELECT f.seed, e.dst AS node, f.sigma
+         |    FROM $p f JOIN e ON e.src = f.node) x
+         |  LEFT JOIN r${l - 1} r ON r.seed = x.seed AND r.node = x.node
+         |  WHERE r.node IS NULL
+         |  GROUP BY 1, 2),
+         |r$l AS (
+         |  SELECT seed, node FROM r${l - 1}
+         |  UNION ALL SELECT seed, node FROM f$l)""".stripMargin
+    }
+    def bwd(l: Int): String =
+      s"""d$l AS (
+         |  SELECT f.seed, f.node, COALESCE(t.dsum, 0.0) AS delta
+         |  FROM f$l f LEFT JOIN (
+         |    SELECT v.seed, v.node,
+         |      CAST(SUM(CAST(
+         |        (CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+         |          * (1.0 + dw.delta) AS DECIMAL(38,12))) AS DOUBLE)
+         |        AS dsum
+         |    FROM f$l v
+         |      JOIN e ON e.src = v.node
+         |      JOIN f${l + 1} w ON w.seed = v.seed AND w.node = e.dst
+         |      JOIN d${l + 1} dw ON dw.seed = v.seed AND dw.node = e.dst
+         |    GROUP BY 1, 2) t ON t.seed = f.seed AND t.node = f.node)"""
+        .stripMargin
+    s"""WITH $edgeSql,
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |sd AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 5),
+       |f0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma
+       |  FROM sd),
+       |r0 AS (SELECT seed, node FROM f0),
+       |${fwd(1)},
+       |${fwd(2)},
+       |${fwd(3)},
+       |${fwd(4)},
+       |d4 AS (SELECT seed, node, CAST(0.0 AS DOUBLE) AS delta FROM f4),
+       |${bwd(3)},
+       |${bwd(2)},
+       |${bwd(1)},
+       |allv AS (
+       |  SELECT seed, node, delta FROM d1
+       |  UNION ALL SELECT seed, node, delta FROM d2
+       |  UNION ALL SELECT seed, node, delta FROM d3)
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_seeds,
+       |  ${graft.Exprs.r4Sql(
+           "CAST(SUM(CAST(delta AS DECIMAL(38,12))) AS DOUBLE)")}
+       |    AS betweenness
+       |FROM allv GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) => graphPagerank(s, d)),
     "graph_triangles" -> (graphTriangles _),
     "graph_link_prediction" -> (graphLinkPrediction _),
+    "graph_betweenness" -> (graphBetweenness _),
     "graph_basket_rules" -> (graphBasketRules _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_link_prediction" -> graphLinkPredictionSql,
+    "graph_betweenness" -> graphBetweennessSql,
     "graph_basket_rules" -> graphBasketRulesSql)
 }

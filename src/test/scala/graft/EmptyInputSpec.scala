@@ -232,7 +232,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "layout_overlap_depth", // two zero-file writes, no intervals
     "corpus_bpe_vocab_sweep", // four budgets of an empty vocabulary
     "sample_pps",           // bottom-k of no weighted rows
-    "layout_compact_files") // compacting zero files is a no-op
+    "layout_compact_files", // compacting zero files is a no-op
+    "graph_betweenness")    // no edges -> no seeds -> no paths
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -32,6 +32,61 @@ class GraphSpec extends GraftSpec {
     assert(r.getAs[Double]("transitivity") == 0.0)
   }
 
+  test("betweenness: P5 path graph matches the pencil Brandes values " +
+      "(0, 6, 8, 6, 0) with all five nodes as seeds") {
+    val sp = spark
+    import sp.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = (1L to 5L).toDF("seed")
+    val got = Graph.betweennessFrom(edges, seeds).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness"))
+      .toMap
+    // bc(v) = Σ_s δ_s(v): ordered-pair dependencies, endpoints carry 0
+    assert(got(1L) == 0.0 && got(5L) == 0.0)
+    assert(got(2L) == 6.0 && got(4L) == 6.0)
+    assert(got(3L) == 8.0)
+  }
+
+  test("betweenness: C4 cycle splits path mass across the two equal " +
+      "shortest paths (sigma = 2 ratios), every node bc = 1.0") {
+    val sp = spark
+    import sp.implicits._
+    val und = Seq((1L, 2L), (2L, 4L), (4L, 3L), (3L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L, 3L, 4L).toDF("seed")
+    val got = Graph.betweennessFrom(edges, seeds).collect()
+    assert(got.length == 4)
+    // from each seed, the opposite corner is reached by TWO equal
+    // paths (sigma 2), so each adjacent node carries delta = 1/2; a
+    // node is adjacent to two seeds -> bc = 0.5 + 0.5 = 1.0
+    got.foreach { r =>
+      assert(r.getAs[Double]("betweenness") == 1.0,
+        s"node ${r.getAs[Long]("node")}")
+      // interior (levels 1-3) for the three OTHER seeds; as its own
+      // seed a node sits at level 0, outside the output
+      assert(r.getAs[Long]("n_seeds") == 3L)
+    }
+  }
+
+  test("betweenness: the 4-hop horizon truncates dependencies from " +
+      "beyond it (P6 from the far-end seed)") {
+    val sp = spark
+    import sp.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.betweennessFrom(edges, seeds).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("betweenness"))
+      .toMap
+    // node 6 is at hop 5 — beyond the horizon: node 5 (level 4) is a
+    // truncation leaf, so δ(4) counts only {5}, not {5, 6}
+    assert(got(4L) == 1.0) // untruncated Brandes would give 2.0
+    assert(got(3L) == 2.0 && got(2L) == 3.0)
+    assert(!got.contains(6L) && !got.contains(5L),
+      "levels 0 and 4 are outside the interior-node output")
+  }
+
   test("pagerank: symmetric 2-cycle fixes rank at 1.0 every iteration") {
     val sp = spark
     import sp.implicits._
