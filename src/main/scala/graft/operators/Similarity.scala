@@ -503,7 +503,8 @@ object Similarity {
     "ann_sq8" -> (annSq8 _),
     "ann_multiprobe" -> (annMultiprobe _),
     "ann_knn_graph" -> ((s: SparkSession, d: String) => annKnnGraph(s, d)),
-    "ann_ivf_incremental" -> (annIvfIncremental _))
+    "ann_ivf_incremental" -> (annIvfIncremental _),
+    "ann_ivf_recluster" -> (annIvfRecluster _))
 
   /** Full SQL mirror of the LSH path: md5-parity plane signs, bucket
     * bits from the same sequential ±component sums, then the
@@ -801,6 +802,184 @@ object Similarity {
       |JOIN upd u USING (label)
       |ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------------- #345
+  /** Argmin assignment of `vecs` to an arbitrary centroid table
+    * (`cell`, `centroid`) — the #333 device generalized so the
+    * recluster executor can re-assign the WHOLE membership, not just
+    * a new wave. Broadcast centroids, map-side scoring, total order
+    * (cosine desc, cell asc).
+    */
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(desc("c_sim"), col("cell"))
+    vecs.join(broadcast(cents), lit(true))
+      .withColumn("c_sim", expr(
+        "cosine_f32(embedding, transform(centroid, x -> cast(x as float)))"))
+      .withColumn("rk", row_number().over(wA))
+      .where(col("rk") === 1)
+      .drop("c_sim", "rk", "centroid")
+  }
+
+  /** #345 IVF RECLUSTER executor — runs the rebuild #333's trigger
+    * schedules, as the index owner actually runs it: not a from-
+    * scratch k-means but ONE recenter→reassign Lloyd step SEEDED from
+    * the drifted incremental state (warm-starting from the current
+    * centroids is what makes maintenance cheap — the assignment is
+    * already nearly right, so one step settles it). Membership =
+    * initial corpus ∪ the #333-assigned wave; centroids are recomputed
+    * over that membership (the "updated" table #333 reports drift
+    * against), every member re-assigns by argmin, and the report per
+    * cell is the settling readout: members before/after, arrivals and
+    * departures (n_in/n_out — how much mass the step moved), and the
+    * post-step squared-L2 recenter shift (how far the next step
+    * would move — the convergence read; near-zero means ONE warm step
+    * was enough, which the spec asserts against a planted drift).
+    *
+    * Scale: two (cells × dims) centroid aggregates + one broadcast
+    * map-side argmin over the membership — the same cost class as
+    * building the index once; nothing row-to-row joins the corpus.
+    */
+  def annIvfRecluster(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val v = Tables.spread(spark, dir, "embeddings")
+    val initial = v.where(col("vec_id") % 4 =!= 3)
+    val newWave = v.where(col("vec_id") % 4 === 3)
+    val assigned = ivfAssign(initial, newWave)
+    val members = initial
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(assigned
+        .select(col("vec_id"), col("embedding"), col("cell").as("label")))
+    val updated = ivfCentroids(members)
+      .select(col("label").as("cell"), col("centroid"))
+    val re = assignTo(
+      members.withColumnRenamed("label", "old_cell"), updated)
+    val before = members.groupBy(col("label").as("cell"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = re.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("old_cell") =!= col("cell"), 1L).otherwise(0L))
+          .as("n_in"))
+    val outflow = re.groupBy(col("old_cell").as("cell"))
+      .agg(sum(when(col("old_cell") =!= col("cell"), 1L).otherwise(0L))
+        .as("n_out"))
+    val recentered = ivfCentroids(
+      re.select(col("vec_id"), col("embedding"), col("cell").as("label")))
+      .select(col("label").as("cell"), col("centroid").as("recentered"))
+    before
+      .join(after, Seq("cell"), "left")
+      .join(outflow, Seq("cell"), "left")
+      .join(updated, Seq("cell"))
+      .join(recentered, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_after", "n_in", "n_out"))
+      .select(col("cell").cast("long").as("cell"), col("n_before"),
+        col("n_after"), col("n_in"), col("n_out"),
+        when(col("recentered").isNotNull, r4(expr(
+          """aggregate(zip_with(centroid, recentered,
+            |  (a, b) -> (a - b) * (a - b)),
+            |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)))
+          .as("recenter_shift"))
+      .orderBy("cell")
+  }
+
+  /** Oracle mirror: the #333 member construction, updated centroids,
+    * the float32-round-trip argmin over ALL members, then recentered
+    * centroids and the per-cell settling rollup.
+    */
+  val annIvfReclusterSql: String =
+    """WITH init AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  WHERE vec_id % 4 <> 3),
+      |nw AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings WHERE vec_id % 4 = 3),
+      |fdim AS (
+      |  SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(28,12)))
+      |      / COUNT(*) AS DOUBLE) AS c
+      |  FROM init, range(1, 65) t(d) GROUP BY label, d),
+      |froz AS (
+      |  SELECT label, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c)
+      |    AS centroid
+      |  FROM fdim GROUP BY label),
+      |assign AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT nw.vec_id, froz.label AS cell, nw.embedding,
+      |      ROW_NUMBER() OVER (PARTITION BY nw.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> nw.embedding[i]::DOUBLE
+      |            * froz.centroid[i]::FLOAT::DOUBLE))
+      |        / (nw.nrm * sqrt(list_sum(list_transform(froz.centroid,
+      |            x -> x::FLOAT::DOUBLE * x::FLOAT::DOUBLE)))) DESC,
+      |        froz.label) AS rk
+      |    FROM nw CROSS JOIN froz)
+      |  WHERE rk = 1),
+      |members AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM (
+      |    SELECT vec_id, label, embedding FROM init
+      |    UNION ALL SELECT vec_id, cell AS label, embedding FROM assign)),
+      |udim AS (
+      |  SELECT label, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(28,12)))
+      |      / COUNT(*) AS DOUBLE) AS c
+      |  FROM members, range(1, 65) t(d) GROUP BY label, d),
+      |upd AS (
+      |  SELECT label AS cell, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c)
+      |    AS centroid
+      |  FROM udim GROUP BY label),
+      |re AS (
+      |  SELECT vec_id, old_cell, cell, embedding FROM (
+      |    SELECT m.vec_id, m.label AS old_cell, u.cell, m.embedding,
+      |      ROW_NUMBER() OVER (PARTITION BY m.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> m.embedding[i]::DOUBLE
+      |            * u.centroid[i]::FLOAT::DOUBLE))
+      |        / (m.nrm * sqrt(list_sum(list_transform(u.centroid,
+      |            x -> x::FLOAT::DOUBLE * x::FLOAT::DOUBLE)))) DESC,
+      |        u.cell) AS rk
+      |    FROM members m CROSS JOIN upd u)
+      |  WHERE rk = 1),
+      |rdim AS (
+      |  SELECT cell, d, CAST(SUM(CAST(embedding[d] AS DECIMAL(28,12)))
+      |      / COUNT(*) AS DOUBLE) AS c
+      |  FROM re, range(1, 65) t(d) GROUP BY cell, d),
+      |rec AS (
+      |  SELECT cell, list_transform(
+      |    list_sort(list(struct_pack(d := d, c := c))), s -> s.c)
+      |    AS recentered
+      |  FROM rdim GROUP BY cell),
+      |bef AS (SELECT label AS cell, CAST(COUNT(*) AS BIGINT) AS n_before
+      |  FROM members GROUP BY 1),
+      |aft AS (
+      |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_after,
+      |    CAST(COUNT(*) FILTER (WHERE old_cell <> cell) AS BIGINT)
+      |      AS n_in
+      |  FROM re GROUP BY 1),
+      |outf AS (
+      |  SELECT old_cell AS cell,
+      |    CAST(COUNT(*) FILTER (WHERE old_cell <> cell) AS BIGINT)
+      |      AS n_out
+      |  FROM re GROUP BY 1)
+      |SELECT CAST(b.cell AS BIGINT) AS cell, b.n_before,
+      |  COALESCE(a.n_after, 0) AS n_after,
+      |  COALESCE(a.n_in, 0) AS n_in,
+      |  COALESCE(o.n_out, 0) AS n_out,
+      |  CASE WHEN r.recentered IS NOT NULL THEN
+      |    FLOOR(list_sum(list_transform(range(1, 65),
+      |      i -> (u.centroid[i] - r.recentered[i])
+      |        * (u.centroid[i] - r.recentered[i]))) * 10000.0 + 0.5)
+      |      / 10000.0 END AS recenter_shift
+      |FROM bef b
+      |LEFT JOIN aft a USING (cell)
+      |LEFT JOIN outf o USING (cell)
+      |JOIN upd u ON u.cell = b.cell
+      |LEFT JOIN rec r ON r.cell = b.cell
+      |ORDER BY b.cell""".stripMargin
+
   // --------------------------------------------------------------- #101
   /** #101 Lloyd k-means, fixed 2 iterations, k=8 (the training loop
     * behind the IVF coarse quantizer #55 — run it and the cells stop
@@ -1087,5 +1266,6 @@ object Similarity {
     "ann_sq8" -> annSq8Sql,
     "ann_multiprobe" -> annMultiprobeSql,
     "ann_knn_graph" -> annKnnGraphSql,
-    "ann_ivf_incremental" -> annIvfIncrementalSql)
+    "ann_ivf_incremental" -> annIvfIncrementalSql,
+    "ann_ivf_recluster" -> annIvfReclusterSql)
 }

@@ -233,7 +233,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_bpe_vocab_sweep", // four budgets of an empty vocabulary
     "sample_pps",           // bottom-k of no weighted rows
     "layout_compact_files", // compacting zero files is a no-op
-    "graph_betweenness")    // no edges -> no seeds -> no paths
+    "graph_betweenness",    // no edges -> no seeds -> no paths
+    "ann_ivf_recluster")    // reclustering an empty index is empty
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

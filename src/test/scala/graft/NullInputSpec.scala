@@ -128,8 +128,10 @@ class NullInputSpec extends AnyFunSuite {
     "corpus_bpe_encode", "mix_domains_tokened", "url_host_rollup",
     "ann_ivf_incremental",
     // round-20 batch 2: split(null) drops the null doc from every
-    // sweep budget's word stream (totals just shrink, never null)
-    "corpus_bpe_vocab_sweep")
+    // sweep budget's word stream (totals just shrink, never null);
+    // the null embedding's null cosine ranks last in the recluster
+    // argmin (deterministic cell tie-break) and drops from centroids
+    "corpus_bpe_vocab_sweep", "ann_ivf_recluster")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

@@ -153,4 +153,53 @@ class SimilaritySpec extends GraftSpec {
     assert(math.abs(rFresh - rInc) <= 0.5,
       s"recall drifted implausibly: fresh=$rFresh incremental=$rInc")
   }
+
+  test("ann_ivf_recluster: the warm Lloyd step RESETTLES the planted " +
+      "mislabeled wave (the mass #333 flags as moved actually moves), " +
+      "flow accounting balances, and the step is near-converged") {
+    val sp = spark
+    import sp.implicits._
+    graft.functions.Hashes.register(spark)
+    // initial state holds two BORDER members in cell 0 by their given
+    // label (init labels are declared, not argmin'd — exactly how a
+    // stale index holds stale placements); the e1-pure wave drags
+    // cell 0's updated centroid away from the border, so the warm
+    // reassign step must move the two border members into cell 1 —
+    // genuine resettlement, not a no-op pass
+    def v(id: Long, label: Long, e: Seq[Float]) = (id, label, e)
+    val init = (0 until 6).flatMap { i =>
+      Seq(v(4L * i, 0L, Seq(1f, 0.01f * i, 0f, 0f)),
+        v(4L * i + 1, 1L, Seq(0.01f * i, 1f, 0f, 0f)))
+    } ++ Seq(
+      v(24L, 1L, Seq(0.01f, 1f, 0f, 0f)),
+      v(25L, 1L, Seq(0.02f, 1f, 0f, 0f)),
+      v(28L, 0L, Seq(0.45f, 0.55f, 0f, 0f)), // the border pair
+      v(29L, 0L, Seq(0.45f, 0.56f, 0f, 0f)))
+    val wave = (0 until 8).map(i =>
+      v(4L * i + 3, 0L, Seq(1f, 0.02f, 0f, 0f)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rec").toString
+    (init ++ wave).toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = operators.Similarity.annIvfRecluster(spark, dir)
+      .collect().map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    // the two border members genuinely resettle 0 -> 1
+    assert(out(0L).getAs[Long]("n_out") == 2L, out(0L).toString)
+    assert(out(1L).getAs[Long]("n_in") == 2L, out(1L).toString)
+    // global flow balance: Σ n_in == Σ n_out, membership conserved
+    val totIn = out.values.map(_.getAs[Long]("n_in")).sum
+    val totOut = out.values.map(_.getAs[Long]("n_out")).sum
+    assert(totIn == totOut)
+    assert(out.values.map(_.getAs[Long]("n_before")).sum ==
+      out.values.map(_.getAs[Long]("n_after")).sum)
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") + r.getAs[Long]("n_in") -
+          r.getAs[Long]("n_out"), r.toString)
+      // warm-start convergence: one step from the updated centroids
+      // must land near its own fixpoint
+      assert(r.getAs[Double]("recenter_shift") < 0.5, r.toString)
+    }
+  }
 }
