@@ -777,6 +777,73 @@ object Apex {
       .toDF("path", "stat_col", "min_v", "max_v", "n_rows")
   }
 
+  /** Per-(file, probe-key) skipping audit off REAL parquet footers:
+    * for every data file under `path` and every key in `keys`, read
+    * the `statCol` column chunk's [min,max] (zone-map verdict:
+    * `zm_hit` — would a min/max index have to read this file?) AND
+    * its serialized BLOOM FILTER (point-index verdict: `bloom_hit` —
+    * does the bloom say the key may be present in ANY row group?).
+    * `has_bloom` reports whether the writer actually emitted a bloom
+    * for every row group; a missing bloom degrades to a conservative
+    * must-read (`bloom_hit` = true), never a false skip — the same
+    * no-false-negative contract the pruned-scan executors rely on.
+    *
+    * Scale: footers + bloom bitsets are metadata-plane (a bloom is
+    * KBs per row group at any data volume); listing is driver-side,
+    * decoding runs distributed like the other footer readers.
+    */
+  def readFooterBloomAudit(spark: SparkSession, path: String,
+      statCol: String, keys: Seq[Long]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) files += f.toString
+    }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
+    val c = statCol
+    val ks = keys
+    spark.createDataset(files.toSeq)
+      .repartition(math.max(1, math.min(files.size, 32)))
+      .mapPartitions { part =>
+        part.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p), serConf.value)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            val per = blocks.map { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(throw new IllegalStateException(
+                  s"no '$c' column chunk in $p"))
+              val st = cc.getStatistics
+              val bf = reader.getBloomFilterDataReader(b)
+                .readBloomFilter(cc)
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue,
+                Option(bf))
+            }
+            val hasBloom = per.forall(_._3.isDefined)
+            ks.map { k =>
+              val zm = per.exists(t => t._1 <= k && k <= t._2)
+              val bh = per.exists(t => t._3 match {
+                case Some(bf) => bf.findHash(bf.hash(k))
+                case None => true // no bloom => conservative must-read
+              })
+              (p, k, zm, bh, hasBloom)
+            }
+          } finally reader.close()
+        }
+      }
+      .toDF("path", "k", "zm_hit", "bloom_hit", "has_bloom")
+  }
+
   /** Per-FILE min/max/count of the `day` column read from REAL parquet
     * footers under `path` (one row per data file; row-group stats are
     * folded per file). Listing is driver-side metadata (exactly what

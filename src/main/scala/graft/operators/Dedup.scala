@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Exprs.{r4, r4Sql}
@@ -582,7 +583,124 @@ object Dedup {
       |    0.8 * greatest(length(a.text), length(b.text)))
       |WHERE edit_sim >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- #346
+  /** #346 EXACT all-pairs similarity join with prefix filtering — the
+    * AllPairs/PPJoin candidate discipline (Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08): every other near-dup path here (#28-#31)
+    * generates candidates by LSH, which is complete only
+    * probabilistically; this operator returns the EXACT set of pairs
+    * with 3-gram-shingle Jaccard ≥ τ = 3/5, with no cross product and
+    * no miss-rate argument — the audit-grade join a dedup pipeline
+    * runs when it must certify "no ≥τ pair escaped".
+    *
+    * Prefix principle: order each doc's shingle set by GLOBAL rarity
+    * (document frequency asc, shingle asc). If J(a,b) ≥ τ then
+    * |a∩b| ≥ ⌈τ·|a|⌉, and two sorted sets with intersection ≥ t must
+    * collide within their first (|·| − t + 1) elements — so the
+    * equi-join over just the first |a| − ⌈τ|a|⌉ + 1 RAREST shingles
+    * of each doc is a COMPLETE candidate generator (the proof is the
+    * pigeonhole on the sorted tails). Candidates then pass the length
+    * filter (τ·|a| ≤ |b| ≤ |a|/τ, integer form) and exact
+    * verification by re-joining the full shingle sets; the Jaccard
+    * gate is the integer inequality 8·i ≥ 3·(n_a + n_b) (τ = 3/5 ⟺
+    * 5i ≥ 3u, u = n_a + n_b − i). Every number emitted is an exact
+    * integer except the final r4 ratio.
+    *
+    * Scale: the join key is a PREFIX shingle — by construction among
+    * the rarest in its doc, so bucket occupancy is bounded by the
+    * corpus' rare-tail df, not by stop-shingle frequency (the reason
+    * prefix filtering beats joining on all shingles by orders of
+    * magnitude). One df shuffle, one per-doc rank window, one
+    * prefix equi-join, one verify join — all keyed, no driver-side
+    * work. At 100 TB the candidate volume is the published AllPairs
+    * bound; the τ dial trades it explicitly.
+    */
+  def dedupAllpairsExact(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    // shingle sets: lower + non-alnum split (the #27 normalization),
+    // distinct word 3-grams, carried ONLY as ngram_hashes — a
+    // collision-free (w.h.p.) injection of the gram set, so set
+    // sizes / intersections equal the string-set ones the oracle
+    // computes (the #30 device), gram strings never materialize, and
+    // verification is the allocation-free sorted-merge intersect.
+    // Docs under 3 words have no shingle set and drop out.
+    val docs = Tables.persistSlot("dedup_allpairs.docs",
+      Tables.spread(spark, dir, "documents")
+        .withColumn("ws",
+          expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"))
+        .where(size(col("ws")) >= 3)
+        .withColumn("hs", expr("ngram_hashes(ws, 3)"))
+        .select(col("doc_id"), col("hs"),
+          size(col("hs")).cast("long").as("n")))
+    docs.count()
+    val e = docs.select(col("doc_id"), col("n"), explode(col("hs")).as("g"))
+    val df = e.groupBy("g").agg(count(lit(1)).as("dfc"))
+    // the prefix principle needs A global total order shared by all
+    // docs — (df asc, hash asc) over gram HASHES is one, and rarity-
+    // first is what keeps prefix join buckets small
+    val wd = Window.partitionBy("doc_id").orderBy(col("dfc"), col("g"))
+    val prefix = e.join(df, "g")
+      .withColumn("pos", row_number().over(wd))
+      // p = n − ⌈3n/5⌉ + 1, all-integer ceil (div, not fp division)
+      .where(col("pos") <= col("n") - expr("(n * 3 + 4) div 5") + 1)
+      .select(col("g"), col("doc_id"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: τ·n_a ≤ n_b ≤ n_a/τ in integer space
+          col("b.n") * 5 >= col("a.n") * 3 &&
+          col("b.n") * 3 <= col("a.n") * 5)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // exact verify: sorted-merge intersection over the full hash sets
+    // (arrays attach by doc_id — size-gated broadcast, the #30 attach)
+    val inter = cand
+      .join(Tables.maybeBroadcast(docs.select(col("doc_id").as("da"),
+        col("hs").as("h_a"), col("n").as("na"))), "da")
+      .join(Tables.maybeBroadcast(docs.select(col("doc_id").as("db"),
+        col("hs").as("h_b"), col("n").as("nb"))), "db")
+      .withColumn("i", expr("intersect_count(h_a, h_b)"))
+    inter.where(col("i") * 8 >= (col("na") + col("nb")) * 3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("i").as("inter"),
+        (col("na") + col("nb") - col("i")).as("uni"),
+        r4(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: the exact global brute force over shared-shingle pairs —
+    * independent of the prefix discipline, so a green hash PROVES the
+    * candidate generator complete (not just plausible): any ≥τ pair
+    * the prefix join missed would appear here and break the compare.
+    */
+  val dedupAllpairsExactSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM w WHERE len(ws) >= 3),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM sh GROUP BY 1),
+      |iv AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(COUNT(*) AS BIGINT) AS i
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b, i AS inter,
+      |  sa.n + sb.n - i AS uni,
+      |  FLOOR((CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE))
+      |    * 10000.0 + 0.5) / 10000.0 AS jaccard
+      |FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE 8 * i >= 3 * (sa.n + sb.n)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_allpairs_exact" -> (dedupAllpairsExact _),
     "dedup_levenshtein" ->
       ((s: SparkSession, d: String) => dedupLevenshtein(s, d)),
     "dedup_containment" ->
@@ -661,6 +779,7 @@ object Dedup {
       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_allpairs_exact" -> dedupAllpairsExactSql,
     "dedup_levenshtein" -> dedupLevenshteinSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_exact" -> dedupExactSql,

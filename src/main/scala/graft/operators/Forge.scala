@@ -1147,7 +1147,154 @@ object Forge {
        |FROM c ORDER BY month""".stripMargin
 
   // ----------------------------------------------------------------
+  // --------------------------------------------------------------- #347
+  /** Probe keys for #347: the 3 custkeys with the FEWEST orders (ties
+    * by smallest key) — deterministic at any sf, and maximally
+    * bloom-favorable (a rare key lives in very few 512-row files).
+    */
+  private[graft] def bloomProbeKeys(spark: SparkSession,
+      dir: String): Seq[Long] =
+    Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("o_custkey")).limit(3)
+      .collect().map(_.getAs[Long]("o_custkey")).toSeq
+
+  /** The #347 layout: the #343 date-clustered 512-cap month layout
+    * carrying raw o_custkey, written with parquet BLOOM FILTERS
+    * enabled on o_custkey (NDV-sized to the customer count decade).
+    */
+  private[graft] def writeBloomDateLayout(spark: SparkSession,
+      dir: String): String = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bloom_scan").toString
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .repartition(col("month"))
+      .sortWithinPartitions("month", "day", "o_orderkey")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 512L)
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
+      // parquet-mr SKIPS the bloom when a chunk stays fully
+      // dictionary-encoded (the dictionary is already an exact
+      // membership index). At bench sf the 150-1500-key dictionary
+      // never overflows, so force the production high-cardinality
+      // regime (dict fallback) on the probe column to get real blooms
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .partitionBy("month").parquet(tmp)
+    tmp
+  }
+
+  /** #347 BLOOM-FILTER pruned point lookup — the third skipping index,
+    * completing the trilogy: zone maps (#320/#331) answer RANGE probes
+    * on the clustered dimension, multi-dimension clustering (#324/
+    * #336) buys a second dimension, but a POINT lookup on a
+    * high-cardinality UNCLUSTERED column defeats both — in the
+    * date-clustered layout every 512-row file spans nearly the full
+    * custkey range, so [min,max] prunes essentially nothing. Parquet's
+    * per-row-group bloom filters are the production answer (the same
+    * trade Delta/Iceberg expose): this operator writes the #343 date
+    * layout WITH blooms on o_custkey, consults the REAL serialized
+    * blooms off every footer ([[Apex.readFooterBloomAudit]]), reads
+    * ONLY files whose bloom admits one of the 3 rarest probe custkeys,
+    * and emits the per-key lookup result PLUS the zone-map accounting.
+    *
+    * Oracle device: bloom bitsets are impl-defined (xxhash64 block
+    * layout), so — the #337 discipline — bloom-dependent counts stay
+    * OUT of the hashed result. What IS hashed: the per-key lookup
+    * aggregates (pruning must be invisible to results — a bloom has
+    * NO false negatives, and the hash compare proves it end-to-end
+    * through the real bitsets) and the ZONE-MAP file counts, which
+    * are deterministic: real footer [min,max] per rank-cut 512-chunk
+    * == the closed form the oracle computes (the #320 identity, here
+    * on the UNclustered column — hash-proving zone maps read ~every
+    * file is exactly the motivation for blooms). ForgeSpec pins the
+    * bloom side: blooms present on every row group, bloom-read file
+    * sets a fraction of the zone-map read sets.
+    *
+    * Scale: blooms are KBs of metadata per row group at any volume —
+    * the audit is metadata-plane; the data plane touches only the
+    * handful of admitted files. At 100 TB this is the difference
+    * between a full-table scan and reading ~p·files false-positive
+    * files plus the true hits for every point lookup.
+    */
+  def layoutBloomScan(spark: SparkSession, dir: String): DataFrame = {
+    val keys = bloomProbeKeys(spark, dir)
+    val tmp = writeBloomDateLayout(spark, dir)
+    val audit = Apex.readFooterBloomAudit(spark, tmp, "o_custkey", keys)
+      .localCheckpoint()
+    val survivors = audit.where(col("bloom_hit"))
+      .select("path").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val filesTotal = audit.select("path").distinct().count()
+    val zm = audit.groupBy("k")
+      .agg(sum(when(col("zm_hit"), 1L).otherwise(0L))
+        .as("zm_files_read"))
+    val pruned =
+      if (survivors.isEmpty)
+        // zero admitted files (or an empty upstream): schema-stable
+        // empty relation — a zero-path parquet read would throw
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new org.apache.spark.sql.types.StructType()
+            .add("o_orderkey", "long").add("o_custkey", "long")
+            .add("day", "long").add("month", "string"))
+      else spark.read.option("basePath", tmp).parquet(survivors: _*)
+    val out = pruned
+      .where(col("o_custkey").isin(keys: _*))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o_orderkey").cast("long").as("sum_orderkey"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .join(zm, col("o_custkey") === col("k"))
+      .select(col("o_custkey").as("probe_custkey"), col("n_orders"),
+        col("sum_orderkey"), col("min_day"), col("max_day"),
+        lit(filesTotal).as("files_total"), col("zm_files_read"))
+      .orderBy("probe_custkey")
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmp)
+    out
+  }
+
+  val layoutBloomScanSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+      |      AS BIGINT) AS day,
+      |    strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM orders),
+      |pk AS (
+      |  SELECT o_custkey AS k FROM (
+      |    SELECT o_custkey, COUNT(*) AS n FROM orders
+      |    GROUP BY 1 ORDER BY n, o_custkey LIMIT 3)),
+      |r AS (
+      |  SELECT month, o_custkey,
+      |    CAST((ROW_NUMBER() OVER (PARTITION BY month
+      |      ORDER BY day, o_orderkey) - 1) // 512 AS BIGINT) AS fid
+      |  FROM o),
+      |f AS (
+      |  SELECT month, fid, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+      |  FROM r GROUP BY 1, 2),
+      |ft AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM f),
+      |zm AS (
+      |  SELECT k, CAST(COUNT(*) FILTER (WHERE k BETWEEN mn AND mx)
+      |    AS BIGINT) AS zm_files_read
+      |  FROM f CROSS JOIN pk GROUP BY k),
+      |agg AS (
+      |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+      |    MIN(day) AS min_day, MAX(day) AS max_day
+      |  FROM o WHERE o_custkey IN (SELECT k FROM pk) GROUP BY 1)
+      |SELECT agg.k AS probe_custkey, n_orders, sum_orderkey,
+      |  min_day, max_day, files_total, zm_files_read
+      |FROM agg JOIN zm ON agg.k = zm.k CROSS JOIN ft
+      |ORDER BY probe_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_bloom_scan" -> (layoutBloomScan _),
     "sample_bottomk" -> (sampleBottomk _),
     "layout_zorder_footer" -> (layoutZorderFooter _),
     "layout_hilbert_footer" -> (layoutHilbertFooter _),
@@ -1160,6 +1307,7 @@ object Forge {
     "quality_constraints" -> (qualityConstraints _))
 
   val oracles: Map[String, String] = Map(
+    "layout_bloom_scan" -> layoutBloomScanSql,
     "sample_bottomk" -> sampleBottomkSql,
     "layout_zorder_footer" -> layoutZorderFooterSql,
     "layout_hilbert_footer" -> layoutHilbertFooterSql,

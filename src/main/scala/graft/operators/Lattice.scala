@@ -807,7 +807,114 @@ object Lattice {
        |FROM pt CROSS JOIN tot
        |ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #348
+  /** #348 exact PERMUTATION test for the A/B difference in per-user
+    * purchase spend — the nonparametric exact-inference leg the kit
+    * still lacked: #302/#325 assume normal/binomial sampling
+    * distributions, #309 bootstraps the CI, but the textbook answer
+    * to "could this split difference be chance?" with NO
+    * distributional assumption is to re-randomize the labels and ask
+    * where the observed statistic lands in the null ensemble.
+    *
+    * Unit = user (every user seen in events; spend 0 when no
+    * purchase — the #310 unit convention), observed arms = the
+    * established `user_id % 2` parity split. Re-randomization r
+    * (r = 0..R−1, R = 128) ranks users by md5(user ':' r) (ties by
+    * user_id) and labels the first n_a ranks A — EXACT permutations
+    * preserving both arm sizes, engine-identical by the md5 device.
+    * With arm sizes fixed and the total S fixed, the mean difference
+    * is monotone in s_a alone, so the test statistic stays in integer
+    * space: t = |s_a·n − S·n_a| (≤ 10¹³ at the 100× replica — int64
+    * holds 9.2·10¹⁸). p = (#{t_r ≥ t_obs} + 1)/(R + 1) — the add-one
+    * permutation-p convention (the identity permutation is a member
+    * of the null ensemble), so p is an EXACT rational emitted as
+    * p_num/p_den with r4 only on the final ratio.
+    *
+    * Scale: ONE pass of the event table (map-side-combinable per-user
+    * rollup); the R× expansion is over the USER table only, and each
+    * replicate's rank is a per-replicate sort — R bounded partitions
+    * of n rows. At extreme user counts the exact test hands over to
+    * #302's asymptotics; this operator is the exact-regime answer.
+    */
+  def statsPermTest(spark: SparkSession, dir: String): DataFrame = {
+    val reps = 128
+    val u = Tables.eventsUs(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", expr(centsExpr))
+        .otherwise(0L)).as("c"))
+    val obs = u.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum("c").as("s"),
+      sum(when(col("user_id") % 2 === 0, col("c")).otherwise(0L))
+        .as("s_a"))
+    val wr = Window.partitionBy("r").orderBy(col("h"), col("user_id"))
+    val perm = u
+      .select(col("user_id"), col("c"),
+        explode(expr(s"sequence(0, ${reps - 1})")).as("r"))
+      .withColumn("h", md5(concat(col("user_id").cast("string"),
+        lit(":"), col("r").cast("string"))))
+      .withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(obs))
+      .groupBy("r")
+      .agg(max("n").as("n"), max("n_a").as("n_a"), max("s").as("s"),
+        sum(when(col("rk") <= col("n_a"), col("c")).otherwise(0L))
+          .as("s_a_r"))
+      .select(col("r"),
+        abs(col("s_a_r") * col("n") - col("s") * col("n_a")).as("t_r"))
+    val tObs = obs.select(col("n"), col("n_a"),
+      (col("n") - col("n_a")).as("n_b"), col("s_a"),
+      (col("s") - col("s_a")).as("s_b"),
+      abs(col("s_a") * col("n") - col("s") * col("n_a")).as("t_obs"))
+    tObs.crossJoin(broadcast(
+        perm.crossJoin(broadcast(tObs.select(col("t_obs").as("t0"))))
+          .agg(sum(when(col("t_r") >= col("t0"), 1L).otherwise(0L))
+            .as("ge"))))
+      .select(col("n_a").as("users_a"), col("n_b").as("users_b"),
+        col("s_a").as("spend_a_cents"), col("s_b").as("spend_b_cents"),
+        col("t_obs"), (col("ge") + 1L).as("p_num"),
+        lit(reps + 1L).as("p_den"),
+        r4((col("ge") + lit(1.0)) / lit((reps + 1).toDouble)).as("p"))
+  }
+
+  val statsPermTestSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN $centsSql ELSE 0 END) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |obs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+       |      AS n_a,
+       |    CAST(SUM(c) AS BIGINT) AS s,
+       |    CAST(SUM(c) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS s_a
+       |  FROM u),
+       |perm AS (
+       |  SELECT r, user_id, c,
+       |    ROW_NUMBER() OVER (PARTITION BY r
+       |      ORDER BY md5(user_id || ':' || r), user_id) AS rk
+       |  FROM u, unnest(range(0, 128)) AS t(r)),
+       |pr AS (
+       |  SELECT r,
+       |    ABS(CAST(SUM(CASE WHEN rk <= obs.n_a THEN c ELSE 0 END)
+       |          AS BIGINT) * obs.n - obs.s * obs.n_a) AS t_r
+       |  FROM perm CROSS JOIN obs
+       |  GROUP BY r, obs.n, obs.n_a, obs.s),
+       |g AS (
+       |  SELECT CAST(COUNT(*) FILTER (
+       |      WHERE t_r >= ABS(obs.s_a * obs.n - obs.s * obs.n_a))
+       |    AS BIGINT) AS ge
+       |  FROM pr CROSS JOIN obs)
+       |SELECT n_a AS users_a, n - n_a AS users_b,
+       |  s_a AS spend_a_cents, s - s_a AS spend_b_cents,
+       |  ABS(s_a * n - s * n_a) AS t_obs,
+       |  ge + 1 AS p_num, CAST(129 AS BIGINT) AS p_den,
+       |  ${r4Sql("(ge + 1.0) / 129.0")} AS p
+       |FROM obs CROSS JOIN g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_perm_test" -> (statsPermTest _),
     "events_drift_chi2" -> (eventsDriftChi2 _),
     "stats_two_proportion" -> (statsTwoProportion _),
     "stats_anova" -> (statsAnova _),
@@ -819,6 +926,7 @@ object Lattice {
     "stats_ols_2var" -> (statsOls2var _))
 
   val oracles: Map[String, String] = Map(
+    "stats_perm_test" -> statsPermTestSql,
     "events_drift_chi2" -> eventsDriftChi2Sql,
     "stats_two_proportion" -> statsTwoProportionSql,
     "stats_anova" -> statsAnovaSql,

@@ -135,4 +135,40 @@ class DedupSpec extends GraftSpec {
     assert(missing.isEmpty,
       s"jaccard>=0.9 pairs absent from containment: ${missing.take(5).toSeq}")
   }
+
+  test("dedup_allpairs_exact: the prefix-filtered join equals the full " +
+      "brute force over shingle sets — candidate completeness proven " +
+      "against an implementation-independent recomputation") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val ws = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty[String]
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sh
+      (b, sb) <- sh
+      if a < b
+      i = (sa & sb).size
+      if i > 0 && 8 * i >= 3 * (sa.size + sb.size)
+    } yield (a, b) -> ((i.toLong, (sa.size + sb.size - i).toLong))).toMap
+    val out = operators.Dedup.dedupAllpairsExact(spark, sf).collect()
+    assert(brute.nonEmpty, "no >=0.6 pairs at sf0.001 - vacuous test")
+    assert(out.length == brute.size,
+      s"pair sets differ: spark=${out.length} brute=${brute.size} - " +
+        "the prefix filter dropped (or fabricated) a pair")
+    out.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(brute.contains(k), s"pair $k not in brute force")
+      val (i, u) = brute(k)
+      assert(r.getAs[Long]("inter") == i && r.getAs[Long]("uni") == u,
+        s"intersection/union mismatch for $k")
+      val j = math.floor(i.toDouble / u.toDouble * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("jaccard") == j)
+    }
+  }
 }

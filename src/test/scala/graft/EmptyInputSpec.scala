@@ -234,7 +234,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_pps",           // bottom-k of no weighted rows
     "layout_compact_files", // compacting zero files is a no-op
     "graph_betweenness",    // no edges -> no seeds -> no paths
-    "ann_ivf_recluster")    // reclustering an empty index is empty
+    "ann_ivf_recluster",    // reclustering an empty index is empty
+    // round-21 (#346-348)
+    "dedup_allpairs_exact", // no shingles -> no prefixes -> no pairs
+    "layout_bloom_scan",    // no probe keys, zero data files written
+    "stats_perm_test")      // null-stats row (no users to permute)
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -244,6 +248,11 @@ class EmptyInputSpec extends AnyFunSuite {
       if (name == "graph_triangles") {
         assert(rows.length == 1)
         assert(rows.head.getAs[Long]("n_triangles") == 0L)
+      } else if (name == "stats_perm_test") {
+        // global agg: one row, zero users, null spends and null p —
+        // a test with no units must refuse a verdict, not invent one
+        assert(rows.length == 1)
+        assert(rows.head.isNullAt(rows.head.fieldIndex("p")))
       } else if (name == "graph_modularity") {
         assert(rows.length == 1)
         assert(rows.head.getAs[Long]("n_communities") == 0L)

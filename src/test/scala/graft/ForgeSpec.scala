@@ -386,4 +386,60 @@ class ForgeSpec extends GraftSpec {
     assert(after <= before)
     if (monthCounts.values.exists(_ > 512L)) assert(after < before)
   }
+
+  test("layout_bloom_scan: real blooms on every row group, no false " +
+      "negatives against the actual file contents, bloom reads fewer " +
+      "files than zone maps, and the pruned lookup matches the direct " +
+      "filter") {
+    import org.apache.spark.sql.functions._
+    val keys = Forge.bloomProbeKeys(spark, sf)
+    assert(keys.length == 3)
+    val tmp = Forge.writeBloomDateLayout(spark, sf)
+    val audit = operators.Apex
+      .readFooterBloomAudit(spark, tmp, "o_custkey", keys).collect()
+    assert(audit.nonEmpty)
+    assert(audit.forall(_.getAs[Boolean]("has_bloom")),
+      "writer bloom option did not propagate - no blooms in footers")
+    // no false negatives: every (file, key) that truly contains the
+    // key must be bloom-admitted (the contract pruning correctness
+    // rests on)
+    // input_file_name renders file:///, the footer reader file:/ —
+    // normalize to a plain path before set-comparing
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val truth = spark.read.parquet(tmp)
+      .where(col("o_custkey").isin(keys: _*))
+      .select(input_file_name().as("path"), col("o_custkey"))
+      .distinct().collect()
+      .map(r => (norm(r.getString(0)), r.getLong(1))).toSet
+    val admitted = audit.filter(_.getAs[Boolean]("bloom_hit"))
+      .map(r => (norm(r.getAs[String]("path")), r.getAs[Long]("k"))).toSet
+    truth.foreach { case (p, k) =>
+      assert(admitted.contains((p, k)), s"bloom FALSE NEGATIVE: $k in $p")
+    }
+    // the point of the operator: on the unclustered column zone maps
+    // admit most (file, key) pairs while blooms admit a fraction
+    val zmRead = audit.count(_.getAs[Boolean]("zm_hit")).toLong
+    val bloomRead = audit.count(_.getAs[Boolean]("bloom_hit")).toLong
+    assert(zmRead >= audit.length / 2,
+      s"zone maps unexpectedly selective ($zmRead/${audit.length}) - " +
+        "probe keys no longer exercise the bloom argument")
+    assert(bloomRead * 2 < zmRead,
+      s"blooms read $bloomRead vs zone maps $zmRead - no real win")
+    val out = Forge.layoutBloomScan(spark, sf).collect()
+    assert(out.length == 3)
+    val direct = Tables(spark, sf, "orders")
+      .where(col("o_custkey").isin(keys: _*))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out.foreach { r =>
+      val k = r.getAs[Long]("probe_custkey")
+      assert(r.getAs[Long]("n_orders") == direct(k)._1)
+      assert(r.getAs[Long]("sum_orderkey") == direct(k)._2)
+      assert(r.getAs[Long]("zm_files_read") <=
+        r.getAs[Long]("files_total"))
+    }
+    operators.Apex.deleteTempLayout(spark, tmp)
+  }
 }

@@ -367,4 +367,41 @@ class LatticeSpec extends GraftSpec {
     assert(out5.forall(_.getAs[Boolean]("drift_05")))
     assert(out5.forall(_.getAs[Long]("df") == 4L))
   }
+
+  test("stats_perm_test: the md5 permutation ensemble, integer test " +
+      "statistic, and exact rational p match a direct recomputation") {
+    val ev = Tables.eventsUs(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+    val byU: Map[Long, Long] = ev.groupBy(_.getLong(0)).map {
+      case (u, rs) => u -> rs.filter(_.getString(1) == "purchase")
+        .map(r => cents(r.getDouble(2))).sum
+    }
+    val users = byU.keys.toSeq.sorted
+    val n = users.length.toLong
+    val na = users.count(_ % 2 == 0).toLong
+    val s0 = byU.values.sum
+    val sa = users.filter(_ % 2 == 0).map(byU).sum
+    val tObs = ((BigInt(sa) * n) - (BigInt(s0) * na)).abs
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var ge = 0L
+    for (r <- 0 until 128) {
+      val ranked = users.sortBy(u => (md5hex(s"$u:$r"), u))
+      val saR = ranked.take(na.toInt).map(byU).sum
+      val tR = ((BigInt(saR) * n) - (BigInt(s0) * na)).abs
+      if (tR >= tObs) ge += 1
+    }
+    val row = Lattice.statsPermTest(spark, sf).head()
+    assert(row.getAs[Long]("users_a") == na)
+    assert(row.getAs[Long]("users_b") == n - na)
+    assert(row.getAs[Long]("spend_a_cents") == sa)
+    assert(row.getAs[Long]("spend_b_cents") == s0 - sa)
+    assert(row.getAs[Long]("t_obs") == tObs.toLong)
+    assert(row.getAs[Long]("p_num") == ge + 1)
+    assert(row.getAs[Long]("p_den") == 129L)
+    assert(row.getAs[Double]("p") == p4((ge + 1.0) / 129.0))
+    // the identity permutation is in the ensemble, so p can never be 0
+    assert(row.getAs[Long]("p_num") >= 1)
+  }
 }

@@ -131,7 +131,11 @@ class NullInputSpec extends AnyFunSuite {
     // sweep budget's word stream (totals just shrink, never null);
     // the null embedding's null cosine ranks last in the recluster
     // argmin (deterministic cell tie-break) and drops from centroids
-    "corpus_bpe_vocab_sweep", "ann_ivf_recluster")
+    "corpus_bpe_vocab_sweep", "ann_ivf_recluster",
+    // round-21: size(null ws) = -1 < 3 drops the null doc from the
+    // shingle table (exact pair set unchanged); the perm test and the
+    // bloom lookup read events/orders, untouched by the nulled corpus
+    "dedup_allpairs_exact", "stats_perm_test", "layout_bloom_scan")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
