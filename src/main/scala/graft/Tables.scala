@@ -156,12 +156,23 @@ object Tables {
     * `Statistics.sizeInBytes` chain join planning itself consults, so
     * the gate tracks file size × column pruning, not a guess.
     */
-  def maybeBroadcast(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val limit = BigInt(df.sparkSession.conf
+  def maybeBroadcast(df: DataFrame): DataFrame =
+    maybeBroadcast(df, df.sparkSession.conf
       .get("spark.graft.attachBroadcastMaxBytes",
         (256L * 1024 * 1024).toString).toLong)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= limit)
+
+  /** Per-call-limit form: attaches whose payload rows are WIDE (hash
+    * arrays, signatures) squeeze execution memory hard when broadcast
+    * near the default gate — the #346 100× probe measured two ~225 MB
+    * array broadcasts (under the 256 MB gate) forcing ~3.5 GB of
+    * spill in every concurrent shuffle. Callers with wide payloads
+    * pass a tighter limit so bench-scale sides still broadcast while
+    * corpus-scale sides fall through to their shuffle-join hint.
+    */
+  def maybeBroadcast(df: DataFrame, limitBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes
+        <= BigInt(limitBytes))
       broadcast(df)
     else df
   }

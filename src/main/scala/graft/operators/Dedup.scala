@@ -637,27 +637,62 @@ object Dedup {
     val df = e.groupBy("g").agg(count(lit(1)).as("dfc"))
     // the prefix principle needs A global total order shared by all
     // docs — (df asc, hash asc) over gram HASHES is one, and rarity-
-    // first is what keeps prefix join buckets small
+    // first is what keeps prefix join buckets small.
+    // shuffle_hash on the df attach + an EXPLICIT repartition feeding
+    // the window: the gram-row shuffles here are the corpus × ~50
+    // volume, and AQE's advisory coalesce folded them to ~11
+    // partitions at the 100× probe — each coalesced SMJ/window SORT
+    // then exceeded its task memory share and spilled (~2.3 GB); a
+    // hash join never sorts, and an explicit repartition pins the
+    // window's parallelism against the coalesce
     val wd = Window.partitionBy("doc_id").orderBy(col("dfc"), col("g"))
-    val prefix = e.join(df, "g")
+    val prefix = e.join(df.hint("shuffle_hash"), "g")
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .withColumn("pos", row_number().over(wd))
       // p = n − ⌈3n/5⌉ + 1, all-integer ceil (div, not fp division)
       .where(col("pos") <= col("n") - expr("(n * 3 + 4) div 5") + 1)
-      .select(col("g"), col("doc_id"), col("n"))
-    val cand = prefix.as("a").join(prefix.as("b"),
+      .select(col("g"), col("doc_id"), col("n"), col("pos"))
+    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: τ·n_a ≤ n_b ≤ n_a/τ in integer space
           col("b.n") * 5 >= col("a.n") * 3 &&
-          col("b.n") * 3 <= col("a.n") * 5)
+          col("b.n") * 3 <= col("a.n") * 5 &&
+          // PPJoin POSITIONAL filter: a match at ranks (i, j) bounds
+          // the intersection by ub = 1 + min(n_a−i, n_b−j) (everything
+          // shared sits after the match in the common order), and a
+          // true ≥τ pair's FIRST common gram — which the prefix
+          // theorem places inside both prefixes — always satisfies
+          // 8·ub ≥ 3(n_a+n_b), so pruning rows that fail it loses no
+          // pair while cutting the candidate (and verify-attach)
+          // volume several-fold: the 100× probe measured the unpruned
+          // verify sort-spilling 3.5 GB on array-carrying pair rows
+          expr("(1 + least(a.n - a.pos, b.n - b.pos)) * 8" +
+            " >= 3 * (a.n + b.n)"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    // exact verify: sorted-merge intersection over the full hash sets
-    // (arrays attach by doc_id — size-gated broadcast, the #30 attach)
+    // NO candidate-level distinct: post-positional-filter multiplicity
+    // is ~1.06 (measured — most pairs match on exactly one prefix
+    // gram), so deduping here would spend a 19M-row partial hash
+    // aggregate (the 100× probe's 1.6 GB spill) to save ~6% of verify
+    // work; duplicates ride through the pipelined verify joins and
+    // collapse in the output-sized dropDuplicates below
+    // exact verify: sorted-merge intersection over the full hash sets.
+    // The attach side carries the hash ARRAYS, so the broadcast gate
+    // is the TIGHT per-call form: at bench scale (couple of MB) it
+    // broadcasts, at corpus scale it must not — the 100× probe
+    // measured two ~225 MB array broadcasts (under the default
+    // 256 MB gate) squeezing execution memory until every concurrent
+    // shuffle spilled; past the gate the shuffle_hash hint keeps the
+    // join pipelined (per-partition docs-sized build) and the pair
+    // side never sorts its arrays.
+    val attachCap = 64L * 1024 * 1024
     val inter = cand
       .join(Tables.maybeBroadcast(docs.select(col("doc_id").as("da"),
-        col("hs").as("h_a"), col("n").as("na"))), "da")
+        col("hs").as("h_a"), col("n").as("na")).hint("shuffle_hash"),
+        attachCap), "da")
       .join(Tables.maybeBroadcast(docs.select(col("doc_id").as("db"),
-        col("hs").as("h_b"), col("n").as("nb"))), "db")
+        col("hs").as("h_b"), col("n").as("nb")).hint("shuffle_hash"),
+        attachCap), "db")
       .withColumn("i", expr("intersect_count(h_a, h_b)"))
     inter.where(col("i") * 8 >= (col("na") + col("nb")) * 3)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
@@ -665,6 +700,7 @@ object Dedup {
         (col("na") + col("nb") - col("i")).as("uni"),
         r4(col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -1293,7 +1293,108 @@ object Forge {
       |FROM agg JOIN zm ON agg.k = zm.k CROSS JOIN ft
       |ORDER BY probe_custkey""".stripMargin
 
+  // --------------------------------------------------------------- #350
+  /** The #350 two-epoch table: epoch 1 (orders before 1998) written
+    * under the ORIGINAL schema, epoch 2 (1998+) after a column was
+    * added (`price_cents`). Physically two file generations under one
+    * root — the shape every long-lived production table reaches.
+    */
+  private[graft] def writeSchemaEvolutionLayout(spark: SparkSession,
+      dir: String): String = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day"),
+        year(col("o_orderdate")).as("yr"),
+        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)")
+          .as("price_cents"))
+    o.where(col("yr") < 1998).select("o_orderkey", "day")
+      .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+    o.where(col("yr") >= 1998).select("o_orderkey", "day", "price_cents")
+      .write.mode("overwrite").parquet(s"$tmp/epoch=2")
+    tmp
+  }
+
+  /** #350 SCHEMA-EVOLUTION read — the production read every long-lived
+    * table eventually needs: files written BEFORE a column existed sit
+    * under the same root as files written after, and the reader must
+    * union them without a rewrite (the Delta/Iceberg "add column is
+    * metadata-only" contract). The operator physically writes two file
+    * generations (pre-1998 orders under the original schema; 1998+
+    * with an added `price_cents`), reads the root with `mergeSchema`,
+    * and emits the per-epoch accounting a migration owner checks: row
+    * counts preserved, the late column NULL for exactly the old
+    * generation (nulls counted from the ACTUAL merged rows — proving
+    * the reader fills absence with null, not garbage), and the sum
+    * over the rows that really carry the column. The oracle computes
+    * the same accounting straight from `orders`, so a green hash
+    * proves the merged read loses no rows and invents no values.
+    * ForgeSpec pins the physical truth: epoch-1 footers genuinely
+    * LACK the column while the merged frame carries it.
+    *
+    * Scale: schema merge is footer-metadata-plane (at 100 TB a
+    * mergeSchema read lists footers, it does not rewrite data — while
+    * the alternative, a backfill rewrite, IS 100 TB of I/O; production
+    * table formats carry the merged schema in the manifest so even
+    * the footer sweep amortizes to metadata).
+    */
+  def layoutSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = writeSchemaEvolutionLayout(spark, dir)
+    // empty upstream writes zero data files and schema inference would
+    // throw — surface the same empty accounting instead
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyData = {
+      val it = fs.listFiles(root, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!anyData) {
+      Apex.deleteTempLayout(spark, tmp)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("epoch", "long").add("n_rows", "long")
+          .add("price_nulls", "long").add("sum_price_cents", "long")
+          .add("price_null_frac", "double"))
+    }
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    val out = merged.groupBy(col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("price_cents").isNull, 1L).otherwise(0L))
+          .as("price_nulls"),
+        sum("price_cents").as("sum_price_cents"))
+      .select(col("epoch"), col("n_rows"), col("price_nulls"),
+        col("sum_price_cents"),
+        r4(col("price_nulls").cast("double") /
+          col("n_rows").cast("double")).as("price_null_frac"))
+      .orderBy("epoch")
+      .localCheckpoint()
+    Apex.deleteTempLayout(spark, tmp)
+    out
+  }
+
+  val layoutSchemaEvolutionSql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(CASE WHEN year(o_orderdate) < 1998
+       |      THEN 1 ELSE 2 END AS BIGINT) AS epoch,
+       |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+       |  FROM orders)
+       |SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) FILTER (WHERE epoch = 1) AS BIGINT)
+       |    AS price_nulls,
+       |  CAST(SUM(CASE WHEN epoch = 2 THEN pc END) AS BIGINT)
+       |    AS sum_price_cents,
+       |  ${r4Sql("CAST(COUNT(*) FILTER (WHERE epoch = 1) AS DOUBLE)" +
+                  " / COUNT(*)")} AS price_null_frac
+       |FROM o GROUP BY epoch ORDER BY epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_schema_evolution" -> (layoutSchemaEvolution _),
     "layout_bloom_scan" -> (layoutBloomScan _),
     "sample_bottomk" -> (sampleBottomk _),
     "layout_zorder_footer" -> (layoutZorderFooter _),
@@ -1307,6 +1408,7 @@ object Forge {
     "quality_constraints" -> (qualityConstraints _))
 
   val oracles: Map[String, String] = Map(
+    "layout_schema_evolution" -> layoutSchemaEvolutionSql,
     "layout_bloom_scan" -> layoutBloomScanSql,
     "sample_bottomk" -> sampleBottomkSql,
     "layout_zorder_footer" -> layoutZorderFooterSql,

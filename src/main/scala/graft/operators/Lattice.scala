@@ -913,7 +913,127 @@ object Lattice {
        |  ${r4Sql("(ge + 1.0) / 129.0")} AS p
        |FROM obs CROSS JOIN g""".stripMargin
 
+  // --------------------------------------------------------------- #351
+  /** #351 Holm–Bonferroni step-down over the #302 Welch family — the
+    * multiple-comparisons correction an experimentation platform runs
+    * when it reads ALL the pairwise tests at once: 10 simultaneous
+    * t-tests at α=0.05 fabricate ~0.4 expected false positives, and
+    * Holm is the uniformly-more-powerful replacement for plain
+    * Bonferroni that still controls FWER with NO independence
+    * assumption. Pairs rank by UNROUNDED |t| (the #325 discipline —
+    * r4 only on emission); rank i tests against the literal critical
+    * value z_{α/(2(m−i+1))} (the asymptotic-normal criticals for
+    * α/k, k=1..10 — documented literals like #307's 2.3719, both
+    * engines parse identical doubles); the step-down verdict is a
+    * running AND down the rank order (a MIN window over 10 bounded
+    * rows), so one early failure correctly blocks everything after
+    * it. Degenerate pairs (n ≤ 1 or zero variance) carry null t and
+    * rank last with null verdicts; m counts only TESTED pairs, so
+    * the correction never spends α on untestable hypotheses.
+    *
+    * Scale: one map-side-combinable per-type moment shuffle (5 rows),
+    * then windows over the 10-row pair frame — metadata-plane at any
+    * event volume.
+    */
+  def statsHolmAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr(centsExpr).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("s"),
+        sum((col("c") * col("c")).cast(dec)).as("q"))
+    def se2(p: String): Column = {
+      val n = col(s"$p.n")
+      val nd = n.cast(dec)
+      (nd * col(s"$p.q") - col(s"$p.s") * col(s"$p.s")).cast("double") /
+        (nd * n * (n - 1)).cast("double")
+    }
+    val a = se2("a")
+    val b = se2("b")
+    val meanDiff = col("a.s").cast("double") / col("a.n").cast("double") -
+      col("b.s").cast("double") / col("b.n").cast("double")
+    val ok = col("a.n") > 1L && col("b.n") > 1L && (a + b) > 0.0
+    val pairs = broadcast(m.as("a")).join(broadcast(m.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        when(ok, meanDiff / sqrt(a + b)).as("t"))
+    val mt = pairs.agg(
+      sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("m_tested"))
+    // z_{α/(2k)} for α=0.05, k=1..10 (asymptotic normal criticals)
+    val crits = array(Seq(1.959964, 2.241403, 2.39398, 2.497705,
+      2.575829, 2.638257, 2.69011, 2.734369, 2.772921, 2.807034)
+      .map(lit): _*)
+    val wr = Window.orderBy(col("t").isNull, abs(col("t")).desc,
+      col("type_a"), col("type_b"))
+    pairs.crossJoin(broadcast(mt))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("crit", when(col("t").isNotNull,
+        element_at(crits, (col("m_tested") - col("rank") + 1).cast("int"))))
+      .withColumn("pass", when(col("t").isNotNull,
+        abs(col("t")) > col("crit")))
+      .withColumn("holm_sig", when(col("t").isNotNull,
+        min(when(col("pass"), 1).otherwise(0))
+          .over(wr.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) === 1))
+      .select(col("type_a"), col("type_b"), r4(col("t")).as("t_stat"),
+        col("rank"), col("crit"),
+        when(col("t").isNotNull, abs(col("t")) > lit(1.959964))
+          .as("raw_sig_95"),
+        col("holm_sig").as("holm_sig_95"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val statsHolmAdjustSql: String =
+    s"""WITH m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(($centsSql)::HUGEINT) AS s,
+       |    SUM(($centsSql)::HUGEINT * ($centsSql)) AS q
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CASE WHEN a.n > 1 AND b.n > 1 AND
+       |      CAST(a.n::HUGEINT * a.q - a.s * a.s AS DOUBLE) /
+       |        CAST(a.n::HUGEINT * a.n * (a.n - 1) AS DOUBLE) +
+       |      CAST(b.n::HUGEINT * b.q - b.s * b.s AS DOUBLE) /
+       |        CAST(b.n::HUGEINT * b.n * (b.n - 1) AS DOUBLE) > 0
+       |    THEN
+       |      (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+       |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+       |      / SQRT(
+       |        CAST(a.n::HUGEINT * a.q - a.s * a.s AS DOUBLE) /
+       |          CAST(a.n::HUGEINT * a.n * (a.n - 1) AS DOUBLE) +
+       |        CAST(b.n::HUGEINT * b.q - b.s * b.s AS DOUBLE) /
+       |          CAST(b.n::HUGEINT * b.n * (b.n - 1) AS DOUBLE))
+       |    END AS t
+       |  FROM m a JOIN m b ON a.event_type < b.event_type),
+       |mt AS (SELECT CAST(COUNT(t) AS BIGINT) AS m_tested FROM p),
+       |r AS (
+       |  SELECT p.*, m_tested, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY (t IS NULL), ABS(t) DESC, type_a, type_b)
+       |    AS BIGINT) AS rank
+       |  FROM p CROSS JOIN mt),
+       |c AS (
+       |  SELECT *, CASE WHEN t IS NOT NULL THEN
+       |    ([1.959964, 2.241403, 2.39398, 2.497705, 2.575829,
+       |      2.638257, 2.69011, 2.734369, 2.772921, 2.807034])
+       |      [(m_tested - rank + 1)::INT] END AS crit
+       |  FROM r),
+       |h AS (SELECT *, CASE WHEN t IS NOT NULL
+       |  THEN ABS(t) > crit END AS pass FROM c),
+       |f AS (
+       |  SELECT *, MIN(CASE WHEN pass THEN 1 ELSE 0 END) OVER (
+       |    ORDER BY (t IS NULL), ABS(t) DESC, type_a, type_b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+       |  FROM h)
+       |SELECT type_a, type_b, ${r4Sql("t")} AS t_stat, rank, crit,
+       |  CASE WHEN t IS NOT NULL THEN ABS(t) > 1.959964 END
+       |    AS raw_sig_95,
+       |  CASE WHEN t IS NOT NULL THEN runmin = 1 END AS holm_sig_95
+       |FROM f ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_holm_adjust" -> (statsHolmAdjust _),
     "stats_perm_test" -> (statsPermTest _),
     "events_drift_chi2" -> (eventsDriftChi2 _),
     "stats_two_proportion" -> (statsTwoProportion _),
@@ -926,6 +1046,7 @@ object Lattice {
     "stats_ols_2var" -> (statsOls2var _))
 
   val oracles: Map[String, String] = Map(
+    "stats_holm_adjust" -> statsHolmAdjustSql,
     "stats_perm_test" -> statsPermTestSql,
     "events_drift_chi2" -> eventsDriftChi2Sql,
     "stats_two_proportion" -> statsTwoProportionSql,

@@ -491,7 +491,155 @@ object Similarity {
        |WHERE (d2 - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) > 2.0
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- #349
+  /** #349 k-center CORESET selection — greedy farthest-point traversal
+    * (Gonzalez '85, the 2-approximation for the k-center objective):
+    * THE data-selection primitive behind coreset construction, active-
+    * learning seed picks, and diverse evaluation-set sampling — where
+    * the mixture/curation operators decide WHAT distribution to keep,
+    * this decides WHICH k exemplars cover the embedding cloud. Seed =
+    * smallest vec_id; each round picks the point FARTHEST (cosine
+    * distance 1 − cos) from the selected set, ties by vec_id; the
+    * emitted `dist_to_set` at selection time is the classic radius
+    * curve (monotone non-increasing — the spec pins it), and the final
+    * row (sel_order 99) is the COVERAGE RADIUS after k picks — the
+    * k-center objective value, i.e. "every vector sits within r of a
+    * chosen exemplar".
+    *
+    * Determinism: every distance is ONE IEEE expression both engines
+    * evaluate identically (index-order double accumulation — the #32
+    * cosine device); argmax compares those identical doubles with a
+    * vec_id tie-break, so the greedy trajectory is engine-exact. The
+    * oracle unrolls the same k rounds as generated CTE stages (the
+    * hilbertSteps shared-text discipline).
+    *
+    * Scale: each round is one broadcast of ONE center (dims-sized,
+    * metadata-plane, the embedPcaPower fixpoint pattern) + a map-side
+    * `least(dmin, ·)` update + an argmax reduction — O(k·n) total
+    * compute, no shuffle beyond the k argmax aggregations; the
+    * per-round localCheckpoint is the #152 lineage cut (k chained
+    * crossJoins would otherwise recompute k²/2 cosine passes through
+    * the argmax actions).
+    */
+  def sampleCoreset(spark: SparkSession, dir: String): DataFrame =
+    sampleCoreset(spark, dir, k = 8)
+
+  def sampleCoreset(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("sel_order", "long", nullable = false)
+      .add("vec_id", "long", nullable = true)
+      .add("dist_to_set", "double", nullable = true)
+    def rows(ts: Seq[(Long, java.lang.Long, java.lang.Double)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ts.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)), 1), outSchema)
+    val v = Tables.spread(spark, dir, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val seed = v.orderBy("vec_id").limit(1).collect()
+    if (seed.isEmpty)
+      // no points: the objective row alone (a null radius), so the
+      // shape matches the oracle's FROM-less radius select
+      return rows(Seq((99L, null, null)))
+        .select(col("sel_order"), col("vec_id"), col("dist_to_set"))
+    var selected = Seq(seed(0).getLong(0))
+    val picks =
+      scala.collection.mutable.ArrayBuffer[(Long, java.lang.Long,
+        java.lang.Double)]((1L, seed(0).getLong(0), null))
+    def centerOf(id: Long) =
+      v.where(col("vec_id") === id).select(col("embedding").as("ce"))
+    var cur = v.crossJoin(broadcast(centerOf(selected.head)))
+      .withColumn("dmin", lit(1.0) - expr("cosine_f32(embedding, ce)"))
+      .drop("ce")
+      .localCheckpoint()
+    var i = 2
+    var exhausted = false
+    while (i <= k && !exhausted) {
+      val nxt = cur.where(!col("vec_id").isin(selected: _*))
+        .orderBy(desc("dmin"), col("vec_id")).limit(1)
+        .select("vec_id", "dmin").collect()
+      if (nxt.isEmpty) exhausted = true
+      else {
+        val nid = nxt(0).getLong(0)
+        picks += ((i.toLong, nid, nxt(0).getDouble(1)))
+        selected = selected :+ nid
+        cur = cur.crossJoin(broadcast(centerOf(nid)))
+          .withColumn("dmin", least(col("dmin"),
+            lit(1.0) - expr("cosine_f32(embedding, ce)")))
+          .drop("ce")
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    val rad = cur.where(!col("vec_id").isin(selected: _*))
+      .agg(max("dmin")).collect()(0)
+    picks += ((99L, null,
+      if (rad.isNullAt(0)) null else java.lang.Double.valueOf(rad.getDouble(0))))
+    rows(picks.toSeq)
+      .select(col("sel_order"), col("vec_id"),
+        r4(col("dist_to_set")).as("dist_to_set"))
+      .orderBy("sel_order")
+  }
+
+  /** Oracle: the identical greedy unrolled as generated CTE stages —
+    * same seed, same one-expression distances, same argmax tie-break.
+    */
+  val sampleCoresetSql: String = {
+    val k = 8
+    def cosd(d: String, c: String): String =
+      s"""1 - (list_sum(list_transform(range(1, len($d.embedding) + 1),
+         |      q -> $d.embedding[q]::DOUBLE * $c.embedding[q]::DOUBLE))
+         |    / ($d.norm * $c.norm))""".stripMargin
+    def exclusions(upto: Int): String =
+      (1 to upto).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+    val sb = new StringBuilder
+    // MATERIALIZED is load-bearing: d$i references d${i-1} twice (via
+    // s$i and directly), so DuckDB's default CTE inlining would blow
+    // the plan up 2^k-fold -- the SQL-side twin of the #152 lineage cut
+    sb ++= s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |s1 AS MATERIALIZED (SELECT vec_id FROM v ORDER BY vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT d.vec_id, d.embedding, d.norm,
+       |    ${cosd("d", "c")} AS dmin
+       |  FROM v d CROSS JOIN (
+       |    SELECT v.embedding, v.norm FROM v JOIN s1 USING (vec_id)) c),
+       |""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s"""s$i AS MATERIALIZED (
+         |  SELECT d.vec_id, d.dmin FROM d${i - 1} d
+         |  WHERE d.vec_id NOT IN (${exclusions(i - 1)})
+         |  ORDER BY d.dmin DESC, d.vec_id LIMIT 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT d.vec_id, d.embedding, d.norm,
+         |    LEAST(d.dmin, ${cosd("d", "c")}) AS dmin
+         |  FROM d${i - 1} d CROSS JOIN (
+         |    SELECT v.embedding, v.norm FROM v
+         |    JOIN s$i ON v.vec_id = s$i.vec_id) c),
+         |""".stripMargin
+    }
+    val selRows = (s"SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, " +
+      s"CAST(NULL AS DOUBLE) AS dist FROM s1") +:
+      (2 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT), vec_id, dmin FROM s$i")
+    sb ++= s"""sel AS (
+       |  ${selRows.mkString("\n  UNION ALL ")}
+       |  UNION ALL SELECT CAST(99 AS BIGINT), CAST(NULL AS BIGINT),
+       |    (SELECT MAX(dmin) FROM d$k
+       |     WHERE vec_id NOT IN (${exclusions(k)})))
+       |SELECT sel_order, vec_id,
+       |  FLOOR(dist * 10000.0 + 0.5) / 10000.0 AS dist_to_set
+       |FROM sel ORDER BY sel_order""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_coreset" -> (sampleCoreset _),
     "embed_outliers" ->
       ((s: SparkSession, d: String) => embedOutliers(s, d)),
     "embed_dispersion" -> (embedDispersion _),
@@ -1256,6 +1404,7 @@ object Similarity {
       |ORDER BY r.q_id, r.rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_coreset" -> sampleCoresetSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_dispersion" -> embedDispersionSql,
     "ann_pq" -> annPqSql,

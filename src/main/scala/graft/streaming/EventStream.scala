@@ -478,6 +478,82 @@ object EventStream {
       }
   }
 
+  /** Streaming PREFIX-FILTERED candidate index — the incremental form
+    * of batch #346's (dedup_allpairs_exact) candidate stage, family
+    * #21: each arriving document computes its 3-gram shingle hash set
+    * with the SAME native expression as the batch op, orders its grams
+    * by a FROZEN global rarity table (the #17 frozen-centroid
+    * argument: a production index freezes its statistics between
+    * rebuilds; unseen grams rank rarest at df 0, ties by hash — the
+    * conservative direction, since ranking a gram too rare can only
+    * ADD candidates, never lose a ≥τ pair), emits its prefix grams
+    * (n − ⌈τn⌉ + 1 rarest) as bucket keys, and a
+    * flatMapGroupsWithState keyed on the bucket holds the
+    * (doc_id, n, rank-of-this-gram) occupants, emitting one
+    * normalized pair per prior occupant that passes the symmetric τ
+    * length filter 5·min(n) ≥ 3·max(n) AND the batch op's PPJoin
+    * positional filter 8·(1 + min(n_a−i, n_b−j)) ≥ 3·(n_a+n_b) —
+    * the same candidate discipline as #346's join condition.
+    * Redelivered doc_ids are suppressed by the state
+    * (at-least-once-safe); a pair surfaces once per shared prefix
+    * gram — `.distinct()` downstream, exactly like the batch
+    * equi-join.
+    *
+    * Scale: per-bucket state is the occupant list of a RARE-tail gram
+    * (prefix grams are by construction the rarest of their doc); the
+    * frozen df table is vocabulary-sized (Heaps-sublinear in the
+    * corpus), broadcast like the batch op's df join side; the shuffle
+    * key is the bucket — the identical partitioning to the batch
+    * prefix equi-join.
+    */
+  def allpairsCandidatesStream(docs: Dataset[Doc],
+      dfOrder: Map[Long, Long]): Dataset[CandPair] = {
+    val sp = docs.sparkSession
+    graft.functions.Hashes.register(sp)
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(dfOrder)
+    docs.toDF()
+      .withColumn("hs", expr(
+        """ngram_hashes(filter(split(lower(text), '[^a-z0-9]+'),
+          |  w -> w != ''), 3)""".stripMargin))
+      .select(col("doc_id"), col("hs"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, hs) =>
+        val n = hs.length
+        if (n == 0) Iterator.empty
+        else {
+          val dfm = bc.value
+          val p = n - (3 * n + 4) / 5 + 1
+          hs.sortBy(g => (dfm.getOrElse(g, 0L), g)).take(p).zipWithIndex
+            .map { case (g, i) => (g, id, n.toLong, (i + 1).toLong) }
+            .iterator
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+          rows.map(t => (t._2, t._3, t._4)).toSeq.sortBy(_._1).foreach {
+            case (id, n, pos) =>
+              if (!seen.exists(_._1 == id)) {
+                seen.foreach { case (o, on, opos) =>
+                  if (math.min(on, n) * 5 >= math.max(on, n) * 3 &&
+                      (1 + math.min(on - opos, n - pos)) * 8 >=
+                        3 * (on + n))
+                    out += (if (o < id) CandPair(o, id)
+                            else CandPair(id, o))
+                }
+                seen = (id, n, pos) :: seen
+              }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization on `transformWithState` with EVENT-TIME
     * TIMERS — the stateful-v2 twin of [[sessionize]]: open-session
     * state in a typed ValueState, and the idle flush driven by

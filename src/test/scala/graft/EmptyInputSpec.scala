@@ -238,7 +238,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-21 (#346-348)
     "dedup_allpairs_exact", // no shingles -> no prefixes -> no pairs
     "layout_bloom_scan",    // no probe keys, zero data files written
-    "stats_perm_test")      // null-stats row (no users to permute)
+    "stats_perm_test",      // null-stats row (no users to permute)
+    "sample_coreset",       // no points: the lone objective row (null)
+    "layout_schema_evolution", // zero files in both epochs -> empty
+    "stats_holm_adjust")    // no types -> no pairs -> no verdicts
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -253,6 +256,11 @@ class EmptyInputSpec extends AnyFunSuite {
         // a test with no units must refuse a verdict, not invent one
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.fieldIndex("p")))
+      } else if (name == "sample_coreset") {
+        // no points: only the k-center objective row, with null radius
+        assert(rows.length == 1)
+        assert(rows.head.getAs[Long]("sel_order") == 99L)
+        assert(rows.head.isNullAt(rows.head.fieldIndex("dist_to_set")))
       } else if (name == "graph_modularity") {
         assert(rows.length == 1)
         assert(rows.head.getAs[Long]("n_communities") == 0L)

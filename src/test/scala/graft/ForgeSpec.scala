@@ -442,4 +442,44 @@ class ForgeSpec extends GraftSpec {
     }
     operators.Apex.deleteTempLayout(spark, tmp)
   }
+
+  test("layout_schema_evolution: epoch-1 footers physically LACK the " +
+      "late column, the merged read carries it as null exactly there, " +
+      "and row counts are conserved") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val tmp = Forge.writeSchemaEvolutionLayout(spark, sf)
+    def physicalFields(sub: String): Set[String] = {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
+      val fs = root.getFileSystem(hconf)
+      val it = fs.listFiles(root, true)
+      var f: org.apache.hadoop.fs.Path = null
+      while (f == null && it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) f = p
+      }
+      assert(f != null, s"no data file under $sub")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+      try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.getName).toSet
+      finally reader.close()
+    }
+    assert(!physicalFields("epoch=1").contains("price_cents"),
+      "epoch-1 files unexpectedly carry the late column - " +
+        "the evolution scenario degenerated into a rewrite")
+    assert(physicalFields("epoch=2").contains("price_cents"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert(merged.columns.contains("price_cents"))
+    val total = Tables(spark, sf, "orders").count()
+    assert(merged.count() == total, "merged read lost rows")
+    assert(merged.where(col("epoch") === 1 &&
+      col("price_cents").isNotNull).count() == 0,
+      "old-generation rows fabricated a value for the late column")
+    assert(merged.where(col("epoch") === 2 &&
+      col("price_cents").isNull).count() == 0,
+      "new-generation rows lost their column through the merge")
+    operators.Apex.deleteTempLayout(spark, tmp)
+  }
 }

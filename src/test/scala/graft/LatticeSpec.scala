@@ -404,4 +404,65 @@ class LatticeSpec extends GraftSpec {
     // the identity permutation is in the ensemble, so p can never be 0
     assert(row.getAs[Long]("p_num") >= 1)
   }
+
+  test("stats_holm_adjust: ranks, criticals, and the step-down verdicts " +
+      "match a direct recomputation; holm is never more permissive " +
+      "than the raw test") {
+    val byType = events.groupBy(_._2).map { case (t, g) =>
+      t -> moments(g.map(_._3))
+    }
+    val types = byType.keys.toSeq.sorted
+    val pairs = for {
+      a <- types; b <- types if a < b
+      (na, sa, qa) = byType(a)
+      (nb, sb, qb) = byType(b)
+    } yield {
+      val va = (BigInt(na) * qa - sa * sa).toDouble /
+        (BigInt(na) * na * (na - 1)).toDouble
+      val vb = (BigInt(nb) * qb - sb * sb).toDouble /
+        (BigInt(nb) * nb * (nb - 1)).toDouble
+      val t: Option[Double] =
+        if (na > 1 && nb > 1 && va + vb > 0)
+          Some((sa.toDouble / na - sb.toDouble / nb) / math.sqrt(va + vb))
+        else None
+      (a, b, t)
+    }
+    val crits = Array(1.959964, 2.241403, 2.39398, 2.497705, 2.575829,
+      2.638257, 2.69011, 2.734369, 2.772921, 2.807034)
+    val mTested = pairs.count(_._3.isDefined)
+    val ranked = pairs.sortBy { case (a, b, t) =>
+      (t.isEmpty, -t.map(_.abs).getOrElse(0.0), a, b)
+    }.zipWithIndex
+    var runPass = true
+    val expect = ranked.map { case ((a, b, t), i) =>
+      val rank = i + 1
+      val crit = t.map(_ => crits(mTested - rank))
+      val pass = t.map(x => x.abs > crit.get)
+      if (t.isDefined) runPass = runPass && pass.get
+      (a, b) -> ((t.map(p4), rank.toLong, crit,
+        t.map(x => x.abs > 1.959964),
+        if (t.isDefined) Some(runPass) else None))
+    }.toMap
+    val out = Lattice.statsHolmAdjust(spark, sf).collect()
+    assert(out.length == pairs.length && out.length == 10)
+    out.foreach { r =>
+      val k = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (t, rank, crit, raw, holm) = expect(k)
+      assert(Option(r.getAs[java.lang.Double]("t_stat"))
+        .map(_.doubleValue) == t, s"t for $k")
+      assert(r.getAs[Long]("rank") == rank, s"rank for $k")
+      assert(Option(r.getAs[java.lang.Double]("crit"))
+        .map(_.doubleValue) == crit, s"crit for $k")
+      assert(Option(r.getAs[java.lang.Boolean]("raw_sig_95"))
+        .map(_.booleanValue) == raw, s"raw flag for $k")
+      assert(Option(r.getAs[java.lang.Boolean]("holm_sig_95"))
+        .map(_.booleanValue) == holm, s"holm flag for $k")
+      // FWER control direction: the corrected verdict can only revoke
+      (Option(r.getAs[java.lang.Boolean]("holm_sig_95")),
+       Option(r.getAs[java.lang.Boolean]("raw_sig_95"))) match {
+        case (Some(h), Some(rw)) => assert(!h || rw)
+        case _ => ()
+      }
+    }
+  }
 }

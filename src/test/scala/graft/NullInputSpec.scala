@@ -135,7 +135,11 @@ class NullInputSpec extends AnyFunSuite {
     // round-21: size(null ws) = -1 < 3 drops the null doc from the
     // shingle table (exact pair set unchanged); the perm test and the
     // bloom lookup read events/orders, untouched by the nulled corpus
-    "dedup_allpairs_exact", "stats_perm_test", "layout_bloom_scan")
+    "dedup_allpairs_exact", "stats_perm_test", "layout_bloom_scan",
+    // round-21 batch 2: the null embedding is filtered before the
+    // greedy (isNotNull guard mirrored in the oracle); the evolution
+    // layout reads orders, untouched by the nulled corpus
+    "sample_coreset", "layout_schema_evolution", "stats_holm_adjust")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

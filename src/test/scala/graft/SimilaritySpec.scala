@@ -202,4 +202,58 @@ class SimilaritySpec extends GraftSpec {
       assert(r.getAs[Double]("recenter_shift") < 0.5, r.toString)
     }
   }
+
+  test("sample_coreset: the greedy farthest-point trajectory matches a " +
+      "plain-Scala recompute exactly; the radius curve is non-increasing " +
+      "and the final coverage radius is bounded by the last pick") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables(spark, sf, "embeddings")
+      .where(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 8
+    val byId = pts.toMap
+    var selected = Vector(pts.map(_._1).min)
+    var dmin: Map[Long, Double] = pts.map { case (id, e) =>
+      id -> (1.0 - cos(e, byId(selected.head)))
+    }.toMap
+    val expect = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Option[Double])]((1L, selected.head, None))
+    for (i <- 2 to k) {
+      val cand = dmin.view.filterKeys(id => !selected.contains(id)).toSeq
+      val (nid, nd) = cand.maxBy { case (id, d) => (d, -id) }
+      expect += ((i.toLong, nid, Some(nd)))
+      selected = selected :+ nid
+      dmin = dmin.map { case (id, d) =>
+        id -> math.min(d, 1.0 - cos(byId(id), byId(nid)))
+      }
+    }
+    val radius = dmin.view
+      .filterKeys(id => !selected.contains(id)).values.max
+    def p4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val out = operators.Similarity.sampleCoreset(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(out.length == k + 1)
+    expect.zip(out.take(k)).foreach { case ((o, id, d), (oo, oid, od)) =>
+      assert(o == oo && id == oid, s"pick $o diverged: $id vs $oid")
+      assert(d.map(p4d) == od, s"pick $o distance diverged")
+    }
+    assert(out.last._1 == 99L && out.last._2 == -1L)
+    assert(out.last._3 == Some(p4d(radius)))
+    // radius curve: non-increasing over picks 2..k, and coverage
+    // radius bounded by the last pick's distance
+    val ds = out.slice(1, k).flatMap(_._3)
+    ds.toSeq.sliding(2).foreach { w => if (w.length == 2) assert(w(1) <= w(0)) }
+    assert(out.last._3.get <= ds.last)
+  }
 }

@@ -1463,4 +1463,57 @@ class StreamingSpec extends GraftSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed.nonEmpty && streamed == direct)
   }
+
+  test("streaming prefix-filtered candidate index (#346 streamed, " +
+      "family #21) == the frozen-df prefix discipline, idempotent " +
+      "under redelivery; every verified >=tau pair is reachable") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.functions.Hashes.register(spark)
+    val grams = Tables(spark, sf, "documents")
+      .withColumn("hs", expr(
+        """ngram_hashes(filter(split(lower(text), '[^a-z0-9]+'),
+          |  w -> w != ''), 3)""".stripMargin))
+      .select("doc_id", "hs").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val dfm: Map[Long, Long] = grams.values.flatten
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val prefixes = grams.toSeq.collect { case (id, hs) if hs.nonEmpty =>
+      val n = hs.length
+      val p = n - (3 * n + 4) / 5 + 1
+      val pref = hs.sortBy(g => (dfm(g), g)).take(p).zipWithIndex
+        .map { case (g, i) => g -> (i + 1).toLong }.toMap
+      (id, n.toLong, pref)
+    }
+    val expected = (for {
+      (a, na, pa) <- prefixes
+      (b, nb, pb) <- prefixes
+      if a < b && math.min(na, nb) * 5 >= math.max(na, nb) * 3 &&
+        pa.keySet.intersect(pb.keySet).exists(g =>
+          (1 + math.min(na - pa(g), nb - pb(g))) * 8 >= 3 * (na + nb))
+    } yield (a, b)).toSet
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    val stream = MemoryStream[Doc]
+    val q = EventStream.allpairsCandidatesStream(stream.toDS(), dfm)
+      .writeStream.format("memory").queryName("allpairs_cand_out")
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    Seq(b1, b2, b1).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("allpairs_cand_out")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"stream-only: ${streamed.diff(expected).take(5)}, " +
+        s"reference-only: ${expected.diff(streamed).take(5)}")
+    // completeness through the stream path: every pair the batch
+    // operator VERIFIES at >=tau must be a streamed candidate
+    val verified = operators.Dedup.dedupAllpairsExact(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty && verified.subsetOf(streamed))
+  }
 }
