@@ -607,8 +607,108 @@ object Keystone {
        |FROM g GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #352
+  /** #352 mergeable higher-moment statistics — skewness and excess
+    * kurtosis per event type PLUS the merged ALL row, computed from
+    * ONE set of exact power sums (n, Σc, Σc², Σc³, Σc⁴ in
+    * DECIMAL(38,0) — c⁴·n stays within 38 digits far past the 100×
+    * replica): the profiler read that tells a distribution-shape
+    * story (#15/#326 stop at mean/stddev; tail asymmetry and
+    * heavy-tailedness are what decide winsorization and log-transform
+    * choices). The ALL row is DERIVED BY SUMMING the per-type decimal
+    * partials — not by re-scanning — which is the mergeability
+    * demonstration: these five numbers are the complete
+    * merge-associative state (the same lattice argument as the #53/
+    * #293 sketches, here exact). Doubles appear only in the final
+    * expression tree over exact decimals, with shared sub-values
+    * (μ, Σc²/n, …) so both engines evaluate the identical IEEE tree;
+    * m2^1.5 is written m2·√m2 (no pow); n < 2 or zero variance gates
+    * every shape stat to null on both sides.
+    *
+    * Scale: one map-side-combinable grouped shuffle of five decimal
+    * partials; the ALL fold is a 5-row aggregate.
+    */
+  def aggMomentsSkew(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), expr(centsExpr).as("c"))
+    // powers in DECIMAL space: c⁴ wraps int64 already at c ≈ 55k
+    // cents (this stream's top purchases) — the same overflow class
+    // the #268 hardening caught in the Bollinger square-sum
+    val cd = col("c").cast(dec)
+    val per = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(cd).as("s1"),
+        sum(cd * cd).as("s2"),
+        sum(cd * cd * cd).as("s3"),
+        sum(cd * cd * cd * cd).as("s4"))
+    val all = per.agg(sum("n").as("n"), sum("s1").as("s1"),
+        sum("s2").as("s2"), sum("s3").as("s3"), sum("s4").as("s4"))
+      .select(lit("ALL").as("event_type"), col("n"), col("s1"),
+        col("s2"), col("s3"), col("s4"))
+    val u = per.unionByName(all)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mu", col("s1").cast("double") / col("nd"))
+      .withColumn("r2", col("s2").cast("double") / col("nd"))
+      .withColumn("r3", col("s3").cast("double") / col("nd"))
+      .withColumn("r4m", col("s4").cast("double") / col("nd"))
+      .withColumn("m2", col("r2") - col("mu") * col("mu"))
+      .withColumn("m3", col("r3") - lit(3.0) * col("mu") * col("r2")
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("r4m") - lit(4.0) * col("mu") * col("r3")
+        + lit(6.0) * col("mu") * col("mu") * col("r2")
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+    val ok = col("n") >= 2L && col("m2") > 0.0
+    u.select(col("event_type"), col("n"),
+        r4(col("mu") / 100.0).as("mean_dollars"),
+        when(ok, r4(sqrt(col("m2")) / 100.0)).as("stddev_dollars"),
+        when(ok, r4(col("m3") / (col("m2") * sqrt(col("m2")))))
+          .as("skewness"),
+        when(ok, r4(col("m4") / (col("m2") * col("m2")) - lit(3.0)))
+          .as("kurtosis_excess"))
+      .orderBy("event_type")
+  }
+
+  val aggMomentsSkewSql: String =
+    s"""WITH e AS (SELECT event_type, $centsSql AS c FROM events),
+       |per AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(c::HUGEINT) AS s1,
+       |    SUM(c::HUGEINT * c) AS s2,
+       |    SUM(c::HUGEINT * c * c) AS s3,
+       |    SUM(c::HUGEINT * c * c * c) AS s4
+       |  FROM e GROUP BY 1),
+       |mrg AS (
+       |  SELECT 'ALL' AS event_type, CAST(SUM(n) AS BIGINT) AS n,
+       |    SUM(s1) AS s1, SUM(s2) AS s2, SUM(s3) AS s3, SUM(s4) AS s4
+       |  FROM per),
+       |u AS (SELECT * FROM per UNION ALL SELECT * FROM mrg),
+       |d AS (
+       |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+       |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+       |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4m
+       |  FROM u),
+       |m AS (
+       |  SELECT *, r2 - mu * mu AS m2,
+       |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+       |    r4m - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+       |      - 3.0 * mu * mu * mu * mu AS m4
+       |  FROM d)
+       |SELECT event_type, n,
+       |  ${r4Sql("mu / 100.0")} AS mean_dollars,
+       |  CASE WHEN n >= 2 AND m2 > 0 THEN
+       |    ${r4Sql("SQRT(m2) / 100.0")} END AS stddev_dollars,
+       |  CASE WHEN n >= 2 AND m2 > 0 THEN
+       |    ${r4Sql("m3 / (m2 * SQRT(m2))")} END AS skewness,
+       |  CASE WHEN n >= 2 AND m2 > 0 THEN
+       |    ${r4Sql("m4 / (m2 * m2) - 3.0")} END AS kurtosis_excess
+       |FROM m ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_moments_skew" -> (aggMomentsSkew _),
     "stats_ks_test" -> (statsKsTest _),
     "stats_mannwhitney" -> (statsMannWhitney _),
     "stats_welch_t" -> (statsWelchT _),
@@ -618,6 +718,7 @@ object Keystone {
     "mm_image_edges" -> (mmImageEdges _))
 
   val oracles: Map[String, String] = Map(
+    "agg_moments_skew" -> aggMomentsSkewSql,
     "stats_ks_test" -> statsKsTestSql,
     "stats_mannwhitney" -> statsMannWhitneySql,
     "stats_welch_t" -> statsWelchTSql,

@@ -241,7 +241,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_perm_test",      // null-stats row (no users to permute)
     "sample_coreset",       // no points: the lone objective row (null)
     "layout_schema_evolution", // zero files in both epochs -> empty
-    "stats_holm_adjust")    // no types -> no pairs -> no verdicts
+    "stats_holm_adjust",    // no types -> no pairs -> no verdicts
+    "agg_moments_skew")     // lone ALL row, null moments
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
@@ -256,6 +257,12 @@ class EmptyInputSpec extends AnyFunSuite {
         // a test with no units must refuse a verdict, not invent one
         assert(rows.length == 1)
         assert(rows.head.isNullAt(rows.head.fieldIndex("p")))
+      } else if (name == "agg_moments_skew") {
+        // the merged ALL row survives with null stats — no fabricated
+        // shape numbers from an empty stream
+        assert(rows.length == 1)
+        assert(rows.head.getAs[String]("event_type") == "ALL")
+        assert(rows.head.isNullAt(rows.head.fieldIndex("skewness")))
       } else if (name == "sample_coreset") {
         // no points: only the k-center objective row, with null radius
         assert(rows.length == 1)

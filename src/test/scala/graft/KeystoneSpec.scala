@@ -224,4 +224,61 @@ class KeystoneSpec extends GraftSpec {
       }
     }
   }
+
+  test("agg_moments_skew: per-type and merged-ALL shape statistics " +
+      "match an exact-power-sum recomputation, and the ALL row is the " +
+      "fold of the per-type partials") {
+    def p4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val byType: Map[String, Array[Long]] =
+      events.groupBy(_._1).map { case (t, g) => t -> g.map(_._2) }
+    def sums(g: Array[Long]): (Long, BigInt, BigInt, BigInt, BigInt) =
+      (g.length.toLong,
+        g.map(BigInt(_)).sum,
+        g.map(c => BigInt(c) * c).sum,
+        g.map(c => BigInt(c) * c * c).sum,
+        g.map(c => BigInt(c) * c * c * c).sum)
+    val per = byType.map { case (t, g) => t -> sums(g) }
+    val allS = {
+      val vs = per.values.toSeq
+      (vs.map(_._1).sum, vs.map(_._2).sum, vs.map(_._3).sum,
+        vs.map(_._4).sum, vs.map(_._5).sum)
+    }
+    def expect(t: (Long, BigInt, BigInt, BigInt, BigInt)) = {
+      val (n, s1, s2, s3, s4) = t
+      val nd = n.toDouble
+      val mu = s1.toDouble / nd
+      val r2 = s2.toDouble / nd
+      val r3 = s3.toDouble / nd
+      val r4m = s4.toDouble / nd
+      val m2 = r2 - mu * mu
+      val m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+      val m4 = r4m - 4.0 * mu * r3 + 6.0 * mu * mu * r2 -
+        3.0 * mu * mu * mu * mu
+      val ok = n >= 2 && m2 > 0
+      (n, p4(mu / 100.0),
+        if (ok) Some(p4(math.sqrt(m2) / 100.0)) else None,
+        if (ok) Some(p4(m3 / (m2 * math.sqrt(m2)))) else None,
+        if (ok) Some(p4(m4 / (m2 * m2) - 3.0)) else None)
+    }
+    val want = (per.map { case (t, v) => t -> expect(v) } +
+      ("ALL" -> expect(allS)))
+    val out = Keystone.aggMomentsSkew(spark, sf).collect()
+    assert(out.length == per.size + 1)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (n, mean, sd, sk, ku) = want(t)
+      assert(r.getAs[Long]("n") == n, s"n for $t")
+      assert(r.getAs[Double]("mean_dollars") == mean, s"mean for $t")
+      assert(Option(r.getAs[java.lang.Double]("stddev_dollars"))
+        .map(_.doubleValue) == sd, s"stddev for $t")
+      assert(Option(r.getAs[java.lang.Double]("skewness"))
+        .map(_.doubleValue) == sk, s"skew for $t")
+      assert(Option(r.getAs[java.lang.Double]("kurtosis_excess"))
+        .map(_.doubleValue) == ku, s"kurtosis for $t")
+    }
+    // a value stream bounded at zero with a long right tail must read
+    // right-skewed somewhere - the shape stats are not vacuously flat
+    assert(out.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("skewness"))).exists(_ > 0.5))
+  }
 }

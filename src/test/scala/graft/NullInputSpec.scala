@@ -139,7 +139,8 @@ class NullInputSpec extends AnyFunSuite {
     // round-21 batch 2: the null embedding is filtered before the
     // greedy (isNotNull guard mirrored in the oracle); the evolution
     // layout reads orders, untouched by the nulled corpus
-    "sample_coreset", "layout_schema_evolution", "stats_holm_adjust")
+    "sample_coreset", "layout_schema_evolution", "stats_holm_adjust",
+    "agg_moments_skew")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
