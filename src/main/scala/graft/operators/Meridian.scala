@@ -1173,7 +1173,92 @@ object Meridian {
                   "CAST(COUNT(*) AS DOUBLE)")} AS repeat_rate
        |FROM pc GROUP BY partkey ORDER BY partkey""".stripMargin
 
+  // --------------------------------------------------------------- #353
+  /** #353 POINT-IN-TIME feature assembly — the feature-store read
+    * that decides whether a training set leaks: one row per label
+    * event (purchase; label = its cents), carrying behavioral
+    * features computed from STRICTLY-PRIOR history only — window
+    * frames ending at `1 PRECEDING` in the deterministic
+    * (ts, event_id) order, so even a same-microsecond later event
+    * can never contribute to an earlier row's features — plus the
+    * SCD2 state IN EFFECT at the label instant (the #213 interval
+    * containment: state is knowledge-at-time, not leakage).
+    * Features: prior event count, prior purchase count, prior spend
+    * (exact cents), recency to the previous event (null for a
+    * user's first event — absence, never a fabricated 0). The
+    * strict-prior frame IS the leakage proof: the oracle and the
+    * spec recompute every row from raw history, so a feature that
+    * saw its own label (the classic `≤` bug) hash-breaks.
+    *
+    * Scale: ONE user-partitioned window pass over events + the
+    * user-keyed interval equi-join — both partition by the entity
+    * key; no shuffle grows faster than the event table.
+    */
+  def joinPitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val centsE = "cast(floor(value * 100.0 + 0.5) as bigint)"
+    val ev = Tables.eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), expr(centsE).as("cents"))
+    val wPrior = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val feats = ev
+      .withColumn("f_prior_events", count(lit(1)).over(wPrior))
+      // SUM over the empty first-row frame is NULL on both engines;
+      // counts/spend are genuinely zero there (recency stays null —
+      // absence), so coalesce on BOTH sides
+      .withColumn("f_prior_purchases",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(wPrior), lit(0L)))
+      .withColumn("f_prior_spend_cents",
+        coalesce(sum(when(col("event_type") === "purchase", col("cents"))
+          .otherwise(0L)).over(wPrior), lit(0L)))
+      .withColumn("f_recency_us",
+        col("ts_us") - max(col("ts_us")).over(wPrior))
+      .where(col("event_type") === "purchase")
+    val dim = Change.scd2Intervals(spark, dir)
+      .select(col("user_id").as("du"), col("state"),
+        col("effective_from"), col("effective_to"))
+    feats.join(dim, col("user_id") === col("du") &&
+        col("effective_from") <= col("ts_us") &&
+        (col("effective_to").isNull || col("ts_us") < col("effective_to")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("cents").as("label_cents"), col("f_prior_events"),
+        col("f_prior_purchases"), col("f_prior_spend_cents"),
+        col("f_recency_us"), col("state").as("f_state"))
+      .orderBy("event_id")
+  }
+
+  val joinPitFeaturesSql: String =
+    s"""WITH dim AS (${Change.scd2Sql}),
+       |ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |f AS (
+       |  SELECT *,
+       |    CAST(COUNT(*) OVER wp AS BIGINT) AS f_prior_events,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) OVER wp, 0) AS BIGINT)
+       |      AS f_prior_purchases,
+       |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN cents ELSE 0 END) OVER wp, 0) AS BIGINT)
+       |      AS f_prior_spend_cents,
+       |    ts_us - MAX(ts_us) OVER wp AS f_recency_us
+       |  FROM ev
+       |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT f.event_id, f.user_id, f.ts_us, f.cents AS label_cents,
+       |  f.f_prior_events, f.f_prior_purchases, f.f_prior_spend_cents,
+       |  f.f_recency_us, d.state AS f_state
+       |FROM f JOIN dim d ON d.user_id = f.user_id
+       |  AND d.effective_from <= f.ts_us
+       |  AND (d.effective_to IS NULL OR f.ts_us < d.effective_to)
+       |WHERE f.event_type = 'purchase'
+       |ORDER BY f.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_pit_features" -> (joinPitFeatures _),
     "graph_closeness" -> (graphCloseness _),
     "text_kneser_ney" -> (textKneserNey _),
     "text_langid_eval" -> (textLangidEval _),
@@ -1197,6 +1282,7 @@ object Meridian {
     "orders_repeat_rate" -> (ordersRepeatRate _))
 
   val oracles: Map[String, String] = Map(
+    "join_pit_features" -> joinPitFeaturesSql,
     "graph_closeness" -> graphClosenessSql,
     "text_kneser_ney" -> textKneserNeySql,
     "text_langid_eval" -> textLangidEvalSql,

@@ -242,7 +242,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_coreset",       // no points: the lone objective row (null)
     "layout_schema_evolution", // zero files in both epochs -> empty
     "stats_holm_adjust",    // no types -> no pairs -> no verdicts
-    "agg_moments_skew")     // lone ALL row, null moments
+    "agg_moments_skew",     // lone ALL row, null moments
+    "join_pit_features")    // no labels -> no training rows
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

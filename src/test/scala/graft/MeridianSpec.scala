@@ -352,4 +352,58 @@ class MeridianSpec extends GraftSpec {
     assert(r.agg(sum("n_customers")).head().getLong(0) == pairs)
     r.unpersist()
   }
+
+  test("join_pit_features: every feature recomputes from STRICTLY-prior " +
+      "history (the leakage proof), each purchase appears exactly once, " +
+      "and the attached state is the interval containing the instant") {
+    def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+    val ev = Tables.eventsUs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        cents(r.getDouble(4))))
+    val byUser = ev.groupBy(_._2).map { case (u, g) =>
+      u -> g.sortBy(e => (e._4, e._1))
+    }
+    val out = Meridian.joinPitFeatures(spark, sf).collect()
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(out.length == purchases.length,
+      "every purchase must yield exactly one training row")
+    out.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      val u = r.getAs[Long]("user_id")
+      val ts = r.getAs[Long]("ts_us")
+      val hist = byUser(u)
+      val i = hist.indexWhere(_._1 == id)
+      val prior = hist.take(i) // strictly before in (ts, id) order
+      assert(r.getAs[Long]("f_prior_events") == prior.length.toLong)
+      assert(r.getAs[Long]("f_prior_purchases") ==
+        prior.count(_._3 == "purchase").toLong)
+      assert(r.getAs[Long]("f_prior_spend_cents") ==
+        prior.filter(_._3 == "purchase").map(_._5).sum)
+      val rec = Option(r.getAs[java.lang.Long]("f_recency_us"))
+        .map(_.longValue)
+      if (prior.isEmpty) assert(rec.isEmpty,
+        "first event must carry NULL recency, not a fabricated 0")
+      else assert(rec == Some(ts - prior.map(_._4).max))
+      // the label itself (and anything at-or-after) contributed nothing:
+      // prior is a strict prefix, so the recomputation above IS the
+      // leakage assertion - but also pin the frame boundary directly
+      assert(prior.forall(e => e._4 < ts ||
+        (e._4 == ts && e._1 < id)))
+    }
+    // state attach: containment against the scd2 intervals
+    val dim = graft.operators.Change.scd2Intervals(spark, sf)
+      .select(col("user_id"), col("state"), col("effective_from"),
+        col("effective_to")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+    out.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val ts = r.getAs[Long]("ts_us")
+      val want = dim.filter(d => d._1 == u && d._3 <= ts && ts < d._4)
+      assert(want.length == 1, s"instant $ts of user $u not tiled once")
+      assert(r.getAs[String]("f_state") == want.head._2)
+    }
+  }
 }
