@@ -706,8 +706,92 @@ object Keystone {
        |    ${r4Sql("m4 / (m2 * m2) - 3.0")} END AS kurtosis_excess
        |FROM m ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #354
+  /** #354 winsorized mean — the robust-metrics read every
+    * experimentation platform puts beside the plain mean (one whale
+    * purchase can swing a per-type average; clipping at exact
+    * [p5, p95] order statistics is the standard fix, and the
+    * plain-vs-winsorized gap IS the tail-influence diagnostic that
+    * #352's kurtosis flags in the abstract). Percentile bounds are
+    * EXACT multiset order statistics — the value at position
+    * ⌈0.05n⌉ / ⌈0.95n⌉ of the (cents asc, event_id) order, all
+    * integer (no interpolation, no cross-engine percentile-semantics
+    * drift); clipping and both sums stay in exact cents/DECIMAL;
+    * doubles only in the final r4'd divisions.
+    *
+    * Scale: one rank window per type (the #17 WindowGroupLimit class
+    * does not apply — every row needs its clip — but the sort is the
+    * per-type event sort any percentile needs), then a map-side-
+    * combinable clipped rollup against the broadcast 5-row bounds.
+    */
+  def aggWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Tables.eventsUs(spark, dir)
+      .select(col("event_type"), col("event_id"), expr(centsExpr).as("c"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("c"), col("event_id"))
+    val wn = Window.partitionBy("event_type")
+    val ranked = e.withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+    val bounds = ranked.groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n + 19) div 20"), col("c")))
+          .as("p05_cents"),
+        max(when(col("rn") === expr("(19 * n + 19) div 20"), col("c")))
+          .as("p95_cents"))
+    e.join(broadcast(bounds), "event_type")
+      .withColumn("cw", least(greatest(col("c"), col("p05_cents")),
+        col("p95_cents")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("p05_cents").as("p05_cents"),
+        max("p95_cents").as("p95_cents"),
+        sum(col("c").cast(dec)).as("s"),
+        sum(col("cw").cast(dec)).as("sw"),
+        sum(when(col("c") < col("p05_cents"), 1L)
+          .when(col("c") > col("p95_cents"), 1L).otherwise(0L))
+          .as("n_clipped"))
+      .select(col("event_type"), col("n"), col("p05_cents"),
+        col("p95_cents"), col("n_clipped"),
+        r4(col("s").cast("double") / col("n").cast("double") / 100.0)
+          .as("mean_dollars"),
+        r4(col("sw").cast("double") / col("n").cast("double") / 100.0)
+          .as("winsorized_mean_dollars"))
+      .orderBy("event_type")
+  }
+
+  val aggWinsorizedMeanSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id, $centsSql AS c FROM events),
+       |r AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY c, event_id) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM e),
+       |b AS (
+       |  SELECT event_type, MAX(n) AS n,
+       |    MAX(CASE WHEN rn = (n + 19) // 20 THEN c END) AS p05_cents,
+       |    MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN c END)
+       |      AS p95_cents
+       |  FROM r GROUP BY 1),
+       |w AS (
+       |  SELECT e.event_type, b.n, b.p05_cents, b.p95_cents, e.c,
+       |    LEAST(GREATEST(e.c, b.p05_cents), b.p95_cents) AS cw
+       |  FROM e JOIN b ON e.event_type = b.event_type)
+       |SELECT event_type, n, p05_cents, p95_cents,
+       |  CAST(COUNT(*) FILTER (WHERE c < p05_cents OR c > p95_cents)
+       |    AS BIGINT) AS n_clipped,
+       |  ${r4Sql("CAST(SUM(c::HUGEINT) AS DOUBLE) / " +
+                  "CAST(MAX(n) AS DOUBLE) / 100.0")} AS mean_dollars,
+       |  ${r4Sql("CAST(SUM(cw::HUGEINT) AS DOUBLE) / " +
+                  "CAST(MAX(n) AS DOUBLE) / 100.0")}
+       |    AS winsorized_mean_dollars
+       |FROM w GROUP BY event_type, n, p05_cents, p95_cents
+       |ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_moments_skew" -> (aggMomentsSkew _),
     "stats_ks_test" -> (statsKsTest _),
     "stats_mannwhitney" -> (statsMannWhitney _),
@@ -718,6 +802,7 @@ object Keystone {
     "mm_image_edges" -> (mmImageEdges _))
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorized_mean" -> aggWinsorizedMeanSql,
     "agg_moments_skew" -> aggMomentsSkewSql,
     "stats_ks_test" -> statsKsTestSql,
     "stats_mannwhitney" -> statsMannWhitneySql,

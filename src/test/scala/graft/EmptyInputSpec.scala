@@ -243,7 +243,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "layout_schema_evolution", // zero files in both epochs -> empty
     "stats_holm_adjust",    // no types -> no pairs -> no verdicts
     "agg_moments_skew",     // lone ALL row, null moments
-    "join_pit_features")    // no labels -> no training rows
+    "join_pit_features",    // no labels -> no training rows
+    "agg_winsorized_mean")  // no types -> no bounds -> empty
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -281,4 +281,38 @@ class KeystoneSpec extends GraftSpec {
     assert(out.flatMap(r =>
       Option(r.getAs[java.lang.Double]("skewness"))).exists(_ > 0.5))
   }
+
+  test("agg_winsorized_mean: exact order-statistic bounds, clip counts " +
+      "and both means match a direct recomputation; winsorizing pulls " +
+      "the tailed types toward the median side") {
+    def p4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val byType = events.groupBy(_._1).map { case (t, g) => t -> g.map(_._2) }
+    val out = Keystone.aggWinsorizedMean(spark, sf).collect()
+    assert(out.length == byType.size)
+    var anyClipped = false
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val cs = byType(t).sorted
+      val n = cs.length
+      val lo = cs((n + 19) / 20 - 1)
+      val hi = cs((19 * n + 19) / 20 - 1)
+      assert(r.getAs[Long]("n") == n.toLong)
+      assert(r.getAs[Long]("p05_cents") == lo, s"p05 for $t")
+      assert(r.getAs[Long]("p95_cents") == hi, s"p95 for $t")
+      assert(r.getAs[Long]("n_clipped") ==
+        cs.count(c => c < lo || c > hi).toLong)
+      val s1 = cs.map(BigInt(_)).sum
+      val sw = cs.map(c => BigInt(math.min(math.max(c, lo), hi))).sum
+      assert(r.getAs[Double]("mean_dollars") ==
+        p4(s1.toDouble / n / 100.0))
+      assert(r.getAs[Double]("winsorized_mean_dollars") ==
+        p4(sw.toDouble / n / 100.0))
+      if (r.getAs[Long]("n_clipped") > 0) anyClipped = true
+      // right-skewed value stream: clipping the top tail can only pull
+      // the mean DOWN or hold it (never up past the raw mean + eps)
+      assert(r.getAs[Double]("winsorized_mean_dollars") <=
+        r.getAs[Double]("mean_dollars") + 1e-9)
+    }
+    assert(anyClipped, "no type clipped anything - vacuous winsorization")
+  }
 }

@@ -140,7 +140,7 @@ class NullInputSpec extends AnyFunSuite {
     // greedy (isNotNull guard mirrored in the oracle); the evolution
     // layout reads orders, untouched by the nulled corpus
     "sample_coreset", "layout_schema_evolution", "stats_holm_adjust",
-    "agg_moments_skew", "join_pit_features")
+    "agg_moments_skew", "join_pit_features", "agg_winsorized_mean")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {
