@@ -575,27 +575,13 @@ object Apex {
     */
   def layoutFooterAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fileRows = 512
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_footer_audit").toString
-    Tables(spark, dir, "orders")
-      .select(col("o_orderkey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
-          .as("day"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .repartition(col("month"))
-      .sortWithinPartitions("month", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("month")
-      .parquet(tmp)
-
-    // localCheckpoint materializes the file-count-sized stats frame
-    // NOW (it's ~80 rows), so the temp layout copy of orders can be
-    // deleted before returning — repeated sweeps/tests must not leak
-    // full-table parquet copies under java.io.tmpdir
-    val fileStats = readFooterDayStats(spark, tmp).localCheckpoint()
-    deleteTempLayout(spark, tmp)
+    // the shared cache-owned #320/#343 date layout (Forge.date512Layout):
+    // same (month, day, key) sort and 512-row file cap, so the day rank
+    // cuts — and hence the footer min/max this audit reads — are the
+    // closed form the oracle computes; the extra clustering columns the
+    // shared frame carries don't appear in the day stats
+    val tmp = Forge.date512Layout(spark, dir)
+    val fileStats = readFooterDayStats(spark, tmp)
     val probes = Seq(
       ("1993-06", 8552L, 8581L), ("1995-03", 9190L, 9220L),
       ("1997-11", 10166L, 10195L))

@@ -160,33 +160,45 @@ object Forge {
       .withColumn("zb", expr("z div 64"))
   }
 
+  /** The date-clustered 512-row-file layout of [[ordersZFrame]]
+    * (month directories, (day, key)-sorted inside) — the #320/#324/
+    * #340/#343 "streaming ingest" layout, written once per JVM via
+    * [[graft.LayoutCache]] and shared by every consumer (the write is
+    * deterministic, so reuse is invisible to results; the cache owns
+    * deletion — see its leak-discipline note).
+    */
+  private[graft] def date512Layout(spark: SparkSession,
+      dir: String): String =
+    graft.LayoutCache.getOrWrite("date512", dir) { tmp =>
+      ordersZFrame(spark, dir)
+        .repartition(col("month"))
+        .sortWithinPartitions("month", "day", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 512L)
+        .partitionBy("month").parquet(tmp)
+    }
+
+  /** The Morton/z-ordered 512-row-file layout of [[ordersZFrame]] —
+    * the #324/#331/#340 clustered layout, cache-shared like
+    * [[date512Layout]].
+    */
+  private[graft] def z512Layout(spark: SparkSession,
+      dir: String): String =
+    graft.LayoutCache.getOrWrite("z512", dir) { tmp =>
+      ordersZFrame(spark, dir)
+        .repartition(col("zb"))
+        .sortWithinPartitions("zb", "z", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 512L)
+        .partitionBy("zb").parquet(tmp)
+    }
+
   def layoutZorderFooter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fileRows = 512
-    val o = ordersZFrame(spark, dir)
-    val tmpD = java.nio.file.Files
-      .createTempDirectory("graft_zorder_date").toString
-    val tmpZ = java.nio.file.Files
-      .createTempDirectory("graft_zorder_z").toString
-    o.repartition(col("month"))
-      .sortWithinPartitions("month", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("month").parquet(tmpD)
-    o.repartition(col("zb"))
-      .sortWithinPartitions("zb", "z", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("zb").parquet(tmpZ)
-
-    // materialize the (files × 2 layouts)-sized stats NOW, then drop
-    // both temp layout copies (see Apex.deleteTempLayout — sweeps must
-    // not leak full-table parquet under java.io.tmpdir)
+    val tmpD = date512Layout(spark, dir)
+    val tmpZ = z512Layout(spark, dir)
     val stats = footerTwoDimStats(spark, tmpD, "date_clustered")
       .unionByName(footerTwoDimStats(spark, tmpZ, "zorder"))
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmpD)
-    Apex.deleteTempLayout(spark, tmpZ)
     // probes: day range only, customer bucket only, combined.
     // Sentinel bounds make "no constraint" explicit per dimension.
     val probes = layoutProbes.toDF("probe", "d_lo", "d_hi", "c_lo", "c_hi")
@@ -327,25 +339,22 @@ object Forge {
       .withColumn("hd", col(dFinal).cast("long"))
       .withColumn("hb", expr("hd div 64"))
       .select("o_orderkey", "day", "cb", "z", "zb", "hd", "hb")
-    val tmpZ = java.nio.file.Files
-      .createTempDirectory("graft_hilbert_z").toString
-    val tmpH = java.nio.file.Files
-      .createTempDirectory("graft_hilbert_h").toString
-    o.repartition(col("zb"))
-      .sortWithinPartitions("zb", "z", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("zb").parquet(tmpZ)
-    o.repartition(col("hb"))
-      .sortWithinPartitions("hb", "hd", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("hb").parquet(tmpH)
+    val tmpZ = graft.LayoutCache.getOrWrite("hilbz512", dir) { tmp =>
+      o.repartition(col("zb"))
+        .sortWithinPartitions("zb", "z", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", fileRows.toLong)
+        .partitionBy("zb").parquet(tmp)
+    }
+    val tmpH = graft.LayoutCache.getOrWrite("hilbh512", dir) { tmp =>
+      o.repartition(col("hb"))
+        .sortWithinPartitions("hb", "hd", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", fileRows.toLong)
+        .partitionBy("hb").parquet(tmp)
+    }
     val stats = footerTwoDimStats(spark, tmpZ, "zorder")
       .unionByName(footerTwoDimStats(spark, tmpH, "hilbert"))
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmpZ)
-    Apex.deleteTempLayout(spark, tmpH)
     val probes = layoutProbes.toDF("probe", "d_lo", "d_hi", "c_lo", "c_hi")
     stats.crossJoin(broadcast(probes))
       .groupBy("layout", "probe")
@@ -439,16 +448,8 @@ object Forge {
     * ~1.5% of the files instead of all of them.
     */
   def layoutPrunedScan(spark: SparkSession, dir: String): DataFrame = {
-    val fileRows = 512
     val (dLo, dHi, cV) = (9190L, 9220L, 7L)
-    val o = ordersZFrame(spark, dir)
-    val tmpZ = java.nio.file.Files
-      .createTempDirectory("graft_pruned_scan").toString
-    o.repartition(col("zb"))
-      .sortWithinPartitions("zb", "z", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("zb").parquet(tmpZ)
+    val tmpZ = z512Layout(spark, dir)
     val stats = footerTwoDimStats(spark, tmpZ, "zorder").collect()
     val survivors = stats.filter { r =>
       r.getAs[Long]("max_day") >= dLo && r.getAs[Long]("min_day") <= dHi &&
@@ -469,8 +470,6 @@ object Forge {
           / col("files_total")).as("skip_frac"),
         col("n_rows"), col("sum_orderkey"),
         col("min_day_read"), col("max_day_read"))
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmpZ)
     out
   }
 
@@ -563,8 +562,6 @@ object Forge {
       .withColumn("files_total", lit(nFiles))
       .select(col("files_total"), col("n_rows"), col("sum_orderkey"),
         col("min_day_read"), col("max_day_read"))
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmp)
     out
   }
 
@@ -574,23 +571,22 @@ object Forge {
     * small row group), rows (day, key)-sorted inside it, and a 1 KiB
     * `parquet.block.size` so the writer rolls a row group every ~100
     * records (the writer's minimum memory-check interval) — the
-    * sub-file structure #337 prunes against. Returns the temp root
-    * (caller deletes).
+    * sub-file structure #337 prunes against. Returns the
+    * [[graft.LayoutCache]]-owned root (write once per JVM; the cache
+    * deletes on exit — callers must not).
     */
   private[graft] def writeRowGroupDateLayout(spark: SparkSession,
-      dir: String): String = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_rg_scan").toString
-    ordersZFrame(spark, dir)
-      .select(col("o_orderkey").cast("long").as("o_orderkey"),
-        col("day"), substring(col("month"), 1, 4).as("year"))
-      .repartition(col("year"))
-      .sortWithinPartitions("year", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("parquet.block.size", "1024")
-      .partitionBy("year").parquet(tmp)
-    tmp
-  }
+      dir: String): String =
+    graft.LayoutCache.getOrWrite("rg1k", dir) { tmp =>
+      ordersZFrame(spark, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("day"), substring(col("month"), 1, 4).as("year"))
+        .repartition(col("year"))
+        .sortWithinPartitions("year", "day", "o_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "1024")
+        .partitionBy("year").parquet(tmp)
+    }
 
   val layoutRowgroupScanSql: String =
     """WITH o AS (
@@ -854,31 +850,19 @@ object Forge {
     * Both writes are the #324 deterministic layouts, so the DuckDB
     * oracle recomputes every file's ranges from the rank-cut closed
     * form and runs the same sweep — a green hash proves real footers
-    * == simulation THROUGH the depth algebra. Temp layouts deleted
-    * after the file stats materialize (the #324 discipline).
+    * == simulation THROUGH the depth algebra. Both layouts are the
+    * cache-shared #324 writes (graft.LayoutCache — one physical write
+    * per JVM, deleted on exit).
     */
   def layoutOverlapDepth(spark: SparkSession, dir: String): DataFrame = {
-    val fileRows = 512
-    val o = ordersZFrame(spark, dir)
-    val tmpD = java.nio.file.Files
-      .createTempDirectory("graft_depth_date").toString
-    val tmpZ = java.nio.file.Files
-      .createTempDirectory("graft_depth_z").toString
-    o.repartition(col("month"))
-      .sortWithinPartitions("month", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("month").parquet(tmpD)
-    o.repartition(col("zb"))
-      .sortWithinPartitions("zb", "z", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", fileRows.toLong)
-      .partitionBy("zb").parquet(tmpZ)
+    val tmpD = date512Layout(spark, dir)
+    val tmpZ = z512Layout(spark, dir)
+    // localCheckpoint: the stats frame feeds TWO consumers (the sweep
+    // and the per-(layout,dim) file counts) — materialize the footer
+    // read once instead of twice
     val stats = footerTwoDimStats(spark, tmpD, "date_clustered")
       .unionByName(footerTwoDimStats(spark, tmpZ, "zorder"))
       .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmpD)
-    Apex.deleteTempLayout(spark, tmpZ)
     val iv = stats.select(col("layout"), expr(
       "stack(2, 'day', min_day, max_day, 'cb', min_cb, max_cb) " +
         "as (dim, lo, hi)"))
@@ -1084,37 +1068,27 @@ object Forge {
     */
   def layoutCompactFiles(spark: SparkSession, dir: String): DataFrame = {
     val o = ordersZFrame(spark, dir)
-    val tmpS = java.nio.file.Files
-      .createTempDirectory("graft_compact_small").toString
-    val tmpC = java.nio.file.Files
-      .createTempDirectory("graft_compact_big").toString
-    o.repartition(col("month"))
-      .sortWithinPartitions("month", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 512L)
-      .partitionBy("month").parquet(tmpS)
-    // explicit schema: a zero-row upstream writes zero files and
-    // schema INFERENCE would throw — the compactor must no-op instead
-    spark.read.schema(o.schema).parquet(tmpS)
-      .repartition(col("month"))
-      .sortWithinPartitions("month", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 4096L)
-      .partitionBy("month").parquet(tmpC)
+    val tmpS = date512Layout(spark, dir)
+    val tmpC = graft.LayoutCache.getOrWrite("date4096", dir) { tmp =>
+      // explicit schema: a zero-row upstream writes zero files and
+      // schema INFERENCE would throw — the compactor must no-op instead
+      spark.read.schema(o.schema).parquet(tmpS)
+        .repartition(col("month"))
+        .sortWithinPartitions("month", "day", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 4096L)
+        .partitionBy("month").parquet(tmp)
+    }
     def monthStats(path: String): DataFrame =
       Apex.readFooterLongStats(spark, path, Seq("day"))
         .withColumn("month", regexp_extract(col("path"),
           "month=([^/]+)", 1))
     val before = monthStats(tmpS).groupBy("month")
       .agg(count(lit(1)).as("files_before"), sum("n_rows").as("n_rows"))
-      .localCheckpoint()
     val after = monthStats(tmpC).groupBy("month")
       .agg(count(lit(1)).as("files_after"),
         sum("n_rows").as("n_rows_after"),
         max("n_rows").as("max_file_rows_after"))
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmpS)
-    Apex.deleteTempLayout(spark, tmpC)
     before.join(after, "month")
       .select(col("month"), col("n_rows"), col("files_before"),
         col("files_after"),
@@ -1164,29 +1138,35 @@ object Forge {
     * enabled on o_custkey (NDV-sized to the customer count decade).
     */
   private[graft] def writeBloomDateLayout(spark: SparkSession,
-      dir: String): String = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_bloom_scan").toString
-    Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
-          .as("day"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .repartition(col("month"))
-      .sortWithinPartitions("month", "day", "o_orderkey")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", 512L)
-      .option("parquet.bloom.filter.enabled#o_custkey", "true")
-      .option("parquet.bloom.filter.expected.ndv#o_custkey", "100000")
-      // parquet-mr SKIPS the bloom when a chunk stays fully
-      // dictionary-encoded (the dictionary is already an exact
-      // membership index). At bench sf the 150-1500-key dictionary
-      // never overflows, so force the production high-cardinality
-      // regime (dict fallback) on the probe column to get real blooms
-      .option("parquet.enable.dictionary#o_custkey", "false")
-      .partitionBy("month").parquet(tmp)
-    tmp
-  }
+      dir: String): String =
+    graft.LayoutCache.getOrWrite("bloom512", dir) { tmp =>
+      // size the bloom NDV from the ACTUAL customer count (parquet
+      // footer metadata — no scan), not a fixed literal: an undersized
+      // bloom keeps its no-false-negative contract but its FP rate —
+      // and with it the measured skipping — degrades silently at
+      // larger sf (r9 advisory). Floor keeps tiny sf blooms sane.
+      val ndv = math.max(1024L,
+        Tables.parquetRowCount(spark, dir, "customer"))
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("day"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .repartition(col("month"))
+        .sortWithinPartitions("month", "day", "o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 512L)
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey",
+          ndv.toString)
+        // parquet-mr SKIPS the bloom when a chunk stays fully
+        // dictionary-encoded (the dictionary is already an exact
+        // membership index). At bench sf the 150-1500-key dictionary
+        // never overflows, so force the production high-cardinality
+        // regime (dict fallback) on the probe column to get real blooms
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .partitionBy("month").parquet(tmp)
+    }
 
   /** #347 BLOOM-FILTER pruned point lookup — the third skipping index,
     * completing the trilogy: zone maps (#320/#331) answer RANGE probes
@@ -1254,8 +1234,6 @@ object Forge {
         col("sum_orderkey"), col("min_day"), col("max_day"),
         lit(filesTotal).as("files_total"), col("zm_files_read"))
       .orderBy("probe_custkey")
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmp)
     out
   }
 
@@ -1300,22 +1278,20 @@ object Forge {
     * root — the shape every long-lived production table reaches.
     */
   private[graft] def writeSchemaEvolutionLayout(spark: SparkSession,
-      dir: String): String = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_schema_evo").toString
-    val o = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
-          .as("day"),
-        year(col("o_orderdate")).as("yr"),
-        expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)")
-          .as("price_cents"))
-    o.where(col("yr") < 1998).select("o_orderkey", "day")
-      .write.mode("overwrite").parquet(s"$tmp/epoch=1")
-    o.where(col("yr") >= 1998).select("o_orderkey", "day", "price_cents")
-      .write.mode("overwrite").parquet(s"$tmp/epoch=2")
-    tmp
-  }
+      dir: String): String =
+    graft.LayoutCache.getOrWrite("schemaevo", dir) { tmp =>
+      val o = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("day"),
+          year(col("o_orderdate")).as("yr"),
+          expr("cast(floor(o_totalprice * 100.0 + 0.5) as bigint)")
+            .as("price_cents"))
+      o.where(col("yr") < 1998).select("o_orderkey", "day")
+        .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+      o.where(col("yr") >= 1998).select("o_orderkey", "day", "price_cents")
+        .write.mode("overwrite").parquet(s"$tmp/epoch=2")
+    }
 
   /** #350 SCHEMA-EVOLUTION read — the production read every long-lived
     * table eventually needs: files written BEFORE a column existed sit
@@ -1354,7 +1330,6 @@ object Forge {
       found
     }
     if (!anyData) {
-      Apex.deleteTempLayout(spark, tmp)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new org.apache.spark.sql.types.StructType()
@@ -1373,8 +1348,6 @@ object Forge {
         r4(col("price_nulls").cast("double") /
           col("n_rows").cast("double")).as("price_null_frac"))
       .orderBy("epoch")
-      .localCheckpoint()
-    Apex.deleteTempLayout(spark, tmp)
     out
   }
 

@@ -242,7 +242,7 @@ class ForgeSpec extends GraftSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == full && got.nonEmpty,
         "row-group-pruned read diverged from the full scan")
-    } finally operators.Apex.deleteTempLayout(spark, tmp)
+    } finally ()  // cache-owned layout: LayoutCache deletes on JVM exit
   }
 
   test("layout_overlap_depth: every metric equals the rank-cut " +
@@ -440,7 +440,7 @@ class ForgeSpec extends GraftSpec {
       assert(r.getAs[Long]("zm_files_read") <=
         r.getAs[Long]("files_total"))
     }
-    operators.Apex.deleteTempLayout(spark, tmp)
+    // tmp is LayoutCache-owned (bloom512): deleted at JVM exit, not here
   }
 
   test("layout_schema_evolution: epoch-1 footers physically LACK the " +
@@ -480,6 +480,6 @@ class ForgeSpec extends GraftSpec {
     assert(merged.where(col("epoch") === 2 &&
       col("price_cents").isNull).count() == 0,
       "new-generation rows lost their column through the merge")
-    operators.Apex.deleteTempLayout(spark, tmp)
+    // tmp is LayoutCache-owned (schemaevo): deleted at JVM exit, not here
   }
 }
