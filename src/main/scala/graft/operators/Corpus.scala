@@ -1223,7 +1223,313 @@ object Corpus {
        |    / 4294967296.0 < r.tok_min / CAST(r.tok_source AS DOUBLE)
        |ORDER BY d.source, d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #357
+  /** #357 unigram-LM (SentencePiece-style) tokenizer leg — the OTHER
+    * tokenizer family next to BPE #328/#341: a fixed piece vocabulary
+    * with frequency-derived costs and per-word VITERBI segmentation
+    * (minimum total cost), instead of greedy merge application. The
+    * vocabulary is every single character plus the top-24 length-2..4
+    * substrings of the weighted word stream (count DESC, piece ASC —
+    * deterministic); a piece's cost is the INTEGER-BITS surprisal
+    * floor(log2(N_tot div cnt)) (the #160 `length(bin(k)) − 1` device —
+    * no libm anywhere), and the dp value packs (total_bits, n_pieces)
+    * as bits·1024 + 1 per piece, so the minimum is the LEXICOGRAPHIC
+    * (fewest bits, then fewest pieces) optimum with no tie ambiguity
+    * across engines. Emits per doc the word count, Viterbi token count,
+    * total bits, and tokens/word — the number read next to #328's BPE
+    * tokens/word when choosing a tokenizer family.
+    *
+    * Oracle strength: the DuckDB side does NOT run Viterbi — it
+    * enumerates ALL 2^(len−1) segmentations of every distinct word and
+    * takes the same composite minimum, so a green hash PROVES the
+    * Spark fold's dp is the true optimum (the #346 brute-force-oracle
+    * discipline). Tractable because corpus words are short (≤ 8 chars
+    * at every sf); the Spark side is linear in word length and carries
+    * no such bound.
+    *
+    * Scale: candidate counting is one keyed agg with map-side combine
+    * (piece space ≤ 4× corpus bytes pre-agg, vocabulary-sized after);
+    * the chosen vocabulary (≤ alphabet + 24 rows) collects to the
+    * driver exactly like #159's merge table and ships as a map literal
+    * inside the dp expression; encoding runs once per DISTINCT word
+    * (sub-linear in corpus bytes) and attaches back through a
+    * size-gated broadcast join; the per-doc rollup is one keyed agg.
+    */
+  def corpusUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val candidates = words.groupBy("w").agg(count(lit(1)).as("cw"))
+      .select(col("cw"), explode(expr(
+        """flatten(transform(filter(sequence(1, 4), l -> l <= length(w)),
+          |  l -> transform(sequence(1, length(w) - l + 1),
+          |         i -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cw").as("cnt"))
+    // vocabulary-sized driver collect (the #159 precedent): all single
+    // chars guarantee every word segments; top-24 multigrams by
+    // (cnt DESC, piece ASC) — deterministic, engine-reproducible
+    val vocab = candidates.where(length(col("piece")) === 1)
+      .unionByName(candidates.where(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), col("piece")).limit(24))
+      .collect()
+    val nTot = vocab.map(_.getAs[Long]("cnt")).sum
+    def bits(c: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(nTot / c)
+    val costMap: Map[String, Long] = vocab.map(r =>
+      r.getAs[String]("piece") ->
+        (bits(r.getAs[Long]("cnt")) * 1024L + 1L)).toMap
+    val inf = "1000000000000000L"
+    // dp[i] (1-based element i+1) = min composite cost of chars 1..i;
+    // candidate via a length-L piece ending at i reads dp[i-L]
+    // (element i-L+1) + cost(substring(i-L+1, L)), missing piece → INF
+    val candL = (1 to 4).map { l =>
+      s"IF(i >= $l, element_at(dp, i - $l + 1) + coalesce(" +
+        s"element_at(vm, substring(w, i - $l + 1, $l)), $inf), $inf)"
+    }.mkString(", ")
+    val dpExpr = "element_at(aggregate(sequence(1, length(w)), " +
+      s"array(0L), (dp, i) -> concat(dp, array(least($candL)))), -1)"
+    val wtok = words.select("w").distinct()
+      .withColumn("vm", typedlit(costMap))
+      .withColumn("dp", expr(dpExpr))
+      .select(col("w"), (col("dp") % 1024).cast("long").as("nt"),
+        expr("dp div 1024").cast("long").as("wbits"))
+    words.join(Tables.maybeBroadcast(wtok), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("nt").as("n_uni_tokens"),
+        sum("wbits").as("uni_bits"))
+      .select(col("doc_id"), col("n_words"), col("n_uni_tokens"),
+        col("uni_bits"),
+        r4(col("n_uni_tokens").cast("double") /
+          col("n_words").cast("double")).as("tokens_per_word"))
+      .orderBy("doc_id")
+  }
+
+  val corpusUnigramEncodeSql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM ws
+       |  GROUP BY w),
+       |cand AS (
+       |  SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
+       |    SELECT wc.cw, unnest(list_transform(
+       |        range(1, len(wc.w) - L.l + 2),
+       |        i -> substr(wc.w, i, L.l))) AS piece
+       |    FROM wc CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) L
+       |    WHERE len(wc.w) >= L.l)
+       |  GROUP BY piece),
+       |vocab AS (
+       |  SELECT piece, cnt FROM cand WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM cand WHERE len(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT 24)),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM vocab),
+       |vc AS (
+       |  SELECT piece,
+       |    ((CAST(length(bin(n_tot // cnt)) AS BIGINT) - 1) * 1024 + 1)
+       |      AS c
+       |  FROM vocab CROSS JOIN tot),
+       |aw AS (SELECT DISTINCT w FROM ws),
+       |mk AS (
+       |  SELECT w, unnest(range(0, 1 << (len(w) - 1))) AS m FROM aw),
+       |cuts AS (
+       |  SELECT w, m,
+       |    list_concat(list_concat([CAST(0 AS BIGINT)],
+       |      list_filter(range(1, len(w)),
+       |        j -> ((m >> (j - 1)) & 1) = 1)),
+       |      [CAST(len(w) AS BIGINT)]) AS cs
+       |  FROM mk),
+       |pcs AS (
+       |  SELECT w, m, len(cs) - 1 AS np,
+       |    unnest(list_transform(range(1, len(cs)),
+       |      k -> substr(w, CAST(cs[k] + 1 AS INT),
+       |        CAST(cs[k + 1] - cs[k] AS INT)))) AS p
+       |  FROM cuts),
+       |costed AS (
+       |  SELECT w, m, CAST(MAX(np) AS BIGINT) AS np,
+       |    CAST(COUNT(vc.piece) AS BIGINT) AS nfound,
+       |    CAST(COALESCE(SUM(vc.c), 0) AS BIGINT) AS cost
+       |  FROM pcs LEFT JOIN vc ON vc.piece = pcs.p
+       |  GROUP BY w, m),
+       |best AS (
+       |  SELECT w, MIN(CASE WHEN nfound = np THEN cost END) AS dp
+       |  FROM costed GROUP BY w)
+       |SELECT ws.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(b.dp % 1024) AS BIGINT) AS n_uni_tokens,
+       |  CAST(SUM(b.dp // 1024) AS BIGINT) AS uni_bits,
+       |  ${r4Sql("CAST(SUM(b.dp % 1024) AS DOUBLE) / COUNT(*)")}
+       |    AS tokens_per_word
+       |FROM ws JOIN best b ON ws.w = b.w
+       |GROUP BY ws.doc_id ORDER BY ws.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- #358
+  /** #358 best-fit-decreasing sequence packing — the production SFT
+    * packer that #66/#330's concat-then-chunk approximates: documents
+    * are never SPLIT across chunk boundaries (the contamination #237
+    * measures); instead every non-oversized doc is placed WHOLE into
+    * the open bin with the LEAST remaining capacity that still fits
+    * (ties → lowest bin index), after sorting descending by encoded
+    * size — classic BFD. The padding waste it pays is priced next to
+    * the greedy baseline's chunk count and boundary-crossing share,
+    * so the whole-doc-vs-packed-tight trade is measured, not guessed.
+    * Token unit is #328's REAL BPE encoding (the unit the GPU sees).
+    *
+    * Determinism == oracle-checkable: packing runs per (source, SHARD
+    * of 128 docs in doc_id order) — the fold is a pure function of the
+    * shard's (nt, doc_id) multiset — and the DuckDB oracle replays the
+    * identical fold as a recursive CTE carrying the bin-remainder LIST
+    * as state, so a green hash proves the two sequential packers agree
+    * bin-for-bin. Sharding is also the SCALE design: global BFD is
+    * inherently sequential, so production packers shard the stream and
+    * pack shards independently — embarrassingly parallel, fold state
+    * bounded by shard size, and the fill penalty vs global packing is
+    * negligible once a shard holds many bins' worth of tokens.
+    * Oversized docs (nt > C) fit no bin: counted and charged their
+    * forced-split ceil(nt/C) bins separately.
+    *
+    * Scale: one #328 encode (vocab-sized learn + distinct-word
+    * encode), one window for shard assignment, one keyed agg whose
+    * fold state is ≤ shard-size bins, map-side-combinable rollups.
+    */
+  def packSequencesBinned(spark: SparkSession, dir: String,
+      chunkTokens: Int = 2048, shardDocs: Int = 128): DataFrame = {
+    val c = chunkTokens
+    val dt = bpeDocTokens(spark, dir)
+      .select(col("source"), col("doc_id"),
+        col("n_bpe_tokens").as("nt"))
+    val wOrd = Window.partitionBy("source").orderBy("doc_id")
+    val base = dt
+      .withColumn("cum", sum("nt").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk0", row_number().over(wOrd))
+    // greedy (#330) baseline: a doc crosses a chunk boundary iff its
+    // token span [cum-nt, cum-1] straddles a multiple of C
+    val greedy = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("nt").as("total_tokens"),
+      sum(when(expr(s"(cum - nt) div $c") < expr(s"(cum - 1) div $c"),
+        1L).otherwise(0L)).as("boundary_docs_greedy"))
+    // the BFD fold: state = remaining capacity per open bin; best fit
+    // = min remaining ≥ nt (array_position → FIRST index on ties)
+    val bfCase =
+      s"""(bins, nt) -> CASE
+         |  WHEN size(filter(bins, b -> b >= nt)) > 0 THEN
+         |    transform(bins, (b, ix) -> IF(ix = cast(array_position(bins,
+         |      array_min(filter(bins, bb -> bb >= nt))) as int) - 1,
+         |      b - nt, b))
+         |  ELSE concat(bins, array(${c}L - nt)) END""".stripMargin
+    val packed = base.where(col("nt") <= c)
+      .withColumn("shard", expr(s"(rk0 - 1) div $shardDocs"))
+      .groupBy("source", "shard")
+      .agg(expr(
+        s"""aggregate(
+           |  transform(sort_array(collect_list(struct(-nt as negnt,
+           |    doc_id as d))), x -> -x.negnt),
+           |  cast(array() as array<bigint>),
+           |  $bfCase)""".stripMargin).as("bins"))
+      .groupBy("source")
+      .agg(sum(size(col("bins"))).cast("long").as("bins_packed"))
+    val oversize = base.where(col("nt") > c).groupBy("source")
+      .agg(count(lit(1)).as("n_oversized"),
+        sum(expr(s"(nt + ${c - 1}) div $c")).as("bins_oversize"))
+    greedy
+      .join(packed, Seq("source"), "left")
+      .join(oversize, Seq("source"), "left")
+      .withColumn("bins_bfd",
+        coalesce(col("bins_packed"), lit(0L)) +
+          coalesce(col("bins_oversize"), lit(0L)))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_oversized"), lit(0L)).as("n_oversized"),
+        col("total_tokens"), col("bins_bfd"),
+        (col("bins_bfd") * c - col("total_tokens")).as("padding_tokens"),
+        r4(col("total_tokens").cast("double") /
+          (col("bins_bfd") * c).cast("double")).as("fill_frac"),
+        expr(s"(total_tokens + ${c - 1}) div $c").as("greedy_chunks"),
+        col("boundary_docs_greedy"))
+      .orderBy("source")
+  }
+
+  val packSequencesBinnedSql: String =
+    s"""WITH RECURSIVE ${bpeOracleCtes(8)},
+       |dt AS (
+       |  SELECT source, doc_id, n_bpe_tokens AS nt FROM doc_tokens),
+       |b0 AS (
+       |  SELECT source, doc_id, nt,
+       |    SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS rk0
+       |  FROM dt),
+       |greedy AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(*) FILTER (
+       |      WHERE (cum - nt) // 2048 < (cum - 1) // 2048) AS BIGINT)
+       |      AS boundary_docs_greedy
+       |  FROM b0 GROUP BY source),
+       |docs AS (
+       |  SELECT source, doc_id, nt,
+       |    CAST((rk0 - 1) // 128 AS BIGINT) AS shard
+       |  FROM b0 WHERE nt <= 2048),
+       |ord AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, shard
+       |    ORDER BY nt DESC, doc_id) AS BIGINT) AS rk
+       |  FROM docs),
+       |sh AS (SELECT DISTINCT source, shard FROM ord),
+       |pk AS (
+       |  SELECT source, shard, CAST(0 AS BIGINT) AS r,
+       |    CAST([] AS BIGINT[]) AS bins
+       |  FROM sh
+       |  UNION ALL
+       |  SELECT p.source, p.shard, p.r + 1,
+       |    CASE WHEN len(list_filter(p.bins, b -> b >= o.nt)) > 0
+       |      THEN list_concat(list_concat(
+       |        p.bins[1:CAST(list_position(p.bins, list_min(
+       |          list_filter(p.bins, b -> b >= o.nt))) AS INT) - 1],
+       |        [p.bins[CAST(list_position(p.bins, list_min(
+       |          list_filter(p.bins, b -> b >= o.nt))) AS INT)] - o.nt]),
+       |        p.bins[CAST(list_position(p.bins, list_min(
+       |          list_filter(p.bins, b -> b >= o.nt))) AS INT) + 1:])
+       |      ELSE list_append(p.bins, 2048 - o.nt) END
+       |  FROM pk p JOIN ord o
+       |    ON o.source = p.source AND o.shard = p.shard
+       |    AND o.rk = p.r + 1),
+       |fin AS (
+       |  SELECT source, shard, bins FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source, shard
+       |      ORDER BY r DESC) AS z FROM pk) WHERE z = 1),
+       |pckd AS (
+       |  SELECT source, CAST(SUM(len(bins)) AS BIGINT) AS bins_packed
+       |  FROM fin GROUP BY source),
+       |ovs AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_oversized,
+       |    CAST(SUM((nt + 2047) // 2048) AS BIGINT) AS bins_oversize
+       |  FROM b0 WHERE nt > 2048 GROUP BY source),
+       |fo AS (
+       |  SELECT g.source, g.n_docs,
+       |    CAST(COALESCE(o.n_oversized, 0) AS BIGINT) AS n_oversized,
+       |    g.total_tokens,
+       |    CAST(COALESCE(p.bins_packed, 0) + COALESCE(o.bins_oversize, 0)
+       |      AS BIGINT) AS bins_bfd,
+       |    g.boundary_docs_greedy
+       |  FROM greedy g LEFT JOIN pckd p ON g.source = p.source
+       |  LEFT JOIN ovs o ON g.source = o.source)
+       |SELECT source, n_docs, n_oversized, total_tokens, bins_bfd,
+       |  CAST(bins_bfd * 2048 - total_tokens AS BIGINT)
+       |    AS padding_tokens,
+       |  ${r4Sql("CAST(total_tokens AS DOUBLE) / (bins_bfd * 2048.0)")}
+       |    AS fill_frac,
+       |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS greedy_chunks,
+       |  boundary_docs_greedy
+       |FROM fo ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_unigram_encode" -> (corpusUnigramEncode _),
+    "pack_sequences_binned" ->
+      ((s: SparkSession, d: String) => packSequencesBinned(s, d)),
     "split_train_val" -> (splitTrainVal _),
     "corpus_domain_drift" ->
       ((s: SparkSession, d: String) => corpusDomainDrift(s, d)),
@@ -1255,6 +1561,8 @@ object Corpus {
     "mix_domains_tokened" -> (mixDomainsTokened _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_unigram_encode" -> corpusUnigramEncodeSql,
+    "pack_sequences_binned" -> packSequencesBinnedSql,
     "split_train_val" -> splitTrainValSql,
     "corpus_domain_drift" -> corpusDomainDriftSql,
     "text_bpe_pairs" -> textBpePairsSql,

@@ -902,11 +902,18 @@ object Lattice {
        |  FROM perm CROSS JOIN obs
        |  GROUP BY r, obs.n, obs.n_a, obs.s),
        |g AS (
-       |  SELECT CAST(COUNT(*) FILTER (
+       |  -- degenerate-regime alignment (r9 advisory): with zero units
+       |  -- the Spark side's sum-over-empty yields NULL ge (a test with
+       |  -- no units refuses a verdict), while COUNT FILTER over the
+       |  -- empty perm frame would fabricate ge=0 (p = 1/129) — refuse
+       |  -- the verdict here too
+       |  SELECT CASE WHEN (SELECT n FROM obs) = 0 THEN NULL
+       |    ELSE CAST(COUNT(*) FILTER (
        |      WHERE t_r >= ABS(obs.s_a * obs.n - obs.s * obs.n_a))
-       |    AS BIGINT) AS ge
+       |    AS BIGINT) END AS ge
        |  FROM pr CROSS JOIN obs)
-       |SELECT n_a AS users_a, n - n_a AS users_b,
+       |SELECT CASE WHEN n = 0 THEN NULL ELSE n_a END AS users_a,
+       |  CASE WHEN n = 0 THEN NULL ELSE n - n_a END AS users_b,
        |  s_a AS spend_a_cents, s - s_a AS spend_b_cents,
        |  ABS(s_a * n - s * n_a) AS t_obs,
        |  ge + 1 AS p_num, CAST(129 AS BIGINT) AS p_den,
@@ -935,7 +942,14 @@ object Lattice {
     * then windows over the 10-row pair frame — metadata-plane at any
     * event volume.
     */
-  def statsHolmAdjust(spark: SparkSession, dir: String): DataFrame = {
+  /** The #302 Welch pair frame shared by the multiple-comparison
+    * corrections (#351 Holm step-down, #355 BH step-up): pairwise Welch
+    * t over per-type purchase-cents moments (DECIMAL-exact sums; the
+    * ONE IEEE division/sqrt at the end), degenerate pairs (n ≤ 1 or
+    * zero variance) carrying null t. One map-side-combinable 5-row
+    * moment shuffle at any event volume.
+    */
+  private def welchPairs(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.eventsUs(spark, dir)
       .select(col("event_type"), expr(centsExpr).as("c"))
       .groupBy("event_type")
@@ -953,39 +967,18 @@ object Lattice {
     val meanDiff = col("a.s").cast("double") / col("a.n").cast("double") -
       col("b.s").cast("double") / col("b.n").cast("double")
     val ok = col("a.n") > 1L && col("b.n") > 1L && (a + b) > 0.0
-    val pairs = broadcast(m.as("a")).join(broadcast(m.as("b")),
+    broadcast(m.as("a")).join(broadcast(m.as("b")),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"),
         when(ok, meanDiff / sqrt(a + b)).as("t"))
-    val mt = pairs.agg(
-      sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("m_tested"))
-    // z_{α/(2k)} for α=0.05, k=1..10 (asymptotic normal criticals)
-    val crits = array(Seq(1.959964, 2.241403, 2.39398, 2.497705,
-      2.575829, 2.638257, 2.69011, 2.734369, 2.772921, 2.807034)
-      .map(lit): _*)
-    val wr = Window.orderBy(col("t").isNull, abs(col("t")).desc,
-      col("type_a"), col("type_b"))
-    pairs.crossJoin(broadcast(mt))
-      .withColumn("rank", row_number().over(wr).cast("long"))
-      .withColumn("crit", when(col("t").isNotNull,
-        element_at(crits, (col("m_tested") - col("rank") + 1).cast("int"))))
-      .withColumn("pass", when(col("t").isNotNull,
-        abs(col("t")) > col("crit")))
-      .withColumn("holm_sig", when(col("t").isNotNull,
-        min(when(col("pass"), 1).otherwise(0))
-          .over(wr.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)) === 1))
-      .select(col("type_a"), col("type_b"), r4(col("t")).as("t_stat"),
-        col("rank"), col("crit"),
-        when(col("t").isNotNull, abs(col("t")) > lit(1.959964))
-          .as("raw_sig_95"),
-        col("holm_sig").as("holm_sig_95"))
-      .orderBy("type_a", "type_b")
   }
 
-  val statsHolmAdjustSql: String =
-    s"""WITH m AS (
+  /** DuckDB twin of [[welchPairs]]: CTEs `m` (per-type moments), `p`
+    * (pairs with Welch t), `mt` (tested-pair count).
+    */
+  private val welchPairsSqlCtes: String =
+    s"""m AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        |    SUM(($centsSql)::HUGEINT) AS s,
        |    SUM(($centsSql)::HUGEINT * ($centsSql)) AS q
@@ -1007,14 +1000,58 @@ object Lattice {
        |          CAST(b.n::HUGEINT * b.n * (b.n - 1) AS DOUBLE))
        |    END AS t
        |  FROM m a JOIN m b ON a.event_type < b.event_type),
-       |mt AS (SELECT CAST(COUNT(t) AS BIGINT) AS m_tested FROM p),
+       |mt AS (SELECT CAST(COUNT(t) AS BIGINT) AS m_tested FROM p)"""
+      .stripMargin
+
+  def statsHolmAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = welchPairs(spark, dir)
+    val mt = pairs.agg(
+      sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("m_tested"))
+    // z_{α/(2k)} for α=0.05, k=1..10 (asymptotic normal criticals)
+    val crits = array(Seq(1.959964, 2.241403, 2.39398, 2.497705,
+      2.575829, 2.638257, 2.69011, 2.734369, 2.772921, 2.807034)
+      .map(lit): _*)
+    val wr = Window.orderBy(col("t").isNull, abs(col("t")).desc,
+      col("type_a"), col("type_b"))
+    pairs.crossJoin(broadcast(mt))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      // fail FAST (r9 advisory): the critical-value table covers
+      // m ≤ 10 simultaneous tests (5 event types). A wider family must
+      // blow up loudly, not silently null every Holm verdict through
+      // an out-of-range element_at
+      .withColumn("crit",
+        when(col("m_tested") > lit(10L), raise_error(lit(
+          "stats_holm_adjust: m_tested > 10 — extend the critical-value"
+            + " table")).cast("double"))
+        .when(col("t").isNotNull,
+          element_at(crits, (col("m_tested") - col("rank") + 1).cast("int"))))
+      .withColumn("pass", when(col("t").isNotNull,
+        abs(col("t")) > col("crit")))
+      .withColumn("holm_sig", when(col("t").isNotNull,
+        min(when(col("pass"), 1).otherwise(0))
+          .over(wr.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) === 1))
+      .select(col("type_a"), col("type_b"), r4(col("t")).as("t_stat"),
+        col("rank"), col("crit"),
+        when(col("t").isNotNull, abs(col("t")) > lit(1.959964))
+          .as("raw_sig_95"),
+        col("holm_sig").as("holm_sig_95"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val statsHolmAdjustSql: String =
+    s"""WITH $welchPairsSqlCtes,
        |r AS (
        |  SELECT p.*, m_tested, CAST(ROW_NUMBER() OVER (
        |    ORDER BY (t IS NULL), ABS(t) DESC, type_a, type_b)
        |    AS BIGINT) AS rank
        |  FROM p CROSS JOIN mt),
        |c AS (
-       |  SELECT *, CASE WHEN t IS NOT NULL THEN
+       |  SELECT *, CASE
+       |    WHEN m_tested > 10 THEN CAST(error(
+       |      'stats_holm_adjust: m_tested > 10 - extend the table')
+       |      AS DOUBLE)
+       |    WHEN t IS NOT NULL THEN
        |    ([1.959964, 2.241403, 2.39398, 2.497705, 2.575829,
        |      2.638257, 2.69011, 2.734369, 2.772921, 2.807034])
        |      [(m_tested - rank + 1)::INT] END AS crit
@@ -1032,7 +1069,124 @@ object Lattice {
        |  CASE WHEN t IS NOT NULL THEN runmin = 1 END AS holm_sig_95
        |FROM f ORDER BY type_a, type_b""".stripMargin
 
+  // --------------------------------------------------------------- #355
+  /** #355 Benjamini–Hochberg step-UP over the same #302 Welch family —
+    * the FDR-controlling sibling of Holm #351 and the default an
+    * experimentation platform reaches for once the metric family grows:
+    * Holm controls the family-wise error rate (any false positive),
+    * BH controls the expected FALSE-DISCOVERY RATE, which is the right
+    * budget when dozens of metrics are read every day and a bounded
+    * fraction of false flags is acceptable in exchange for power. BH
+    * rejects ranks 1..k* where k* = max{k : p_(k) ≤ α·k/m} — two-sided
+    * z form: |t_(k)| ≥ z_{α·k/(2m)} — so the verdict is a running MAX
+    * over the CURRENT-AND-FOLLOWING ranks (one early-enough success
+    * rescues everything above it; contrast Holm's running AND down the
+    * order). BH(α) is uniformly less strict than Holm(α) rank-by-rank
+    * (αk/m ≥ α/(m−k+1) for all k ≤ m), so BH's rejection set contains
+    * Holm's — LatticeSpec pins that dominance on the live data.
+    *
+    * Criticals are z_{0.05·k/(2m)} for m = 1..10, k = 1..m — a
+    * triangular LITERAL table (generated offline with the stdlib
+    * inverse normal, 6 decimals; both engines parse identical doubles —
+    * the #307/#351 no-libm discipline), indexed [m_tested][rank], with
+    * the same fail-fast guard as #351: a family wider than the table
+    * raises, never silently nulls.
+    *
+    * Scale: identical to #351 — one 5-row moment shuffle, then windows
+    * over the ≤10-row pair frame; metadata-plane at any event volume.
+    */
+  def statsBhAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = welchPairs(spark, dir)
+    val mt = pairs.agg(
+      sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("m_tested"))
+    // z_{0.05·k/(2m)}: row m (1..10), entry k (1..m)
+    val critTable: Seq[Seq[Double]] = Seq(
+      Seq(1.959964),
+      Seq(2.241403, 1.959964),
+      Seq(2.39398, 2.128045, 1.959964),
+      Seq(2.497705, 2.241403, 2.080278, 1.959964),
+      Seq(2.575829, 2.326348, 2.17009, 2.053749, 1.959964),
+      Seq(2.638257, 2.39398, 2.241403, 2.128045, 2.036834, 1.959964),
+      Seq(2.69011, 2.449998, 2.300347, 2.18935, 2.100165, 2.0251,
+        1.959964),
+      Seq(2.734369, 2.497705, 2.350464, 2.241403, 2.153875, 2.080278,
+        2.016478, 1.959964),
+      Seq(2.772921, 2.539185, 2.39398, 2.286548, 2.200411, 2.128045,
+        2.065361, 2.009875, 1.959964),
+      Seq(2.807034, 2.575829, 2.432379, 2.326348, 2.241403, 2.17009,
+        2.108358, 2.053749, 2.004654, 1.959964))
+    val crits2 = array(critTable.map(r => array(r.map(lit): _*)): _*)
+    val wr = Window.orderBy(col("t").isNull, abs(col("t")).desc,
+      col("type_a"), col("type_b"))
+    pairs.crossJoin(broadcast(mt))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("crit",
+        when(col("m_tested") > lit(10L), raise_error(lit(
+          "stats_bh_adjust: m_tested > 10 — extend the critical-value"
+            + " table")).cast("double"))
+        .when(col("t").isNotNull,
+          element_at(element_at(crits2, col("m_tested").cast("int")),
+            col("rank").cast("int"))))
+      .withColumn("pass", when(col("t").isNotNull,
+        abs(col("t")) > col("crit")))
+      // step-UP: rank k rejects iff ANY rank j >= k passes its
+      // threshold (null-t rows sort last and contribute 0)
+      .withColumn("bh_sig", when(col("t").isNotNull,
+        max(when(col("pass"), 1).otherwise(0))
+          .over(wr.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing)) === 1))
+      .select(col("type_a"), col("type_b"), r4(col("t")).as("t_stat"),
+        col("rank"), col("crit"),
+        when(col("t").isNotNull, abs(col("t")) > lit(1.959964))
+          .as("raw_sig_95"),
+        col("bh_sig").as("bh_sig_95"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val statsBhAdjustSql: String = {
+    val tbl = "[[1.959964], [2.241403, 1.959964], " +
+      "[2.39398, 2.128045, 1.959964], " +
+      "[2.497705, 2.241403, 2.080278, 1.959964], " +
+      "[2.575829, 2.326348, 2.17009, 2.053749, 1.959964], " +
+      "[2.638257, 2.39398, 2.241403, 2.128045, 2.036834, 1.959964], " +
+      "[2.69011, 2.449998, 2.300347, 2.18935, 2.100165, 2.0251, " +
+      "1.959964], " +
+      "[2.734369, 2.497705, 2.350464, 2.241403, 2.153875, 2.080278, " +
+      "2.016478, 1.959964], " +
+      "[2.772921, 2.539185, 2.39398, 2.286548, 2.200411, 2.128045, " +
+      "2.065361, 2.009875, 1.959964], " +
+      "[2.807034, 2.575829, 2.432379, 2.326348, 2.241403, 2.17009, " +
+      "2.108358, 2.053749, 2.004654, 1.959964]]"
+    s"""WITH $welchPairsSqlCtes,
+       |r AS (
+       |  SELECT p.*, m_tested, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY (t IS NULL), ABS(t) DESC, type_a, type_b)
+       |    AS BIGINT) AS rank
+       |  FROM p CROSS JOIN mt),
+       |c AS (
+       |  SELECT *, CASE
+       |    WHEN m_tested > 10 THEN CAST(error(
+       |      'stats_bh_adjust: m_tested > 10 - extend the table')
+       |      AS DOUBLE)
+       |    WHEN t IS NOT NULL THEN
+       |    ($tbl)[m_tested::INT][rank::INT] END AS crit
+       |  FROM r),
+       |h AS (SELECT *, CASE WHEN t IS NOT NULL
+       |  THEN ABS(t) > crit END AS pass FROM c),
+       |f AS (
+       |  SELECT *, MAX(CASE WHEN pass THEN 1 ELSE 0 END) OVER (
+       |    ORDER BY (t IS NULL), ABS(t) DESC, type_a, type_b
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS runmax
+       |  FROM h)
+       |SELECT type_a, type_b, ${r4Sql("t")} AS t_stat, rank, crit,
+       |  CASE WHEN t IS NOT NULL THEN ABS(t) > 1.959964 END
+       |    AS raw_sig_95,
+       |  CASE WHEN t IS NOT NULL THEN runmax = 1 END AS bh_sig_95
+       |FROM f ORDER BY type_a, type_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_bh_adjust" -> (statsBhAdjust _),
     "stats_holm_adjust" -> (statsHolmAdjust _),
     "stats_perm_test" -> (statsPermTest _),
     "events_drift_chi2" -> (eventsDriftChi2 _),
@@ -1046,6 +1200,7 @@ object Lattice {
     "stats_ols_2var" -> (statsOls2var _))
 
   val oracles: Map[String, String] = Map(
+    "stats_bh_adjust" -> statsBhAdjustSql,
     "stats_holm_adjust" -> statsHolmAdjustSql,
     "stats_perm_test" -> statsPermTestSql,
     "events_drift_chi2" -> eventsDriftChi2Sql,

@@ -85,6 +85,130 @@ object Quality {
       |    AS clean_md5
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #356
+  /** Luhn digit-sum of positions `1..n` of string expr `v`, where a
+    * position's digit is DOUBLED (with the 9-fold) iff `i % 2 == par`
+    * — `i` counts from the LEFT. Emitted as a SQL expression string so
+    * the same integer arithmetic runs inside Spark lambda contexts.
+    */
+  private def luhnSumSparkExpr(v: String, n: Int, par: Int): String = {
+    val d = s"(cast(ascii(substring($v, i, 1)) as bigint) - 48)"
+    s"aggregate(sequence(1, $n), 0L, (s, i) -> s + " +
+      s"IF(i % 2 = $par, $d * 2 - IF($d > 4, 9, 0), $d))"
+  }
+
+  /** DuckDB twin of [[luhnSumSparkExpr]] (list_sum over the same
+    * per-position integer terms).
+    */
+  private def luhnSumDuckExpr(v: String, n: Int, par: Int): String = {
+    val d = s"(ascii(substr($v, i, 1)) - 48)"
+    s"list_sum(list_transform(range(1, ${n + 1}), i -> " +
+      s"CASE WHEN i % 2 = $par THEN $d * 2 - " +
+      s"CASE WHEN $d > 4 THEN 9 ELSE 0 END ELSE $d END))"
+  }
+
+  /** #356 CHECKSUM-VALIDATED PII detection — the step #78's regexes
+    * can't take: a 16-digit run is only a payment-card number if its
+    * Luhn checksum closes, and the valid/invalid split is what a
+    * compliance report actually needs (validated hits are reportable
+    * PII; checksum-failing runs are the false-positive rate of the
+    * naive regex). The synthetic corpus carries no natural card
+    * numbers, so — the #78 injection device — card-shaped runs are
+    * planted deterministically first: every doc_id % 5 == 0 gets a
+    * VALID number (15 payload digits derived from the doc id + the
+    * Luhn check digit computed in-engine), every doc_id % 13 == 0 gets
+    * the same payload with a BROKEN check digit (+5 mod 10). Detection
+    * is then real: extract every 16-digit run, validate each with the
+    * Luhn fold in pure integer arithmetic (no float, engine-exact),
+    * count valid vs invalid, and digest the text with all card-shaped
+    * runs redacted (policy: redact every run — a scrubber must not
+    * leak near-miss numbers either; the counts carry the validation).
+    *
+    * Position algebra: with the check digit appended at the right of a
+    * 16-digit number, Luhn doubles positions 2,4,..,16 from the RIGHT
+    * = the ODD positions from the left (parity 1) — in both the
+    * 15-digit payload and the full 16-digit run, since the payload
+    * occupies left positions 1..15 unshifted and the check digit sits
+    * at (never-doubled) position 16. QualitySpec plants both kinds
+    * and pins the split against an independent Scala Luhn; the DuckDB
+    * oracle recomputes injection + validation end to end, so a green
+    * hash proves the two Luhn folds agree digit-for-digit.
+    *
+    * Scale: pure map-side projection (regex + bounded integer folds
+    * per document), no shuffle but the presentation sort; the text
+    * never leaves the executors — only counts and a digest flow on.
+    */
+  def textPiiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val payload =
+      "lpad(cast((doc_id * 7919) % 1000000000000000 as string), 15, '0')"
+    val luhnOk = {
+      val s16 = luhnSumSparkExpr("r", 16, 1)
+      s"r -> $s16 % 10 = 0"
+    }
+    Tables.spread(spark, dir, "documents")
+      .withColumn("pay", expr(payload))
+      .withColumn("chk",
+        expr(s"(10 - ${luhnSumSparkExpr("pay", 15, 1)} % 10) % 10"))
+      .withColumn("synth0",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("card "), col("pay"), col("chk").cast("string"),
+            lit(" "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("synth",
+        when(col("doc_id") % 13 === 0,
+          concat(lit("card "), col("pay"),
+            ((col("chk") + 5) % 10).cast("string"), lit(" "),
+            col("synth0")))
+          .otherwise(col("synth0")))
+      .withColumn("runs",
+        expr("regexp_extract_all(synth, '\\\\d{16}', 0)"))
+      .select(col("doc_id"),
+        size(col("runs")).cast("long").as("n_card_runs"),
+        expr(s"cast(size(filter(runs, $luhnOk)) as bigint)")
+          .as("n_luhn_valid"),
+        (size(col("runs")).cast("long") -
+          expr(s"cast(size(filter(runs, $luhnOk)) as bigint)"))
+          .as("n_luhn_invalid"),
+        md5(regexp_replace(col("synth"), "\\d{16}", "<CARD16>"))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val textPiiLuhnSql: String = {
+    val okSum = luhnSumDuckExpr("r", 16, 1)
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR),
+       |      15, '0') AS pay
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, text, pay,
+       |    (10 - ${luhnSumDuckExpr("pay", 15, 1)} % 10) % 10 AS chk
+       |  FROM b),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN
+       |      'card ' || pay || CAST((chk + 5) % 10 AS VARCHAR) || ' '
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN
+       |      'card ' || pay || CAST(chk AS VARCHAR) || ' '
+       |      ELSE '' END || text AS synth
+       |  FROM k),
+       |e AS (
+       |  SELECT doc_id, synth,
+       |    regexp_extract_all(synth, '\\d{16}') AS runs
+       |  FROM s)
+       |SELECT doc_id,
+       |  CAST(len(runs) AS BIGINT) AS n_card_runs,
+       |  CAST(len(list_filter(runs, r -> $okSum % 10 = 0)) AS BIGINT)
+       |    AS n_luhn_valid,
+       |  CAST(len(runs) - len(list_filter(runs, r -> $okSum % 10 = 0))
+       |    AS BIGINT) AS n_luhn_invalid,
+       |  md5(regexp_replace(synth, '\\d{16}', '<CARD16>', 'g'))
+       |    AS clean_md5
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- #79
   /** #79 unigram-rarity scoring: each document's mean inverse token
     * frequency (total_tokens / token_count, averaged over the doc) — a
@@ -361,6 +485,7 @@ object Quality {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_cooccurrence" -> (eventsCooccurrence _),
     "text_pii_scrub" -> (textPiiScrub _),
+    "text_pii_luhn" -> (textPiiLuhn _),
     "text_rarity" -> (textRarity _),
     "text_zipf" -> ((s: SparkSession, d: String) => textZipf(s, d)),
     "filter_cascade" -> (filterCascade _),
@@ -369,6 +494,7 @@ object Quality {
   val oracles: Map[String, String] = Map(
     "events_cooccurrence" -> eventsCooccurrenceSql,
     "text_pii_scrub" -> textPiiScrubSql,
+    "text_pii_luhn" -> textPiiLuhnSql,
     "text_rarity" -> textRaritySql,
     "text_zipf" -> textZipfSql,
     "filter_cascade" -> filterCascadeSql,

@@ -638,7 +638,133 @@ object Similarity {
     sb.toString
   }
 
+  // --------------------------------------------------------------- #359
+  /** #359 Johnson–Lindenstrauss random-projection leg — the cheap
+    * dimensionality dial NEXT TO the quantization family (Matryoshka
+    * #279 truncates trained prefixes, SQ8/PQ/1-bit quantize per
+    * component; JL is the training-free option that works on ANY
+    * embedding): project 64-d float vectors to 16-d with a ±1 sign
+    * matrix and score recall@3 of projected-space cosine against the
+    * full-dimension truth — the readout that prices the 4× memory /
+    * bandwidth saving before wiring the projection in front of LSH or
+    * IVF. Sign s(j,d) = parity of the first md5 hex digit of "j:d"
+    * (the #33 plane device): deterministic, seedless, re-derivable by
+    * any engine. The Spark side inlines the 16×64 matrix as a LITERAL
+    * (computed driver-side from the same md5 — 1024 constants, never
+    * per-row hashing); the oracle re-derives every sign from md5 in
+    * SQL, so a green hash proves literal == definition.
+    *
+    * Exactness: projections and cosines are IEEE doubles computed with
+    * the same dimension-order sums on both engines (the #32 contract);
+    * ranking keys (cos DESC, c_id) are total; recall is exact integers
+    * with one r4'd division.
+    *
+    * Scale: the projection is map-side (16 fused multiply-adds per
+    * component read); queries broadcast (the #32 horizon-bounded eval
+    * set); at 100 TB the projected corpus feeds the bucketed ANN paths
+    * — this operator is the recall evidence for that substitution.
+    */
+  def embedJlProject(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Hashes.register(spark)
+    val (dims, kd, k) = (64, 16, 3)
+    val signs: Seq[Seq[Double]] = (0 until kd).map { j =>
+      (0 until dims).map { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$d".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+      }
+    }
+    val smLit = typedlit(signs)
+    def projExpr(c: String): String =
+      s"""transform(sequence(1, $kd), j ->
+         |  aggregate(sequence(1, least(size($c), $dims)),
+         |    cast(0.0 as double), (acc, d) ->
+         |    acc + element_at(element_at(sm, j), d) *
+         |      cast(element_at($c, d) as double)))""".stripMargin
+    val truth = annBruteforceFrom(Tables.spread(spark, dir, "embeddings"),
+        evalQueries(spark, dir), k)
+      .select(col("q_id"), col("c_id"))
+    val q = evalQueries(spark, dir).withColumn("sm", smLit)
+      .select(col("q_id"), expr(projExpr("q_emb")).as("qp"))
+    val c = Tables.spread(spark, dir, "embeddings")
+      .withColumn("sm", smLit)
+      .select(col("vec_id").as("c_id"),
+        expr(projExpr("embedding")).as("cp"))
+    val dot = s"aggregate(sequence(1, $kd), cast(0.0 as double), " +
+      "(acc, i) -> acc + element_at(qp, i) * element_at(cp, i))"
+    def nrm(v: String): String =
+      s"sqrt(aggregate($v, cast(0.0 as double), (a, x) -> a + x * x))"
+    val w = Window.partitionBy("q_id").orderBy(desc("cos_jl"), col("c_id"))
+    val jl = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_jl", expr(s"$dot / (${nrm("qp")} * ${nrm("cp")})"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"))
+    val hits = truth.join(jl, Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("h"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("h"), lit(0L)).as("n_hit"),
+        r4(coalesce(col("h"), lit(0L)).cast("double") /
+          col("n_truth").cast("double")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val embedJlProjectSql: String = {
+    val sign = "(CASE WHEN ('0x' || substr(md5(j || ':' || (d - 1)), " +
+      "1, 1))::INT & 1 = 1 THEN 1.0 ELSE -1.0 END)"
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE))) AS norm,
+       |    list_transform(range(0, 16), j ->
+       |      list_sum(list_transform(
+       |        range(1, least(len(embedding), 64) + 1),
+       |        d -> $sign * embedding[CAST(d AS INT)]::DOUBLE))) AS p
+       |  FROM embeddings),
+       |ts AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    list_sum(list_transform(range(1, len(q.embedding) + 1),
+       |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+       |      / (q.norm * c.norm) AS cosine_raw
+       |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000
+       |    AND q.vec_id <> c.vec_id),
+       |tt AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cosine_raw DESC, c_id) AS rank
+       |    FROM ts) WHERE rank <= 3),
+       |js AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    list_sum(list_transform(range(1, 17),
+       |      i -> q.p[CAST(i AS INT)] * c.p[CAST(i AS INT)]))
+       |    / (sqrt(list_sum(list_transform(q.p, x -> x * x)))
+       |      * sqrt(list_sum(list_transform(c.p, x -> x * x)))) AS cj
+       |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id < 1000000
+       |    AND q.vec_id <> c.vec_id),
+       |jk AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY cj DESC, c_id) AS rank
+       |    FROM js) WHERE rank <= 3),
+       |ov AS (
+       |  SELECT tt.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM tt JOIN jk ON tt.q_id = jk.q_id AND tt.c_id = jk.c_id
+       |  GROUP BY tt.q_id),
+       |tq AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+       |  FROM tt GROUP BY q_id)
+       |SELECT tq.q_id, tq.n_truth,
+       |  CAST(COALESCE(ov.n_hit, 0) AS BIGINT) AS n_hit,
+       |  ${r4Sql("CAST(COALESCE(ov.n_hit, 0) AS DOUBLE) / tq.n_truth")}
+       |    AS recall
+       |FROM tq LEFT JOIN ov ON tq.q_id = ov.q_id
+       |ORDER BY tq.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_jl_project" -> (embedJlProject _),
     "sample_coreset" -> (sampleCoreset _),
     "embed_outliers" ->
       ((s: SparkSession, d: String) => embedOutliers(s, d)),
@@ -1404,6 +1530,7 @@ object Similarity {
       |ORDER BY r.q_id, r.rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_jl_project" -> embedJlProjectSql,
     "sample_coreset" -> sampleCoresetSql,
     "embed_outliers" -> embedOutliersSql,
     "embed_dispersion" -> embedDispersionSql,

@@ -249,6 +249,135 @@ object EventStream {
         col("view_us"), col("purchase_us"), col("value"))
   }
 
+  /** Streamed AS-OF join output row (family #22): a purchase joined to
+    * the LATEST view by the same user at-or-before it within the
+    * 1-hour tolerance (the batch #10/#251 contract); `view_id` is null
+    * when no view qualifies. `lag_us` = purchase − view.
+    */
+  final case class AsofRow(user_id: Long, purchase_id: Long,
+      purchase_us: Long, view_id: Option[Long], view_us: Option[Long],
+      lag_us: Option[Long])
+
+  private val asofHorizonUs = 3600L * 1000000L
+
+  /** Family #22 processor — the streamed AS-OF join the interval join
+    * (family: viewPurchaseJoin) cannot express: "latest prior view"
+    * needs a per-purchase argmax, which append-mode stream-stream
+    * joins don't do. Per user, views and purchases buffer in
+    * ListState; a purchase is SEALED (joined + emitted) only once the
+    * watermark passes its event time — at that point every view
+    * at-or-before it has arrived (later ones would be beyond-watermark
+    * late), so the emitted match equals the batch argmax and is final
+    * (append-safe, no retraction). Timers cover idle users: a pending
+    * purchase re-arms an event-time timer just past its timestamp, so
+    * sealing needs no further traffic on the key.
+    *
+    * State bound: views live until `view_ts + tolerance ≤ watermark`
+    * (no unsealed purchase can reference them after that — an unsealed
+    * purchase has ts > watermark and tolerance reaches back only to
+    * ts − H); purchases live until the watermark passes them. Both are
+    * horizon × per-user-rate sized, independent of stream length.
+    */
+  class AsofJoinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, AsofRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode,
+      TimerValues, ExpiredTimerInfo, ListState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var views: ListState[(Long, Long)] = _
+    @transient private var pending: ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      views = getHandle.getListState[(Long, Long)]("views",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      pending = getHandle.getListState[(Long, Long)]("pending",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+    }
+
+    /** Seal every pending purchase the watermark has passed, evict
+      * views no unsealed purchase can reference, re-arm a timer for
+      * the earliest still-pending purchase. Idempotent per purchase:
+      * sealed purchases leave the state.
+      */
+    private def flush(key: Long, wmUs: Long): Iterator[AsofRow] = {
+      val vs = views.get().toSeq
+      val ps = pending.get().toSeq
+      val (ripe, wait) = ps.partition(_._1 <= wmUs)
+      val out = ripe.sorted.map { case (pts, pid) =>
+        val m = vs.filter(v =>
+            v._1 <= pts && v._1 + asofHorizonUs >= pts)
+          .sorted.lastOption // latest ts, ties by highest event id
+        AsofRow(key, pid, pts, m.map(_._2), m.map(_._1),
+          m.map(pts - _._1))
+      }
+      val keepV = vs.filter(_._1 + asofHorizonUs > wmUs)
+      views.clear()
+      if (keepV.nonEmpty) views.appendList(keepV.toArray)
+      pending.clear()
+      if (wait.nonEmpty) {
+        pending.appendList(wait.toArray)
+        getHandle.registerTimer(wait.map(_._1).min / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[AsofRow] = {
+      rows.foreach { e =>
+        if (e.event_type == "view")
+          views.appendValue((e.ts_us, e.event_id))
+        else if (e.event_type == "purchase")
+          pending.appendValue((e.ts_us, e.event_id))
+      }
+      flush(key, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AsofRow] =
+      flush(key, tv.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** [[AsofJoinProcessor]] wired to the stream: event-time timers,
+    * Append output (sealed matches are final).
+    */
+  def asofJoinStream(events: Dataset[Ev]): Dataset[AsofRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new AsofJoinProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[AsofRow])
+  }
+
+  /** Batch reference for [[asofJoinStream]]: every purchase LEFT-joined
+    * to its latest view at-or-before within the tolerance (rank 1 by
+    * (view_us, view_id) DESC — the processor's tie-break).
+    */
+  def asofJoinBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"))
+    val v = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts_us").as("view_us"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("view_us").desc, col("view_id").desc)
+    p.join(v, col("user_id") === col("v_user") &&
+        col("view_us") <= col("purchase_us") &&
+        col("view_us") + asofHorizonUs >= col("purchase_us"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("purchase_id"), col("purchase_us"),
+        col("view_id"), col("view_us"),
+        (col("purchase_us") - col("view_us")).as("lag_us"))
+  }
+
   /** Watermarked streaming dedup on event_id: the built-in
     * `dropDuplicates` with a watermark column, so per-key state expires
     * once the watermark passes — bounded by horizon × arrival rate, not

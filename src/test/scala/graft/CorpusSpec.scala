@@ -420,4 +420,112 @@ class CorpusSpec extends GraftSpec {
     val orig = docs.where(col("source") === smallest).count()
     assert(kept(smallest) == orig)
   }
+
+  test("corpus_unigram_encode equals a plain-Scala Viterbi reference " +
+      "(vocab learn + min-cost segmentation, lexicographic " +
+      "(bits, pieces) composite), and multigram pieces engage") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "banana bandana ana a nana", "srcA"),
+      (2L, "ban ana banana bananana", "srcA"),
+      (3L, "dan and band banda na", "srcB"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_enc")
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+
+    // ---- plain-Scala reference: weighted substring vocab + Viterbi
+    val wc = docs.flatMap(_._2.split(' ')).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (l <- 1 to 4; i <- 0 to w.length - l)
+        cand.updateWith(w.substring(i, i + l))(v =>
+          Some(v.getOrElse(0L) + c))
+    }
+    val vocab = cand.filter(_._1.length == 1).toMap ++
+      cand.filter(_._1.length >= 2).toSeq
+        .sortBy { case (p, c) => (-c, p) }.take(24).toMap
+    val nTot = vocab.values.sum
+    val cost = vocab.map { case (p, c) =>
+      p -> ((63L - java.lang.Long.numberOfLeadingZeros(nTot / c))
+        * 1024L + 1L)
+    }
+    val inf = 1000000000000000L
+    def vit(w: String): Long = {
+      val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i))
+        cost.get(w.substring(i - l, i)).foreach { cp =>
+          if (dp(i - l) + cp < dp(i)) dp(i) = dp(i - l) + cp
+        }
+      dp(w.length)
+    }
+    val expect = docs.map { case (id, text, _) =>
+      val dps = text.split(' ').filter(_.nonEmpty).map(vit)
+      id -> ((dps.length.toLong, dps.map(_ % 1024).sum,
+        dps.map(_ / 1024).sum))
+    }.toMap
+
+    val got = operators.Corpus
+      .corpusUnigramEncode(spark, dir.toString).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (nw, nt, bits) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("n_uni_tokens") == nt,
+        s"doc ${r.getAs[Long]("doc_id")}: Viterbi token count diverged")
+      assert(r.getAs[Long]("uni_bits") == bits)
+    }
+    // the vocabulary's multigrams must actually win segments: fewer
+    // tokens than characters overall, else the dp is vacuously chars
+    val totTok = got.map(_.getAs[Long]("n_uni_tokens")).sum
+    val totChars = docs.flatMap(_._2.split(' ')).map(_.length).sum
+    assert(totTok < totChars, "Viterbi never chose a multigram piece")
+  }
+
+  test("pack_sequences_binned: a plain-Scala BFD replay over the real " +
+      "encoded sizes matches bin-for-bin; accounting identities hold; " +
+      "a tiny capacity exercises the oversize leg") {
+    val c2048 = 2048L
+    val out = operators.Corpus.packSequencesBinned(spark, sf).collect()
+    assert(out.nonEmpty)
+    val dt = operators.Corpus.bpeDocTokens(spark, sf)
+      .select("source", "doc_id", "n_bpe_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = dt.groupBy(_._1)
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      val docs = bySource(s).sortBy(_._2)
+      var bins = 0L
+      docs.grouped(128).foreach { shard =>
+        val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        shard.filter(_._3 <= c2048).sortBy(x => (-x._3, x._2))
+          .foreach { case (_, _, nt) =>
+            val fit = b.zipWithIndex.filter(_._1 >= nt)
+            if (fit.nonEmpty) {
+              val (v, i) = fit.minBy(x => (x._1, x._2)); b(i) = v - nt
+            } else b += c2048 - nt
+          }
+        bins += b.length
+      }
+      val oversize = docs.filter(_._3 > c2048)
+        .map(x => (x._3 + c2048 - 1) / c2048).sum
+      assert(r.getAs[Long]("bins_bfd") == bins + oversize,
+        s"source $s: BFD bin count diverged from the Scala replay")
+      val total = docs.map(_._3).sum
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("padding_tokens") ==
+        r.getAs[Long]("bins_bfd") * c2048 - total)
+      assert(r.getAs[Long]("greedy_chunks") == (total + c2048 - 1) / c2048)
+      // BFD never splits docs, so it can only pay MORE bins than the
+      // doc-splitting greedy lower bound
+      assert(r.getAs[Long]("bins_bfd") >= r.getAs[Long]("greedy_chunks"))
+    }
+    val tiny = operators.Corpus
+      .packSequencesBinned(spark, sf, chunkTokens = 16, shardDocs = 8)
+      .collect()
+    assert(tiny.exists(_.getAs[Long]("n_oversized") > 0),
+      "tiny-capacity run planted no oversized docs")
+    tiny.foreach(r => assert(r.getAs[Long]("padding_tokens") >= 0L))
+  }
 }

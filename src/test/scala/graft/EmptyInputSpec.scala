@@ -244,7 +244,13 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_holm_adjust",    // no types -> no pairs -> no verdicts
     "agg_moments_skew",     // lone ALL row, null moments
     "join_pit_features",    // no labels -> no training rows
-    "agg_winsorized_mean")  // no types -> no bounds -> empty
+    "agg_winsorized_mean",  // no types -> no bounds -> empty
+    // round-22 additions (#355-359)
+    "stats_bh_adjust",      // no types -> no pairs -> no verdicts
+    "text_pii_luhn",        // no docs -> nothing to plant or scrub
+    "corpus_unigram_encode", // empty vocab, no words to segment
+    "pack_sequences_binned", // no docs -> no shards -> no bins
+    "embed_jl_project")     // no vectors -> no queries -> no recall
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -465,4 +465,33 @@ class LatticeSpec extends GraftSpec {
       }
     }
   }
+
+  test("stats_bh_adjust: step-up criticals are the z(0.05k/2m) table, " +
+      "the rejection set CONTAINS Holm's (BH dominance), and rank " +
+      "m_tested tests at the raw 1.959964") {
+    val bh = operators.Lattice.statsBhAdjust(spark, sf).collect()
+    val holm = operators.Lattice.statsHolmAdjust(spark, sf).collect()
+    assert(bh.nonEmpty && bh.length == holm.length)
+    def sig(rows: Array[org.apache.spark.sql.Row],
+        c: String): Set[(String, String)] =
+      rows.filter(r => !r.isNullAt(r.fieldIndex(c)) && r.getAs[Boolean](c))
+        .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")))
+        .toSet
+    assert(sig(holm, "holm_sig_95").subsetOf(sig(bh, "bh_sig_95")),
+      "BH rejected fewer pairs than Holm - step-up dominance broken")
+    val tested = bh.filter(!_.isNullAt(bh.head.fieldIndex("t_stat")))
+    val m = tested.length.toLong
+    tested.foreach { r =>
+      val crit = r.getAs[Double]("crit")
+      if (r.getAs[Long]("rank") == m)
+        assert(math.abs(crit - 1.959964) < 1e-9,
+          "rank m_tested must test at the unadjusted critical")
+      if (r.getAs[Long]("rank") == 1L && m == 10L)
+        assert(math.abs(crit - 2.807034) < 1e-9,
+          "rank 1 of 10 must test at the Bonferroni critical")
+      // step-up criticals decrease with rank; every BH critical is at
+      // most Holm's for the same rank (the dominance witness)
+      assert(crit >= 1.959964 - 1e-9)
+    }
+  }
 }

@@ -74,4 +74,35 @@ class QualitySpec extends GraftSpec {
       assert(r.getDouble(1) >= r.getDouble(0) - 1e-9)
     }
   }
+
+  test("text_pii_luhn: planted valid cards validate, broken checksums " +
+      "fail, untouched docs carry no runs, and an independent Scala " +
+      "Luhn agrees with the planted check digits") {
+    def luhnOk(s: String): Boolean =
+      s.reverse.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    val out = operators.Quality.textPiiLuhn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val v = r.getAs[Long]("n_luhn_valid")
+      val iv = r.getAs[Long]("n_luhn_invalid")
+      assert(r.getAs[Long]("n_card_runs") == v + iv)
+      assert(v == (if (id % 5 == 0) 1L else 0L),
+        s"doc $id: valid-card count $v")
+      assert(iv == (if (id % 13 == 0) 1L else 0L),
+        s"doc $id: broken-card count $iv")
+      if (id % 5 == 0) {
+        // re-derive the planted number; the independent Luhn must
+        // accept exactly the operator's check digit and reject +5
+        val pay = f"${(id * 7919) % 1000000000000000L}%015d"
+        val chk = (0 to 9).find(c => luhnOk(pay + c.toString)).get
+        assert(!luhnOk(pay + ((chk + 5) % 10).toString))
+      }
+    }
+    assert(out.exists(_.getAs[Long]("n_luhn_valid") > 0))
+    assert(out.exists(_.getAs[Long]("n_luhn_invalid") > 0))
+  }
 }

@@ -256,4 +256,20 @@ class SimilaritySpec extends GraftSpec {
     ds.toSeq.sliding(2).foreach { w => if (w.length == 2) assert(w(1) <= w(0)) }
     assert(out.last._3.get <= ds.last)
   }
+
+  test("embed_jl_project: recall readout is exact integers over the " +
+      "brute-force truth, every query reports k truths, and the " +
+      "16-d projection preserves nonzero neighbor structure") {
+    val out = operators.Similarity.embedJlProject(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val t = r.getAs[Long]("n_truth"); val h = r.getAs[Long]("n_hit")
+      assert(t == 3L)
+      assert(h >= 0L && h <= t)
+      assert(math.abs(r.getAs[Double]("recall") - h.toDouble / t) < 1e-4)
+    }
+    val hits = out.map(_.getAs[Long]("n_hit")).sum
+    assert(hits > 0L,
+      "JL projection preserved no neighbor structure - signs suspect")
+  }
 }

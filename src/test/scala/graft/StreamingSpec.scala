@@ -1516,4 +1516,60 @@ class StreamingSpec extends GraftSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(verified.nonEmpty && verified.subsetOf(streamed))
   }
+
+  test("streamed AS-OF join (family #22): watermark-sealed purchases " +
+      "join their latest prior view within tolerance == batch as-of, " +
+      "across batch boundaries and an idle-tail timer flush") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // transformWithState with multiple states needs RocksDB column
+    // families; scope the provider override and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val events = loadEvents()
+      val stream = MemoryStream[Ev]
+      val q = EventStream.asofJoinStream(stream.toDS())
+        .writeStream.format("memory").queryName("asof_out")
+        .outputMode("append").start()
+      // three batches: view buffers and pending purchases must survive
+      // batch boundaries until the watermark seals each purchase
+      val (b1, rest) = events.splitAt(events.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      // a far-future event on a DIFFERENT user advances the watermark
+      // past every real purchase; the trailing real purchases then seal
+      // via their re-armed event-time TIMERS, not via new per-user input
+      val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+      stream.addData(Ev(-1L, -1L, "view", flushTs, 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(-2L, -1L, "view", flushTs + 1L, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      spark.table("asof_out")
+        .where(col("user_id") =!= -1L)
+        .collect().map(_.toSeq).toSet
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+    val batch = EventStream.asofJoinBatch(
+      Tables.eventsUs(spark, sf)
+        .select("event_id", "user_id", "event_type", "ts_us", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // the equivalence must be non-vacuous on BOTH legs: some purchases
+    // matched a prior view, some had none within tolerance
+    assert(batch.exists(r => r(3) != null), "no matched purchase - vacuous")
+    assert(batch.exists(r => r(3) == null),
+      "every purchase matched - tolerance leg unexercised")
+  }
 }
