@@ -1255,9 +1255,15 @@ object Corpus {
     * (sub-linear in corpus bytes) and attaches back through a
     * size-gated broadcast join; the per-doc rollup is one keyed agg.
     */
-  def corpusUnigramEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document unigram-Viterbi token counts (doc_id, source,
+    * n_words, n_uni_tokens, uni_bits) — the #357 core, shared with the
+    * #360 tokenizer-family comparison (the bpeDocTokens twin).
+    */
+  private[graft] def unigramDocTokens(spark: SparkSession,
+      dir: String): DataFrame = {
     val words = Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
     val candidates = words.groupBy("w").agg(count(lit(1)).as("cw"))
       .select(col("cw"), explode(expr(
@@ -1294,21 +1300,30 @@ object Corpus {
       .select(col("w"), (col("dp") % 1024).cast("long").as("nt"),
         expr("dp div 1024").cast("long").as("wbits"))
     words.join(Tables.maybeBroadcast(wtok), "w")
-      .groupBy("doc_id")
+      .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_words"),
         sum("nt").as("n_uni_tokens"),
         sum("wbits").as("uni_bits"))
+  }
+
+  def corpusUnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    unigramDocTokens(spark, dir)
       .select(col("doc_id"), col("n_words"), col("n_uni_tokens"),
         col("uni_bits"),
         r4(col("n_uni_tokens").cast("double") /
           col("n_words").cast("double")).as("tokens_per_word"))
       .orderBy("doc_id")
-  }
 
-  val corpusUnigramEncodeSql: String =
-    s"""WITH ws AS (
-       |  SELECT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  /** Shared DuckDB CTE block ending in `uni_doc_tokens(doc_id,
+    * source, n_words, n_uni_tokens, uni_bits)` — the #357 learn +
+    * brute-force-Viterbi oracle, reused by #360. CTE names are
+    * disjoint from [[bpeOracleCtes]]'s so the two blocks compose in
+    * one WITH (the #330 pattern).
+    */
+  private val unigramOracleCtes: String =
+    s"""ws AS (
+       |  SELECT doc_id, source, w FROM (
+       |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
        |    FROM documents) WHERE w <> ''),
        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM ws
        |  GROUP BY w),
@@ -1332,9 +1347,9 @@ object Corpus {
        |    ((CAST(length(bin(n_tot // cnt)) AS BIGINT) - 1) * 1024 + 1)
        |      AS c
        |  FROM vocab CROSS JOIN tot),
-       |aw AS (SELECT DISTINCT w FROM ws),
+       |uaw AS (SELECT DISTINCT w FROM ws),
        |mk AS (
-       |  SELECT w, unnest(range(0, 1 << (len(w) - 1))) AS m FROM aw),
+       |  SELECT w, unnest(range(0, 1 << (len(w) - 1))) AS m FROM uaw),
        |cuts AS (
        |  SELECT w, m,
        |    list_concat(list_concat([CAST(0 AS BIGINT)],
@@ -1356,14 +1371,20 @@ object Corpus {
        |  GROUP BY w, m),
        |best AS (
        |  SELECT w, MIN(CASE WHEN nfound = np THEN cost END) AS dp
-       |  FROM costed GROUP BY w)
-       |SELECT ws.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |  CAST(SUM(b.dp % 1024) AS BIGINT) AS n_uni_tokens,
-       |  CAST(SUM(b.dp // 1024) AS BIGINT) AS uni_bits,
-       |  ${r4Sql("CAST(SUM(b.dp % 1024) AS DOUBLE) / COUNT(*)")}
+       |  FROM costed GROUP BY w),
+       |uni_doc_tokens AS (
+       |  SELECT ws.doc_id, ws.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(b.dp % 1024) AS BIGINT) AS n_uni_tokens,
+       |    CAST(SUM(b.dp // 1024) AS BIGINT) AS uni_bits
+       |  FROM ws JOIN best b ON ws.w = b.w
+       |  GROUP BY ws.doc_id, ws.source)""".stripMargin
+
+  val corpusUnigramEncodeSql: String =
+    s"""WITH $unigramOracleCtes
+       |SELECT doc_id, n_words, n_uni_tokens, uni_bits,
+       |  ${r4Sql("CAST(n_uni_tokens AS DOUBLE) / n_words")}
        |    AS tokens_per_word
-       |FROM ws JOIN best b ON ws.w = b.w
-       |GROUP BY ws.doc_id ORDER BY ws.doc_id""".stripMargin
+       |FROM uni_doc_tokens ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- #358
   /** #358 best-fit-decreasing sequence packing — the production SFT
@@ -1526,8 +1547,72 @@ object Corpus {
        |  boundary_docs_greedy
        |FROM fo ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #360
+  /** #360 tokenizer-FAMILY comparison — the read a tokenizer choice is
+    * actually made from: per source, total words and the encoded token
+    * mass under BOTH families (#328 BPE greedy-merge vs #357 unigram
+    * Viterbi), their tokens/word, and the unigram/BPE token ratio.
+    * #341 sweeps one family's budget; this compares ACROSS families at
+    * fixed budgets (8 merges vs char+24-piece vocab) — per source
+    * because mixtures are specified per source and a family can win on
+    * one domain and lose on another.
+    *
+    * Exactness: integer token sums from the two shared doc-level
+    * frames; three r4'd IEEE divisions computed AFTER aggregation
+    * identically on both engines. The oracle composes the two proven
+    * CTE blocks (#328's learn/encode + #357's brute-force-Viterbi) in
+    * one WITH — green hash proves the join of two independently-proven
+    * pipelines.
+    *
+    * Scale: both legs are vocab-sized learns + distinct-word encodes +
+    * one keyed doc rollup each; the comparison adds one doc-level join
+    * and a sources-sized aggregate.
+    */
+  def corpusTokenizerEval(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = bpeDocTokens(spark, dir)
+    val uni = unigramDocTokens(spark, dir)
+      .select(col("doc_id"), col("n_uni_tokens"))
+    bpe.join(uni, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"),
+        sum("n_uni_tokens").as("n_uni_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_uni_tokens"),
+        r4(col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double")).as("bpe_tokens_per_word"),
+        r4(col("n_uni_tokens").cast("double") /
+          col("n_words").cast("double")).as("uni_tokens_per_word"),
+        r4(col("n_uni_tokens").cast("double") /
+          col("n_bpe_tokens").cast("double")).as("uni_vs_bpe"))
+      .orderBy("source")
+  }
+
+  val corpusTokenizerEvalSql: String =
+    s"""WITH ${bpeOracleCtes(8)},
+       |$unigramOracleCtes,
+       |tj AS (
+       |  SELECT d.source, d.n_words, d.n_bpe_tokens, u.n_uni_tokens
+       |  FROM doc_tokens d JOIN uni_doc_tokens u ON d.doc_id = u.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(n_uni_tokens) AS BIGINT) AS n_uni_tokens,
+       |  ${r4Sql("CAST(SUM(n_bpe_tokens) AS DOUBLE) " +
+                  "/ CAST(SUM(n_words) AS DOUBLE)")}
+       |    AS bpe_tokens_per_word,
+       |  ${r4Sql("CAST(SUM(n_uni_tokens) AS DOUBLE) " +
+                  "/ CAST(SUM(n_words) AS DOUBLE)")}
+       |    AS uni_tokens_per_word,
+       |  ${r4Sql("CAST(SUM(n_uni_tokens) AS DOUBLE) " +
+                  "/ CAST(SUM(n_bpe_tokens) AS DOUBLE)")}
+       |    AS uni_vs_bpe
+       |FROM tj GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
+    "corpus_tokenizer_eval" -> (corpusTokenizerEval _),
     "pack_sequences_binned" ->
       ((s: SparkSession, d: String) => packSequencesBinned(s, d)),
     "split_train_val" -> (splitTrainVal _),
@@ -1562,6 +1647,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "corpus_unigram_encode" -> corpusUnigramEncodeSql,
+    "corpus_tokenizer_eval" -> corpusTokenizerEvalSql,
     "pack_sequences_binned" -> packSequencesBinnedSql,
     "split_train_val" -> splitTrainValSql,
     "corpus_domain_drift" -> corpusDomainDriftSql,

@@ -528,4 +528,31 @@ class CorpusSpec extends GraftSpec {
       "tiny-capacity run planted no oversized docs")
     tiny.foreach(r => assert(r.getAs[Long]("padding_tokens") >= 0L))
   }
+
+  test("corpus_tokenizer_eval: per-source masses equal the sums of the " +
+      "two per-doc encodes, ratios consistent, both families engage") {
+    val ev = operators.Corpus.corpusTokenizerEval(spark, sf).collect()
+    assert(ev.nonEmpty)
+    val bpe = operators.Corpus.bpeDocTokens(spark, sf)
+      .groupBy("source")
+      .agg(sum("n_words").as("w"), sum("n_bpe_tokens").as("b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val uni = operators.Corpus.unigramDocTokens(spark, sf)
+      .groupBy("source").agg(sum("n_uni_tokens").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ev.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_words") == bpe(s0)._1)
+      assert(r.getAs[Long]("n_bpe_tokens") == bpe(s0)._2)
+      assert(r.getAs[Long]("n_uni_tokens") == uni(s0))
+      val bt = r.getAs[Double]("bpe_tokens_per_word")
+      val ut = r.getAs[Double]("uni_tokens_per_word")
+      // both tokenizers compress below characters but stay >= 1
+      // token/word; the cross-family ratio is their quotient
+      assert(bt >= 1.0 && ut >= 1.0)
+      assert(math.abs(r.getAs[Double]("uni_vs_bpe") -
+        uni(s0).toDouble / bpe(s0)._2) < 1e-3)
+    }
+  }
 }

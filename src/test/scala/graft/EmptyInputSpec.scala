@@ -250,7 +250,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_pii_luhn",        // no docs -> nothing to plant or scrub
     "corpus_unigram_encode", // empty vocab, no words to segment
     "pack_sequences_binned", // no docs -> no shards -> no bins
-    "embed_jl_project")     // no vectors -> no queries -> no recall
+    "embed_jl_project",     // no vectors -> no queries -> no recall
+    "corpus_tokenizer_eval") // two empty encodes -> empty comparison
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
