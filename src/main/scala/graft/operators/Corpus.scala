@@ -1259,11 +1259,17 @@ object Corpus {
     * n_words, n_uni_tokens, uni_bits) — the #357 core, shared with the
     * #360 tokenizer-family comparison (the bpeDocTokens twin).
     */
-  private[graft] def unigramDocTokens(spark: SparkSession,
-      dir: String): DataFrame = {
+  /** The #357 vocabulary + composite costs, learned from `dir`'s
+    * corpus and collected to the driver (vocabulary-sized — the #159
+    * precedent): every single character plus the top-24 length-2..4
+    * substrings by weighted count, each mapped to bits·1024 + 1 where
+    * bits = floor(log₂(N_tot div cnt)). Shared by the batch encode and
+    * the streamed family-#23 twin (frozen-vocab argument).
+    */
+  private[graft] def unigramVocabCosts(spark: SparkSession,
+      dir: String): Map[String, Long] = {
     val words = Tables.spread(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("w"))
+      .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
     val candidates = words.groupBy("w").agg(count(lit(1)).as("cw"))
       .select(col("cw"), explode(expr(
@@ -1271,9 +1277,6 @@ object Corpus {
           |  l -> transform(sequence(1, length(w) - l + 1),
           |         i -> substring(w, i, l))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("cw").as("cnt"))
-    // vocabulary-sized driver collect (the #159 precedent): all single
-    // chars guarantee every word segments; top-24 multigrams by
-    // (cnt DESC, piece ASC) — deterministic, engine-reproducible
     val vocab = candidates.where(length(col("piece")) === 1)
       .unionByName(candidates.where(length(col("piece")) >= 2)
         .orderBy(desc("cnt"), col("piece")).limit(24))
@@ -1281,22 +1284,37 @@ object Corpus {
     val nTot = vocab.map(_.getAs[Long]("cnt")).sum
     def bits(c: Long): Long =
       63L - java.lang.Long.numberOfLeadingZeros(nTot / c)
-    val costMap: Map[String, Long] = vocab.map(r =>
-      r.getAs[String]("piece") ->
-        (bits(r.getAs[Long]("cnt")) * 1024L + 1L)).toMap
+    vocab.map(r => r.getAs[String]("piece") ->
+      (bits(r.getAs[Long]("cnt")) * 1024L + 1L)).toMap
+  }
+
+  /** The #357 Viterbi dp as a SQL expression over a word `w` (column
+    * or lambda variable) and a cost map column `vm`: dp[i] (1-based
+    * element i+1) = min composite cost of chars 1..i; a length-L piece
+    * ending at i reads dp[i-L] (element i-L+1) + cost(substring(
+    * i-L+1, L)), missing piece → INF. Returns the final dp entry
+    * (bits·1024 + n_pieces). Shared with the streamed twin.
+    */
+  private[graft] val unigramDpExpr: String = {
     val inf = "1000000000000000L"
-    // dp[i] (1-based element i+1) = min composite cost of chars 1..i;
-    // candidate via a length-L piece ending at i reads dp[i-L]
-    // (element i-L+1) + cost(substring(i-L+1, L)), missing piece → INF
     val candL = (1 to 4).map { l =>
       s"IF(i >= $l, element_at(dp, i - $l + 1) + coalesce(" +
         s"element_at(vm, substring(w, i - $l + 1, $l)), $inf), $inf)"
     }.mkString(", ")
-    val dpExpr = "element_at(aggregate(sequence(1, length(w)), " +
+    "element_at(aggregate(sequence(1, length(w)), " +
       s"array(0L), (dp, i) -> concat(dp, array(least($candL)))), -1)"
+  }
+
+  private[graft] def unigramDocTokens(spark: SparkSession,
+      dir: String): DataFrame = {
+    val words = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val costMap = unigramVocabCosts(spark, dir)
     val wtok = words.select("w").distinct()
       .withColumn("vm", typedlit(costMap))
-      .withColumn("dp", expr(dpExpr))
+      .withColumn("dp", expr(unigramDpExpr))
       .select(col("w"), (col("dp") % 1024).cast("long").as("nt"),
         expr("dp div 1024").cast("long").as("wbits"))
     words.join(Tables.maybeBroadcast(wtok), "w")

@@ -220,6 +220,70 @@ object Extensions {
        |FROM mem, tot GROUP BY cluster_size
        |ORDER BY cluster_size""".stripMargin
 
+  // --------------------------------------------------------------- #361
+  /** #361 dedup IMPACT accounting — what the near-dup keep-one policy
+    * actually costs, in training-token units: every #41 cluster keeps
+    * its root (min doc_id) and removes the rest; emit per source the
+    * doc count and TOKEN mass removed plus their fractions. #41 says
+    * what is duplicated and #157 profiles cluster sizes; this prices
+    * the removal in the unit budgets are written in, attributed to the
+    * source LOSING the docs (a cross-source cluster charges the
+    * duplicate's source, not the root's) — the readout a curation
+    * owner signs off before committing a dedup pass.
+    *
+    * Scale: the cluster table is pair-structure-sized (never
+    * corpus-sized) and broadcasts under the size gate; one keyed join
+    * against the doc stream + a sources-sized agg with map-side
+    * combine. Oracle reuses the proven #41 recursive-component CTE.
+    */
+  def dedupTokenImpact(spark: SparkSession, dir: String): DataFrame = {
+    val removed = dedupCluster(spark, dir)
+      .where(col("doc_id") =!= col("cluster_root"))
+      .select(col("doc_id"), lit(1L).as("rm"))
+    Tables.spread(spark, dir, "documents")
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .join(Tables.maybeBroadcast(removed), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+        sum("nt").as("tokens_total"),
+        sum(when(col("rm").isNotNull, col("nt")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        r4(col("n_removed").cast("double") /
+          col("n_docs").cast("double")).as("doc_removed_frac"),
+        r4(col("tokens_removed").cast("double") /
+          col("tokens_total").cast("double")).as("token_removed_frac"))
+      .orderBy("source")
+  }
+
+  val dedupTokenImpactSql: String =
+    s"""WITH RECURSIVE pr AS (SELECT * FROM $pairsSub),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr
+       |      UNION SELECT id_b, id_a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |lab AS (SELECT id, MIN(r) AS cluster_root FROM reach GROUP BY id),
+       |rm AS (SELECT id AS doc_id FROM lab WHERE id <> cluster_root),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+       |    doc_id IN (SELECT doc_id FROM rm) AS is_rm
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) FILTER (WHERE is_rm) AS BIGINT) AS n_removed,
+       |  CAST(SUM(nt) AS BIGINT) AS tokens_total,
+       |  CAST(COALESCE(SUM(nt) FILTER (WHERE is_rm), 0) AS BIGINT)
+       |    AS tokens_removed,
+       |  ${r4Sql("CAST(COUNT(*) FILTER (WHERE is_rm) AS DOUBLE) " +
+                  "/ COUNT(*)")} AS doc_removed_frac,
+       |  ${r4Sql("CAST(COALESCE(SUM(nt) FILTER (WHERE is_rm), 0) " +
+                  "AS DOUBLE) / SUM(nt)")} AS token_removed_frac
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** #42 TF-IDF-style term weighting with a RATIONAL idf (N/df instead
     * of ln(N/df)) so the score is cross-engine exact: top-3 terms per
     * document by (tf * N / df), deterministic tie-break on the token.
@@ -1276,6 +1340,7 @@ object Extensions {
        |ORDER BY dev.o_orderpriority""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_token_impact" -> (dedupTokenImpact _),
     "agg_mad_outliers" -> (aggMadOutliers _),
     "agg_hist_quantiles" -> (aggHistQuantiles _),
     "events_seasonality" -> (eventsSeasonality _),
@@ -1307,6 +1372,7 @@ object Extensions {
     "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_token_impact" -> dedupTokenImpactSql,
     "agg_mad_outliers" -> aggMadOutliersSql,
     "agg_hist_quantiles" -> aggHistQuantilesSql,
     "events_seasonality" -> eventsSeasonalitySql,

@@ -507,6 +507,50 @@ object EventStream {
       }
   }
 
+  /** Per-document tokenizer-true accounting row (family #23). */
+  final case class DocTok(doc_id: Long, source: String, n_words: Long,
+      n_uni_tokens: Long, uni_bits: Long)
+
+  /** Family #23: streamed TOKENIZER-TRUE accounting against a FROZEN
+    * unigram vocabulary — the #357 encode as a stream job. The vocab +
+    * costs are learned offline (`Corpus.unigramVocabCosts`) and fold
+    * into the row expression as a map literal (vocabulary-sized — the
+    * family-#17 frozen-statistics argument), making the per-document
+    * Viterbi fold STATELESS map-side work: one expression walks the
+    * document's words and accumulates (n_words, Σ dp%1024, Σ dp÷1024).
+    * The only state is the doc_id redelivery suppressor
+    * (`dropDuplicates` — at-least-once intake becomes exactly-once
+    * rows, the #17 device). StreamingSpec pins streamed rows == the
+    * batch `unigramDocTokens` frame exactly, including under a fully
+    * redelivered batch.
+    *
+    * Scale: a budget/packing monitor over an ingest stream costs one
+    * map pass per batch at ANY corpus size — no shuffle, no growing
+    * state (the suppressor is bounded by a watermark in a deployment
+    * with event time; document streams here carry none, the documented
+    * #17 trade).
+    */
+  def unigramTokenStream(docs: Dataset[PDoc],
+      cost: Map[String, Long]): Dataset[DocTok] = {
+    import docs.sparkSession.implicits._
+    val dp = graft.operators.Corpus.unigramDpExpr
+    docs.toDF()
+      .dropDuplicates("doc_id")
+      .withColumn("vm", typedlit(cost))
+      .withColumn("a", expr(
+        s"""aggregate(
+           |  transform(filter(split(text, ' '), w -> w <> ''),
+           |    w -> $dp),
+           |  named_struct('nw', 0L, 'nt', 0L, 'bits', 0L),
+           |  (acc, d) -> named_struct('nw', acc.nw + 1L,
+           |    'nt', acc.nt + d % 1024,
+           |    'bits', acc.bits + d div 1024))""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        col("a.nw").as("n_words"), col("a.nt").as("n_uni_tokens"),
+        col("a.bits").as("uni_bits"))
+      .as[DocTok]
+  }
+
   /** A near-dup candidate pair surfaced by the streaming LSH index. */
   final case class Vec(vec_id: Long, label: Long, embedding: Seq[Float])
 

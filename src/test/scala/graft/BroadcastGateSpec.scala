@@ -35,7 +35,13 @@ class BroadcastGateSpec extends AnyFunSuite {
     "dedup_levenshtein" ->
       (() => operators.Dedup.dedupLevenshtein(spark, sf)),
     "text_rarity" ->
-      (() => operators.Quality.textRarity(spark, sf)))
+      (() => operators.Quality.textRarity(spark, sf)),
+    // round-22: the unigram encode's distinct-word token attach and
+    // the dedup-impact cluster attach ride the same gate
+    "corpus_unigram_encode" ->
+      (() => operators.Corpus.corpusUnigramEncode(spark, sf)),
+    "dedup_token_impact" ->
+      (() => operators.Extensions.dedupTokenImpact(spark, sf)))
 
   private def bhj(df: DataFrame): Int =
     df.queryExecution.sparkPlan.collect {

@@ -171,4 +171,32 @@ class DedupSpec extends GraftSpec {
       assert(r.getAs[Double]("jaccard") == j)
     }
   }
+
+  test("dedup_token_impact: removed docs are exactly the non-root #41 " +
+      "cluster members, per-source doc/token mass reconciles against " +
+      "raw documents, and removal is non-vacuous at this sf") {
+    import org.apache.spark.sql.functions._
+    val imp = operators.Extensions.dedupTokenImpact(spark, sf).collect()
+    assert(imp.nonEmpty)
+    val removedIds = operators.Extensions.dedupCluster(spark, sf)
+      .collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster_root"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+    val bySrc = docs.groupBy(_.getString(1))
+    def tok(r: org.apache.spark.sql.Row): Long =
+      r.getString(2).split(" ", -1).length.toLong
+    imp.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      val ds = bySrc(s0)
+      val rm = ds.filter(d => removedIds(d.getLong(0)))
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("n_removed") == rm.length.toLong)
+      assert(r.getAs[Long]("tokens_total") == ds.map(tok).sum)
+      assert(r.getAs[Long]("tokens_removed") == rm.map(tok).sum)
+    }
+    assert(imp.map(_.getAs[Long]("n_removed")).sum == removedIds.size)
+    assert(removedIds.nonEmpty, "no cluster removals - vacuous at this sf")
+  }
 }

@@ -1572,4 +1572,51 @@ class StreamingSpec extends GraftSpec {
     assert(batch.exists(r => r(3) == null),
       "every purchase matched - tolerance leg unexercised")
   }
+
+  test("streamed tokenizer-true accounting (family #23): stateless " +
+      "frozen-vocab unigram Viterbi per arriving doc == the batch " +
+      "unigramDocTokens frame exactly, idempotent under a fully " +
+      "redelivered batch (#357 streamed)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // frozen vocabulary learned OFFLINE from the same corpus (the
+    // family-#17 frozen-statistics argument)
+    val cost = operators.Corpus.unigramVocabCosts(spark, sf)
+    assert(cost.nonEmpty && cost.exists(_._1.length >= 2),
+      "frozen vocab carries no multigrams - encode would be vacuous")
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .collect()
+      .map(r => PDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+      .toSeq
+    val stream = MemoryStream[PDoc]
+    val q = EventStream.unigramTokenStream(stream.toDS(), cost)
+      .writeStream.format("memory").queryName("unitok_out")
+      .outputMode("append").start()
+    val (b1, rest) = docs.splitAt(docs.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    Seq(b1, b2, b3).foreach { b =>
+      stream.addData(b); q.processAllAvailable()
+    }
+    // full redelivery of the middle batch: the doc_id suppressor must
+    // make it invisible (at-least-once intake -> exactly-once rows)
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("unitok_out")
+      .collect().map(_.toSeq).toSet
+    val batch = operators.Corpus.unigramDocTokens(spark, sf)
+      .select("doc_id", "source", "n_words", "n_uni_tokens", "uni_bits")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // non-vacuous compression: the frozen multigrams must win segments
+    val totTok = spark.table("unitok_out")
+      .agg(sum("n_uni_tokens")).head.getLong(0)
+    val totChars = docs.map(_.text.split(' ').filter(_.nonEmpty)
+      .map(_.length).sum.toLong).sum
+    assert(totTok < totChars, "Viterbi never chose a multigram piece")
+  }
 }
