@@ -1268,6 +1268,18 @@ object Corpus {
     */
   private[graft] def unigramVocabCosts(spark: SparkSession,
       dir: String): Map[String, Long] = {
+    val (chars, multi) = unigramVocabCandidates(spark, dir)
+    unigramCosts(chars ++ multi)
+  }
+
+  /** The learned vocabulary candidates, collected to the driver: ALL
+    * single characters and the top-24 length-2..4 substrings by
+    * weighted count (count DESC, piece ASC — so the top-k multigrams
+    * at any budget k ≤ 24 are a PREFIX, letting one learn pass serve
+    * the whole #362 sweep, the #341 argument).
+    */
+  private[graft] def unigramVocabCandidates(spark: SparkSession,
+      dir: String): (Seq[(String, Long)], Seq[(String, Long)]) = {
     val words = Tables.spread(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
@@ -1277,15 +1289,24 @@ object Corpus {
           |  l -> transform(sequence(1, length(w) - l + 1),
           |         i -> substring(w, i, l))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("cw").as("cnt"))
-    val vocab = candidates.where(length(col("piece")) === 1)
-      .unionByName(candidates.where(length(col("piece")) >= 2)
-        .orderBy(desc("cnt"), col("piece")).limit(24))
-      .collect()
-    val nTot = vocab.map(_.getAs[Long]("cnt")).sum
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.collect().map(r =>
+        r.getAs[String]("piece") -> r.getAs[Long]("cnt")).toSeq
+    (pairs(candidates.where(length(col("piece")) === 1)),
+      pairs(candidates.where(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), col("piece")).limit(24)))
+  }
+
+  /** Composite costs (bits·1024 + 1, bits = floor(log₂(N_tot div
+    * cnt))) for a chosen vocabulary — N_tot is the chosen vocab's own
+    * count mass, so every #362 budget re-costs its own vocabulary.
+    */
+  private[graft] def unigramCosts(
+      vocab: Seq[(String, Long)]): Map[String, Long] = {
+    val nTot = vocab.map(_._2).sum
     def bits(c: Long): Long =
       63L - java.lang.Long.numberOfLeadingZeros(nTot / c)
-    vocab.map(r => r.getAs[String]("piece") ->
-      (bits(r.getAs[Long]("cnt")) * 1024L + 1L)).toMap
+    vocab.map { case (p, c) => p -> (bits(c) * 1024L + 1L) }.toMap
   }
 
   /** The #357 Viterbi dp as a SQL expression over a word `w` (column
@@ -1565,6 +1586,109 @@ object Corpus {
        |  boundary_docs_greedy
        |FROM fo ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #362
+  /** #362 unigram-vocabulary compression curve — #341's sweep for the
+    * OTHER tokenizer family: encode the corpus under multigram budgets
+    * 0 / 8 / 16 / 24 (chars always included; budget 0 is the character
+    * baseline) and report per budget the declared vocabulary size,
+    * stream words, Viterbi tokens, total bits and tokens/word — the
+    * tokens-vs-vocab trade a unigram tokenizer build sweeps before
+    * committing to a piece count. ONE learn pass serves all budgets:
+    * the (count DESC, piece ASC) multigram ranking makes every top-k a
+    * PREFIX of top-24 (the #341 rank-order argument); each budget
+    * re-costs its own vocabulary (N_tot is budget-local), so the
+    * curve prices real candidate tokenizers, not truncations of one.
+    *
+    * Oracle: the #357 brute-force segmentation enumeration, with the
+    * mask/piece CTEs SHARED across budgets (enumeration is
+    * vocab-independent; only the costing join differs per budget) —
+    * each budget's green hash proves its dp optimum independently.
+    *
+    * Scale: one candidate agg + driver-side vocab collect (the #159
+    * device), then four vocab-sized encode branches over ONE shared
+    * distinct-word frame and one stream rollup per budget.
+    */
+  def corpusUnigramVocabSweep(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (chars, multi) = unigramVocabCandidates(spark, dir)
+    val words = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val budgets = Seq(0, 8, 16, 24)
+    def encAt(k: Int): DataFrame = {
+      val vocab = chars ++ multi.take(k)
+      val cost = unigramCosts(vocab)
+      val wtok = words.select("w").distinct()
+        .withColumn("vm", typedlit(cost))
+        .withColumn("dp", expr(unigramDpExpr))
+        .select(col("w"), (col("dp") % 1024).cast("long").as("nt"),
+          expr("dp div 1024").cast("long").as("wbits"))
+      words.join(Tables.maybeBroadcast(wtok), "w")
+        .agg(count(lit(1)).as("total_words"),
+          sum("nt").as("total_tokens"),
+          sum("wbits").as("total_bits"))
+        .select(lit(k.toLong).as("n_multigrams"),
+          lit(vocab.size.toLong).as("vocab_size"),
+          col("total_words"), col("total_tokens"), col("total_bits"),
+          r4(col("total_tokens").cast("double") /
+            col("total_words").cast("double")).as("tokens_per_word"))
+        // empty corpus: the global agg emits one zero/null row per
+        // budget — collapse to the empty curve (grouped semantics,
+        // matching the oracle's join-starved branches)
+        .where(col("total_words") > 0L)
+    }
+    budgets.map(encAt).reduce(_ unionByName _).orderBy("n_multigrams")
+  }
+
+  val corpusUnigramVocabSweepSql: String = {
+    val budgets = Seq(0, 8, 16, 24)
+    val branches = budgets.map { k =>
+      val vocabK =
+        if (k == 0) "SELECT piece, cnt FROM cand WHERE len(piece) = 1"
+        else s"""SELECT piece, cnt FROM cand WHERE len(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, cnt FROM (
+           |    SELECT piece, cnt FROM cand WHERE len(piece) >= 2
+           |    ORDER BY cnt DESC, piece LIMIT $k)""".stripMargin
+      s"""vocab_$k AS (
+         |  $vocabK),
+         |tot_$k AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot
+         |  FROM vocab_$k),
+         |vc_$k AS (
+         |  SELECT piece,
+         |    ((CAST(length(bin(n_tot // cnt)) AS BIGINT) - 1) * 1024
+         |      + 1) AS c
+         |  FROM vocab_$k CROSS JOIN tot_$k),
+         |costed_$k AS (
+         |  SELECT w, m, CAST(MAX(np) AS BIGINT) AS np,
+         |    CAST(COUNT(vc.piece) AS BIGINT) AS nfound,
+         |    CAST(COALESCE(SUM(vc.c), 0) AS BIGINT) AS cost
+         |  FROM pcs LEFT JOIN vc_$k vc ON vc.piece = pcs.p
+         |  GROUP BY w, m),
+         |best_$k AS (
+         |  SELECT w, MIN(CASE WHEN nfound = np THEN cost END) AS dp
+         |  FROM costed_$k GROUP BY w),
+         |r_$k AS (
+         |  SELECT CAST($k AS BIGINT) AS n_multigrams,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab_$k)
+         |      AS vocab_size,
+         |    CAST(COUNT(*) AS BIGINT) AS total_words,
+         |    CAST(SUM(b.dp % 1024) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(b.dp // 1024) AS BIGINT) AS total_bits,
+         |    ${r4Sql("CAST(SUM(b.dp % 1024) AS DOUBLE) / COUNT(*)")}
+         |      AS tokens_per_word
+         |  FROM ws JOIN best_$k b ON ws.w = b.w
+         |  HAVING COUNT(*) > 0)""".stripMargin
+    }.mkString(",\n")
+    val union = budgets.map(k => s"SELECT * FROM r_$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $unigramOracleCtes,
+       |$branches
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY n_multigrams""".stripMargin
+  }
+
   // --------------------------------------------------------------- #360
   /** #360 tokenizer-FAMILY comparison — the read a tokenizer choice is
     * actually made from: per source, total words and the encoded token
@@ -1630,6 +1754,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
+    "corpus_unigram_vocab_sweep" -> (corpusUnigramVocabSweep _),
     "corpus_tokenizer_eval" -> (corpusTokenizerEval _),
     "pack_sequences_binned" ->
       ((s: SparkSession, d: String) => packSequencesBinned(s, d)),
@@ -1665,6 +1790,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "corpus_unigram_encode" -> corpusUnigramEncodeSql,
+    "corpus_unigram_vocab_sweep" -> corpusUnigramVocabSweepSql,
     "corpus_tokenizer_eval" -> corpusTokenizerEvalSql,
     "pack_sequences_binned" -> packSequencesBinnedSql,
     "split_train_val" -> splitTrainValSql,

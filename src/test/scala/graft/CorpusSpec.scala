@@ -555,4 +555,69 @@ class CorpusSpec extends GraftSpec {
         uni(s0).toDouble / bpe(s0)._2) < 1e-3)
     }
   }
+
+  test("corpus_unigram_vocab_sweep equals a plain-Scala reference at " +
+      "every budget (prefix vocab, per-budget re-costing), with the " +
+      "char baseline exact at budget 0") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "banana bandana ana a nana", "srcA"),
+      (2L, "ban ana banana bananana", "srcA"),
+      (3L, "dan and band banda na", "srcB"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_swp")
+    docs.toDF("doc_id", "text", "source")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    // plain-Scala: candidates once, re-cost + Viterbi per budget
+    val wc = docs.flatMap(_._2.split(' ')).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cand = scala.collection.mutable.Map.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      for (l <- 1 to 4; i <- 0 to w.length - l)
+        cand.updateWith(w.substring(i, i + l))(v =>
+          Some(v.getOrElse(0L) + c))
+    }
+    val chars = cand.filter(_._1.length == 1).toSeq
+    val multi = cand.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+    val inf = 1000000000000000L
+    def sweepAt(k: Int): (Long, Long, Long, Long) = {
+      val vocab = chars ++ multi.take(k)
+      val nTot = vocab.map(_._2).sum
+      val cost = vocab.map { case (p, c) =>
+        p -> ((63L - java.lang.Long.numberOfLeadingZeros(nTot / c))
+          * 1024L + 1L)
+      }.toMap
+      def vit(w: String): Long = {
+        val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+        for (i <- 1 to w.length; l <- 1 to math.min(4, i))
+          cost.get(w.substring(i - l, i)).foreach { cp =>
+            if (dp(i - l) + cp < dp(i)) dp(i) = dp(i - l) + cp
+          }
+        dp(w.length)
+      }
+      val stream = docs.flatMap(_._2.split(' ')).filter(_.nonEmpty)
+      val dps = stream.map(vit)
+      (vocab.size.toLong, stream.length.toLong,
+        dps.map(_ % 1024).sum, dps.map(_ / 1024).sum)
+    }
+    val got = operators.Corpus
+      .corpusUnigramVocabSweep(spark, dir.toString).collect()
+    assert(got.map(_.getAs[Long]("n_multigrams")).toSeq ==
+      Seq(0L, 8L, 16L, 24L))
+    got.foreach { r =>
+      val k = r.getAs[Long]("n_multigrams").toInt
+      val (vs, tw, tt, tb) = sweepAt(k)
+      assert(r.getAs[Long]("vocab_size") == vs)
+      assert(r.getAs[Long]("total_words") == tw)
+      assert(r.getAs[Long]("total_tokens") == tt,
+        s"budget $k: token mass diverged")
+      assert(r.getAs[Long]("total_bits") == tb)
+    }
+    // budget 0 is the character baseline: tokens == stream characters
+    val chars0 = docs.flatMap(_._2.split(' ')).map(_.length.toLong).sum
+    assert(got.head.getAs[Long]("total_tokens") == chars0)
+    // a real multigram budget must compress below the char baseline
+    assert(got.last.getAs[Long]("total_tokens") < chars0)
+  }
 }

@@ -251,7 +251,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "corpus_unigram_encode", // empty vocab, no words to segment
     "pack_sequences_binned", // no docs -> no shards -> no bins
     "embed_jl_project",     // no vectors -> no queries -> no recall
-    "corpus_tokenizer_eval") // two empty encodes -> empty comparison
+    "corpus_tokenizer_eval", // two empty encodes -> empty comparison
+    "corpus_unigram_vocab_sweep") // four budgets of an empty vocabulary
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
