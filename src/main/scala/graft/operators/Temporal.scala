@@ -492,8 +492,54 @@ object Temporal {
       |FROM f
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  // --------------------------------------------------------------- #363
+  /** #363 view→purchase AS-OF conversion attribution — the BATCH
+    * contract of streaming family #22, registered so the DuckDB gate
+    * hash-proves the exact frame the streamed
+    * `EventStream.asofJoinStream` is spec-pinned equal to: every
+    * purchase LEFT-joined to the latest view by the same user
+    * at-or-before it within the 1-hour tolerance (ties → highest
+    * view_us, then highest view_id — the stream processor's
+    * tie-break), null view when none qualifies, lag in exact micros.
+    * This is last-touch attribution with a tolerance window — the #10
+    * as-of family pointed at the funnel read (#48 counts stage
+    * conversion; this emits WHICH view converted and how fast).
+    *
+    * Scale: one interval-bounded equi-join on user_id + one
+    * per-purchase rank window — both shuffle on keys the event table
+    * already clusters by in practice; the tolerance bounds the join
+    * fan-out per purchase.
+    */
+  def eventsAsofConversion(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.asofJoinBatch(
+      Tables.eventsUs(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts_us", "value"))
+      .orderBy("purchase_id")
+
+  val eventsAsofConversionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    epoch_us(ts) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id AS v_user, event_id AS view_id,
+      |    epoch_us(ts) AS view_us
+      |  FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.user_id, p.purchase_id, p.purchase_us,
+      |    v.view_id, v.view_us,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY v.view_us DESC, v.view_id DESC) AS rn
+      |  FROM p LEFT JOIN v ON p.user_id = v.v_user
+      |    AND v.view_us <= p.purchase_us
+      |    AND v.view_us + 3600000000 >= p.purchase_us)
+      |SELECT user_id, purchase_id, purchase_us, view_id, view_us,
+      |  purchase_us - view_us AS lag_us
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_running_distinct" -> (windowRunningDistinct _),
+    "events_asof_conversion" -> (eventsAsofConversion _),
     "orders_backlog" -> (ordersBacklog _),
     "sessions_stats" -> (sessionsStats _),
     "ts_ohlc" -> (tsOhlc _),
@@ -510,6 +556,7 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "window_running_distinct" -> windowRunningDistinctSql,
+    "events_asof_conversion" -> eventsAsofConversionSql,
     "orders_backlog" -> ordersBacklogSql,
     "sessions_stats" -> sessionsStatsSql,
     "ts_ohlc" -> tsOhlcSql,

@@ -252,7 +252,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "pack_sequences_binned", // no docs -> no shards -> no bins
     "embed_jl_project",     // no vectors -> no queries -> no recall
     "corpus_tokenizer_eval", // two empty encodes -> empty comparison
-    "corpus_unigram_vocab_sweep") // four budgets of an empty vocabulary
+    "corpus_unigram_vocab_sweep", // four budgets of an empty vocabulary
+    "events_asof_conversion") // no purchases -> nothing to attribute
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

@@ -67,6 +67,13 @@ class NullInputSpec extends AnyFunSuite {
     // sums/counts both exclude the null vector (guard in the
     // operator); the probe dial's bucket/cosine exprs see a null
     // query embedding when the null vec_id lands on the eval stride
+    // round-22 additions: the two Viterbi encoders and the packer
+    // drop null-text docs at the word explode; the Luhn scrub carries
+    // them with null counts; the JL projection and the dedup impact
+    // see a null embedding / null-text doc without fabricating rows
+    "corpus_unigram_encode", "corpus_unigram_vocab_sweep",
+    "corpus_tokenizer_eval", "pack_sequences_binned", "text_pii_luhn",
+    "embed_jl_project", "dedup_token_impact",
     "corpus_novelty", "dedup_source_matrix", "embed_centroid_sim",
     "ann_probe_dial",
     // batch 2: hash profile skips null text (guard), moments skip the
