@@ -21,8 +21,14 @@ package graft
   */
 object LayoutCache {
 
-  private val dirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Per-key FUTURE, not the path itself: the multi-second Spark write
+  // must run OUTSIDE any ConcurrentHashMap bucket lock (a write lambda
+  // inside computeIfAbsent blocks unrelated recipes hashing to the
+  // same bin and deadlocks on any re-entrant getOrWrite). putIfAbsent
+  // decides the single writer in O(1); losers block on the winner's
+  // future only.
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   Runtime.getRuntime.addShutdownHook(new Thread(() => deleteAll()))
 
@@ -31,15 +37,30 @@ object LayoutCache {
     * identify the written CONTENT (frame, partitioning, sort, file
     * caps, writer options) — two call sites may share a recipe id only
     * if their writes are byte-identical in layout-relevant structure.
+    * A failed write is deleted, uncached (a retry re-runs it), and
+    * rethrown to the caller AND any concurrent waiters.
     */
   def getOrWrite(recipe: String, dir: String)(
-      write: String => Unit): String =
-    dirs.computeIfAbsent(s"$recipe|$dir", _ => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(s"graft_lc_$recipe").toString
-      try { write(tmp); tmp }
-      catch { case e: Throwable => deleteDir(tmp); throw e }
-    })
+      write: String => Unit): String = {
+    val key = s"$recipe|$dir"
+    val mine = new java.util.concurrent.CompletableFuture[String]()
+    val prior = dirs.putIfAbsent(key, mine)
+    if (prior != null) prior.join()
+    else
+      try {
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_lc_$recipe").toString
+        try { write(tmp) }
+        catch { case e: Throwable => deleteDir(tmp); throw e }
+        mine.complete(tmp)
+        tmp
+      } catch {
+        case e: Throwable =>
+          dirs.remove(key, mine)
+          mine.completeExceptionally(e)
+          throw e
+      }
+  }
 
   /** Local recursive delete (children before parents). Plain NIO, not
     * Hadoop FS: shutdown-hook time must not depend on a live
@@ -48,15 +69,22 @@ object LayoutCache {
   private def deleteDir(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
-      val it = java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator()
-      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val it = walk
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally walk.close()
     }
   }
 
   def deleteAll(): Unit = {
-    dirs.values.forEach(p => deleteDir(p))
+    dirs.values.forEach { f =>
+      // completed-successfully entries own a tree; failed/in-flight
+      // entries either cleaned up already or will clean on failure
+      if (f.isDone && !f.isCompletedExceptionally) deleteDir(f.join())
+    }
     dirs.clear()
   }
 }

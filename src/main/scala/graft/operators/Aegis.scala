@@ -852,8 +852,72 @@ object Aegis {
        |ORDER BY h.key_name""".stripMargin
   }
 
+  // --------------------------------------------------------------- #364
+  /** #364 differentially-private release of the #314 cell histogram —
+    * the counts a custodian can actually PUBLISH, completing the
+    * privacy family (k-anonymity/l-diversity/t-closeness audit risk;
+    * this releases). Gaussian mechanism at (ε=1, δ=10⁻⁶): each cell of
+    * a disjoint-cell count histogram has L2 sensitivity Δ₂=1, so the
+    * released value is n + σ·z with σ = √(2·ln(1.25/δ))·Δ₂/ε ≈ 5.2988
+    * (a fixed 4-decimal literal on both engines — no libm at run
+    * time). z is a standard normal realized as an Irwin-Hall(12) sum
+    * of md5-seeded uniforms (Σ₁¹²u − 6: mean 0, variance 12·(1/12)=1)
+    * — the stats_perm_test seeding device — so the noise is a
+    * DETERMINISTIC function of the cell key: the release is
+    * rerunnable, engine-exact (twelve integer md5 draws summed in
+    * BIGINT; the only IEEE steps are one divide, one multiply and one
+    * add applied in the same order on both engines), and
+    * SQL-oracle-able, while remaining a faithful (ε,δ)-DP release
+    * against any adversary without the md5 seed. The ε-accounting
+    * (epsilon, delta, sigma) is emitted alongside each row, as a real
+    * release ledger requires.
+    *
+    * Scale: the cell table is DOMAIN-sized (#314), the noise is
+    * map-side hash arithmetic — one grouped shuffle at any volume.
+    */
+  def privacyDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val twoPow32 = 4294967296.0
+    val draws = (1 to 12).map(j =>
+      conv(substring(md5(concat_ws("|",
+        col("nation"), col("segment"), col("bal_band"),
+        lit(j.toString))), 1, 8), 16, 10).cast("long"))
+    qi(spark, dir)
+      .groupBy("nation", "segment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("znum",
+        draws.reduce(_ + _) - lit(6L * 4294967296L))
+      .select(col("nation"), col("segment"), col("bal_band"),
+        r4(col("n") +
+          col("znum").cast("double") / twoPow32 * lit(5.2988))
+          .as("n_noisy"),
+        lit(1.0).as("epsilon"), lit(1.0e-6).as("delta"),
+        lit(5.2988).as("sigma"))
+      .orderBy("nation", "segment", "bal_band")
+  }
+
+  val privacyDpReleaseSql: String = {
+    val draws = (1 to 12).map(j =>
+      "('0x' || substr(md5(CAST(nation AS VARCHAR) || '|' || segment" +
+        s" || '|' || CAST(bal_band AS VARCHAR) || '|' || '$j'), 1, 8))" +
+        "::UBIGINT::BIGINT").mkString(" + ")
+    s"""WITH q AS (
+       |  $qiSql),
+       |cells AS (
+       |  SELECT nation, segment, bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM q GROUP BY 1, 2, 3),
+       |z AS (
+       |  SELECT *, ($draws) - 25769803776 AS znum FROM cells)
+       |SELECT nation, segment, bal_band,
+       |  ${r4Sql("n + CAST(znum AS DOUBLE) / 4294967296.0 * 5.2988")}
+       |    AS n_noisy,
+       |  1.0 AS epsilon, 0.000001 AS delta, 5.2988 AS sigma
+       |FROM z ORDER BY nation, segment, bal_band""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_release" -> (privacyDpRelease _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "sample_neyman" -> (sampleNeyman _),
@@ -863,6 +927,7 @@ object Aegis {
     "privacy_t_closeness" -> (privacyTCloseness _))
 
   val oracles: Map[String, String] = Map(
+    "privacy_dp_release" -> privacyDpReleaseSql,
     "privacy_k_anonymity" -> privacyKAnonymitySql,
     "privacy_l_diversity" -> privacyLDiversitySql,
     "sample_neyman" -> sampleNeymanSql,

@@ -1512,7 +1512,24 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** The (chunkTokens, shardDocs) pair the REGISTERED
+    * `pack_sequences_binned` query and its oracle both interpolate —
+    * one definition site, so the Spark plan and the DuckDB replay
+    * cannot desynchronize (the r10 ADVICE item: the SQL used to
+    * hardcode 2048/2047/128 in six places).
+    */
+  private[graft] val packChunkTokens: Int = 2048
+  private[graft] val packShardDocs: Int = 128
+
   val packSequencesBinnedSql: String =
+    packSequencesBinnedSqlFor(packChunkTokens, packShardDocs)
+
+  /** Oracle mirror of [[packSequencesBinned]] for the SAME
+    * (chunkTokens, shardDocs) — interpolated everywhere the Spark side
+    * interpolates `$c`/`$shardDocs`.
+    */
+  def packSequencesBinnedSqlFor(chunkTokens: Int, shardDocs: Int): String = {
+    val c = chunkTokens
     s"""WITH RECURSIVE ${bpeOracleCtes(8)},
        |dt AS (
        |  SELECT source, doc_id, n_bpe_tokens AS nt FROM doc_tokens),
@@ -1527,13 +1544,13 @@ object Corpus {
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
        |    CAST(COUNT(*) FILTER (
-       |      WHERE (cum - nt) // 2048 < (cum - 1) // 2048) AS BIGINT)
+       |      WHERE (cum - nt) // $c < (cum - 1) // $c) AS BIGINT)
        |      AS boundary_docs_greedy
        |  FROM b0 GROUP BY source),
        |docs AS (
        |  SELECT source, doc_id, nt,
-       |    CAST((rk0 - 1) // 128 AS BIGINT) AS shard
-       |  FROM b0 WHERE nt <= 2048),
+       |    CAST((rk0 - 1) // $shardDocs AS BIGINT) AS shard
+       |  FROM b0 WHERE nt <= $c),
        |ord AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source, shard
        |    ORDER BY nt DESC, doc_id) AS BIGINT) AS rk
@@ -1553,7 +1570,7 @@ object Corpus {
        |          list_filter(p.bins, b -> b >= o.nt))) AS INT)] - o.nt]),
        |        p.bins[CAST(list_position(p.bins, list_min(
        |          list_filter(p.bins, b -> b >= o.nt))) AS INT) + 1:])
-       |      ELSE list_append(p.bins, 2048 - o.nt) END
+       |      ELSE list_append(p.bins, $c - o.nt) END
        |  FROM pk p JOIN ord o
        |    ON o.source = p.source AND o.shard = p.shard
        |    AND o.rk = p.r + 1),
@@ -1566,8 +1583,8 @@ object Corpus {
        |  FROM fin GROUP BY source),
        |ovs AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_oversized,
-       |    CAST(SUM((nt + 2047) // 2048) AS BIGINT) AS bins_oversize
-       |  FROM b0 WHERE nt > 2048 GROUP BY source),
+       |    CAST(SUM((nt + ${c - 1}) // $c) AS BIGINT) AS bins_oversize
+       |  FROM b0 WHERE nt > $c GROUP BY source),
        |fo AS (
        |  SELECT g.source, g.n_docs,
        |    CAST(COALESCE(o.n_oversized, 0) AS BIGINT) AS n_oversized,
@@ -1578,13 +1595,14 @@ object Corpus {
        |  FROM greedy g LEFT JOIN pckd p ON g.source = p.source
        |  LEFT JOIN ovs o ON g.source = o.source)
        |SELECT source, n_docs, n_oversized, total_tokens, bins_bfd,
-       |  CAST(bins_bfd * 2048 - total_tokens AS BIGINT)
+       |  CAST(bins_bfd * $c - total_tokens AS BIGINT)
        |    AS padding_tokens,
-       |  ${r4Sql("CAST(total_tokens AS DOUBLE) / (bins_bfd * 2048.0)")}
+       |  ${r4Sql(s"CAST(total_tokens AS DOUBLE) / (bins_bfd * $c.0)")}
        |    AS fill_frac,
-       |  CAST((total_tokens + 2047) // 2048 AS BIGINT) AS greedy_chunks,
+       |  CAST((total_tokens + ${c - 1}) // $c AS BIGINT) AS greedy_chunks,
        |  boundary_docs_greedy
        |FROM fo ORDER BY source""".stripMargin
+  }
 
   // --------------------------------------------------------------- #362
   /** #362 unigram-vocabulary compression curve — #341's sweep for the
@@ -1714,50 +1732,235 @@ object Corpus {
     val bpe = bpeDocTokens(spark, dir)
     val uni = unigramDocTokens(spark, dir)
       .select(col("doc_id"), col("n_uni_tokens"))
-    bpe.join(uni, "doc_id")
+    val wp = wordpieceDocTokens(spark, dir)
+      .select(col("doc_id"), col("n_wp_tokens"))
+    bpe.join(uni, "doc_id").join(wp, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_words").as("n_words"),
         sum("n_bpe_tokens").as("n_bpe_tokens"),
-        sum("n_uni_tokens").as("n_uni_tokens"))
+        sum("n_uni_tokens").as("n_uni_tokens"),
+        sum("n_wp_tokens").as("n_wp_tokens"))
       .select(col("source"), col("n_docs"), col("n_words"),
-        col("n_bpe_tokens"), col("n_uni_tokens"),
+        col("n_bpe_tokens"), col("n_uni_tokens"), col("n_wp_tokens"),
         r4(col("n_bpe_tokens").cast("double") /
           col("n_words").cast("double")).as("bpe_tokens_per_word"),
         r4(col("n_uni_tokens").cast("double") /
           col("n_words").cast("double")).as("uni_tokens_per_word"),
+        r4(col("n_wp_tokens").cast("double") /
+          col("n_words").cast("double")).as("wp_tokens_per_word"),
         r4(col("n_uni_tokens").cast("double") /
-          col("n_bpe_tokens").cast("double")).as("uni_vs_bpe"))
+          col("n_bpe_tokens").cast("double")).as("uni_vs_bpe"),
+        r4(col("n_wp_tokens").cast("double") /
+          col("n_bpe_tokens").cast("double")).as("wp_vs_bpe"))
       .orderBy("source")
   }
 
-  val corpusTokenizerEvalSql: String =
-    s"""WITH ${bpeOracleCtes(8)},
+  // lazy: wordpieceOracleCtes is declared later in the object (the
+  // #366 section) — a strict val here would read null at init order
+  lazy val corpusTokenizerEvalSql: String =
+    s"""WITH RECURSIVE ${bpeOracleCtes(8)},
        |$unigramOracleCtes,
+       |$wordpieceOracleCtes,
        |tj AS (
-       |  SELECT d.source, d.n_words, d.n_bpe_tokens, u.n_uni_tokens
-       |  FROM doc_tokens d JOIN uni_doc_tokens u ON d.doc_id = u.doc_id)
+       |  SELECT d.source, d.n_words, d.n_bpe_tokens, u.n_uni_tokens,
+       |    p.n_wp_tokens
+       |  FROM doc_tokens d JOIN uni_doc_tokens u ON d.doc_id = u.doc_id
+       |  JOIN wp_doc_tokens p ON d.doc_id = p.doc_id)
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
        |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
        |  CAST(SUM(n_uni_tokens) AS BIGINT) AS n_uni_tokens,
+       |  CAST(SUM(n_wp_tokens) AS BIGINT) AS n_wp_tokens,
        |  ${r4Sql("CAST(SUM(n_bpe_tokens) AS DOUBLE) " +
                   "/ CAST(SUM(n_words) AS DOUBLE)")}
        |    AS bpe_tokens_per_word,
        |  ${r4Sql("CAST(SUM(n_uni_tokens) AS DOUBLE) " +
                   "/ CAST(SUM(n_words) AS DOUBLE)")}
        |    AS uni_tokens_per_word,
+       |  ${r4Sql("CAST(SUM(n_wp_tokens) AS DOUBLE) " +
+                  "/ CAST(SUM(n_words) AS DOUBLE)")}
+       |    AS wp_tokens_per_word,
        |  ${r4Sql("CAST(SUM(n_uni_tokens) AS DOUBLE) " +
                   "/ CAST(SUM(n_bpe_tokens) AS DOUBLE)")}
-       |    AS uni_vs_bpe
+       |    AS uni_vs_bpe,
+       |  ${r4Sql("CAST(SUM(n_wp_tokens) AS DOUBLE) " +
+                  "/ CAST(SUM(n_bpe_tokens) AS DOUBLE)")}
+       |    AS wp_vs_bpe
        |FROM tj GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- #366
+  /** #366 WordPiece tokenizer leg — completes the tokenizer triptych
+    * beside BPE greedy-merge (#328) and unigram-Viterbi (#357): a
+    * fixed vocabulary with WORD-INITIAL and CONTINUATION (##-prefixed)
+    * piece roles, applied by greedy LONGEST-MATCH-FIRST from the left
+    * (the WordPiece inference rule), counted per word and rolled up
+    * per document. The vocabulary reuses the #357 candidate machinery
+    * split by role: the top-24 length-2..4 substrings at word START
+    * (initial pieces) and the top-24 at positions ≥ 2 (continuation
+    * pieces, stored '##'-prefixed), both ranked (weighted count DESC,
+    * piece ASC — a total order, cross-engine deterministic); single
+    * characters are the implicit fallback (consume 1), so encoding
+    * never fails and no [UNK] bucket is needed for token ACCOUNTING.
+    *
+    * Oracle strength: greedy longest-match is deterministic, so the
+    * DuckDB oracle REPLAYS it — a per-(word, position) longest-match
+    * table joined through a recursive walk advancing pos by the
+    * matched length (the pack_sequences_binned recursion device) —
+    * and a green hash proves the Spark fold IS WordPiece inference.
+    *
+    * Scale: candidate counting is one keyed agg with map-side combine
+    * (≤ 6× word bytes pre-agg, vocabulary-sized after); the 48-piece
+    * vocabulary ships as a map literal in the fold expression (the
+    * #159/#357 frozen-table argument); encoding runs once per
+    * DISTINCT word (Heaps-sublinear) with a fold linear in word
+    * length, attached back through a size-gated broadcast join; the
+    * per-doc rollup is one keyed agg.
+    */
+  private[graft] def wordpieceVocab(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val words = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val ini = words.select(col("cw"), explode(expr(
+      """transform(filter(sequence(2, 4), l -> l <= length(w)),
+        |  l -> substring(w, 1, l))""".stripMargin)).as("piece"))
+    val con = words.select(col("cw"), explode(expr(
+      """flatten(transform(filter(sequence(2, 4), l -> l <= length(w) - 1),
+        |  l -> transform(sequence(2, length(w) - l + 1),
+        |         i -> concat('##', substring(w, i, l)))))""".stripMargin))
+      .as("piece"))
+    def top24(df: DataFrame): Seq[String] = df
+      .groupBy("piece").agg(sum("cw").as("cnt"))
+      .orderBy(desc("cnt"), col("piece")).limit(24)
+      .collect().map(_.getAs[String]("piece")).toSeq
+    top24(ini) ++ top24(con)
+  }
+
+  /** The greedy longest-match-first fold over a word `w` against a
+    * piece-set map `vm` (keys: initial pieces plain, continuation
+    * pieces '##'-prefixed): state (pos, cnt); each step consumes the
+    * longest matching piece at pos (4→2, role by pos), else one char.
+    * length(w) iterations suffice — every step advances pos ≥ 1.
+    */
+  private[graft] val wordpieceFoldExpr: String = {
+    def hit(l: Int) =
+      s"(length(w) - acc.pos >= ${l - 1} AND element_at(vm, " +
+        s"concat(IF(acc.pos = 1, '', '##'), substring(w, acc.pos, $l)))" +
+        " IS NOT NULL)"
+    val step = s"IF(${hit(4)}, 4, IF(${hit(3)}, 3, IF(${hit(2)}, 2, 1)))"
+    s"""aggregate(sequence(1, length(w)),
+       |  named_struct('pos', 1, 'cnt', 0L),
+       |  (acc, i) -> CASE WHEN acc.pos > length(w) THEN acc
+       |    ELSE named_struct('pos', acc.pos + $step, 'cnt', acc.cnt + 1L)
+       |    END).cnt""".stripMargin
+  }
+
+  /** Per-document WordPiece token counts (doc_id, source, n_words,
+    * n_wp_tokens) — the #366 core, the bpeDocTokens/unigramDocTokens
+    * twin shared with the #360 family comparison.
+    */
+  private[graft] def wordpieceDocTokens(spark: SparkSession,
+      dir: String): DataFrame = {
+    val vocab = wordpieceVocab(spark, dir)
+    val words = Tables.spread(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val wtok = words.select("w").distinct()
+      .withColumn("vm", typedlit(vocab.map(_ -> 1L).toMap))
+      .withColumn("nt", expr(wordpieceFoldExpr))
+      .select("w", "nt")
+    words.join(Tables.maybeBroadcast(wtok), "w")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_words"), sum("nt").as("n_wp_tokens"))
+  }
+
+  def corpusWordpieceEncode(spark: SparkSession, dir: String): DataFrame =
+    wordpieceDocTokens(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("n_wp_tokens"),
+        r4(col("n_wp_tokens").cast("double") /
+          col("n_words").cast("double")).as("tokens_per_word"))
+      .orderBy("doc_id")
+
+  /** DuckDB replay of the #366 learn + greedy encode, as
+    * `wp_doc_tokens(doc_id, source, n_words, n_wp_tokens)`: role-split
+    * top-24 candidate ranking, a per-(word, pos) longest-match table
+    * (`wp_lm`), and a recursive walk advancing pos by the matched
+    * length. wp_lm/wp_vocab are MATERIALIZED (the recursive join
+    * re-reads them every iteration — the DuckDB CTE-inlining trap).
+    */
+  private val wordpieceOracleCtes: String = {
+    def hit(l: Int) =
+      s"len(w) - p >= ${l - 1} AND (CASE WHEN p = 1 THEN '' ELSE '##'" +
+        s" END || substr(w, CAST(p AS INT), $l)) IN" +
+        " (SELECT piece FROM wp_vocab)"
+    s"""wp_ws AS (
+       |  SELECT doc_id, source, w FROM (
+       |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |wp_wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM wp_ws
+       |  GROUP BY w),
+       |wp_ini AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
+       |      SELECT cw, unnest(list_transform(
+       |          range(2, least(4, len(w)) + 1),
+       |          l -> substr(w, 1, CAST(l AS INT)))) AS piece
+       |      FROM wp_wc)
+       |    GROUP BY piece ORDER BY cnt DESC, piece LIMIT 24)),
+       |wp_con AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
+       |      SELECT cw, unnest(flatten(list_transform(range(2, 5),
+       |        l -> list_transform(range(2, len(w) - l + 2),
+       |          i -> '##' || substr(w, CAST(i AS INT), CAST(l AS INT))))))
+       |        AS piece
+       |      FROM wp_wc)
+       |    GROUP BY piece ORDER BY cnt DESC, piece LIMIT 24)),
+       |wp_vocab AS MATERIALIZED (
+       |  SELECT piece FROM wp_ini UNION ALL SELECT piece FROM wp_con),
+       |wp_dw AS (SELECT DISTINCT w FROM wp_ws),
+       |wp_pos AS (
+       |  SELECT w, CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS p
+       |  FROM wp_dw),
+       |wp_lm AS MATERIALIZED (
+       |  SELECT w, p,
+       |    CASE WHEN ${hit(4)} THEN 4
+       |      WHEN ${hit(3)} THEN 3
+       |      WHEN ${hit(2)} THEN 2
+       |      ELSE 1 END AS l
+       |  FROM wp_pos),
+       |wp_walk AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cnt
+       |  FROM wp_dw
+       |  UNION ALL
+       |  SELECT k.w, k.p + lm.l, k.cnt + 1
+       |  FROM wp_walk k JOIN wp_lm lm ON lm.w = k.w AND lm.p = k.p),
+       |wp_wt AS (SELECT w, CAST(MAX(cnt) AS BIGINT) AS nt FROM wp_walk
+       |  GROUP BY w),
+       |wp_doc_tokens AS (
+       |  SELECT s.doc_id, s.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(t.nt) AS BIGINT) AS n_wp_tokens
+       |  FROM wp_ws s JOIN wp_wt t USING (w) GROUP BY 1, 2)""".stripMargin
+  }
+
+  val corpusWordpieceEncodeSql: String =
+    s"""WITH RECURSIVE $wordpieceOracleCtes
+       |SELECT doc_id, n_words, n_wp_tokens,
+       |  ${r4Sql("CAST(n_wp_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)")}
+       |    AS tokens_per_word
+       |FROM wp_doc_tokens ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_wordpiece_encode" -> (corpusWordpieceEncode _),
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
     "corpus_unigram_vocab_sweep" -> (corpusUnigramVocabSweep _),
     "corpus_tokenizer_eval" -> (corpusTokenizerEval _),
     "pack_sequences_binned" ->
-      ((s: SparkSession, d: String) => packSequencesBinned(s, d)),
+      ((s: SparkSession, d: String) =>
+        packSequencesBinned(s, d, packChunkTokens, packShardDocs)),
     "split_train_val" -> (splitTrainVal _),
     "corpus_domain_drift" ->
       ((s: SparkSession, d: String) => corpusDomainDrift(s, d)),
@@ -1789,6 +1992,7 @@ object Corpus {
     "mix_domains_tokened" -> (mixDomainsTokened _))
 
   val oracles: Map[String, String] = Map(
+    "corpus_wordpiece_encode" -> corpusWordpieceEncodeSql,
     "corpus_unigram_encode" -> corpusUnigramEncodeSql,
     "corpus_unigram_vocab_sweep" -> corpusUnigramVocabSweepSql,
     "corpus_tokenizer_eval" -> corpusTokenizerEvalSql,

@@ -145,7 +145,16 @@ object Dedup {
     graft.functions.Hashes.register(spark)
     // hashed shingle sets: one pass per doc, reused by both the
     // signature and the exact-Jaccard verify
-    val sh = shingled(spark, dir)
+    minhashPairsOn(shingled(spark, dir), numHashes, bandRows)
+  }
+
+  /** [[dedupMinhashLsh]] over an arbitrary shingled frame
+    * (doc_id, hsh) — split out so the streamed LSH-index family's
+    * spec can run the identical batch contract on a planted
+    * re-ingest frame (StreamingSpec family #24).
+    */
+  private[graft] def minhashPairsOn(sh: DataFrame, numHashes: Int,
+      bandRows: Int): DataFrame = {
     val pairs = lshCandidates(sh, "hsh", numHashes, bandRows)
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")

@@ -350,6 +350,194 @@ object Meridian {
        |FROM l WHERE hr > hi - 168 AND f IS NOT NULL
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- #365
+  /** #365 Holt-Winters triple exponential smoothing — the forecasting
+    * step between `ts_ewma` (level only, no trend/season) and the
+    * #203 seasonal-naive baseline any real forecaster must beat:
+    * additive level+trend+season (m=24: the daily cycle of an hourly
+    * series) trained on everything before the final week, then
+    * backtested over that week against the SAME snaive forecast, so
+    * each row carries both MAEs side by side.
+    *
+    * Dyadic smoothing constants (α=1/4, β=1/16, γ=1/8) keep every
+    * recursion step a fixed sequence of exactly-rounded IEEE ops —
+    * deterministic across engines because BOTH replay the identical
+    * op order: Spark as one sequential `aggregate` fold per series,
+    * DuckDB as a recursive CTE advancing t by 1 (the
+    * pack_sequences_binned device) carrying (l, b, s[24]) as state.
+    * Init: l₀ = mean of season 1, b₀ = (mean₂ − mean₁)/24, s₀ = the
+    * first season's deviations (integer-valued doubles sum exactly,
+    * so the init means are order-free). Per-row forecasts are r4'd
+    * and the MAE numerator is summed as DECIMAL(18,4), so no
+    * cross-engine float-summation-order hazard exists anywhere.
+    *
+    * Scale: the series is collected PER KEY as one array — bounded by
+    * the time span (hours), not data volume, the standard shape for
+    * sequential smoothers (a year is 8,760 doubles); everything else
+    * is the #203 dense-axis construction plus one keyed rollup.
+    * Types whose training span can't cover snaive's 168-hour lag
+    * drop out, exactly like #203.
+    */
+  def tsHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.eventsUs(spark, dir)
+      .groupBy(col("event_type"),
+        (col("ts_us") / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val span = hourly.groupBy("event_type")
+      .agg(min("hr").as("lo"), max("hr").as("hi"))
+    val axis = span.select(col("event_type"), col("hi"),
+      explode(expr("sequence(lo, hi)")).as("hr"))
+    val dense = axis.join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), col("hi"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    holtWintersOn(dense)
+  }
+
+  /** [[tsHoltWinters]] over an arbitrary dense series frame
+    * (event_type, hr, hi, x) — split out so the spec can run the
+    * identical machinery on a planted trend+season series and assert
+    * the MAE beats snaive's.
+    */
+  private[graft] def holtWintersOn(dense: DataFrame): DataFrame = {
+    val H = 168
+    // one fold per series: state (l, b, s[24]); L is the new level,
+    // recomputed inline where b/s need it (same IEEE value each time)
+    val L = "0.25D * (e.y - element_at(acc.s, " +
+      "cast((e.t - 1) % 24 as int) + 1)) + 0.75D * (acc.l + acc.b)"
+    // DETRENDED init (the standard HW device, and load-bearing: raw
+    // first-season deviations leak the trend into the seasonals and
+    // bias b for hundreds of steps — the planted-series spec pins the
+    // exact-fit fixed point this init restores): a₁/a₂ = season means,
+    // b₀ = (a₂−a₁)/24, l₀ = a₁ + 11.5·b₀ (level at t=24), s₀ᵢ =
+    // yᵢ − (a₁ + (i−12.5)·b₀).
+    val A1 = "aggregate(slice(ys, 1, 24), 0D, (a, v) -> a + v) / 24.0D"
+    val B0 = s"(aggregate(slice(ys, 25, 24), 0D, (a, v) -> a + v) " +
+      s"/ 24.0D - $A1) / 24.0D"
+    val hwExpr =
+      s"""aggregate(
+         |  zip_with(slice(ys, 25, size(ys) - 24), sequence(25, size(ys)),
+         |    (y, t) -> named_struct('y', y, 't', t)),
+         |  named_struct(
+         |    'l', $A1 + 11.5D * ($B0),
+         |    'b', $B0,
+         |    's', transform(slice(ys, 1, 24), (v, i) -> v -
+         |      ($A1 + (cast(i as double) + 1.0D - 12.5D) * ($B0)))),
+         |  (acc, e) -> named_struct(
+         |    'l', $L,
+         |    'b', 0.0625D * (($L) - acc.l) + 0.9375D * acc.b,
+         |    's', transform(acc.s, (sv, si) ->
+         |      IF(si = cast((e.t - 1) % 24 as int),
+         |        0.125D * (e.y - ($L)) + 0.875D * sv, sv))))""".stripMargin
+    val st = dense.where(col("hr") <= col("hi") - H)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hr"), col("x"))))
+        .as("sx"))
+      .select(col("event_type"),
+        expr("transform(sx, p -> cast(p.x as double))").as("ys"))
+      .where(size(col("ys")) >= H)
+      .withColumn("hw", expr(hwExpr))
+      .select(col("event_type"), size(col("ys")).cast("long").as("tn"),
+        col("hw.l").as("lvl"), col("hw.b").as("trd"),
+        col("hw.s").as("season"))
+    val ev = dense.where(col("hr") > col("hi") - H)
+      .withColumn("h", row_number().over(
+        Window.partitionBy("event_type").orderBy("hr")).cast("long"))
+    val sn = dense.select(col("event_type"), (col("hr") + H).as("hr"),
+      col("x").as("f_sn"))
+    ev.join(st, "event_type")
+      .join(sn, Seq("event_type", "hr"))
+      .withColumn("f_hw", r4(col("lvl") + col("h") * col("trd") +
+        expr("element_at(season, cast((tn + h - 1) % 24 as int) + 1)")))
+      .withColumn("ae_hw",
+        abs(col("x") - col("f_hw")).cast("decimal(18,4)"))
+      .withColumn("ae_sn", abs(col("x") - col("f_sn")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        max("lvl").as("mlvl"), max("trd").as("mtrd"),
+        sum("ae_hw").as("sae_hw"), sum("ae_sn").as("sae_sn"))
+      .select(col("event_type"), col("n_eval"),
+        r4(col("mlvl")).as("level"), r4(col("mtrd")).as("trend"),
+        r4(col("sae_hw").cast("double") / col("n_eval")).as("mae_hw"),
+        r4(col("sae_sn").cast("double") / col("n_eval")).as("mae_snaive"))
+      .orderBy("event_type")
+  }
+
+  val tsHoltWintersSql: String = {
+    val L = "0.25 * (tr.y - r.s[CAST((tr.t - 1) % 24 AS INT) + 1]) " +
+      "+ 0.75 * (r.l + r.b)"
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type,
+       |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |axis AS (
+       |  SELECT event_type, hi, unnest(range(lo, hi + 1)) AS hr
+       |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+       |        FROM hourly GROUP BY event_type)),
+       |dense AS MATERIALIZED (
+       |  SELECT a.event_type, a.hr, a.hi, COALESCE(h.c, 0) AS x
+       |  FROM axis a LEFT JOIN hourly h
+       |    ON a.event_type = h.event_type AND a.hr = h.hr),
+       |tr AS MATERIALIZED (
+       |  SELECT event_type, CAST(x AS DOUBLE) AS y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+       |      AS BIGINT) AS t
+       |  FROM dense WHERE hr <= hi - 168),
+       |agg0 AS (
+       |  SELECT event_type,
+       |    SUM(y) FILTER (WHERE t <= 24) AS s1,
+       |    SUM(y) FILTER (WHERE t BETWEEN 25 AND 48) AS s2,
+       |    list(y ORDER BY t) FILTER (WHERE t <= 24) AS y24
+       |  FROM tr GROUP BY event_type HAVING MAX(t) >= 168),
+       |ini AS (
+       |  SELECT event_type,
+       |    s1 / 24.0 + 11.5 * ((s2 / 24.0 - s1 / 24.0) / 24.0) AS l0,
+       |    (s2 / 24.0 - s1 / 24.0) / 24.0 AS b0,
+       |    list_transform(y24, (v, i) -> v - (s1 / 24.0 +
+       |      (CAST(i AS DOUBLE) - 12.5) *
+       |      ((s2 / 24.0 - s1 / 24.0) / 24.0))) AS s0
+       |  FROM agg0),
+       |rec AS (
+       |  SELECT event_type, CAST(24 AS BIGINT) AS t, l0 AS l, b0 AS b,
+       |    s0 AS s
+       |  FROM ini
+       |  UNION ALL
+       |  SELECT r.event_type, tr.t,
+       |    $L,
+       |    0.0625 * (($L) - r.l) + 0.9375 * r.b,
+       |    list_transform(r.s, (sv, si) ->
+       |      CASE WHEN si = CAST((tr.t - 1) % 24 AS BIGINT) + 1
+       |        THEN 0.125 * (tr.y - ($L)) + 0.875 * sv ELSE sv END)
+       |  FROM rec r JOIN tr
+       |    ON tr.event_type = r.event_type AND tr.t = r.t + 1),
+       |fin AS (
+       |  SELECT event_type, t AS tn, l AS lvl, b AS trd, s FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY t DESC) AS z FROM rec)
+       |  WHERE z = 1),
+       |ev AS (
+       |  SELECT event_type, hr, x,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+       |      AS BIGINT) AS h
+       |  FROM dense WHERE hr > hi - 168),
+       |sn AS (SELECT event_type, hr + 168 AS hr, x AS f_sn FROM dense),
+       |fc AS (
+       |  SELECT e.event_type, e.x, s.f_sn, f.lvl, f.trd,
+       |    ${r4Sql("f.lvl + e.h * f.trd + " +
+                    "f.s[CAST((f.tn + e.h - 1) % 24 AS INT) + 1]")}
+       |      AS f_hw
+       |  FROM ev e JOIN fin f USING (event_type)
+       |    JOIN sn s ON s.event_type = e.event_type AND s.hr = e.hr)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  ${r4Sql("MAX(lvl)")} AS level,
+       |  ${r4Sql("MAX(trd)")} AS trend,
+       |  ${r4Sql("CAST(SUM(CAST(ABS(x - f_hw) AS DECIMAL(18,4))) " +
+                  "AS DOUBLE) / COUNT(*)")} AS mae_hw,
+       |  ${r4Sql("CAST(SUM(ABS(x - f_sn)) AS DOUBLE) / COUNT(*)")}
+       |    AS mae_snaive
+       |FROM fc GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------------------------- #204
   /** #204 retrieval chunker: overlapping 64-token windows at stride
     * 48 (16-token overlap so no boundary sentence is ever lost to
@@ -1264,6 +1452,7 @@ object Meridian {
     "text_langid_eval" -> (textLangidEval _),
     "quality_classifier_eval" -> (qualityClassifierEval _),
     "events_forecast_snaive" -> (eventsForecastSnaive _),
+    "ts_holt_winters" -> (tsHoltWinters _),
     "corpus_chunks" -> (corpusChunks _),
     "embed_quantile_clip" -> (embedQuantileClip _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
@@ -1288,6 +1477,7 @@ object Meridian {
     "text_langid_eval" -> textLangidEvalSql,
     "quality_classifier_eval" -> qualityClassifierEvalSql,
     "events_forecast_snaive" -> eventsForecastSnaiveSql,
+    "ts_holt_winters" -> tsHoltWintersSql,
     "corpus_chunks" -> corpusChunksSql,
     "embed_quantile_clip" -> embedQuantileClipSql,
     "join_interval_overlap" -> joinIntervalOverlapSql,

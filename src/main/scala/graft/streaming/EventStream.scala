@@ -303,7 +303,13 @@ object EventStream {
     private def flush(key: Long, wmUs: Long): Iterator[AsofRow] = {
       val vs = views.get().toSeq
       val ps = pending.get().toSeq
-      val (ripe, wait) = ps.partition(_._1 <= wmUs)
+      // STRICTLY below the watermark: Spark's late-record filter drops
+      // only rows with ts < watermark, so a view with ts == wm (== pts)
+      // can still be admitted — sealing an equal-timestamp purchase
+      // here would emit it without that view, diverging from the batch
+      // as-of contract at the exact boundary. The re-armed timer
+      // guarantees eventual sealing once the watermark passes pts.
+      val (ripe, wait) = ps.partition(_._1 < wmUs)
       val out = ripe.sorted.map { case (pts, pid) =>
         val m = vs.filter(v =>
             v._1 <= pts && v._1 + asofHorizonUs >= pts)
@@ -311,7 +317,9 @@ object EventStream {
         AsofRow(key, pid, pts, m.map(_._2), m.map(_._1),
           m.map(pts - _._1))
       }
-      val keepV = vs.filter(_._1 + asofHorizonUs > wmUs)
+      // retain views any UNSEALED purchase (pts >= wm) could still
+      // reference: qualifying means v.ts + H >= pts >= wm
+      val keepV = vs.filter(_._1 + asofHorizonUs >= wmUs)
       views.clear()
       if (keepV.nonEmpty) views.appendList(keepV.toArray)
       pending.clear()
@@ -538,12 +546,23 @@ object EventStream {
       .dropDuplicates("doc_id")
       .withColumn("vm", typedlit(cost))
       .withColumn("a", expr(
+        // fail-fast OOV guard (the stats_holm/bh_adjust discipline): a
+        // word containing any character absent from the FROZEN
+        // vocabulary has no segmentation, so its dp carries the INF
+        // sentinel (1e15) — folding that through %1024/div 1024 would
+        // silently corrupt the accounting on a drifted production
+        // stream. Surface it as a job failure instead.
         s"""aggregate(
            |  transform(filter(split(text, ' '), w -> w <> ''),
            |    w -> $dp),
            |  named_struct('nw', 0L, 'nt', 0L, 'bits', 0L),
            |  (acc, d) -> named_struct('nw', acc.nw + 1L,
-           |    'nt', acc.nt + d % 1024,
+           |    'nt', acc.nt + IF(d >= 1000000000000000L,
+           |      cast(raise_error(concat(
+           |        'graft: out-of-vocabulary word in streamed doc ',
+           |        cast(doc_id as string),
+           |        ' — frozen unigram vocab cannot encode it')) as bigint),
+           |      d % 1024),
            |    'bits', acc.bits + d div 1024))""".stripMargin))
       .select(col("doc_id"), col("source"),
         col("a.nw").as("n_words"), col("a.nt").as("n_uni_tokens"),
@@ -649,6 +668,128 @@ object EventStream {
           state.update(seen)
           out.iterator
       }
+  }
+
+  /** Verified near-dup match emitted by the streamed LSH signature
+    * index (family #24). `jaccard` is the exact trigram-shingle
+    * Jaccard, r4'd like the batch op's.
+    */
+  final case class DupMatch(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Family #24 — streamed NEAR-dup ingest on `transformWithState`:
+    * the near-dup form of `dedup_incremental`'s exact-Bloom day-N
+    * pattern, and the stateful-v2 upgrade of
+    * [[nearDupCandidatesStream]] that VERIFIES in-stream instead of
+    * only surfacing candidates. Each arriving document maps to its
+    * per-band bucket keys with the SAME native one-pass expressions
+    * as batch #28 (hashed trigram shingles → minhash signature →
+    * banded slice digest); a processor keyed on the bucket holds the
+    * occupants' (doc_id, shingle-hash set) in ListState and, when a
+    * new document lands, computes the EXACT sorted-merge Jaccard
+    * (the IntersectCount contract) against each occupant, emitting
+    * one match row per occupant at ≥ τ = 0.8 — the batch op's verify,
+    * incrementally. Redelivered doc_ids no-op against the state
+    * (at-least-once-safe); a pair can surface once per shared band —
+    * `.distinct()` downstream, exactly like the batch equi-join.
+    * StreamingSpec pins streamed `.distinct()` == batch
+    * `dedup_minhash_lsh` on a planted re-ingest slice, across batch
+    * boundaries and under full redelivery.
+    *
+    * Scale: per-bucket state is occupant (id, shingle set) — bucket
+    * occupancy × doc shingle count, the same quantity the batch op's
+    * band sizing controls (grow bandRows with log₂ n), times the
+    * bands-per-doc duplication (numHashes/bandRows copies — the price
+    * of in-stream verify; a deployment that can't carry it falls back
+    * to [[nearDupCandidatesStream]] + batch verify). The shuffle key
+    * is the bucket, identical to the batch join key. In production
+    * the index is TTL'd to the ingest-window horizon (TTLConfig here
+    * is NONE because the batch contract verifies against ALL history).
+    */
+  class NearDupIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Seq[Long]), DupMatch] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    import org.apache.spark.sql.{Encoders => E}
+
+    @transient private var occupants:
+      org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: TimeMode): Unit =
+      occupants = getHandle.getListState[(Long, Seq[Long])]("occupants",
+        E.product[(Long, Seq[Long])], TTLConfig.NONE)
+
+    /** Exact multiset intersect of two SORTED hash arrays — the same
+      * sorted-merge as the batch `intersect_count` expression, so the
+      * streamed jaccard is bit-identical to the batch verify's.
+      */
+    private def inter(a: Seq[Long], b: Seq[Long]): Long = {
+      var i = 0; var j = 0; var c = 0L
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    private def r4(x: Double): Double =
+      math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Seq[Long])],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[DupMatch] = {
+      var seen = occupants.get().toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
+      // batch-mates in doc_id order so intra-batch emission is
+      // deterministic; re-delivered ids no-op against the state
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, hs) =>
+        if (!seen.exists(_._1 == id)) {
+          seen.foreach { case (oid, ohs) =>
+            val ic = inter(ohs, hs).toDouble
+            val j = r4(ic / (ohs.length + hs.length - ic))
+            if (j >= 0.8) {
+              out += (if (oid < id) DupMatch(oid, id, j)
+                      else DupMatch(id, oid, j))
+            }
+          }
+          occupants.appendValue((id, hs))
+          seen = seen :+ ((id, hs))
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[NearDupIndexProcessor]] wired to a document stream: the batch
+    * #28 shingle/signature/banding expressions map-side, bucket-keyed
+    * transformWithState, Append output (matches are final — the index
+    * only grows).
+    */
+  def nearDupIngestStream(docs: Dataset[Doc], numHashes: Int,
+      bandRows: Int): Dataset[DupMatch] = {
+    require(numHashes % bandRows == 0,
+      s"bandRows must divide numHashes ($bandRows / $numHashes)")
+    val sp = docs.sparkSession
+    graft.functions.Hashes.register(sp)
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs.toDF()
+      .withColumn("hsh", expr("ngram_hashes(split(text, ' '), 3)"))
+      .withColumn("sig", expr(
+        s"minhash_sig_from_hashes(hsh, $numHashes)"))
+      .select(col("doc_id"), col("hsh"), explode(expr(
+        s"""transform(sequence(0, ${numHashes / bandRows - 1}),
+           |  b -> concat_ws('|', b, md5(concat_ws(',',
+           |    slice(sig, b * $bandRows + 1, $bandRows)))))"""
+          .stripMargin)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("hsh"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new NearDupIndexProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[DupMatch])
   }
 
   /** Streaming PREFIX-FILTERED candidate index — the incremental form

@@ -374,4 +374,53 @@ class AegisSpec extends GraftSpec {
     assert(rows("a_seg_only").getAs[Long]("n_candidates") >
       5L * rows("e_seg_digits_1_8").getAs[Long]("n_candidates"))
   }
+
+  test("privacy_dp_release: the seeded Gaussian noise path is a " +
+      "deterministic pure function of the cell key (a plain-Scala md5 " +
+      "replay matches every released count), noise is genuinely " +
+      "applied, and the accounting columns carry the mechanism") {
+    val out = operators.Aegis.privacyDpRelease(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cells = operators.Aegis.privacyKAnonymity(spark, sf)
+      .select("nation", "segment", "bal_band", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(out.length == cells.size, "release must cover every cell")
+    def md5u32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    var nonzero = 0
+    out.foreach { r =>
+      val key = (r.getAs[Long]("nation"), r.getAs[String]("segment"),
+        r.getAs[Long]("bal_band"))
+      val n = cells(key)
+      val znum = (1 to 12).map(j =>
+        md5u32(s"${key._1}|${key._2}|${key._3}|$j")).sum -
+        6L * 4294967296L
+      val expected = math.floor(
+        (n + znum.toDouble / 4294967296.0 * 5.2988) * 10000.0 + 0.5) /
+        10000.0
+      assert(r.getAs[Double]("n_noisy") == expected,
+        s"cell $key: seeded noise path diverged")
+      if (r.getAs[Double]("n_noisy") != n.toDouble) nonzero += 1
+      assert(r.getAs[Double]("epsilon") == 1.0)
+      assert(r.getAs[Double]("delta") == 1.0e-6)
+      assert(r.getAs[Double]("sigma") == 5.2988)
+    }
+    // the mechanism actually perturbs (releasing raw counts would
+    // also pass determinism)
+    assert(nonzero > out.length / 2, s"noise vacuous: $nonzero cells moved")
+    // Irwin-Hall(12) sanity on the realized draws: mean |noise| well
+    // below 3 sigma on average, and both signs occur
+    val noises = out.map { r =>
+      val key = (r.getAs[Long]("nation"), r.getAs[String]("segment"),
+        r.getAs[Long]("bal_band"))
+      r.getAs[Double]("n_noisy") - cells(key)
+    }
+    assert(noises.exists(_ > 0) && noises.exists(_ < 0))
+    assert(noises.map(math.abs).sum / noises.length < 3 * 5.2988)
+  }
 }

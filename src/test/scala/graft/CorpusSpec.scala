@@ -620,4 +620,49 @@ class CorpusSpec extends GraftSpec {
     // a real multigram budget must compress below the char baseline
     assert(got.last.getAs[Long]("total_tokens") < chars0)
   }
+
+  test("corpus_wordpiece_encode: a plain-Scala greedy longest-match " +
+      "replay over the learned role-split vocabulary matches every " +
+      "document's counts, and multigram pieces genuinely compress " +
+      "below the character baseline") {
+    val vocab = operators.Corpus.wordpieceVocab(spark, sf).toSet
+    val ini = vocab.filterNot(_.startsWith("##"))
+    val con = vocab.filter(_.startsWith("##"))
+    assert(ini.size == 24 && con.size == 24,
+      s"role-split top-24s expected, got ${ini.size}/${con.size}")
+    assert(vocab.forall(p => p.replace("##", "").length >= 2))
+    def encode(w: String): Long = {
+      var pos = 0
+      var cnt = 0L
+      while (pos < w.length) {
+        val pref = if (pos == 0) "" else "##"
+        val l = (4 to 2 by -1).find(l => pos + l <= w.length &&
+          vocab.contains(pref + w.substring(pos, pos + l))).getOrElse(1)
+        pos += l
+        cnt += 1
+      }
+      cnt
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = operators.Corpus.corpusWordpieceEncode(spark, sf).collect()
+    assert(out.length == docs.size)
+    var tok = 0L
+    var chars = 0L
+    out.foreach { r =>
+      val words = docs(r.getAs[Long]("doc_id")).split(" ")
+        .filter(_.nonEmpty)
+      val nwp = words.map(encode).sum
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(r.getAs[Long]("n_wp_tokens") == nwp,
+        s"doc ${r.getAs[Long]("doc_id")}: greedy replay diverged")
+      val tpw = math.floor(
+        nwp.toDouble / words.length * 10000.0 + 0.5) / 10000.0
+      assert(r.getAs[Double]("tokens_per_word") == tpw)
+      tok += nwp
+      chars += words.map(_.length.toLong).sum
+    }
+    assert(tok < chars, "multigram pieces never fired - vacuous vocab")
+  }
 }

@@ -253,7 +253,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "embed_jl_project",     // no vectors -> no queries -> no recall
     "corpus_tokenizer_eval", // two empty encodes -> empty comparison
     "corpus_unigram_vocab_sweep", // four budgets of an empty vocabulary
-    "events_asof_conversion") // no purchases -> nothing to attribute
+    "events_asof_conversion", // no purchases -> nothing to attribute
+    // round-23 additions
+    "corpus_wordpiece_encode", // empty role vocab, no words to match
+    "privacy_dp_release",   // no customers -> no cells to perturb
+    "ts_holt_winters")      // no events -> no series >= the 168h bar
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

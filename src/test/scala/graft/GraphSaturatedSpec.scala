@@ -32,7 +32,11 @@ class GraphSaturatedSpec extends GraftSpec {
   test("auto profile (the round-19 default) resolves from MEASURED " +
       "fact volume and stays result-identical on both sides of the " +
       "threshold") {
-    val q = SparkEntry.queries("graph_pagerank")
+    // graph_kcore: its 27-ref doubled-arc subplan still routes through
+    // saturatedSlot. (graph_pagerank no longer does — the round-23
+    // LayoutCache edge table replaced the shared-subplan persist for
+    // the base edge list, so pagerank's plan has nothing to persist.)
+    val q = SparkEntry.queries("graph_kcore")
     spark.conf.set("spark.graft.clusterSaturated", "false")
     val idle = q(spark, sf).collect().map(_.toString).sorted.toSeq
     try {

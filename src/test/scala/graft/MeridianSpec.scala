@@ -406,4 +406,58 @@ class MeridianSpec extends GraftSpec {
       assert(r.getAs[String]("f_state") == want.head._2)
     }
   }
+
+  test("ts_holt_winters: on a planted trend+season series the triple " +
+      "smoother beats the seasonal-naive baseline by an order of " +
+      "magnitude, recovers the trend, and snaive's MAE equals the " +
+      "analytic 168·slope") {
+    val sp = spark
+    import sp.implicits._
+    // x_t = 50 + t + season(slot): slope exactly 1/hour, a 24-hour
+    // tent-shaped season, 20 train seasons + the 168-hour eval week.
+    // snaive's forecast error is EXACTLY 168·slope = 168 at every
+    // eval hour; a forecaster that models trend must crush that.
+    val T = 24 * 20
+    val H = 168
+    val hi = (T + H).toLong
+    val rows = (1 to (T + H)).map { t =>
+      val slot = (t - 1) % 24
+      val season = if (slot < 12) slot * 3 else (24 - slot) * 3
+      ("synthetic", t.toLong, hi, (50 + t + season).toLong)
+    }
+    val dense = rows.toDF("event_type", "hr", "hi", "x")
+    val out = Meridian.holtWintersOn(dense).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_eval") == 168L)
+    assert(r.getAs[Double]("mae_snaive") == 168.0,
+      s"analytic snaive MAE broken: ${r.getAs[Double]("mae_snaive")}")
+    // an exactly linear+seasonal series is a FIXED POINT of the
+    // detrended-init recursion: every forecast is exact, so the MAE
+    // is analytically zero and the trend is exactly the slope — this
+    // pins the init (the raw-deviation init that leaks trend into the
+    // seasonals scored MAE 21 here)
+    val maeHw = r.getAs[Double]("mae_hw")
+    assert(maeHw == 0.0, s"HW must fit the planted series exactly " +
+      s"(snaive scores 168.0), got $maeHw")
+    assert(r.getAs[Double]("trend") == 1.0,
+      s"trend not recovered exactly: ${r.getAs[Double]("trend")}")
+  }
+
+  test("ts_holt_winters: real-events frame drops short series, " +
+      "evaluates a full final week per surviving type, and level is " +
+      "finite") {
+    val out = Meridian.tsHoltWinters(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_eval") == 168L)
+      assert(!r.getAs[Double]("level").isNaN)
+      assert(r.getAs[Double]("mae_hw") >= 0.0)
+      assert(r.getAs[Double]("mae_snaive") >= 0.0)
+    }
+    // same survivor set as the snaive backtest (the #203 drop rule)
+    val sn = graft.operators.Meridian.eventsForecastSnaive(spark, sf)
+      .select("event_type").collect().map(_.getString(0)).toSet
+    val hw = out.map(_.getAs[String]("event_type")).toSet
+    assert(hw.subsetOf(sn))
+  }
 }

@@ -147,7 +147,10 @@ class NullInputSpec extends AnyFunSuite {
     // greedy (isNotNull guard mirrored in the oracle); the evolution
     // layout reads orders, untouched by the nulled corpus
     "sample_coreset", "layout_schema_evolution", "stats_holm_adjust",
-    "agg_moments_skew", "join_pit_features", "agg_winsorized_mean")
+    "agg_moments_skew", "join_pit_features", "agg_winsorized_mean",
+    // round-23: split(null) drops the null doc from both the role
+    // vocabulary learn and the greedy encode word stream
+    "corpus_wordpiece_encode")
 
   for (name <- representative)
     test(s"$name survives null text / null embedding rows") {

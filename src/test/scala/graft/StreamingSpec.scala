@@ -231,6 +231,68 @@ class StreamingSpec extends GraftSpec {
     assert(verified.subsetOf(streamed))
   }
 
+  test("streamed near-dup ingest (family #24): transformWithState LSH " +
+      "signature index with in-stream exact-Jaccard verify == batch " +
+      "dedup_minhash_lsh on a planted re-ingest slice, across batch " +
+      "boundaries and under full redelivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // the TWS RocksDB scoping discipline (the #22 pattern)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val base = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).sortBy(_.doc_id).toSeq
+    // planted re-ingest: every 7th doc returns under a fresh id (the
+    // dedup_incremental device) — guaranteed j=1.0 near-dups, so the
+    // verify leg is exercised whatever the organic near-dup density
+    val replay = base.filter(_.doc_id % 7 == 0)
+      .map(d => Doc(d.doc_id + 5000000L, d.text))
+    val docs = base ++ replay
+    val streamed = try {
+      val stream = MemoryStream[Doc]
+      val q = EventStream
+        .nearDupIngestStream(stream.toDS(), numHashes = 16, bandRows = 4)
+        .writeStream.format("memory").queryName("neardup_ingest_out")
+        .outputMode("append").start()
+      // two batches, then redeliver the FIRST batch: the occupant
+      // state must suppress replayed ids (no duplicate/self matches)
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      Seq(b1, b2, b1).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table("neardup_ingest_out").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+    // the batch contract over the SAME planted frame
+    graft.functions.Hashes.register(spark)
+    val doc = Tables(spark, sf, "documents").select("doc_id", "text")
+    val union = doc.unionByName(doc.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val sh = union
+      .withColumn("hsh", expr("ngram_hashes(split(text, ' '), 3)"))
+      .select("doc_id", "hsh")
+    val batch = operators.Dedup.minhashPairsOn(sh, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(5)}, " +
+        s"batch-only: ${batch.diff(streamed).take(5)}")
+    // non-vacuous: every planted re-ingest pair is found at j = 1.0
+    val planted = base.filter(_.doc_id % 7 == 0)
+      .map(d => (d.doc_id, d.doc_id + 5000000L, 1.0)).toSet
+    assert(planted.subsetOf(streamed), "planted re-ingests missed")
+  }
+
   test("streaming exact dedup == batch dedup_exact keep set") {
     val sp = spark
     import sp.implicits._
