@@ -41,7 +41,7 @@ object Graph {
     * it, graph density tracks data volume instead of structure and
     * wedge counts explode quadratically.
     */
-  private[operators] def undirected(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def undirected(spark: SparkSession, dir: String): DataFrame = {
     // Cross-QUERY amortization (the LayoutCache discipline extended
     // from physical layouts to this derived table): the support-≥2
     // edge list is a deterministic pure function of (dir, minSupport)
@@ -60,7 +60,18 @@ object Graph {
     // |edges| tracking catalog structure, not data volume (probed to
     // 100×); an unfloored variant must not reuse this path.
     val path = LayoutCache.getOrWrite("graph_edges_s2", dir) { tmp =>
-      undirected(spark, dir, minSupport = 2)
+      // the SETS derivation, not the self-join: one shuffle groups
+      // lineitem into per-order part sets, pairs explode map-side and
+      // the support count is map-side-combinable — no countDistinct
+      // expand, no join-side sort. The r18 A/B called the two a wash
+      // per-QUERY at bench scale; at the CACHE site the derivation
+      // runs once per JVM, so the deciding number is the 100× memory
+      // envelope: the self-join spills ~48 GB on an 8 GiB heap, this
+      // shape ~26 GB (the remainder is the honest partial-agg cost of
+      // 100× the distinct-pair cardinality — SPILL_probe100_r23), and
+      // every SUBSEQUENT graph query probes zero-spill off the cached
+      // file. GraphSpec pins the two variants row-identical.
+      undirectedViaSets(spark, dir, minSupport = 2)
         .repartition(1)
         .write.mode("overwrite").parquet(tmp)
     }
@@ -93,11 +104,17 @@ object Graph {
     * already dedups (order, pa, pb), so no countDistinct expand and no
     * self-join. Same output contract as [[undirected]].
     */
-  private[operators] def undirectedViaSets(spark: SparkSession, dir: String,
+  private[graft] def undirectedViaSets(spark: SparkSession, dir: String,
       minSupport: Long = 2): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    li.groupBy("o").agg(collect_set("p").as("ps"))
+    // explicit repartition: exempt from AQE's 64 MB advisory coalesce,
+    // which would fold the 100×-scale set-build into ~11 partitions
+    // whose ObjectHashAggregate fallback sorts spill (the PLANS.md
+    // round-21 pattern); at bench scale it's the same shuffle the
+    // groupBy pays anyway
+    li.repartition(spark.sparkContext.defaultParallelism, col("o"))
+      .groupBy("o").agg(collect_set("p").as("ps"))
       // single-part orders yield no pairs; the guard also keeps the
       // sequence() bounds ascending (sequence(1, 0) is DESCENDING in
       // Spark — the #267 phantom-frame trap)
@@ -120,7 +137,7 @@ object Graph {
     * the duplicate-line factor and the pair count becomes map-side
     * combinable. AuxBench measures it against the registered plan.
     */
-  private[operators] def undirectedViaDistinct(spark: SparkSession,
+  private[graft] def undirectedViaDistinct(spark: SparkSession,
       dir: String, minSupport: Long = 2): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))

@@ -113,4 +113,24 @@ class GraphSpec extends GraftSpec {
       .map(_.getAs[Double]("pagerank")).sum
     assert(math.abs(total - 4.0) < 4 * 5e-5)
   }
+
+  test("the cached edge derivation (undirectedViaSets) is row-identical " +
+      "to the self-join formulation it replaced at the cache site") {
+    // the round-23 cache writes ViaSets (one-shuffle, map-side pair
+    // explode — the 100× memory-envelope winner); this pins the A/B
+    // equality the swap relies on, over the real corpus
+    val sets = Graph.undirectedViaSets(spark, sf, minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val join = Graph.undirectedViaDistinct(spark, sf, minSupport = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sets.nonEmpty)
+    assert(sets == join,
+      s"sets-only: ${sets.diff(join).take(5)}, " +
+        s"join-only: ${join.diff(sets).take(5)}")
+    // and the shared cached table the graph family actually reads
+    // carries exactly this edge set
+    val cached = Graph.undirected(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached == sets)
+  }
 }
