@@ -915,9 +915,81 @@ object Aegis {
        |FROM z ORDER BY nation, segment, bal_band""".stripMargin
   }
 
+  // --------------------------------------------------------------- #368
+  /** #368 differentially-private MEAN release — the other DP primitive
+    * beside the #364 count histogram: per (nation, segment) cell,
+    * release the mean account balance AND the cell size, each through
+    * its own Gaussian mechanism (the #364 seeded Irwin-Hall device
+    * with role-tagged seeds 'm'/'n', so the two draws are
+    * independent), with the ε-ledger carrying the COMPOSED budget
+    * (two (1, 10⁻⁶) mechanisms → epsilon_total 2.0, delta_total
+    * 2·10⁻⁶ by basic composition — the accounting a release pipeline
+    * must surface, not hide). Balances are CLAMPED to [-1000, 10000]
+    * before the sum (TPC-H acctbal's range), which is what bounds the
+    * mean's sensitivity: Δ(mean of an n-cell) = (hi−lo)/n, so the
+    * noise std shrinks as cells grow — bigger data is safer data,
+    * visibly. Exactness: clamped cents sum in DECIMAL (order-free),
+    * one double division for the mean, the same md5-integer noise
+    * path as #364 with identical IEEE op order both engines.
+    */
+  def privacyDpMean(spark: SparkSession, dir: String): DataFrame = {
+    val twoPow32 = 4294967296.0
+    def draws(tag: String) = (1 to 12).map(j =>
+      conv(substring(md5(concat_ws("|", lit(tag),
+        col("nation"), col("segment"),
+        lit(j.toString))), 1, 8), 16, 10).cast("long"))
+      .reduce(_ + _) - lit(6L * 4294967296L)
+    Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        greatest(least(col("c_acctbal"), lit(10000.0)), lit(-1000.0))
+          .cast("decimal(18,2)").as("bal"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n"), sum("bal").as("s"))
+      .withColumn("zm", draws("m"))
+      .withColumn("zn", draws("n"))
+      .select(col("nation"), col("segment"),
+        r4(col("s").cast("double") / col("n") +
+          col("zm").cast("double") / twoPow32 * lit(5.2988) *
+            (lit(11000.0) / col("n").cast("double"))).as("mean_noisy"),
+        r4(col("n") + col("zn").cast("double") / twoPow32 * lit(5.2988))
+          .as("n_noisy"),
+        lit(2.0).as("epsilon_total"), lit(2.0e-6).as("delta_total"),
+        lit(5.2988).as("sigma"))
+      .orderBy("nation", "segment")
+  }
+
+  val privacyDpMeanSql: String = {
+    def draws(tag: String) = (1 to 12).map(j =>
+      s"('0x' || substr(md5('$tag' || '|' || CAST(nation AS VARCHAR)" +
+        s" || '|' || segment || '|' || '$j'), 1, 8))::UBIGINT::BIGINT")
+      .mkString(" + ")
+    s"""WITH cells AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    c_mktsegment AS segment,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${sumDecSql(
+            "CAST(GREATEST(LEAST(c_acctbal, 10000.0), -1000.0) " +
+              "AS DECIMAL(18,2))", 18, 2)} AS s
+       |  FROM customer GROUP BY 1, 2),
+       |z AS (
+       |  SELECT *, (${draws("m")}) - 25769803776 AS zm,
+       |    (${draws("n")}) - 25769803776 AS zn
+       |  FROM cells)
+       |SELECT nation, segment,
+       |  ${r4Sql("CAST(s AS DOUBLE) / n + CAST(zm AS DOUBLE) " +
+                  "/ 4294967296.0 * 5.2988 * (11000.0 / CAST(n AS DOUBLE))")}
+       |    AS mean_noisy,
+       |  ${r4Sql("n + CAST(zn AS DOUBLE) / 4294967296.0 * 5.2988")}
+       |    AS n_noisy,
+       |  2.0 AS epsilon_total, 0.000002 AS delta_total, 5.2988 AS sigma
+       |FROM z ORDER BY nation, segment""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_dp_release" -> (privacyDpRelease _),
+    "privacy_dp_mean" -> (privacyDpMean _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "sample_neyman" -> (sampleNeyman _),
@@ -928,6 +1000,7 @@ object Aegis {
 
   val oracles: Map[String, String] = Map(
     "privacy_dp_release" -> privacyDpReleaseSql,
+    "privacy_dp_mean" -> privacyDpMeanSql,
     "privacy_k_anonymity" -> privacyKAnonymitySql,
     "privacy_l_diversity" -> privacyLDiversitySql,
     "sample_neyman" -> sampleNeymanSql,

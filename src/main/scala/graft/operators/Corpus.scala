@@ -1819,6 +1819,17 @@ object Corpus {
     */
   private[graft] def wordpieceVocab(spark: SparkSession,
       dir: String): Seq[String] = {
+    val (ini, con) = wordpieceVocabRanked(spark, dir)
+    ini ++ con
+  }
+
+  /** The #366 role-split candidates RANKED (count DESC, piece ASC),
+    * top-24 each: the top-k of either role at any budget k ≤ 24 is a
+    * PREFIX (the #341/#362 rank-order argument), so one learn pass
+    * serves the whole #367 sweep.
+    */
+  private[graft] def wordpieceVocabRanked(spark: SparkSession,
+      dir: String): (Seq[String], Seq[String]) = {
     val words = Tables.spread(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
@@ -1835,7 +1846,7 @@ object Corpus {
       .groupBy("piece").agg(sum("cw").as("cnt"))
       .orderBy(desc("cnt"), col("piece")).limit(24)
       .collect().map(_.getAs[String]("piece")).toSeq
-    top24(ini) ++ top24(con)
+    (top24(ini), top24(con))
   }
 
   /** The greedy longest-match-first fold over a word `w` against a
@@ -1953,8 +1964,135 @@ object Corpus {
        |    AS tokens_per_word
        |FROM wp_doc_tokens ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #367
+  /** #367 WordPiece-vocabulary compression curve — the #341/#362 sweep
+    * for the THIRD tokenizer family: encode the corpus under role
+    * budgets k = 0 / 8 / 16 / 24 (top-k initial + top-k continuation
+    * multigrams; k = 0 is the character baseline — the single-char
+    * fallback is the whole tokenizer) and report per budget the stream
+    * words, greedy tokens and tokens/word. One learn pass serves all
+    * budgets: the (count DESC, piece ASC) role rankings make every
+    * top-k a PREFIX of top-24 (the rank-order argument), so each
+    * budget's vocabulary is the real k-piece tokenizer, not a
+    * truncation artifact. The curve prices the embedding-table-rows
+    * vs tokens-per-word trade for the greedy family, read next to the
+    * BPE (#341) and unigram (#362) curves.
+    *
+    * Scale: one keyed candidate agg (map-side combine), four fold
+    * columns over ONE shared distinct-word frame (vocab-sized), a
+    * budgets-sized union of 1-row aggregates. Oracle replays each
+    * budget's learn + greedy walk with per-budget LIMIT k CTEs —
+    * every budget's hash is independently proven.
+    */
+  def corpusWordpieceVocabSweep(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (iniL, conL) = wordpieceVocabRanked(spark, dir)
+    val words = Tables.spread(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val budgets = Seq(0, 8, 16, 24)
+    budgets.map { k =>
+      val vm = (iniL.take(k) ++ conL.take(k)).map(_ -> 1L).toMap
+      words
+        .withColumn("vm", typedlit(vm))
+        .withColumn("nt", expr(wordpieceFoldExpr))
+        .groupBy()
+        .agg(sum("cw").as("total_words"),
+          sum(col("cw") * col("nt")).as("total_tokens"))
+        .select(lit(k.toLong).as("n_role_pieces"),
+          col("total_words"), col("total_tokens"))
+    }.reduce(_ unionByName _)
+      .where(col("total_words").isNotNull) // empty corpus -> no rows
+      .select(col("n_role_pieces"), col("total_words"),
+        col("total_tokens"),
+        r4(col("total_tokens").cast("double") /
+          col("total_words").cast("double")).as("tokens_per_word"))
+      .orderBy("n_role_pieces")
+  }
+
+  val corpusWordpieceVocabSweepSql: String = {
+    def hitK(l: Int, k: Int) =
+      s"len(w) - p >= ${l - 1} AND (CASE WHEN p = 1 THEN '' ELSE '##'" +
+        s" END || substr(w, CAST(p AS INT), $l)) IN" +
+        s" (SELECT piece FROM v$k)"
+    val perBudget = Seq(8, 16, 24).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT piece FROM (SELECT piece FROM wp_rki
+         |    WHERE rk <= $k)
+         |  UNION ALL
+         |  SELECT piece FROM (SELECT piece FROM wp_rkc
+         |    WHERE rk <= $k)),
+         |lm$k AS MATERIALIZED (
+         |  SELECT w, p,
+         |    CASE WHEN ${hitK(4, k)} THEN 4
+         |      WHEN ${hitK(3, k)} THEN 3
+         |      WHEN ${hitK(2, k)} THEN 2
+         |      ELSE 1 END AS l
+         |  FROM wp_pos),
+         |walk$k AS (
+         |  SELECT w, CAST(1 AS BIGINT) AS p, CAST(0 AS BIGINT) AS cnt
+         |  FROM wp_dw
+         |  UNION ALL
+         |  SELECT x.w, x.p + lm.l, x.cnt + 1
+         |  FROM walk$k x JOIN lm$k lm ON lm.w = x.w AND lm.p = x.p),
+         |wt$k AS (SELECT w, CAST(MAX(cnt) AS BIGINT) AS nt
+         |  FROM walk$k GROUP BY w),
+         |r$k AS (
+         |  SELECT CAST($k AS BIGINT) AS n_role_pieces,
+         |    CAST(SUM(c.cw) AS BIGINT) AS total_words,
+         |    CAST(SUM(c.cw * t.nt) AS BIGINT) AS total_tokens
+         |  FROM wp_wc c JOIN wt$k t USING (w))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE wp_ws AS (
+       |  SELECT doc_id, source, w FROM (
+       |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |wp_wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM wp_ws
+       |  GROUP BY w),
+       |wp_rki AS (
+       |  SELECT piece, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+       |    AS rk FROM (
+       |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
+       |      SELECT cw, unnest(list_transform(
+       |          range(2, least(4, len(w)) + 1),
+       |          l -> substr(w, 1, CAST(l AS INT)))) AS piece
+       |      FROM wp_wc)
+       |    GROUP BY piece)),
+       |wp_rkc AS (
+       |  SELECT piece, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece)
+       |    AS rk FROM (
+       |    SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
+       |      SELECT cw, unnest(flatten(list_transform(range(2, 5),
+       |        l -> list_transform(range(2, len(w) - l + 2),
+       |          i -> '##' || substr(w, CAST(i AS INT), CAST(l AS INT))))))
+       |        AS piece
+       |      FROM wp_wc)
+       |    GROUP BY piece)),
+       |wp_dw AS (SELECT DISTINCT w FROM wp_ws),
+       |wp_pos AS (
+       |  SELECT w, CAST(unnest(range(1, len(w) + 1)) AS BIGINT) AS p
+       |  FROM wp_dw),
+       |$perBudget,
+       |r0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS n_role_pieces,
+       |    CAST(SUM(cw) AS BIGINT) AS total_words,
+       |    CAST(SUM(cw * len(w)) AS BIGINT) AS total_tokens
+       |  FROM wp_wc)
+       |SELECT n_role_pieces, total_words, total_tokens,
+       |  ${r4Sql("CAST(total_tokens AS DOUBLE) " +
+                  "/ CAST(total_words AS DOUBLE)")} AS tokens_per_word
+       |FROM (
+       |  SELECT * FROM r0 WHERE total_words IS NOT NULL
+       |  UNION ALL SELECT * FROM r8 WHERE total_words IS NOT NULL
+       |  UNION ALL SELECT * FROM r16 WHERE total_words IS NOT NULL
+       |  UNION ALL SELECT * FROM r24 WHERE total_words IS NOT NULL)
+       |ORDER BY n_role_pieces""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_wordpiece_encode" -> (corpusWordpieceEncode _),
+    "corpus_wordpiece_vocab_sweep" -> (corpusWordpieceVocabSweep _),
     "corpus_unigram_encode" -> (corpusUnigramEncode _),
     "corpus_unigram_vocab_sweep" -> (corpusUnigramVocabSweep _),
     "corpus_tokenizer_eval" -> (corpusTokenizerEval _),
@@ -1993,6 +2131,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "corpus_wordpiece_encode" -> corpusWordpieceEncodeSql,
+    "corpus_wordpiece_vocab_sweep" -> corpusWordpieceVocabSweepSql,
     "corpus_unigram_encode" -> corpusUnigramEncodeSql,
     "corpus_unigram_vocab_sweep" -> corpusUnigramVocabSweepSql,
     "corpus_tokenizer_eval" -> corpusTokenizerEvalSql,

@@ -538,6 +538,137 @@ object Meridian {
        |FROM fc GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // --------------------------------------------------------------- #369
+  /** #369 Kaplan-Meier survival over view→purchase conversion — the
+    * time-to-event read the funnel family (#48 counts, #363 names the
+    * converting view, #365 forecasts) still lacked: of the users who
+    * viewed, what fraction remains unconverted after t days, with
+    * RIGHT-CENSORING done properly (a user who hasn't purchased YET is
+    * censored at the observation horizon, not counted as a never —
+    * the bias naive conversion curves have). Cohort: each user's
+    * first view; event: first purchase strictly after it; censor time:
+    * the stream's max timestamp. Product-limit estimator at day
+    * granularity: one row per EVENT day with at-risk n, events d,
+    * same-day censorings c, and S(t) = Π_{i≤t}(1 − dᵢ/nᵢ).
+    *
+    * Exactness: d/n are integer ratios; the running product is a
+    * SEQUENTIAL fold over event days in ascending order — Spark as
+    * one aggregate over the (span-bounded) collected day table,
+    * DuckDB as the rk+1 recursive CTE — so both engines replay the
+    * identical IEEE multiply chain; one r4 at the end.
+    *
+    * Scale: two per-user aggs (shuffle on user_id), a day rollup
+    * bounded by the TIME SPAN (the ts_gap_fill argument — the
+    * single-partition cumsum window and the collected fold table are
+    * days-sized, never user-sized), broadcast 1-row horizon.
+    */
+  def eventsSurvival(spark: SparkSession, dir: String): DataFrame =
+    eventsSurvivalOn(Tables.eventsUs(spark, dir))
+
+  /** [[eventsSurvival]] over an arbitrary (user_id, event_type, ts_us)
+    * frame — split out so the spec can plant view-only users and prove
+    * the censoring leg on a cohort where everyone organically
+    * converts.
+    */
+  private[graft] def eventsSurvivalOn(ev: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("v_us"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_us").as("p_us"))
+    val horizon = ev.agg(max("ts_us").as("end_us"))
+    val users = firstView
+      .join(purch,
+        col("user_id") === col("pu") && col("p_us") > col("v_us"),
+        "left")
+      .groupBy(col("user_id"), col("v_us"))
+      .agg(min("p_us").as("p_first"))
+      .join(broadcast(horizon))
+      .select(col("user_id"),
+        when(col("p_first").isNotNull,
+          expr(s"(p_first - v_us) div $dayUs"))
+          .otherwise(expr(s"(end_us - v_us) div $dayUs")).as("t"),
+        col("p_first").isNotNull.as("event"))
+    val total = users.agg(count(lit(1)).as("n_cohort"))
+    val byDay = users.groupBy("t").agg(
+      sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byDay.join(broadcast(total))
+      .withColumn("n", col("n_cohort") -
+        coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+    val fold =
+      """aggregate(es,
+        |  named_struct('p', cast(1.0 as double), 'out',
+        |    cast(array() as array<struct<t:bigint,n:bigint,d:bigint,
+        |      c:bigint,s:double>>)),
+        |  (acc, e) -> named_struct(
+        |    'p', acc.p * (cast(1.0 as double)
+        |      - cast(e.d as double) / cast(e.n as double)),
+        |    'out', concat(acc.out, array(named_struct(
+        |      't', e.t, 'n', e.n, 'd', e.d, 'c', e.c,
+        |      's', acc.p * (cast(1.0 as double)
+        |        - cast(e.d as double) / cast(e.n as double)))))),
+        |  acc -> acc.out)""".stripMargin
+    risk.where(col("d") > 0)
+      .select(struct(col("t"), col("n"), col("d"), col("c")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(explode(expr(fold)).as("r"))
+      .select(col("r.t").as("day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        r4(col("r.s")).as("survival"))
+      .orderBy("day")
+  }
+
+  val eventsSurvivalSql: String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |fv AS (SELECT user_id, MIN(ts_us) AS v_us FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |fp AS (
+       |  SELECT f.user_id, MIN(p.ts_us) AS p_first
+       |  FROM fv f JOIN ev p ON p.user_id = f.user_id
+       |    AND p.event_type = 'purchase' AND p.ts_us > f.v_us
+       |  GROUP BY 1),
+       |hz AS (SELECT MAX(ts_us) AS end_us FROM ev),
+       |users AS (
+       |  SELECT f.user_id,
+       |    CASE WHEN p.p_first IS NOT NULL
+       |      THEN (p.p_first - f.v_us) // 86400000000
+       |      ELSE (h.end_us - f.v_us) // 86400000000 END AS t,
+       |    p.p_first IS NOT NULL AS event
+       |  FROM fv f LEFT JOIN fp p USING (user_id) CROSS JOIN hz h),
+       |byday AS (
+       |  SELECT t,
+       |    CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM users GROUP BY t),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cohort FROM users),
+       |risk AS (
+       |  SELECT t, d, c,
+       |    n_cohort - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n
+       |  FROM byday CROSS JOIN tot),
+       |ed AS MATERIALIZED (
+       |  SELECT t, n, d, c,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rk
+       |  FROM risk WHERE d > 0),
+       |km AS (
+       |  SELECT CAST(0 AS BIGINT) AS rk, CAST(1.0 AS DOUBLE) AS p,
+       |    CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS n,
+       |    CAST(0 AS BIGINT) AS d, CAST(0 AS BIGINT) AS c
+       |  UNION ALL
+       |  SELECT e.rk,
+       |    k.p * (CAST(1.0 AS DOUBLE)
+       |      - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE)),
+       |    e.t, e.n, e.d, e.c
+       |  FROM km k JOIN ed e ON e.rk = k.rk + 1)
+       |SELECT t AS day, n AS n_risk, d AS n_events, c AS n_censored,
+       |  ${r4Sql("p")} AS survival
+       |FROM km WHERE rk >= 1 ORDER BY day""".stripMargin
+
   // --------------------------------------------------------------- #204
   /** #204 retrieval chunker: overlapping 64-token windows at stride
     * 48 (16-token overlap so no boundary sentence is ever lost to
@@ -1453,6 +1584,7 @@ object Meridian {
     "quality_classifier_eval" -> (qualityClassifierEval _),
     "events_forecast_snaive" -> (eventsForecastSnaive _),
     "ts_holt_winters" -> (tsHoltWinters _),
+    "events_survival" -> (eventsSurvival _),
     "corpus_chunks" -> (corpusChunks _),
     "embed_quantile_clip" -> (embedQuantileClip _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
@@ -1478,6 +1610,7 @@ object Meridian {
     "quality_classifier_eval" -> qualityClassifierEvalSql,
     "events_forecast_snaive" -> eventsForecastSnaiveSql,
     "ts_holt_winters" -> tsHoltWintersSql,
+    "events_survival" -> eventsSurvivalSql,
     "corpus_chunks" -> corpusChunksSql,
     "embed_quantile_clip" -> embedQuantileClipSql,
     "join_interval_overlap" -> joinIntervalOverlapSql,

@@ -665,4 +665,41 @@ class CorpusSpec extends GraftSpec {
     }
     assert(tok < chars, "multigram pieces never fired - vacuous vocab")
   }
+
+  test("corpus_wordpiece_vocab_sweep: every budget equals a plain-Scala " +
+      "greedy replay over the rank-prefix vocabulary, and budget 0 is " +
+      "exactly the character baseline") {
+    val (iniL, conL) = operators.Corpus.wordpieceVocabRanked(spark, sf)
+    assert(iniL.size == 24 && conL.size == 24)
+    val words = Tables(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty)
+    def encode(w: String, vocab: Set[String]): Long = {
+      var pos = 0; var cnt = 0L
+      while (pos < w.length) {
+        val pref = if (pos == 0) "" else "##"
+        val l = (4 to 2 by -1).find(l => pos + l <= w.length &&
+          vocab.contains(pref + w.substring(pos, pos + l))).getOrElse(1)
+        pos += l; cnt += 1
+      }
+      cnt
+    }
+    val out = operators.Corpus.corpusWordpieceVocabSweep(spark, sf)
+      .collect().map(r => r.getAs[Long]("n_role_pieces") -> r).toMap
+    assert(out.keySet == Set(0L, 8L, 16L, 24L))
+    for (k <- Seq(0, 8, 16, 24)) {
+      val vocab = (iniL.take(k) ++ conL.take(k)).toSet
+      val tokens = words.map(encode(_, vocab)).sum
+      val r = out(k.toLong)
+      assert(r.getAs[Long]("total_words") == words.length.toLong, s"k=$k")
+      assert(r.getAs[Long]("total_tokens") == tokens,
+        s"k=$k: greedy replay diverged")
+    }
+    // budget 0: the single-char fallback IS the tokenizer
+    assert(out(0L).getAs[Long]("total_tokens") ==
+      words.map(_.length.toLong).sum)
+    // the full budget genuinely compresses below the char baseline
+    assert(out(24L).getAs[Long]("total_tokens") <
+      out(0L).getAs[Long]("total_tokens"))
+  }
 }

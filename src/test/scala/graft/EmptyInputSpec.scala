@@ -257,7 +257,10 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-23 additions
     "corpus_wordpiece_encode", // empty role vocab, no words to match
     "privacy_dp_release",   // no customers -> no cells to perturb
-    "ts_holt_winters")      // no events -> no series >= the 168h bar
+    "ts_holt_winters",      // no events -> no series >= the 168h bar
+    "corpus_wordpiece_vocab_sweep", // null global aggs filtered out
+    "privacy_dp_mean",      // no customers -> no cells to release
+    "events_survival")      // no views -> empty cohort -> no curve
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {

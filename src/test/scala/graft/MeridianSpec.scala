@@ -460,4 +460,65 @@ class MeridianSpec extends GraftSpec {
     val hw = out.map(_.getAs[String]("event_type")).toSet
     assert(hw.subsetOf(sn))
   }
+
+  test("events_survival: a plain-Scala Kaplan-Meier over the raw " +
+      "events matches every row, the curve is a proper product-limit " +
+      "(non-increasing, in (0,1]), and censoring is genuinely present") {
+    val sp = spark
+    import sp.implicits._
+    // the sf0.001 cohort converts ORGANICALLY to the last user, so
+    // censoring is planted: 7 view-only users spread across the
+    // horizon (the right-censored never-converters a real funnel
+    // always carries)
+    val base = Tables.eventsUs(spark, sf)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lo = base.map(_._3).min
+    val span = base.map(_._3).max - lo
+    val planted = (1 to 7).map(i =>
+      (900000L + i, "view", lo + span * i / 8))
+    val ev = base ++ planted
+    val evDf = ev.toSeq.toDF("user_id", "event_type", "ts_us")
+    val dayUs = 86400000000L
+    val endUs = ev.map(_._3).max
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val users = firstView.toSeq.map { case (u, v) =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase" &&
+        e._3 > v).map(_._3)
+      if (p.nonEmpty) ((p.min - v) / dayUs, true)
+      else ((endUs - v) / dayUs, false)
+    }
+    val byDay = users.groupBy(_._1).map { case (t, g) =>
+      (t, g.count(_._2).toLong, g.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = users.length.toLong
+    var p = 1.0
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double)]
+    byDay.foreach { case (t, d, c) =>
+      if (d > 0) {
+        p = p * (1.0 - d.toDouble / atRisk.toDouble)
+        expect += ((t, atRisk, d, c,
+          math.floor(p * 10000.0 + 0.5) / 10000.0))
+      }
+      atRisk -= (d + c)
+    }
+    val out = Meridian.eventsSurvivalOn(evDf).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"),
+        r.getAs[Double]("survival")))
+    assert(out.toSeq == expect.toSeq, s"KM replay diverged: " +
+      s"got ${out.take(3).toSeq} want ${expect.take(3).toSeq}")
+    // proper product-limit curve
+    assert(out.nonEmpty)
+    // S hits exactly 0 when the final at-risk set all converts (the
+    // last event day has d == n) — a legal product-limit endpoint
+    assert(out.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    assert(out.sliding(2).forall(w =>
+      w.length < 2 || w(1)._5 <= w(0)._5))
+    // non-vacuous censoring: some users never convert
+    assert(users.exists(!_._2), "no censored users - the censoring " +
+      "leg is unexercised")
+  }
 }
