@@ -294,6 +294,69 @@ object Corpus {
       |    / 4294967296.0 < r.n_min / CAST(r.n_source AS DOUBLE)
       |ORDER BY d.source, d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- #370
+  /** #370 temperature-smoothed mixture weights (α = 1/2) — the
+    * multilingual/multi-domain sampling recipe (mT5/XLM-R and the
+    * open-LLM data mixes): raw shares pᵢ ∝ token mass are SMOOTHED to
+    * pᵢ^α before normalizing, boosting low-resource sources without
+    * the hard floor #67's equal-mass downsample imposes. α = 1/2 is
+    * the standard default AND the engine-exact choice: sqrt is a
+    * correctly-rounded IEEE-754 primitive on both engines (no libm
+    * pow), each source's √mass is pinned to DECIMAL(28,12) so the
+    * normalizing total is an order-free exact sum, and the emitted
+    * share/boost are one r4'd division each. Emits per source the
+    * token mass, raw share, temperature share, and the sampling boost
+    * (temp share ÷ raw share — >1 = upsampled), the numbers a mixture
+    * spec is written from.
+    *
+    * Scale: one map-side token count + a sources-sized agg; the 1-row
+    * total broadcasts. No data movement beyond the rollup at any
+    * corpus size.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.spread(spark, dir, "documents")
+      .where(col("text").isNotNull)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+      .withColumn("sq",
+        sqrt(col("tokens").cast("double")).cast("decimal(28,12)"))
+    val tot = m.agg(sum("tokens").as("tok_total"),
+      sum("sq").as("sq_total"))
+    m.join(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        r4(col("tokens").cast("double") /
+          col("tok_total").cast("double")).as("raw_share"),
+        r4(col("sq").cast("double") /
+          col("sq_total").cast("double")).as("temp_share"),
+        r4(col("sq").cast("double") / col("sq_total").cast("double") /
+          (col("tokens").cast("double") /
+            col("tok_total").cast("double"))).as("boost"))
+      .orderBy("source")
+  }
+
+  val mixTemperatureSql: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |q AS (
+       |  SELECT source, tokens,
+       |    CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(28,12)) AS sq
+       |  FROM m),
+       |t AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS tok_total,
+       |    CAST(SUM(sq) AS DECIMAL(38,12)) AS sq_total
+       |  FROM q)
+       |SELECT source, tokens,
+       |  ${r4Sql("CAST(tokens AS DOUBLE) / CAST(tok_total AS DOUBLE)")}
+       |    AS raw_share,
+       |  ${r4Sql("CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE)")}
+       |    AS temp_share,
+       |  ${r4Sql("CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE) / " +
+                  "(CAST(tokens AS DOUBLE) / CAST(tok_total AS DOUBLE))")}
+       |    AS boost
+       |FROM q CROSS JOIN t ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- #68
   /** #68 repeated-passage detection (the C4/MassiveText passage-level
     * dedup signal): chunk every document into non-overlapping 8-token
@@ -2115,6 +2178,7 @@ object Corpus {
       ((s: SparkSession, d: String) => dedupIncremental(s, d)),
     "pack_sequences" -> ((s: SparkSession, d: String) => packSequences(s, d)),
     "mix_domains" -> (mixDomains _),
+    "mix_temperature" -> (mixTemperature _),
     "dedup_passages" -> ((s: SparkSession, d: String) => dedupPassages(s, d)),
     "dedup_substrings" ->
       ((s: SparkSession, d: String) => dedupSubstrings(s, d)),
@@ -2149,6 +2213,7 @@ object Corpus {
     "dedup_incremental" -> dedupIncrementalSql,
     "pack_sequences" -> packSequencesSql,
     "mix_domains" -> mixDomainsSql,
+    "mix_temperature" -> mixTemperatureSql,
     "dedup_passages" -> dedupPassagesSql,
     "dedup_substrings" -> dedupSubstringsSql,
     "text_oov_rate" -> textOovRateSql,

@@ -702,4 +702,44 @@ class CorpusSpec extends GraftSpec {
     assert(out(24L).getAs[Long]("total_tokens") <
       out(0L).getAs[Long]("total_tokens"))
   }
+
+  test("mix_temperature: a plain-Scala sqrt/decimal replay matches " +
+      "every share, temperature shares sum to ~1, and smoothing " +
+      "genuinely boosts below-average sources and trims above-average " +
+      "ones") {
+    val docs = Tables(spark, sf, "documents")
+      .select("source", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).length.toLong)
+    val mass = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.map(_._2).sum }.toMap
+    val tokTotal = mass.values.sum
+    def dec12(x: Double) = BigDecimal(x).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP)
+    val sq = mass.map { case (s, m) => s -> dec12(math.sqrt(m.toDouble)) }
+    val sqTotal = sq.values.sum
+    def r4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val out = operators.Corpus.mixTemperature(spark, sf).collect()
+    assert(out.length == mass.size)
+    var shareSum = 0.0
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("tokens") == mass(s), s)
+      val raw = r4d(mass(s).toDouble / tokTotal.toDouble)
+      val temp = r4d(sq(s).toDouble / sqTotal.toDouble)
+      assert(r.getAs[Double]("raw_share") == raw, s"$s raw")
+      assert(r.getAs[Double]("temp_share") == temp, s"$s temp")
+      assert(r.getAs[Double]("boost") == r4d(sq(s).toDouble /
+        sqTotal.toDouble / (mass(s).toDouble / tokTotal.toDouble)), s)
+      shareSum += temp
+      // the defining property of temperature smoothing
+      val rawExact = mass(s).toDouble / tokTotal.toDouble
+      val tempExact = sq(s).toDouble / sqTotal.toDouble
+      if (rawExact < 1.0 / mass.size * 0.95)
+        assert(tempExact > rawExact, s"$s not boosted")
+      if (rawExact > 1.0 / mass.size * 1.05)
+        assert(tempExact < rawExact, s"$s not trimmed")
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+  }
 }

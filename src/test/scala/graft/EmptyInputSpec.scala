@@ -260,7 +260,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "ts_holt_winters",      // no events -> no series >= the 168h bar
     "corpus_wordpiece_vocab_sweep", // null global aggs filtered out
     "privacy_dp_mean",      // no customers -> no cells to release
-    "events_survival")      // no views -> empty cohort -> no curve
+    "events_survival",      // no views -> empty cohort -> no curve
+    "mix_temperature")      // no sources -> no mixture rows
 
   for (name <- representative)
     test(s"$name handles an all-empty input without throwing") {
