@@ -943,6 +943,123 @@ object EventStream {
     }
   }
 
+  /** Per-user resolved strict-funnel row (family #25): first view
+    * ever, first click within 1 h STRICTLY after it, first purchase
+    * within 1 h strictly after that click — the batch
+    * `events_funnel_strict` per-user contract, emitted ONCE per user
+    * when the watermark proves the whole funnel final.
+    */
+  final case class FunnelRow(user_id: Long, v_ts: Long,
+      c_ts: Option[Long], p_ts: Option[Long])
+
+  /** Family #25 — streamed STRICT funnel on `transformWithState`:
+    * the incremental form of batch #48-strict (`events_funnel_strict`,
+    * Meridian). The key insight making one timer suffice: every
+    * funnel stage is bounded by the FIRST VIEW — the click window ends
+    * at v+1h and the purchase window at c+1h ≤ v+2h — so once the
+    * watermark passes v+2h the entire funnel is final and the user
+    * resolves in one emission (append-safe, no retraction). Events
+    * buffer per user in ListState; the min view can still DECREASE
+    * while wm ≤ v (each decrease re-arms an earlier timer; stale
+    * later timers no-op against the `done` flag). A `done` ValueState
+    * suppresses post-resolution redelivery; pre-resolution duplicates
+    * are harmless (every stage is a MIN). Users with no view yet keep
+    * only events a FUTURE view could still qualify (ts + 1h ≥ wm —
+    * a later view has v ≥ wm, and stage events must land strictly
+    * after it), so state is horizon-bounded on both legs.
+    *
+    * StreamingSpec pins per-user rows == a plain-Scala replay of the
+    * batch contract AND the resolved aggregate == the registered
+    * `events_funnel_strict` counts, across batch boundaries, a
+    * timer-only tail flush, and full redelivery.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, FunnelRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode,
+      TimerValues, ExpiredTimerInfo, ListState, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+
+    private val hUs = 3600L * 1000000L
+
+    @transient private var buf: ListState[(Long, String)] = _
+    @transient private var done: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, String)]("buf",
+        E.tuple(E.scalaLong, E.STRING), TTLConfig.NONE)
+      done = getHandle.getValueState[Boolean]("done",
+        E.scalaBoolean, TTLConfig.NONE)
+    }
+
+    private def resolve(key: Long, wmUs: Long): Iterator[FunnelRow] = {
+      val es = buf.get().toSeq
+      val views = es.collect { case (ts, "view") => ts }
+      if (views.isEmpty) {
+        // no view yet: evict stage events no FUTURE view can qualify
+        // (a later view has v >= wm; stage events land strictly after)
+        val keep = es.filter(_._1 + hUs >= wmUs)
+        if (keep.size != es.size) {
+          buf.clear()
+          if (keep.nonEmpty) buf.appendList(keep.toArray)
+        }
+        return Iterator.empty
+      }
+      val v = views.min
+      if (wmUs > v + 2 * hUs) {
+        val c = es.collect { case (ts, "click")
+            if ts > v && ts <= v + hUs => ts } match {
+          case Seq() => None
+          case cs => Some(cs.min)
+        }
+        val p = c.flatMap(ct => es.collect { case (ts, "purchase")
+            if ts > ct && ts <= ct + hUs => ts } match {
+          case Seq() => None
+          case ps => Some(ps.min)
+        })
+        done.update(true)
+        buf.clear()
+        Iterator.single(FunnelRow(key, v, c, p))
+      } else {
+        getHandle.registerTimer((v + 2 * hUs) / 1000L + 1L)
+        Iterator.empty
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[FunnelRow] = {
+      if (done.exists() && done.get()) return Iterator.empty
+      rows.foreach { e =>
+        if (e.event_type == "view" || e.event_type == "click" ||
+            e.event_type == "purchase")
+          buf.appendValue((e.ts_us, e.event_type))
+      }
+      resolve(key, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelRow] = {
+      if (done.exists() && done.get()) Iterator.empty
+      else resolve(key, tv.getCurrentWatermarkInMs() * 1000L)
+    }
+  }
+
+  /** [[FunnelProcessor]] wired to the stream: event-time timers,
+    * Append output (resolved funnels are final).
+    */
+  def funnelStream(events: Dataset[Ev]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[FunnelRow])
+  }
+
   /** [[TwsSessionizer]] wired to the stream: event-time mode (timers
     * fire on watermark advance), Append output.
     */

@@ -1635,6 +1635,97 @@ class StreamingSpec extends GraftSpec {
       "every purchase matched - tolerance leg unexercised")
   }
 
+  test("streamed strict funnel (family #25): one-timer-per-user " +
+      "watermark-sealed resolution == the batch events_funnel_strict " +
+      "per-user contract, across batch boundaries, a timer-only tail " +
+      "flush, and full redelivery") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(key)
+    sp.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val base = loadEvents()
+    // the sf0.001 stream has no ORGANIC view→click→purchase chain
+    // inside the strict windows, so the purchase leg is planted: one
+    // user completing the full funnel (10/20 min gaps) and one
+    // stalling after the click — both flow through stream AND replay
+    val lo = base.map(_.ts_us).min
+    val planted = Seq(
+      Ev(-101L, 800001L, "view", lo, 0.0),
+      Ev(-102L, 800001L, "click", lo + 600000000L, 0.0),
+      Ev(-103L, 800001L, "purchase", lo + 1200000000L, 5.0),
+      Ev(-104L, 800002L, "view", lo, 0.0),
+      Ev(-105L, 800002L, "click", lo + 600000000L, 0.0))
+    // PREPENDED: the planted ts sit at the stream's start, so they
+    // must ride the first micro-batch (the watermark would late-drop
+    // them from any later one)
+    val events = planted ++ base
+    val streamed = try {
+      val stream = MemoryStream[Ev]
+      val q = EventStream.funnelStream(stream.toDS())
+        .writeStream.format("memory").queryName("funnel_out")
+        .outputMode("append").start()
+      val (b1, rest) = events.splitAt(events.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      // redeliver the first batch mid-stream: pre-resolution
+      // duplicates are min-idempotent, post-resolution ones are
+      // suppressed by the done flag
+      Seq(b1, b2, b1, b3).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      val flushTs = events.map(_.ts_us).max + 100L * 3600L * 1000000L
+      stream.addData(Ev(-1L, -1L, "view", flushTs, 0.0))
+      q.processAllAvailable()
+      stream.addData(Ev(-2L, -1L, "view", flushTs + 1L, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      spark.table("funnel_out")
+        .where(col("user_id") =!= -1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
+    // plain-Scala replay of the batch strict-funnel contract
+    val h = 3600000000L
+    val expect = events.groupBy(_.user_id).flatMap { case (u, es) =>
+      val vs = es.filter(_.event_type == "view").map(_.ts_us)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.min
+        val c = es.filter(e => e.event_type == "click" &&
+          e.ts_us > v && e.ts_us <= v + h).map(_.ts_us).minOption
+        val p = c.flatMap(ct => es.filter(e =>
+          e.event_type == "purchase" && e.ts_us > ct &&
+            e.ts_us <= ct + h).map(_.ts_us).minOption)
+        Some((u, v, c, p))
+      }
+    }.toSet
+    assert(streamed == expect,
+      s"stream-only: ${streamed.diff(expect).take(3)}, " +
+        s"batch-only: ${expect.diff(streamed).take(3)}")
+    // and the resolved REAL-user rows roll up to the REGISTERED
+    // batch counts (planted users excluded — the batch query reads
+    // the raw table)
+    val real = expect.filter(_._1 < 800000L)
+    val agg = operators.Meridian.eventsFunnelStrict(spark, sf).head
+    assert(agg.getAs[Long]("n_view") == real.size.toLong)
+    assert(agg.getAs[Long]("n_click_1h") ==
+      real.count(_._3.isDefined).toLong)
+    assert(agg.getAs[Long]("n_purchase_1h") ==
+      real.count(_._4.isDefined).toLong)
+    // non-vacuous on every leg
+    assert(expect.exists(_._3.isDefined) && expect.exists(_._3.isEmpty))
+    assert(expect.exists(_._4.isDefined))
+  }
+
   test("streamed tokenizer-true accounting (family #23): stateless " +
       "frozen-vocab unigram Viterbi per arriving doc == the batch " +
       "unigramDocTokens frame exactly, idempotent under a fully " +
