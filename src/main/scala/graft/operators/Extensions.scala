@@ -23,7 +23,9 @@ object Extensions {
     * near-dup pair list, not the corpus.
     */
   def dedupCluster(spark: SparkSession, dir: String): DataFrame =
-    clusterPairs(Dedup.dedupMinhashLsh(spark, dir), "doc_id")
+    // reads the LayoutCache-materialized pair table directly (no
+    // consumer-side sort — label propagation is order-free)
+    clusterPairs(Dedup.minhashPairsDefaultCached(spark, dir), "doc_id")
 
   /** Connected components over an arbitrary undirected pair list
     * (`id_a`, `id_b`) via min-label propagation to fixpoint; returns

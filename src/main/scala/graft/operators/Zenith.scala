@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Round-11 widening (SURVEY.md §2 #220+): the catalog-analytics and
@@ -935,15 +935,21 @@ object Zenith {
     val o = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     // the distinct bipartite edge list is referenced by all three
-    // half-iterations (a1, h1, a2) — 3 recomputes of the join+distinct
-    // under the persist-free idle default (the measured-faster shape on
-    // an idle box); the spark.graft.clusterSaturated profile persists
-    // it, which the 100× memory-pressure probe shows also collapses
-    // the spill volume (PLANS.md round-14)
-    val e = Tables.saturatedSlot("graph.hitsEdges",
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
-        .distinct(), dir)
+    // half-iterations (a1, h1, a2): before r12 it was recomputed 3×
+    // under the idle profile and persisted (but still 36.8 GB of spill
+    // at the 100× probe) under the saturated one — the r11 verdict's
+    // task #2. Now it is derived ONCE per (dir) per JVM and lands as
+    // parquet via LayoutCache (a deterministic pure function of dir,
+    // the graph_edges_s2 precedent), so each half-iteration is a cheap
+    // file scan: no triple join+distinct, no volume-sized block-manager
+    // residency competing with the half-iterations' own shuffles.
+    val eDf = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+      .distinct()
+    val ePath = LayoutCache.getOrWrite("graph_hits_edges", dir) { tmp =>
+      eDf.write.mode("overwrite").parquet(tmp)
+    }
+    val e = spark.read.schema(eDf.schema).parquet(ePath)
     val a1 = e.groupBy("p").agg(count(lit(1)).as("n_buyers"))
     val h1 = e.join(a1, "p").groupBy("u").agg(sum("n_buyers").as("h1"))
     val a2 = e.join(h1, "u").groupBy("p")
@@ -1044,19 +1050,13 @@ object Zenith {
     */
   def dedupBandingSweep(spark: SparkSession, dir: String): DataFrame = {
     // the 16×-md5 signature is a real per-row compute referenced by
-    // three banding configs plus six verify attaches — the
-    // mm_phash_dedup persist profile (bounded: |docs| rows of 16
-    // hashes + shingle sets), measured 2.4× at sf0.1 and 4.0× at the
-    // 10× replica (PLANS.md). The count() MATERIALIZES the cache
-    // before join planning so the attach gates below read the ACTUAL
-    // cached bytes, not Catalyst's default-width estimate — the 100×
-    // probe showed the static estimate under-counting this table
-    // ~150× (a "26 MB" broadcast of ~4 GB of shingle arrays → driver
-    // OOM). The pass is the operator's own compute, reused by every
-    // config.
-    val sig = Tables.persistSlot("dedup_banding_sweep.sig",
-      Horizon.portableSig(spark, dir))
-    sig.count()
+    // three banding configs plus six verify attaches — since r12 it is
+    // the LayoutCache-materialized parquet shared with #179/#188
+    // (Horizon.portableSigCached): one signature pass per (dir) per
+    // JVM, and the attach gates below read honest file-byte stats (the
+    // default-width ~150× under-count that used to force the
+    // persist+count dance is gone — a scan's sizeInBytes is real).
+    val sig = Horizon.portableSigCached(spark, dir)
     val side = sig.select(col("doc_id"), col("sh"))
     def config(bands: Int): DataFrame = {
       val rows = 16 / bands
