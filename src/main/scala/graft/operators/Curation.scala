@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql}
 
 /** Round-8 extensions, batch 2 (SURVEY.md §2 #165-169): the RETRIEVAL
@@ -268,15 +268,11 @@ object Curation {
     require(64 % m == 0, s"m must divide 64, got $m")
     val subLen = 64 / m
     val v = Tables.spread(spark, dir, "embeddings")
-    // ---- IVF half (#55 machinery): per-cell centroids, nprobe probes
-    val cellCent = v
-      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy("label", "d")
-      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
-        .cast("double").as("c"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
-        .as("centroid"))
+    // ---- IVF half (#55 machinery): per-cell centroids, nprobe probes.
+    // r12: reads the LayoutCache-materialized centroid table shared
+    // with #55 (identical construction) instead of re-running the
+    // posexplode + two-level decimal aggregate here.
+    val cellCent = Similarity.ivfCentroidsFullCached(spark, dir)
     val q = Similarity.evalQueries(spark, dir)
     val wProbe = Window.partitionBy("q_id").orderBy(desc("c_sim"), col("label"))
     val probes = q.join(broadcast(cellCent), lit(true))
@@ -285,7 +281,11 @@ object Curation {
       .withColumn("prk", row_number().over(wProbe))
       .where(col("prk") <= nprobe)
       .select("q_id", "label")
-    // ---- PQ half (#107 machinery): global codebooks, codes, ADC table
+    // ---- PQ half: the #107 codebook/code model, now the SHARED
+    // LayoutCache-materialized pqModel (byte-identical construction —
+    // same subspace split, seeds, decimal recenter, (dist, cid) argmin
+    // tie-break; this file previously duplicated it inline, so the
+    // train pipeline ran again per query and per pass).
     val vecs = v.select(col("vec_id"), col("embedding"))
     def subspaces(df: DataFrame, idCol: String, vecCol: String,
         out: String): DataFrame =
@@ -294,27 +294,11 @@ object Curation {
           expr(s"transform(slice($vecCol, ${s * subLen + 1}, $subLen), " +
             "x -> cast(x as double))").as(out))
       }.reduce(_ union _)
-    val parts = subspaces(vecs, "vec_id", "embedding", "sv")
     val sqDist = (a: String, b: String) =>
       expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
         "0D, (acc, t) -> acc + t)")
-    val seedC = parts.where(col("vec_id") < ksub)
-      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
-    def assign(cent: DataFrame): DataFrame = parts
-      .join(broadcast(cent), "s")
-      .withColumn("dist", sqDist("sv", "cv"))
-      .groupBy("vec_id", "s")
-      .agg(min(struct(col("dist"), col("cid"))).as("mn"))
-      .select(col("vec_id"), col("s"), col("mn.cid").as("cid"))
-    val cent = assign(seedC).join(parts, Seq("vec_id", "s"))
-      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
-      .groupBy("s", "cid", "d")
-      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
-        .cast("double").as("c"))
-      .groupBy("s", "cid")
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), " +
-        "t -> t.c)").as("cv"))
-    val codes = assign(cent)
+    val (cent, coded) = Similarity.pqModel(spark, dir, m, ksub)
+    val codes = coded.select("vec_id", "s", "cid")
     val table = subspaces(q, "q_id", "q_emb", "qv")
       .join(broadcast(cent), "s")
       .withColumn("dq", sqDist("qv", "cv"))

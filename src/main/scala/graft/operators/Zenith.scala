@@ -1581,20 +1581,26 @@ object Zenith {
       .where(col("prev").isNotNull)
       .select(col("partkey"), col("custkey"), col("okey"),
         datediff(col("odate"), col("prev")).cast("long").as("gap_days"))
+    // r12: ONE window pass computes the median row AND the per-part
+    // aggregates (count/sum/max over the same partition key share the
+    // ranking window's single exchange+sort) — previously `gaps` was
+    // consumed by two branches (a ranked-median window and a groupBy)
+    // that each re-ran the join+distinct+lag pipeline and shuffled on
+    // partkey separately, then joined back. Same rows, same values:
+    // the r = (n+1) div 2 row carries its partition's p50, and the
+    // full-partition count/sum/max are the old groupBy aggregates.
     val wRank = Window.partitionBy("partkey")
       .orderBy("gap_days", "custkey", "okey")
-    val med = gaps
+    val wAll = Window.partitionBy("partkey")
+    gaps
       .withColumn("r", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("partkey")))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sum_gap", sum("gap_days").over(wAll))
+      .withColumn("max_days", max("gap_days").over(wAll))
       .where(col("r") === expr("(n + 1) div 2"))
-      .select(col("partkey"), col("gap_days").as("p50_days"))
-    gaps.groupBy("partkey")
-      .agg(count(lit(1)).as("n_gaps"), sum("gap_days").as("sum_gap"),
-        max("gap_days").as("max_days"))
-      .join(med, "partkey")
-      .select(col("partkey"), col("n_gaps"), col("p50_days"),
-        col("max_days"),
-        r4(col("sum_gap").cast("double") / col("n_gaps")).as("mean_days"))
+      .select(col("partkey"), col("n").as("n_gaps"),
+        col("gap_days").as("p50_days"), col("max_days"),
+        r4(col("sum_gap").cast("double") / col("n")).as("mean_days"))
       .orderBy("partkey")
   }
 
@@ -1736,10 +1742,14 @@ object Zenith {
     val wB = Window.partitionBy("flag").orderBy("bkt")
     val tot = li.groupBy("flag")
       .agg(sum("w").as("totw"), count(lit(1)).as("n_lines"))
-    val cum = hist
+    // r12: the cumulative histogram is consumed by FOUR branches
+    // (coverW/coverC/prefW/prefC) — bounded persist (bucket-count-sized,
+    // price-domain × |flags|) so the histogram + running-sum window run
+    // once instead of four times
+    val cum = Tables.persistSlot("zenith.wmedian.cum", hist
       .withColumn("cumw", sum("bw").over(wB))
       .withColumn("cumc", sum("bc").over(wB))
-      .join(Tables.maybeBroadcast(tot), "flag")
+      .join(Tables.maybeBroadcast(tot), "flag"))
     val coverW = cum.where(lit(2L) * col("cumw") >= col("totw"))
       .groupBy("flag").agg(min("bkt").as("bw_star"))
     val coverC = cum.where(col("cumc") >= expr("(n_lines + 1) div 2"))
