@@ -370,42 +370,62 @@ object Frontier {
     */
   def embedPcaPower(spark: SparkSession, dir: String, k: Int = 3)
       : DataFrame = {
-    val ex = Tables.persistSlot("frontier_pca_explode",
-      Tables.spread(spark, dir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding"))
-          .as(Seq("p", "xf")))
-        .select(col("vec_id"), (col("p") + lit(1)).as("j"),
-          col("xf").cast("double").as("x")))
-    val sp = ex.sparkSession
+    // r12 restructure (guide §2.3/§2.4: shuffle dim-sized rows, not an
+    // exploded 64× row table). The old shape persisted the exploded
+    // (vec_id, j, x) table and, per iteration, shuffled it TWICE — a
+    // groupBy(vec_id) under a broadcast-join with v, then a join back
+    // by vec_id for the w reduction. But the per-row dot ⟨x, v⟩ needs
+    // no shuffle at all once v is a collected dim-sized literal: it is
+    // a map-side decimal-exact fold over the embedding array, and the
+    // w_j reduction is one posexplode + dim-keyed aggregate (map-side
+    // combined, O(dim × partitions) shuffle — the allreduce shape).
+    // Exactness is unchanged: each product is cast to scale-18 decimal
+    // and summed in exact decimal arithmetic exactly as sumDec did —
+    // the fold keeps (30,18)/(25,18) operand types so no DecimalPrecision
+    // scale reduction ever applies (max magnitudes here are ≤ 10⁴; the
+    // guard digits are enormous) — and the final decimal→double cast is
+    // the same rounding. The per-iteration norm/divide runs over the
+    // COLLECTED w as a literal 64-row frame with the identical sumDec/
+    // sqrt/divide expressions, so every emitted double is bit-identical
+    // to the old plan's.
+    val base = Tables.spread(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val sp = base.sparkSession
     import sp.implicits._
-    var v = ex.select(col("j")).distinct().withColumn("v", lit(1.0))
-    for (_ <- 1 to k) {
-      val dots = ex.join(Tables.maybeBroadcast(v), "j")
-        .groupBy("vec_id")
-        .agg(sumDec(col("x") * col("v"), 38, 18).as("dot"))
-      val w = ex.join(dots, "vec_id")
-        .groupBy("j")
-        .agg(sumDec(col("x") * col("dot"), 38, 18).as("w"))
-      val nrm = w.agg(
-        sqrt(sumDec(col("w") * col("w"), 38, 18)).as("nrm"))
-      val vNext = w.crossJoin(broadcast(nrm))
-        .select(col("j"), (col("w") / col("nrm")).as("v"))
-      // the iterate is dim-sized: collect it (the kmeans/graph fixpoint
-      // pattern — O(dim) driver data, one tiny job per iteration) so the
-      // next step's plan starts from literal rows. Without this the
-      // unrolled lineage DOUBLES per iteration (w is referenced twice —
-      // by the norm and the division), recomputing step-1 aggregates
-      // 2^k times; measured 9.4 s → ~2 s at sf0.1 for k = 3. The
-      // collected doubles are the decimal-exact values the lineage
-      // would produce, so every downstream result is bit-identical.
-      v = vNext.collect()
-        .map(r => (r.getInt(0), r.getDouble(1))).toSeq
-        .toDF("j", "v")
+    import org.apache.spark.sql.types.DecimalType
+    // typedlit (not a SQL string) so degenerate iterates (NaN/Infinity
+    // from an all-zero corpus) stay well-formed literals
+    def dotFold(vOpt: Option[Seq[(Int, Double)]]): Column = {
+      val prod = vOpt match {
+        case Some(vSeq) => zip_with(col("e"),
+          typedlit(vSeq.sortBy(_._1).map(_._2)), (x, vv) => x * vv)
+        case None => col("e") // v₀ = 1.0 everywhere: x * 1.0 == x
+      }
+      aggregate(prod, lit(BigDecimal(0)).cast(DecimalType(30, 18)),
+        (acc, p) => (acc + p.cast(DecimalType(25, 18)))
+          .cast(DecimalType(30, 18))).cast("double")
     }
-    val proj = ex.join(Tables.maybeBroadcast(v), "j")
-      .groupBy("vec_id")
-      .agg(sumDec(col("x") * col("v"), 38, 18).as("proj"))
-    proj.select(col("vec_id"), r4(col("proj")).as("pc1_proj"))
+    var v: Option[Seq[(Int, Double)]] = None
+    for (_ <- 1 to k) {
+      val w = base
+        .withColumn("dot", dotFold(v))
+        .select(posexplode(col("e")).as(Seq("p", "x")), col("dot"))
+        .select((col("p") + lit(1)).as("j"), (col("x") * col("dot")).as("xd"))
+        .groupBy("j")
+        .agg(sumDec(col("xd"), 38, 18).as("w"))
+      // dim-sized: collect, then run the norm + divide over the literal
+      // rows with the same engine expressions as before
+      val wLit = w.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+        .toDF("j", "w")
+      val nrm = wLit.agg(sqrt(sumDec(col("w") * col("w"), 38, 18)).as("nrm"))
+      v = Some(wLit.crossJoin(broadcast(nrm))
+        .select(col("j"), (col("w") / col("nrm")).as("v"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq)
+    }
+    base
+      .withColumn("proj", dotFold(v))
+      .select(col("vec_id"), r4(col("proj")).as("pc1_proj"))
       .orderBy("vec_id")
   }
 
