@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql}
 
 /** LLM corpus-preparation operators (SURVEY.md §2 extensions #64-67):
@@ -1015,6 +1015,20 @@ object Corpus {
     */
   private[graft] def bpeDocTokens(spark: SparkSession, dir: String,
       nMerges: Int = 8): DataFrame = {
+    // r12: the per-doc encoded-token table is materialized once per
+    // (dir, nMerges) per JVM — six registered queries consume it
+    // (several through 2-3 plan branches each), and "tokenize once,
+    // account everywhere" is the production contract this family
+    // models. Doc-count-sized skinny columns; schema-pinned read.
+    val plan = bpeDocTokensPlan(spark, dir, nMerges)
+    val path = LayoutCache.getOrWrite(s"bpe_doc_tokens_$nMerges", dir) {
+      tmp => plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
+  }
+
+  private def bpeDocTokensPlan(spark: SparkSession, dir: String,
+      nMerges: Int): DataFrame = {
     val merges = bpeLearnMerges(spark, dir, nMerges)
     val words = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -1408,6 +1422,17 @@ object Corpus {
   }
 
   private[graft] def unigramDocTokens(spark: SparkSession,
+      dir: String): DataFrame = {
+    // r12: materialized once per (dir) per JVM — the bpeDocTokens
+    // discipline (see there); consumed by #357 and the #360 eval.
+    val plan = unigramDocTokensPlan(spark, dir)
+    val path = LayoutCache.getOrWrite("uni_doc_tokens", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
+  }
+
+  private def unigramDocTokensPlan(spark: SparkSession,
       dir: String): DataFrame = {
     val words = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
@@ -1962,6 +1987,17 @@ object Corpus {
     * twin shared with the #360 family comparison.
     */
   private[graft] def wordpieceDocTokens(spark: SparkSession,
+      dir: String): DataFrame = {
+    // r12: materialized once per (dir) per JVM — the bpeDocTokens
+    // discipline (see there); consumed by #366 and the #360 eval.
+    val plan = wordpieceDocTokensPlan(spark, dir)
+    val path = LayoutCache.getOrWrite("wp_doc_tokens", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
+  }
+
+  private def wordpieceDocTokensPlan(spark: SparkSession,
       dir: String): DataFrame = {
     val vocab = wordpieceVocab(spark, dir)
     val words = Tables.spread(spark, dir, "documents")
