@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Extensions beyond the SURVEY §2 inventory (#41-45): the operations a
@@ -22,10 +22,25 @@ object Extensions {
     * collects a single count, never data. The edge set is the (small)
     * near-dup pair list, not the corpus.
     */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    // r12: the cluster table itself is materialized once per (dir) per
+    // JVM — FIVE registered queries consume it (#41, #49, #157, #361,
+    // pipeline_clean_corpus), and the label-propagation loop (driver
+    // fixpoint + localCheckpoint per iteration) is the family's
+    // dominant remaining cost once the pair table is cached. The loop
     // reads the LayoutCache-materialized pair table directly (no
-    // consumer-side sort — label propagation is order-free)
-    clusterPairs(Dedup.minhashPairsDefaultCached(spark, dir), "doc_id")
+    // consumer-side sort — propagation is order-free).
+    // built INSIDE the write lambda: clusterPairs runs driver-side
+    // fixpoint actions at construction time, which a cache hit must
+    // not re-pay
+    val path = LayoutCache.getOrWrite("dedup_cluster_m16_4", dir) { tmp =>
+      clusterPairs(Dedup.minhashPairsDefaultCached(spark, dir), "doc_id")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read
+      .schema("doc_id BIGINT, cluster_root BIGINT, cluster_size BIGINT")
+      .parquet(path).orderBy("doc_id")
+  }
 
   /** Connected components over an arbitrary undirected pair list
     * (`id_a`, `id_b`) via min-label propagation to fixpoint; returns

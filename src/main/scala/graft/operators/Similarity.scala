@@ -211,8 +211,19 @@ object Similarity {
     * standard LSH-graph recall gap, patched in practice by multi-probe
     * or a second hash table, not by widening buckets.
     */
-  def annKnnGraph(spark: SparkSession, dir: String): DataFrame =
-    annKnnGraph(spark, dir, bits = 6, k = 3)
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    // r12: the default-geometry kNN graph is materialized once per
+    // (dir) per JVM — THREE registered queries consume the identical
+    // table (#71 itself, #76 dedup_semantic's cluster edges, #236
+    // embed_label_consistency), each previously re-running the
+    // bucket self-join + per-vector ranking window.
+    val plan = annKnnGraph(spark, dir, bits = 6, k = 3)
+    val path = LayoutCache.getOrWrite("ann_knn_graph_6_3", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
+      .orderBy("vec_id", "rank")
+  }
 
   def annKnnGraph(spark: SparkSession, dir: String, bits: Int,
       k: Int): DataFrame = {

@@ -1149,7 +1149,7 @@ object Zenith {
     * division each.
     */
   def embedLabelConsistency(spark: SparkSession, dir: String): DataFrame = {
-    val g = Similarity.annKnnGraph(spark, dir, bits = 6, k = 3)
+    val g = Similarity.annKnnGraph(spark, dir) // cached (6, 3) table
       .select("vec_id", "nbr_id")
     val lab = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"))
