@@ -40,14 +40,28 @@ object LayoutCache {
     * A failed write is deleted, uncached (a retry re-runs it), and
     * rethrown to the caller AND any concurrent waiters.
     */
+  // keys whose write THIS thread is currently inside: a same-key
+  // re-entrant getOrWrite would otherwise block forever on its own
+  // incomplete future (prior.join()). No current call path recurses,
+  // but the failure mode is a silent deadlock — fail fast instead
+  // (r11 verdict item 5; makes the documented claim true).
+  private val inFlight = ThreadLocal.withInitial[java.util.HashSet[String]](
+    () => new java.util.HashSet[String]())
+
   def getOrWrite(recipe: String, dir: String)(
       write: String => Unit): String = {
     val key = s"$recipe|$dir"
+    if (inFlight.get().contains(key))
+      throw new IllegalStateException(
+        s"re-entrant LayoutCache.getOrWrite for '$key' — the write " +
+          "lambda (transitively) requested its own key, which would " +
+          "deadlock on the in-flight future")
     val mine = new java.util.concurrent.CompletableFuture[String]()
     val prior = dirs.putIfAbsent(key, mine)
     if (prior != null) prior.join()
     else
       try {
+        inFlight.get().add(key)
         val tmp = java.nio.file.Files
           .createTempDirectory(s"graft_lc_$recipe").toString
         try { write(tmp) }
@@ -59,7 +73,7 @@ object LayoutCache {
           dirs.remove(key, mine)
           mine.completeExceptionally(e)
           throw e
-      }
+      } finally inFlight.get().remove(key)
   }
 
   /** Local recursive delete (children before parents). Plain NIO, not

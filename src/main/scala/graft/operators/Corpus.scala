@@ -1432,7 +1432,10 @@ object Corpus {
     spark.read.schema(plan.schema).parquet(path)
   }
 
-  private def unigramDocTokensPlan(spark: SparkSession,
+  // private[graft]: BroadcastGateSpec pins the attach-join gate on THIS
+  // plan (the registered query reads the materialized parquet back, so
+  // the gated join only exists in the cache-write plan)
+  private[graft] def unigramDocTokensPlan(spark: SparkSession,
       dir: String): DataFrame = {
     val words = Tables.spread(spark, dir, "documents")
       .select(col("doc_id"), col("source"),

@@ -37,9 +37,12 @@ class BroadcastGateSpec extends AnyFunSuite {
     "text_rarity" ->
       (() => operators.Quality.textRarity(spark, sf)),
     // round-22: the unigram encode's distinct-word token attach and
-    // the dedup-impact cluster attach ride the same gate
-    "corpus_unigram_encode" ->
-      (() => operators.Corpus.corpusUnigramEncode(spark, sf)),
+    // the dedup-impact cluster attach ride the same gate. r12: the
+    // registered query reads the LayoutCache-materialized doc-token
+    // parquet, so the gated attach join lives in the cache-WRITE plan —
+    // assert on that plan directly.
+    "unigram_doc_tokens_plan" ->
+      (() => operators.Corpus.unigramDocTokensPlan(spark, sf)),
     "dedup_token_impact" ->
       (() => operators.Extensions.dedupTokenImpact(spark, sf)))
 
