@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{LayoutCache, Tables}
 import graft.Exprs.{r4, r4Sql, sumDec, sumDecSql}
 
 /** Round-8 extensions (SURVEY.md §2 #160-164): the data-SELECTION layer
@@ -69,6 +69,18 @@ object Frontier {
     * (r4'd).
     */
   private[operators] def docSurprisal(spark: SparkSession,
+      dir: String): DataFrame = {
+    // r12: materialized once per (dir) per JVM — shared by #160
+    // text_perplexity and #161 corpus_quality_buckets, each of which
+    // previously re-ran the bigram-LM build + per-doc scoring.
+    val plan = docSurprisalPlan(spark, dir)
+    val path = LayoutCache.getOrWrite("doc_surprisal", dir) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.schema(plan.schema).parquet(path)
+  }
+
+  private def docSurprisalPlan(spark: SparkSession,
       dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val toks = docs
