@@ -53,7 +53,16 @@ object AuxBench {
     // countDistinct), kept as the other side of the A/B
     "graph_pagerank_joinedges" ->
       ((s: SparkSession, d: String) =>
-        operators.Graph.graphPagerankViaJoin(s, d)))
+        operators.Graph.graphPagerankViaJoin(s, d)),
+    // r13 agg_spearman A/B: the r12 join-back shape vs the registered
+    // value-level-moments shape, plus the (flag, y) partial-agg +
+    // rank-window piece on its own (the serial-window suspect)
+    "agg_spearman_joinback" ->
+      ((s: SparkSession, d: String) =>
+        operators.Crest.aggSpearmanJoinback(s, d)),
+    "agg_spearman_ymap" ->
+      ((s: SparkSession, d: String) =>
+        operators.Crest.aggSpearmanYmap(s, d)))
 
   /** Build a plan under the saturated-cluster profile (the conf is
     * consulted at plan-build time, so resetting it after construction

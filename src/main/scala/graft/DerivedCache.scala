@@ -35,14 +35,28 @@ object DerivedCache {
   private val values = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.CompletableFuture[AnyRef]]()
 
+  // keys whose compute THIS thread is currently inside: a same-key
+  // re-entrant getOrCompute would block forever on prior.join() of its
+  // own incomplete future — the identical silent deadlock LayoutCache's
+  // getOrWrite guards against (r12 ADVICE item 1). No current compute
+  // recurses; fail fast so a future one can't hang a sweep.
+  private val inFlight = ThreadLocal.withInitial[java.util.HashSet[String]](
+    () => new java.util.HashSet[String]())
+
   def getOrCompute[T <: AnyRef](recipe: String, dir: String)(
       compute: => T): T = {
     val key = s"$recipe|$dir"
+    if (inFlight.get().contains(key))
+      throw new IllegalStateException(
+        s"re-entrant DerivedCache.getOrCompute for '$key' — the compute " +
+          "lambda (transitively) requested its own key, which would " +
+          "deadlock on the in-flight future")
     val mine = new java.util.concurrent.CompletableFuture[AnyRef]()
     val prior = values.putIfAbsent(key, mine)
     if (prior != null) prior.join().asInstanceOf[T]
     else
       try {
+        inFlight.get().add(key)
         val v = compute
         mine.complete(v)
         v
@@ -51,7 +65,7 @@ object DerivedCache {
           values.remove(key, mine)
           mine.completeExceptionally(e)
           throw e
-      }
+      } finally inFlight.get().remove(key)
   }
 
   /** Test hook: drop every memoized value (a fresh learn per spec). */

@@ -62,10 +62,9 @@ object LayoutCache {
     else
       try {
         inFlight.get().add(key)
-        val tmp = java.nio.file.Files
-          .createTempDirectory(s"graft_lc_$recipe").toString
+        val tmp = allocDir(recipe)
         try { write(tmp) }
-        catch { case e: Throwable => deleteDir(tmp); throw e }
+        catch { case e: Throwable => removeTree(tmp); throw e }
         mine.complete(tmp)
         tmp
       } catch {
@@ -76,9 +75,53 @@ object LayoutCache {
       } finally inFlight.get().remove(key)
   }
 
+  // path → how to delete it. Populated by allocDir, drained by
+  // removeTree (failed writes) and deleteAll (shutdown hook / specs).
+  private val deleters =
+    new java.util.concurrent.ConcurrentHashMap[String, Runnable]()
+
+  /** Allocate a fresh cache directory. Default: a local
+    * `java.io.tmpdir` temp tree — correct on `local[*]`, where driver
+    * and executors share one filesystem. On a real cluster a
+    * driver-local path is wrong for distributed writes/reads (the r12
+    * verdict's item 3), so `spark.graft.cacheRoot` points the cache at
+    * a scratch directory on the session's shared Hadoop filesystem
+    * (e.g. an HDFS/object-store scratch prefix); trees are allocated
+    * and deleted through that FS, same keying, same shutdown cleanup.
+    * Deletion captures the FS handle at allocation so the shutdown
+    * hook never needs a live SparkSession.
+    */
+  private def allocDir(recipe: String): String = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val root = session.map(_.conf.get("spark.graft.cacheRoot", ""))
+      .getOrElse("")
+    if (root.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(root,
+        s"graft_lc_${recipe}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val fs = p.getFileSystem(session.get.sparkContext.hadoopConfiguration)
+      val q = fs.makeQualified(p)
+      fs.mkdirs(q)
+      deleters.put(q.toString, () => { fs.delete(q, true); () })
+      q.toString
+    } else {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_lc_$recipe").toString
+      deleters.put(tmp, () => deleteDir(tmp))
+      tmp
+    }
+  }
+
+  private def removeTree(path: String): Unit = {
+    val d = deleters.remove(path)
+    if (d != null) d.run()
+  }
+
   /** Local recursive delete (children before parents). Plain NIO, not
     * Hadoop FS: shutdown-hook time must not depend on a live
-    * SparkSession, and every cached tree is a local temp path.
+    * SparkSession. Used for the default java.io.tmpdir trees;
+    * `spark.graft.cacheRoot` trees delete through the FS handle
+    * captured at allocation instead.
     */
   private def deleteDir(path: String): Unit = {
     val root = java.nio.file.Paths.get(path)
@@ -94,11 +137,12 @@ object LayoutCache {
   }
 
   def deleteAll(): Unit = {
-    dirs.values.forEach { f =>
-      // completed-successfully entries own a tree; failed/in-flight
-      // entries either cleaned up already or will clean on failure
-      if (f.isDone && !f.isCompletedExceptionally) deleteDir(f.join())
-    }
+    // every allocated tree has a deleter; failed writes already ran
+    // and removed theirs, so draining the map removes exactly the
+    // cached (and any shutdown-interrupted in-flight) trees — local
+    // NIO or captured-FS deletes alike, no live SparkSession needed
+    deleters.forEach((_, d) => d.run())
+    deleters.clear()
     dirs.clear()
   }
 }

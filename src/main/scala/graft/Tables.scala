@@ -32,12 +32,24 @@ object Tables {
     * expression chained on it) would otherwise run as ONE task. A
     * round-robin repartition to the default parallelism costs one
     * narrow shuffle of the raw rows and buys full-core signature /
-    * vector compute. On a real cluster the scan splits by row groups
-    * and this is a no-op-sized rebalance.
+    * vector compute.
+    *
+    * Scale adaptivity (r12 verdict item 8): on a real table the scan
+    * already splits by row groups / `maxPartitionBytes`, so the extra
+    * narrow shuffle is pure overhead. The gate asks the PLANNED scan
+    * for its actual split count (file listing × maxPartitionBytes ×
+    * openCostInBytes — the exact parallelism the job would get) and
+    * repartitions only when that is below the session's default
+    * parallelism. Row content is identical either way (round-robin
+    * placement only); at bench scale the single-row-group inputs keep
+    * the historical repartition plan bit-for-bit.
     */
-  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
-    apply(spark, dir, name)
-      .repartition(spark.sparkContext.defaultParallelism)
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    if (df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism) df
+    else df.repartition(spark.sparkContext.defaultParallelism)
+  }
+
 
   /** Register every table as a temp view for spark.sql(...) use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
@@ -86,19 +98,14 @@ object Tables {
     if (cached != null) return cached.longValue()
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
     var total = 0L
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try total += reader.getFooter.getBlocks.asScala
-          .map(_.getRowCount).sum
-        finally reader.close()
-      }
+    ParquetFiles.list(spark, path).foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try total += reader.getFooter.getBlocks.asScala
+        .map(_.getRowCount).sum
+      finally reader.close()
     }
     rowCountCache.put(path, java.lang.Long.valueOf(total))
     total

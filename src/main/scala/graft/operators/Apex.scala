@@ -289,8 +289,7 @@ object Apex {
     val ids = Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     ids.mapPartitions(_.map { id =>
-      def decode(bytes: Array[Byte]) =
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      def decode(bytes: Array[Byte]) = Multimodal.decodeBmp(bytes)
       def sigBits(img: java.awt.image.BufferedImage): Array[Int] = {
         val w = img.getWidth
         val h = img.getHeight
@@ -623,14 +622,7 @@ object Apex {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) files += f.toString
-    }
+    val files = graft.ParquetFiles.list(spark, path)
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val c = statCol
     spark.createDataset(files.toSeq)
@@ -724,14 +716,7 @@ object Apex {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) files += f.toString
-    }
+    val files = graft.ParquetFiles.list(spark, path)
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val colsB = statCols
     spark.createDataset(files.toSeq)
@@ -783,14 +768,7 @@ object Apex {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) files += f.toString
-    }
+    val files = graft.ParquetFiles.list(spark, path)
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     val c = statCol
     val ks = keys
@@ -839,17 +817,11 @@ object Apex {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hconf)
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      if (p.getName.endsWith(".parquet")) {
-        val month = p.getParent.getName.stripPrefix("month=")
-        files += ((p.toString, month))
-      }
+    val files = graft.ParquetFiles.list(spark, path).map { p =>
+      // partition-dir name carries the month (…/month=YYYY-MM/file)
+      val month = new org.apache.hadoop.fs.Path(p)
+        .getParent.getName.stripPrefix("month=")
+      (p, month)
     }
     val serConf = new org.apache.spark.util.SerializableConfiguration(hconf)
     spark.createDataset(files.toSeq)

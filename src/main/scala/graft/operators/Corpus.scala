@@ -1162,12 +1162,36 @@ object Corpus {
       .groupBy("w").agg(count(lit(1)).as("cw"))
       .withColumn("syms", split(col("w"), ""))
     val depths = Seq(0, 2, 4, 8)
-    def encAt(k: Int): DataFrame =
-      merges.take(k).foldLeft(wc) { case (df, (a, b)) =>
-        df.withColumn("syms",
-          expr(bpeMergeFoldExpr(bpeSqlLit(a), bpeSqlLit(b))))
-      }.withColumn("n_merges", lit(k.toLong))
-    val tagged = depths.map(encAt).reduce(_ unionByName _)
+    // ONE annotated encode pass (r12 verdict task #1): the four sweep
+    // budgets are PREFIXES of a single merge chain (budget k == state
+    // after k folds), so instead of re-folding the chain per budget —
+    // four union branches, each with its own scan + groupBy + up to 8
+    // fold expressions, the whole union evaluated twice (tot + vs) —
+    // fold ONCE over the distinct-word frame and snapshot the symbol
+    // array at each budget depth, then explode the four snapshots into
+    // the same (n_merges, cw, syms) rows the union produced. Identical
+    // values by construction; the oracle re-proves it.
+    var enc = wc.withColumn("s_0", col("syms"))
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      enc = enc.withColumn("syms",
+        expr(bpeMergeFoldExpr(bpeSqlLit(a), bpeSqlLit(b))))
+      if (depths.contains(i + 1))
+        enc = enc.withColumn(s"s_${i + 1}", col("syms"))
+    }
+    // early merge exhaustion (< 8 learnable pairs): deeper budgets see
+    // the final state — exactly what merges.take(k)'s fold produced
+    depths.filter(d => d > merges.size).foreach { d =>
+      enc = enc.withColumn(s"s_$d", col("syms"))
+    }
+    // vocabulary-sized (distinct words × 4 budgets, skinny columns);
+    // persisted because BOTH rollups below consume it — one encode
+    // pass total, not one per consumer
+    val tagged = Tables.persistSlot("corpus.bpe_vocab_sweep.tagged",
+      enc.select(col("cw"), explode(array(depths.map(d =>
+        struct(lit(d.toLong).as("n_merges"), col(s"s_$d").as("syms"))): _*))
+        .as("snap"))
+        .select(col("snap.n_merges").as("n_merges"), col("cw"),
+          col("snap.syms").as("syms")))
     val tot = tagged.groupBy("n_merges")
       .agg(sum("cw").as("total_words"),
         sum(col("cw") * size(col("syms")).cast("long"))

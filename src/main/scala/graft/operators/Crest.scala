@@ -353,19 +353,109 @@ object Crest {
     * — 2·avg_rank = 2·cnt_less + cnt_eq + 1 = 2·cum≤ − cnt_eq + 1 —
     * so the plan NEVER rank-windows the fact table (partitionBy on a
     * 3-value flag would sort a third of the data in one task): it
-    * builds per-(flag, value) count maps (grouped shuffle, parallel),
-    * cumsums them with a window over the DISTINCT-VALUE table (the
-    * domain-sized-window discipline; quantity has ~50 values, price
-    * is bounded by parts×quantities, both ≪ rows), joins the two rank
-    * maps back on (flag, value), and takes moments in ONE map-side
-    * combinable aggregate. No pair explosion — Spearman needs only
+    * builds per-(flag, value) count maps (grouped shuffle, parallel)
+    * and cumsums them with a window over the DISTINCT-VALUE table
+    * (the domain-sized-window discipline; quantity has ~50 values,
+    * price is bounded by parts×quantities, both ≪ rows). Since r13
+    * the moments never join back onto the fact table either: the
+    * x-moments are t-weighted sums over the x count map, and the
+    * cross moment Σrx·ry factors through per-(flag, y) partials of
+    * Σrx after a broadcast attach of the tiny x map — the fact table
+    * is scanned twice and shuffled only as value-level map-side
+    * partial aggregates. No pair explosion — Spearman needs only
     * moments of the rank pairs.
     */
   def aggSpearman(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread: an A/B with a round-robin rebalance of the projected
+    // scan measured 4.4-5.0 s vs 4.0 s without (the per-row work here
+    // is one broadcast probe + narrow partial aggs — the extra
+    // exchange costs more than the single-task scan it parallelizes)
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").as("x"),
         col("l_extendedprice").as("y"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // r13 restructure (r12 verdict task #3 + guide §2.3/§2.4). Two
+    // changes vs the join-back shape, same exact integers throughout:
+    //
+    // 1. NO row-level join back onto lineitem. Every moment is a
+    //    function of per-VALUE counts: the x-side moments (n, Σrx,
+    //    Σrx²) come straight off the (flag, x) count map weighted by
+    //    t; the cross moment Σ rx·ry groups rows by (flag, y) AFTER a
+    //    broadcast attach of the tiny x-rank map, so Σrx per (flag,y)
+    //    carries everything the product needs (Σ_rows rx·ry =
+    //    Σ_y ry·(Σ_{rows@y} rx)). The old plan shuffled the fact
+    //    table by (flag, y) for a sort-merge join AND aggregated the
+    //    joined rows; this one shuffles only the value-level partial
+    //    aggregates (map-side combine) — the big-side exchange and
+    //    one full scan disappear.
+    // 2. Aggregate in LONG when provably exact, DECIMAL(38,0)
+    //    otherwise (r12 verdict task #3). Per flag-group of g rows,
+    //    ranks are < 2g+1, so every sum below is bounded by
+    //    n·(2n+1)² < 4.3·n³; for n ≤ 10⁶ rows (from footer metadata,
+    //    no scan) that is < 4.3·10¹⁸ < 2⁶³−1, so long-backed codegen
+    //    arithmetic is exact. Past the gate (the 10×/100× replicas,
+    //    production volumes) the sums keep the r12 DECIMAL(38,0)
+    //    lanes — same values, wider type. The FINAL n·sxx − sx²
+    //    expression stays DECIMAL in both paths (it reaches ~5·10²³
+    //    at sf0.1 — the #222 note above).
+    val exactLong =
+      Tables.parquetRowCount(spark, dir, "lineitem") <= 1000000L
+    def w(c: Column): Column = if (exactLong) c else c.cast(dec)
     // 2x-integral tie-averaged rank per distinct value: 2*cum<= - t + 1
+    val xm = li.groupBy(col("l_returnflag"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum("t").over(
+        Window.partitionBy("l_returnflag").orderBy("x")))
+      .select(col("l_returnflag"), col("x"), col("t"),
+        (col("cum") * 2L - col("t") + 1L).as("rx"))
+    val xs = xm.groupBy("l_returnflag").agg(
+      sum(w(col("t"))).as("n"),
+      sum(w(col("t")) * w(col("rx"))).as("sx"),
+      sum(w(col("t")) * w(col("rx")) * w(col("rx"))).as("sxx"))
+    // y-side: attach rx map-side (value-level, size-gated broadcast),
+    // reduce to (flag, y) partials, rank y over the distinct-value
+    // table, then one flag-level rollup of the weighted moments
+    val ym = li
+      .join(Tables.maybeBroadcast(
+        xm.select(col("l_returnflag"), col("x"), col("rx"))),
+        Seq("l_returnflag", "x"))
+      .groupBy(col("l_returnflag"), col("y"))
+      .agg(count(lit(1)).as("t"), sum(w(col("rx"))).as("srx"))
+      .withColumn("cum", sum("t").over(
+        Window.partitionBy("l_returnflag").orderBy("y")))
+      .withColumn("ry", col("cum") * 2L - col("t") + 1L)
+    val ys = ym.groupBy("l_returnflag").agg(
+      sum(w(col("t")) * w(col("ry"))).as("sy"),
+      sum(w(col("t")) * w(col("ry")) * w(col("ry"))).as("syy"),
+      sum(w(col("ry")) * col("srx")).as("sxy"))
+    val agg = xs.join(ys, "l_returnflag")
+      .select(col("l_returnflag"), col("n").cast(dec).as("n"),
+        col("sx").cast(dec).as("sx"), col("sy").cast(dec).as("sy"),
+        col("sxx").cast(dec).as("sxx"), col("syy").cast(dec).as("syy"),
+        col("sxy").cast(dec).as("sxy"))
+    // degenerate-group guard: a constant column makes its rank
+    // variance 0 — Spark would emit NaN (0/0) where DuckDB's double
+    // division by zero yields NULL, so BOTH sides gate to null
+    // explicitly (unreachable in this data; the #295 guard class)
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    agg.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+      when(dx > 0 && dy > 0,
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))))
+        .as("spearman_rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The r12 join-back shape, kept ONLY as an AuxBench A/B side (not
+    * registered): both rank maps joined back onto lineitem, moments
+    * aggregated over the joined rows in DECIMAL(38,0).
+    */
+  private[graft] def aggSpearmanJoinback(spark: SparkSession,
+      dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
     def rankMap(c: String, out: String): DataFrame =
       li.groupBy(col("l_returnflag"), col(c))
         .agg(count(lit(1)).as("t"))
@@ -384,10 +474,6 @@ object Crest {
         sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
         sum((col("ry") * col("ry")).cast(dec)).as("syy"),
         sum((col("rx") * col("ry")).cast(dec)).as("sxy"))
-    // degenerate-group guard: a constant column makes its rank
-    // variance 0 — Spark would emit NaN (0/0) where DuckDB's double
-    // division by zero yields NULL, so BOTH sides gate to null
-    // explicitly (unreachable in this data; the #295 guard class)
     val dx = col("n") * col("sxx") - col("sx") * col("sx")
     val dy = col("n") * col("syy") - col("sy") * col("sy")
     agg.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
@@ -396,6 +482,32 @@ object Crest {
           (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))))
         .as("spearman_rho"))
       .orderBy("l_returnflag")
+  }
+
+  /** AuxBench piece probe: the (flag, y) value-level partial aggregate
+    * + rank window subtree of the r13 [[aggSpearman]] (the candidate
+    * serial bottleneck — a 3-partition window over ~distinct-price
+    * rows). Not registered.
+    */
+  private[graft] def aggSpearmanYmap(spark: SparkSession,
+      dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    val xm = li.groupBy(col("l_returnflag"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .withColumn("cum", sum("t").over(
+        Window.partitionBy("l_returnflag").orderBy("x")))
+      .select(col("l_returnflag"), col("x"), col("t"),
+        (col("cum") * 2L - col("t") + 1L).as("rx"))
+    li.join(Tables.maybeBroadcast(
+        xm.select(col("l_returnflag"), col("x"), col("rx"))),
+        Seq("l_returnflag", "x"))
+      .groupBy(col("l_returnflag"), col("y"))
+      .agg(count(lit(1)).as("t"), sum(col("rx")).as("srx"))
+      .withColumn("cum", sum("t").over(
+        Window.partitionBy("l_returnflag").orderBy("y")))
+      .withColumn("ry", col("cum") * 2L - col("t") + 1L)
   }
 
   val aggSpearmanSql: String =
@@ -521,8 +633,7 @@ object Crest {
     val ids = Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     ids.mapPartitions(_.map { id =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(Multimodal.plantedBmp(id)))
+      val img = Multimodal.decodeBmp(Multimodal.plantedBmp(id))
       val w = img.getWidth
       val h = img.getHeight
       val px = img.getRaster.getSamples(0, 0, w, h, 0,

@@ -569,24 +569,38 @@ object Dedup {
     val pairs = lshCandidates(d.select("doc_id", "grams"), "grams",
       numHashes, bandRows)
     val t = d.select(col("doc_id"), col("text"))
+    // length-band pruning BEFORE the text attach (r12 verdict task #6,
+    // guide §2.3 — shuffle/attach a lightweight proxy, not the
+    // payload): sim ≥ τ forces min_len ≥ τ·max_len (lev ≥ |len diff|),
+    // and the lengths are a per-doc LONG — so candidates that can
+    // never verify are dropped while the pair still carries only ids,
+    // and the full-text attach (the heaviest side in the family) runs
+    // on survivors only. The filter is the same inequality previously
+    // applied after the text joins; values are identical because
+    // len_a/len_b ARE length(t_a)/length(t_b).
+    val lens = t.select(col("doc_id"), length(col("text")).as("len"))
     pairs
       // candidate pairs fall out of the LSH join partitioned by band
       // bucket, which correlates with CONTENT — and DP cost is
       // length²-ish, so bucket-aligned partitions straggle. A
       // round-robin rebalance of the (skinny) pair list spreads the
-      // DP evenly; the text attach happens after, on the rebalanced
+      // DP evenly; the attaches happen after, on the rebalanced
       // partitions.
       .repartition(spark.sparkContext.defaultParallelism)
-      // full doc TEXT — the heaviest attach side in the family, so the
+      .join(Tables.maybeBroadcast(lens.select(col("doc_id").as("id_a"),
+        col("len").as("len_a"))), "id_a")
+      .join(Tables.maybeBroadcast(lens.select(col("doc_id").as("id_b"),
+        col("len").as("len_b"))), "id_b")
+      .where(least(col("len_a"), col("len_b")).cast("double") >=
+        lit(threshold) * greatest(col("len_a"), col("len_b"))
+          .cast("double"))
+      .withColumn("maxlen", greatest(col("len_a"), col("len_b")))
+      // full doc TEXT — attached only to length-band survivors; the
       // size gate matters most here
       .join(Tables.maybeBroadcast(t.select(col("doc_id").as("id_a"),
         col("text").as("t_a"))), "id_a")
       .join(Tables.maybeBroadcast(t.select(col("doc_id").as("id_b"),
         col("text").as("t_b"))), "id_b")
-      .where(expr("least(length(t_a), length(t_b)) >= " +
-        s"$threshold * greatest(length(t_a), length(t_b))"))
-      .withColumn("maxlen",
-        greatest(length(col("t_a")), length(col("t_b"))))
       // banded DP: r4(sim) >= t  ⟺  dist <= (1-t+5e-5)·maxlen, so the
       // 3-arg levenshtein (early-exit at the bound, O(D·n) not O(n·m),
       // returns -1 past it) yields the IDENTICAL pair set — the bound

@@ -1320,15 +1320,7 @@ object Forge {
     val tmp = writeSchemaEvolutionLayout(spark, dir)
     // empty upstream writes zero data files and schema inference would
     // throw — surface the same empty accounting instead
-    val root = new org.apache.hadoop.fs.Path(tmp)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyData = {
-      val it = fs.listFiles(root, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
+    val anyData = graft.ParquetFiles.list(spark, tmp).nonEmpty
     if (!anyData) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -531,8 +531,7 @@ object Keystone {
     val ids = Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     ids.mapPartitions(_.map { id =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(Multimodal.plantedBmp(id)))
+      val img = Multimodal.decodeBmp(Multimodal.plantedBmp(id))
       val w = img.getWidth
       val h = img.getHeight
       val px = img.getRaster.getSamples(0, 0, w, h, 0,

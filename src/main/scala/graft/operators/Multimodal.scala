@@ -33,6 +33,57 @@ object Multimodal {
   // deserialize, so the setting reaches every JVM on a real cluster).
   javax.imageio.ImageIO.setUseCache(false)
 
+  // Per-thread BMP codec instances (r12 verdict item 4 — the mm family
+  // inverted c8/c32 scaling in the degraded r12 32-core run, and the
+  // convenience entry points are the only per-row JDK machinery left):
+  // ImageIO.read/ImageIO.write run a registry scan (getImageReaders /
+  // getImageWritersByFormatName) and allocate a fresh reader/writer +
+  // stream wrapper PER CALL. One reader/writer per task thread, reused
+  // across rows, removes that churn. The instances come from the same
+  // SPI the convenience path selects (the JDK ships exactly one BMP
+  // plugin), setInput/setOutput resets all per-image state, and the
+  // read(0)/write(img) calls are the ones ImageIO.read/write make —
+  // decoded pixels and encoded bytes are bit-identical
+  // (ImageCodecSpec pins both against the convenience path).
+  private val bmpReaderTl =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next())
+  private val bmpWriterTl =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next())
+
+  /** Decode a BMP byte payload with this thread's reused reader —
+    * drop-in for `ImageIO.read(new ByteArrayInputStream(bytes))`. */
+  def decodeBmp(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = bmpReaderTl.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0)
+    } finally {
+      reader.setInput(null)
+      iis.close()
+    }
+  }
+
+  /** Encode an image to BMP bytes with this thread's reused writer —
+    * drop-in for `ImageIO.write(img, "bmp", byteArrayOutputStream)`. */
+  def encodeBmp(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = bmpWriterTl.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** One "media file": opaque bytes + the id. */
   final case class BinaryDoc(doc_id: Long, payload: Array[Byte])
 
@@ -120,8 +171,7 @@ object Multimodal {
     val ids = graft.Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     ids.mapPartitions(_.map { id =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(plantedBmp(id)))
+      val img = decodeBmp(plantedBmp(id))
       val w = img.getWidth
       val h = img.getHeight
       val px = img.getRaster.getSamples(0, 0, w, h, 0,
@@ -216,8 +266,7 @@ object Multimodal {
       var prevSig = 0L
       var shot = -1L
       (0 until nf).iterator.flatMap { f =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(plantedFrameBmp(id, f)))
+        val img = decodeBmp(plantedFrameBmp(id, f))
         val px = img.getRaster.getSamples(0, 0, 32, 32,
           0, new Array[Int](32 * 32))
         val sums = new Array[Long](64)
@@ -509,21 +558,15 @@ object Multimodal {
     * image format, byte-deterministic (BMP is uncompressed raster +
     * fixed header, unlike PNG whose deflate stream can vary by encoder).
     */
-  def plantedBmp(docId: Long): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(plantedImage(docId), "bmp", bos)
-    bos.toByteArray
-  }
+  def plantedBmp(docId: Long): Array[Byte] =
+    encodeBmp(plantedImage(docId))
 
   /** [[plantedBmp]] with deterministic sparse pixel noise (+1 mod 256
     * where (x+y+id) ≡ 0 mod 97) — the re-encoded near-duplicate twin
     * the #290 real-pixel phash measures its robustness against.
     */
-  def plantedBmpNoisy(docId: Long): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(plantedImage(docId, noisy = true), "bmp", bos)
-    bos.toByteArray
-  }
+  def plantedBmpNoisy(docId: Long): Array[Byte] =
+    encodeBmp(plantedImage(docId, noisy = true))
 
   /** Frames in the planted VIDEO for `docId`: 4..8. */
   def plantedFrameCount(docId: Long): Int = (4 + (3 * docId + 1) % 5).toInt
@@ -567,9 +610,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
-    bos.toByteArray
+    encodeBmp(img)
   }
 
   /** #285 image resize over a REAL codec: the one multimodal leg where
@@ -594,8 +635,7 @@ object Multimodal {
     val ids = graft.Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     ids.mapPartitions(_.map { id =>
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(plantedBmp(id)))
+      val img = decodeBmp(plantedBmp(id))
       val w = img.getWidth
       val h = img.getHeight
       val ow = w / 2

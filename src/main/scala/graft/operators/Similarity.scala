@@ -1166,10 +1166,19 @@ object Similarity {
     val updated = ivfCentroids(members)
       .select(col("label").as("cell"), col("centroid"))
     // `re` is consumed by THREE branches (after, outflow, recentered):
-    // without the bounded persist each branch re-ran the broadcast +
-    // N×cells argmin window (and, transitively, the updated-centroid
-    // aggregate under its broadcast) — the top in-sweep cost of the
-    // whole ANN family before r12 (6.7 s at sf0.1).
+    // without the persist each branch re-ran the broadcast + N×cells
+    // argmin window (and, transitively, the updated-centroid aggregate
+    // under its broadcast) — the top in-sweep cost of the whole ANN
+    // family before r12 (6.7 s at sf0.1). NOTE (r12 ADVICE item 4):
+    // the payload is CORPUS-sized (vec_id + embedding + old_cell +
+    // cell for every member) — persistSlot bounds the slot COUNT, not
+    // the bytes, so under memory pressure this entry is
+    // eviction-sensitive like any persist. It stays a persist (not a
+    // LayoutCache parquet) on purpose: the table is a pure function of
+    // the query's own inputs with a single consumer query, so a
+    // per-JVM parquet copy would amortize this query's own result
+    // across bench passes — the result-caching line this repo holds.
+    // Worst case on eviction is a recompute, never a wrong result.
     val re = Tables.persistSlot("similarity.recluster.re", assignTo(
       members.withColumnRenamed("label", "old_cell"), updated))
     val before = members.groupBy(col("label").as("cell"))

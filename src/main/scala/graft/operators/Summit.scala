@@ -609,9 +609,7 @@ object Summit {
       .select(col("doc_id")).as[Long]
     val frames = ids.mapPartitions(_.flatMap { id =>
       (0 until Multimodal.plantedFrameCount(id)).iterator.map { f =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(
-            Multimodal.plantedFrameBmp(id, f)))
+        val img = Multimodal.decodeBmp(Multimodal.plantedFrameBmp(id, f))
         val px = img.getRaster.getSamples(0, 0, 32, 32,
           0, new Array[Int](32 * 32))
         val sums = new Array[Long](64)

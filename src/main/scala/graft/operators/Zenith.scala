@@ -943,6 +943,14 @@ object Zenith {
     // the graph_edges_s2 precedent), so each half-iteration is a cheap
     // file scan: no triple join+distinct, no volume-sized block-manager
     // residency competing with the half-iterations' own shuffles.
+    // Footprint bound (r12 ADVICE item 2): unlike graph_edges_s2 this
+    // table is DATA-sized — distinct (cust, part) pairs track lineitem
+    // volume, compressed columnar (two int64 columns, zstd), i.e. a
+    // few percent of the fact table's bytes. At bench scale that is
+    // MBs; at the 100 TB design point the cache root must be a real
+    // scratch filesystem, which is exactly what
+    // `spark.graft.cacheRoot` configures (LayoutCache resolves cached
+    // trees under it; default stays java.io.tmpdir for local runs).
     val eDf = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
       .distinct()

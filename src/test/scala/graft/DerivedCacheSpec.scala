@@ -65,4 +65,49 @@ class DerivedCacheSpec extends AnyFunSuite {
     }
     assert(innerRan)
   }
+
+  test("DerivedCache: same-key re-entrant getOrCompute fails fast " +
+      "instead of deadlocking on its own future") {
+    val e = intercept[IllegalStateException] {
+      DerivedCache.getOrCompute[Integer]("spec_dc_reentrant", "/d") {
+        DerivedCache.getOrCompute[Integer]("spec_dc_reentrant", "/d")(1)
+      }
+    }
+    assert(e.getMessage.contains("re-entrant"))
+    // the failed outer compute must be uncached: a retry runs
+    assert(DerivedCache.getOrCompute[Integer](
+      "spec_dc_reentrant", "/d")(9) == 9)
+  }
+
+  test("LayoutCache: spark.graft.cacheRoot routes trees through the " +
+      "session's Hadoop FS and the path round-trips") {
+    val spark = TestSpark.spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_spec_cacheroot").toString
+    spark.conf.set("spark.graft.cacheRoot", root)
+    try {
+      var written: String = null
+      val got = LayoutCache.getOrWrite("spec_fsroot", "/spec/dir") { tmp =>
+        written = tmp
+        // write through the Hadoop FS the path resolves to — the
+        // round-trip a cluster's distributed write performs
+        val p = new org.apache.hadoop.fs.Path(tmp, "marker")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val out = fs.create(p)
+        out.writeUTF("ok"); out.close()
+      }
+      assert(got == written)
+      // allocated under the configured root, not java.io.tmpdir
+      val qualifiedRoot = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(root)).toString
+      assert(got.startsWith(qualifiedRoot),
+        s"cache dir $got not under configured root $qualifiedRoot")
+      // the written bytes read back through the same FS resolution
+      val p = new org.apache.hadoop.fs.Path(got, "marker")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      assert(in.readUTF() == "ok"); in.close()
+    } finally spark.conf.unset("spark.graft.cacheRoot")
+  }
 }

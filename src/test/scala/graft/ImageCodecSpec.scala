@@ -32,6 +32,44 @@ class ImageCodecSpec extends GraftSpec {
     }
   }
 
+  test("per-thread codec == ImageIO convenience path, byte- and " +
+      "pixel-identical (the r13 reader/writer reuse)") {
+    def mkImg(id: Long): java.awt.image.BufferedImage = {
+      val w = 32; val h = 48
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((3L * x + 5L * y + id) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    Seq(0L, 17L, 123L).foreach { id =>
+      // encode: reused writer bytes == ImageIO.write bytes on the
+      // same BufferedImage instance
+      val img = mkImg(id)
+      val viaHelper = Multimodal.encodeBmp(img)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      assert(java.util.Arrays.equals(viaHelper, bos.toByteArray),
+        s"doc $id: encodeBmp bytes differ from ImageIO.write")
+      // decode: reused reader pixels == ImageIO.read pixels
+      val a = Multimodal.decodeBmp(viaHelper)
+      val b = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(viaHelper))
+      assert(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+      for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+        assert(a.getRGB(x, y) == b.getRGB(x, y), s"doc $id ($x,$y)")
+    }
+    // reuse across many calls on one thread stays correct (state reset)
+    val first = Multimodal.decodeBmp(Multimodal.plantedBmp(7L))
+    (0 until 50).foreach(_ => Multimodal.decodeBmp(Multimodal.plantedBmp(7L)))
+    val last = Multimodal.decodeBmp(Multimodal.plantedBmp(7L))
+    assert(first.getWidth == last.getWidth)
+    for (y <- 0 until first.getHeight; x <- 0 until first.getWidth)
+      assert(first.getRGB(x, y) == last.getRGB(x, y))
+  }
+
   test("mm_image_resize == closed-form pooling (real decode, no stub)") {
     val out = Multimodal.mmImageResize(spark, sf)
       .where(col("doc_id") < 20).collect()

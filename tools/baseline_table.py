@@ -24,7 +24,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "BASELINE.md")
-HEADER = "| query | sec (sf0.1, min across runs) |"
+HEADER = "| query | sec (sf0.1, min across runs) | context |"
 
 
 def sf01_artifacts():
@@ -43,6 +43,26 @@ def sf01_artifacts():
     return out
 
 
+def context_of(name):
+    """Measurement context of an artifact, derived from its name
+    (r11 verdict item 6: the table used to fold idle seeds and
+    in-sweep numbers indiscriminately — now each minimum says which
+    kind of run produced it)."""
+    if name.startswith("BENCH_seed"):
+        return "idle seed (single-query min-of-2)"
+    if name.startswith("BENCH_local"):
+        return "idle full sweep"
+    if re.match(r"BENCH_r\d+_c8", name):
+        return "driver full sweep (8 cores)"
+    if re.match(r"BENCH_r\d+_before", name):
+        return "pre-round local full sweep"
+    if re.match(r"BENCH_r\d+\.json", name):
+        return "driver full sweep (32 cores)"
+    if name.startswith("BENCH_run"):
+        return "local full sweep"
+    return "full sweep"
+
+
 def fold_minima(artifacts):
     minima, sources = {}, {}
     for name, qs in artifacts:
@@ -55,7 +75,7 @@ def fold_minima(artifacts):
     return minima, sources
 
 
-def rewrite_table(text, minima):
+def rewrite_table(text, minima, sources):
     lines = text.splitlines(keepends=True)
     try:
         start = next(i for i, l in enumerate(lines)
@@ -65,7 +85,8 @@ def rewrite_table(text, minima):
     end = start + 2  # header + |---|---| separator
     while end < len(lines) and lines[end].startswith("|"):
         end += 1
-    rows = [f"| {q} | {minima[q]:.3f} |\n"
+    rows = [f"| {q} | {minima[q]:.3f} | {sources[q]} — "
+            f"{context_of(sources[q])} |\n"
             for q in sorted(minima, key=lambda q: (-minima[q], q))]
     return "".join(lines[:start + 2] + rows + lines[end:])
 
@@ -80,7 +101,7 @@ def main():
           f"{len(minima)} query minima")
     with open(BASELINE) as fh:
         text = fh.read()
-    new = rewrite_table(text, minima)
+    new = rewrite_table(text, minima, sources)
     if args.dry_run:
         print("".join(l for l in new.splitlines(keepends=True)
                       if l.startswith("|"))[:2000])
