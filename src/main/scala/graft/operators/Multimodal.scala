@@ -704,11 +704,61 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
       /* signed = */ false, /* bigEndian = */ false)
-    javax.sound.sampled.AudioSystem.write(
+    wavWriterTl.get().write(
       new javax.sound.sampled.AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, n.toLong),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  // Per-thread WAVE codec providers (r13, the audio analogue of the
+  // BMP reader/writer reuse above): AudioSystem.write /
+  // getAudioInputStream route EVERY call through the JDK sound
+  // services' synchronized provider lookup, which both costs a lookup
+  // per call and serializes concurrent decode tasks on a class lock —
+  // the two real-codec audio legs sat at ~3.3-3.5 s for 500 tiny
+  // clips and scaled FLAT with cores (c8/c32 ≈ 1.0) while the stub
+  // audio leg cost 0.67 s. One ServiceLoader scan per thread; decode
+  // tries the cached readers in provider order exactly like
+  // AudioSystem does (first one that accepts the stream wins), so the
+  // selected codec, bytes and samples are identical — AudioCodecSpec
+  // pins both directions against the AudioSystem path.
+  private val wavWriterTl =
+    ThreadLocal.withInitial[javax.sound.sampled.spi.AudioFileWriter] { () =>
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE writer SPI"))
+    }
+  private val wavReadersTl =
+    ThreadLocal.withInitial[Seq[javax.sound.sampled.spi.AudioFileReader]] {
+      () =>
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala.toSeq
+    }
+
+  /** Decode an audio byte payload with this thread's cached reader
+    * providers — drop-in for `AudioSystem.getAudioInputStream(new
+    * ByteArrayInputStream(bytes))` (same first-accepting-provider
+    * selection rule).
+    */
+  def decodeAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val readers = wavReadersTl.get()
+    var i = 0
+    while (i < readers.length) {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      try return readers(i).getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => i += 1
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
   }
 
   /** #317 samples-true PCM energy profile — the FIFTH real-codec leg
@@ -730,8 +780,7 @@ object Multimodal {
     val ids = graft.Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     ids.mapPartitions(_.map { id =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(plantedWav(id)))
+      val ais = decodeAudio(plantedWav(id))
       val s = ais.readAllBytes()
       val n = s.length
       val frames = n / 128

@@ -1037,8 +1037,7 @@ object Summit {
     val ids = Tables.spread(spark, dir, "documents")
       .select(col("doc_id")).as[Long]
     val frames = ids.mapPartitions(_.flatMap { id =>
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(Multimodal.plantedWav(id)))
+      val ais = Multimodal.decodeAudio(Multimodal.plantedWav(id))
       val s = ais.readAllBytes()
       (0 until s.length / 100).iterator.map { f =>
         var e = 0L

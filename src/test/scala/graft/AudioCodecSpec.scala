@@ -30,6 +30,33 @@ class AudioCodecSpec extends GraftSpec {
     }
   }
 
+  test("per-thread WAVE codec == AudioSystem path, byte- and " +
+      "sample-identical (the r13 provider reuse)") {
+    Seq(0L, 42L, 321L).foreach { id =>
+      // encode: plantedWav (ThreadLocal writer inside) must equal an
+      // AudioSystem.write of the same samples
+      val viaHelper = Multimodal.plantedWav(id)
+      val n = (512L + (id * 13 + 7) % 512).toInt
+      val data = Array.tabulate[Byte](n)(i => ((5L * i + id) % 256L).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+        false, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(viaHelper, bos.toByteArray),
+        s"doc $id: ThreadLocal WAVE writer bytes differ from AudioSystem")
+      // decode: cached-provider selection == AudioSystem selection
+      val a = Multimodal.decodeAudio(viaHelper)
+      val b = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(viaHelper))
+      assert(a.getFormat.toString == b.getFormat.toString)
+      assert(java.util.Arrays.equals(a.readAllBytes(), b.readAllBytes()),
+        s"doc $id: decoded samples differ")
+    }
+  }
+
   test("mm_audio_pcm_energy: sampled docs match a closed-form energy " +
       "recomputation; frame accounting is exact") {
     val out = Multimodal.mmAudioPcmEnergy(spark, sf).collect()
